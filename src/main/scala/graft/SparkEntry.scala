@@ -1,13 +1,119 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.functions.Classify
+import graft.plans.Analyzer
+import graft.sources.DeadLetterSource
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each query reads the driver-generated parquet at `sfDir` and returns a
+  * DataFrame whose schema + values are reproduced independently by the DuckDB
+  * SQL in [[oracleSql]] (closed-form expected values, see [[OracleSql]]).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
+    * the full dead-letter pipeline ("all" sink). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+    queries("dl_all")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // T12: stack-trace classification over the synthesized scenario traces.
+    "dl_classify" -> ((s, dir) =>
+      DeadLetterSource.scenario(s, dir)
+        .select(col("event_id"), Classify.classify(col("stack_trace")).as("error_type"))),
+
+    // T1-T9, U1: four-way dispatch + parse + union, flattened; fields masked on
+    // parse error (partial parses carry engine-internal garbage by design).
+    "dl_parsed" -> ((s, dir) => {
+      val p = Analyzer.parsed(DeadLetterSource.envelope(s, dir))
+      val err = col("parsed").getField("error")
+      val dl = col("parsed").getField("dead_letter")
+      def masked(c: org.apache.spark.sql.Column) = when(err.isNull, c)
+      p.select(
+        col("offset"),
+        col("branch"),
+        err.as("parse_error"),
+        masked(dl.getField("input_value")).as("input_value"),
+        masked(dl.getField("partition")).as("dl_partition"),
+        masked(dl.getField("topic")).as("dl_topic"),
+        masked(dl.getField("offset")).as("dl_offset"),
+        masked(dl.getField("description")).as("description"),
+        masked(dl.getField("cause").getField("error_class")).as("error_class"),
+        masked(dl.getField("cause").getField("message")).as("message"),
+        masked(dl.getField("cause").getField("stack_trace")).as("stack_trace"),
+        masked(unix_micros(dl.getField("input_timestamp"))).as("input_ts_us"))
+    }),
+
+    // S2 "all" sink: every dead letter enriched with consumer context (T10, T13, T14, T16).
+    "dl_all" -> ((s, dir) =>
+      Analyzer.analyze(DeadLetterSource.envelope(s, dir)).all.select(
+        col("key"),
+        col("context_key"),
+        col("offset"),
+        col("partition"),
+        col("timestamp"),
+        col("topic"),
+        col("type"),
+        col("dead_letter").getField("description").as("description"),
+        col("dead_letter").getField("offset").as("dl_offset"),
+        col("dead_letter").getField("topic").as("dl_topic"),
+        unix_micros(col("dead_letter").getField("input_timestamp")).as("input_ts_us"))),
+
+    // S3 "stats" sink: per-(topic, type) count / first-seen / last-seen (A1 batch twin).
+    "dl_stats" -> ((s, dir) =>
+      Analyzer.analyze(DeadLetterSource.envelope(s, dir)).stats),
+
+    // S4 "examples" sink: exactly one example per (topic, type) (A1 + T15).
+    "dl_examples" -> ((s, dir) => {
+      val e = Analyzer.analyze(DeadLetterSource.envelope(s, dir)).examples
+      e.select(
+        col("key"),
+        col("topic"),
+        col("type"),
+        col("example").getField("key").as("example_key"),
+        col("example").getField("offset").as("example_offset"),
+        col("example").getField("partition").as("example_partition"),
+        col("example").getField("timestamp").as("example_timestamp"),
+        col("example").getField("dead_letter").getField("description").as("example_description"))
+    }),
+
+    // S5 error sink: the engine's own processing failures as dead letters (T11).
+    "dl_errors" -> ((s, dir) =>
+      Analyzer.analyze(DeadLetterSource.envelope(s, dir)).errors.select(
+        col("key"),
+        col("dead_letter").getField("description").as("description"),
+        col("dead_letter").getField("cause").getField("error_class").as("error_class"),
+        col("dead_letter").getField("cause").getField("message").as("message"),
+        unix_micros(col("dead_letter").getField("input_timestamp")).as("ts_us"))),
+
+    // Relational baseline: TPC-H Q1-shaped aggregation (decimal-exact across engines).
+    "q1_agg" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      li.groupBy(col("l_returnflag"), col("l_linestatus")).agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double").as("sum_price"),
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,4)"))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("count_order"))
+    }))
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "dl_classify" -> OracleSql.classify,
+    "dl_parsed" -> OracleSql.parsedAll,
+    "dl_all" -> OracleSql.all,
+    "dl_stats" -> OracleSql.stats,
+    "dl_examples" -> OracleSql.examples,
+    "dl_errors" -> OracleSql.errors,
+    "q1_agg" -> """SELECT l_returnflag, l_linestatus,
+      sum(l_quantity) AS sum_qty,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+      CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      count(*) AS count_order
+    FROM lineitem GROUP BY l_returnflag, l_linestatus""")
 }

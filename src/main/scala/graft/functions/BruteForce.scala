@@ -1,0 +1,85 @@
+package graft.functions
+
+import graft.model.Schemas
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Best-effort decoding of untyped Kafka key/value bytes — the engine's
+ * re-expression of the reference's `BruteForceSerde` + `ErrorUtil.toString`
+ * (SURVEY §2.2 T17/T18): any topic can be consumed without declaring its
+ * format, and every payload has a deterministic string rendering used for
+ * `input_value` and stringified keys.
+ *
+ * Decode chain (deterministic, first match wins):
+ *   1. null → null
+ *   2. bytes that are valid JSON carrying the dead-letter shape (a
+ *      `description` plus a `cause` object) → kind `dead_letter`, the JSON
+ *      itself is the rendering. This is the engine's wire format for Avro
+ *      `DeadLetter` values (format #1, reference
+ *      DeadLetterAnalyzerTopology.java:98-100): records are interchanged as
+ *      their compact-JSON rendering, exactly what `ErrorUtil.toString` produces
+ *      for Avro records (e.g. `{"id":1}`, reference
+ *      DeadLetterAnalyzerTopologyTest.java:653-659). Confluent
+ *      schema-registry binary Avro is an operational transport concern and a
+ *      documented non-goal (SURVEY §7.4).
+ *   3. bytes that decode as clean UTF-8 → kind `string`, the text itself.
+ *   4. anything else → kind `binary`, lowercase hex rendering.
+ */
+object BruteForce {
+
+  /** JSON interchange schema for dead-letter payloads: timestamps travel as
+    * epoch millis (Avro `timestamp-millis` long), matching the Avro JSON
+    * encoding of the reference's `DeadLetter`. */
+  val deadLetterJson: StructType = StructType(Seq(
+    StructField("input_value", StringType),
+    StructField("partition", IntegerType),
+    StructField("topic", StringType),
+    StructField("offset", LongType),
+    StructField("description", StringType),
+    StructField("cause", Schemas.errorDescription),
+    StructField("input_timestamp", LongType)))
+
+  /** Invalid UTF-8 surfaces as U+FFFD after decode; a clean payload contains none. */
+  private def utf8(bin: Column): Column = decode(bin, "UTF-8")
+  private def isCleanUtf8(bin: Column): Column = !utf8(bin).contains("�")
+
+  /** struct(kind, text, dead_letter) — `dead_letter` non-null iff kind = 'dead_letter'. */
+  def decoded(bin: Column): Column = {
+    val txt = utf8(bin)
+    val dl = from_json(txt, deadLetterJson)
+    val isDl = dl.isNotNull && dl.getField("description").isNotNull &&
+      dl.getField("cause").isNotNull
+    val deadLetter = struct(
+      dl.getField("input_value").as("input_value"),
+      dl.getField("partition").as("partition"),
+      dl.getField("topic").as("topic"),
+      dl.getField("offset").as("offset"),
+      dl.getField("description").as("description"),
+      dl.getField("cause").as("cause"),
+      timestamp_millis(dl.getField("input_timestamp")).as("input_timestamp"))
+    when(bin.isNull, lit(null).cast(decodedType))
+      .when(isCleanUtf8(bin) && isDl,
+        struct(lit("dead_letter").as("kind"), txt.as("text"), deadLetter.as("dead_letter")))
+      .when(isCleanUtf8(bin),
+        struct(lit("string").as("kind"), txt.as("text"),
+          lit(null).cast(deadLetterStruct).as("dead_letter")))
+      .otherwise(
+        struct(lit("binary").as("kind"), lower(hex(bin)).as("text"),
+          lit(null).cast(deadLetterStruct).as("dead_letter")))
+  }
+
+  private val deadLetterStruct: StructType = Schemas.deadLetter
+
+  val decodedType: StructType = StructType(Seq(
+    StructField("kind", StringType, nullable = false),
+    StructField("text", StringType, nullable = false),
+    StructField("dead_letter", deadLetterStruct, nullable = true)))
+
+  /** The reference's `ErrorUtil.toString` rendering of an arbitrary payload:
+    * the decoded text regardless of kind (JSON for records, raw text for
+    * strings, hex for binary); null for null. */
+  def stringified(bin: Column): Column = decoded(bin).getField("text")
+}

@@ -1,0 +1,203 @@
+package graft.plans
+
+import graft.functions.{BruteForce, Classify}
+import graft.model.Messages
+import graft.operators.Parsers
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * The dead-letter analyzer dataflow (reference
+ * DeadLetterAnalyzerTopology.buildTopology(), java:139-158), re-expressed as a
+ * declarative Spark plan: DataFrame in (Kafka envelope columns), four
+ * DataFrames out. Catalyst supplies analysis/optimization/codegen; the
+ * only shuffle in the whole plan is the `groupBy(topic, type)` aggregation —
+ * the same single repartition the reference performs
+ * (DeadLetterAnalyzerTopology.java:194-197).
+ *
+ * Batch semantics here are the "batch twin" of the streaming topology in
+ * [[graft.streaming.StreamingAnalyzer]]: same outputs, end-of-input snapshot
+ * instead of per-record update stream (SURVEY §2.3 A1).
+ */
+object Analyzer {
+
+  /** The four output streams (reference sinks S2–S5). */
+  final case class Outputs(
+      all: DataFrame, stats: DataFrame, examples: DataFrame, errors: DataFrame)
+
+  /** Sink timestamp rendering `yyyy-MM-dd'T'HH:mm:ss.SSS` (reference
+    * Formatter.java:42-64). The reference formats in the host zone; we pin the
+    * session zone (UTC in this project) — documented delta, SURVEY §2.2 T16. */
+  def formatTimestamp(ts: Column): Column =
+    date_format(ts, "yyyy-MM-dd'T'HH:mm:ss.SSS")
+
+  /** Elastic document id `{topic}+{partition}+{offset}` (reference
+    * KeyedDeadLetterWithContext.java:51-54). */
+  def elasticId(topic: Column, partition: Column, offset: Column): Column =
+    format_string("%s+%d+%d", topic, partition, offset)
+
+  /** Stats/examples key `{topic}:{type}` (reference DeadLetterAnalyzerTopology.java:74-76). */
+  def errorKeyString(topic: Column, errorType: Column): Column =
+    format_string("%s:%s", topic, errorType)
+
+  // ---------------------------------------------------------------------------
+  // Stage 1: four-way format dispatch + parse + union (T1-T8, U1)
+  // ---------------------------------------------------------------------------
+
+  /** Parse the envelope through all four format branches and union them.
+    * Dispatch is additive (SURVEY §2.5.1): a record matching several branch
+    * predicates is emitted once per matching branch. Output = envelope columns
+    * + `parsed: struct(dead_letter, error)` + `branch`. */
+  def parsed(input: DataFrame): DataFrame = {
+    val v = col("value"); val h = col("headers"); val ts = col("timestamp")
+    val branches = Seq(
+      ("avro_value", Parsers.isAvroDeadLetter(v), Parsers.avroValue(v)),
+      ("streams_headers", Parsers.hasStreamsHeaders(h), Parsers.streamsHeaders(v, h, ts)),
+      ("native_headers", Parsers.hasNativeHeaders(h), Parsers.nativeHeaders(v, h, ts)),
+      ("connect_headers", Parsers.hasConnectHeaders(h), Parsers.connectHeaders(v, h, ts)))
+    branches.map { case (name, predicate, parser) =>
+      input.filter(predicate)
+        .withColumn("parsed", parser)
+        .withColumn("branch", lit(name))
+    }.reduce(_ unionByName _)
+  }
+
+  // ---------------------------------------------------------------------------
+  // Stage 2: context enrichment + classification (T10, T12)
+  // ---------------------------------------------------------------------------
+
+  /** Successfully parsed records enriched with consumer context and the
+    * classified error type (reference ContextEnricher.java:35-79). A null
+    * stack trace errors into the analyze channel — reproduced as an error
+    * column, not an exception (SURVEY §2.5.3). Output columns:
+    * `topic, partition, offset, timestamp, key_string, error_type,
+    *  dead_letter, enrich_error`. */
+  def enriched(parsedOk: DataFrame): DataFrame = {
+    val dl = col("parsed").getField("dead_letter")
+    val stackTrace = dl.getField("cause").getField("stack_trace")
+    parsedOk
+      .withColumn("key_string", coalesce(BruteForce.stringified(col("key")), lit("null")))
+      .withColumn("dead_letter", dl)
+      // stackTrace.orElseThrow() → NoSuchElementException("No value present")
+      .withColumn("enrich_error",
+        when(stackTrace.isNull, lit("No value present")))
+      .withColumn("error_type", when(stackTrace.isNotNull, Classify.classify(stackTrace)))
+      .drop("parsed")
+  }
+
+  // ---------------------------------------------------------------------------
+  // Stage 3: outputs
+  // ---------------------------------------------------------------------------
+
+  /** Full pipeline. `arrivalCol` totalizes "consumption order" for the
+    * first-example pick of the batch twin (the envelope offset: Kafka's
+    * per-partition consumption order; unique across the board in the test
+    * harness). */
+  def analyze(input: DataFrame): Outputs = {
+    val p = parsed(input)
+    val parseErrors = p.filter(col("parsed").getField("error").isNotNull)
+    val ok = enriched(p.filter(col("parsed").getField("error").isNull))
+    val analyzeErrors = ok.filter(col("enrich_error").isNotNull)
+    val good = ok.filter(col("enrich_error").isNull)
+
+    // Sink "all": one enriched record per dead letter (FullDeadLetterWithContext.avsc)
+    val all = good.select(
+      elasticId(col("topic"), col("partition"), col("offset")).as("key"),
+      col("key_string").as("context_key"),
+      col("offset"),
+      col("partition"),
+      formatTimestamp(col("timestamp")).as("timestamp"),
+      col("dead_letter"),
+      col("topic"),
+      col("error_type").as("type"))
+
+    // Sinks "stats" + "examples": one aggregation, two projections — mirrors the
+    // reference sharing one stateful result between both sinks
+    // (DeadLetterAnalyzerTopology.java:148-157). Single shuffle on (topic, type).
+    val aggregated = good.groupBy(col("topic"), col("error_type").as("type")).agg(
+      count(lit(1)).cast("int").as("count"),
+      min(col("timestamp")).as("created"),
+      max(col("timestamp")).as("updated"),
+      min_by(
+        struct(
+          col("key_string").as("key"),
+          col("offset").as("offset"),
+          col("partition").as("partition"),
+          formatTimestamp(col("timestamp")).as("timestamp"),
+          col("dead_letter").as("dead_letter")),
+        // arrival order: Kafka consumption order = offset within a partition;
+        // branch name breaks the tie for records emitted by several dispatch
+        // branches (additive dispatch, SURVEY §2.5.1). A zero-padded sortable
+        // string so batch and oracle order identically.
+        format_string("%020d:%s", col("offset"), col("branch"))).as("example"))
+
+    val stats = aggregated.select(
+      errorKeyString(col("topic"), col("type")).as("key"),
+      col("count"),
+      formatTimestamp(col("created")).as("created"),
+      formatTimestamp(col("updated")).as("updated"),
+      col("topic"),
+      col("type"))
+
+    val examples = aggregated.select(
+      errorKeyString(col("topic"), col("type")).as("key"),
+      col("example"),
+      col("topic"),
+      col("type"))
+
+    // Error channel (T11): both capture sites converted to dead letters with the
+    // reference's fixed descriptions; key = stringified input key (S5).
+    val errors = parseErrorDeadLetters(parseErrors)
+      .unionByName(analyzeErrorDeadLetters(analyzeErrors))
+
+    Outputs(all, stats, examples, errors)
+  }
+
+  /** Failed parses → dead letters, description "Error converting errors to dead
+    * letters" (reference DeadLetterAnalyzerTopology.java:128-137). */
+  private def parseErrorDeadLetters(parseErrors: DataFrame): DataFrame = {
+    val err = col("parsed").getField("error")
+    parseErrors.select(
+      coalesce(BruteForce.stringified(col("key")), lit("null")).as("key"),
+      errorDeadLetter(
+        description = lit(Messages.ErrorConvertingErrors),
+        errorClass = when(err.startsWith("For input string"),
+            lit("java.lang.NumberFormatException"))
+          .otherwise(lit("java.lang.IllegalArgumentException")),
+        message = err,
+        inputValue = BruteForce.stringified(col("value")),
+        timestamp = col("timestamp")).as("dead_letter"))
+  }
+
+  /** Null-stack-trace records → dead letters, description "Error analyzing dead
+    * letter" (reference DeadLetterAnalyzerTopology.java:115-124). */
+  private def analyzeErrorDeadLetters(analyzeErrors: DataFrame): DataFrame =
+    analyzeErrors.select(
+      col("key_string").as("key"),
+      errorDeadLetter(
+        description = lit(Messages.ErrorAnalyzing),
+        errorClass = lit("java.util.NoSuchElementException"),
+        message = col("enrich_error"),
+        inputValue = to_json(col("dead_letter")),
+        timestamp = col("timestamp")).as("dead_letter"))
+
+  /** DeadLetter for the engine's own processing failure (reference
+    * AvroDeadLetterConverter semantics): the synthetic stack trace holds
+    * `class: message` — the real Java trace does not exist in a declarative
+    * plan; classification of these still lands on the exception class via the
+    * first-line fallback, exactly as the reference's feedback loop does. */
+  private def errorDeadLetter(description: Column, errorClass: Column,
+      message: Column, inputValue: Column, timestamp: Column): Column =
+    struct(
+      inputValue.as("input_value"),
+      lit(null).cast("int").as("partition"),
+      lit(null).cast("string").as("topic"),
+      lit(null).cast("long").as("offset"),
+      description.as("description"),
+      struct(
+        errorClass.as("error_class"),
+        message.as("message"),
+        concat(errorClass, lit(": "), message).as("stack_trace")).as("cause"),
+      timestamp.as("input_timestamp"))
+}
