@@ -45,22 +45,29 @@ object Analyzer {
   // Stage 1: four-way format dispatch + parse + union (T1-T8, U1)
   // ---------------------------------------------------------------------------
 
-  /** Parse the envelope through all four format branches and union them.
+  /** Parse the envelope through all four format branches in a single pass.
     * Dispatch is additive (SURVEY §2.5.1): a record matching several branch
-    * predicates is emitted once per matching branch. Output = envelope columns
-    * + `parsed: struct(dead_letter, error)` + `branch`. */
+    * predicates is emitted once per matching branch — expressed as
+    * explode(array_compact(...)) rather than a union of four filters, so the
+    * input (a 100 TB Kafka scan at target scale) is read ONCE and all four
+    * parsers share one codegen stage with common-subexpression elimination.
+    * Records matching no branch are dropped, like the reference's unmatched
+    * records. Output = envelope columns + `parsed: struct(dead_letter,
+    * error)` + `branch`. */
   def parsed(input: DataFrame): DataFrame = {
     val v = col("value"); val h = col("headers"); val ts = col("timestamp")
-    val branches = Seq(
-      ("avro_value", Parsers.isAvroDeadLetter(v), Parsers.avroValue(v)),
-      ("streams_headers", Parsers.hasStreamsHeaders(h), Parsers.streamsHeaders(v, h, ts)),
-      ("native_headers", Parsers.hasNativeHeaders(h), Parsers.nativeHeaders(v, h, ts)),
-      ("connect_headers", Parsers.hasConnectHeaders(h), Parsers.connectHeaders(v, h, ts)))
-    branches.map { case (name, predicate, parser) =>
-      input.filter(predicate)
-        .withColumn("parsed", parser)
-        .withColumn("branch", lit(name))
-    }.reduce(_ unionByName _)
+    def branch(name: String, predicate: Column, parser: Column): Column =
+      when(predicate, struct(lit(name).as("branch"), parser.as("parsed")))
+    val branches = array(
+      branch("avro_value", Parsers.isAvroDeadLetter(v), Parsers.avroValue(v)),
+      branch("streams_headers", Parsers.hasStreamsHeaders(h), Parsers.streamsHeaders(v, h, ts)),
+      branch("native_headers", Parsers.hasNativeHeaders(h), Parsers.nativeHeaders(v, h, ts)),
+      branch("connect_headers", Parsers.hasConnectHeaders(h), Parsers.connectHeaders(v, h, ts)))
+    input
+      .withColumn("__branch", explode(array_compact(branches)))
+      .withColumn("branch", col("__branch").getField("branch"))
+      .withColumn("parsed", col("__branch").getField("parsed"))
+      .drop("__branch")
   }
 
   // ---------------------------------------------------------------------------
@@ -90,12 +97,13 @@ object Analyzer {
   // Stage 3: outputs
   // ---------------------------------------------------------------------------
 
-  /** Full pipeline. `arrivalCol` totalizes "consumption order" for the
-    * first-example pick of the batch twin (the envelope offset: Kafka's
-    * per-partition consumption order; unique across the board in the test
-    * harness). */
-  def analyze(input: DataFrame): Outputs = {
-    val p = parsed(input)
+  /** Full pipeline over a raw envelope input. */
+  def analyze(input: DataFrame): Outputs = analyzeParsed(parsed(input))
+
+  /** Pipeline from an already-parsed frame (the production topology is ONE
+    * job fanning out to four sinks from a single parse pass; callers may
+    * persist the parsed frame to share it). */
+  def analyzeParsed(p: DataFrame): Outputs = {
     val parseErrors = p.filter(col("parsed").getField("error").isNotNull)
     val ok = enriched(p.filter(col("parsed").getField("error").isNull))
     val analyzeErrors = ok.filter(col("enrich_error").isNotNull)
