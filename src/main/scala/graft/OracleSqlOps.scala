@@ -1,0 +1,210 @@
+package graft
+
+/**
+ * DuckDB oracle SQL for the training-data-pipeline operators (dedup,
+ * similarity search, text analysis, multimodal metadata) and the relational
+ * coverage queries. See [[OracleSql]] for the dead-letter pipeline oracles.
+ *
+ * Hash-bearing oracles reproduce the engine's md5-based hashing bit-for-bit;
+ * cosine oracles rely on DuckDB's `list_dot_product` over DOUBLE[] folding
+ * sequentially, which matches Spark's `aggregate(zip_with(...))` exactly
+ * (validated: bit-identical doubles).
+ */
+object OracleSqlOps {
+
+  private val toks = "list_filter(string_split(text, ' '), x -> x <> '')"
+  private def stopList(lang: String): String =
+    graft.ops.TextAnalysis.Stopwords(lang).map(w => s"'$w'").mkString("[", ",", "]")
+
+  val textTokens: String = s"""SELECT doc_id,
+  CAST(len($toks) AS INT) AS n_tokens_ws,
+  CAST(len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9 ]')) AS INT) AS n_tokens_bpe,
+  CAST(length(text) AS INT) AS n_chars
+FROM documents"""
+
+  val langId: String = s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+s AS (SELECT doc_id,
+  CAST(len(list_filter(tk, x -> list_contains(${stopList("en")}, x))) AS INT) AS score_en,
+  CAST(len(list_filter(tk, x -> list_contains(${stopList("de")}, x))) AS INT) AS score_de,
+  CAST(len(list_filter(tk, x -> list_contains(${stopList("es")}, x))) AS INT) AS score_es,
+  CAST(len(list_filter(tk, x -> list_contains(${stopList("fr")}, x))) AS INT) AS score_fr
+FROM t)
+SELECT doc_id, score_en, score_de, score_es, score_fr,
+  CASE WHEN score_en >= score_de AND score_en >= score_es AND score_en >= score_fr THEN 'en'
+       WHEN score_de >= score_es AND score_de >= score_fr THEN 'de'
+       WHEN score_es >= score_fr THEN 'es' ELSE 'fr' END AS lang_guess
+FROM s"""
+
+  val quality: String = s"""WITH t AS (SELECT doc_id, text, $toks AS tk FROM documents),
+q AS (SELECT doc_id,
+  CAST(length(text) AS INT) AS n_chars,
+  CAST(len(tk) AS INT) AS n_tokens,
+  CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS INT) AS alpha,
+  CAST(len(list_filter(tk, x -> list_contains(${stopList("en")}, x))) AS INT) AS stops,
+  CAST(list_sum(list_transform(tk, x -> length(x))) AS INT) AS tok_chars
+FROM t)
+SELECT doc_id, n_chars, n_tokens,
+  CAST(tok_chars AS DOUBLE) / n_tokens AS avg_token_len,
+  CAST(alpha AS DOUBLE) / n_chars AS alpha_ratio,
+  CAST(stops AS DOUBLE) / n_tokens AS stopword_ratio,
+  (CAST(stops AS DOUBLE) / n_tokens) * 0.4 + least((CAST(tok_chars AS DOUBLE) / n_tokens) / 10.0, 1.0) * 0.3 + (CAST(alpha AS DOUBLE) / n_chars) * 0.3 AS quality
+FROM q"""
+
+  /** word bigrams of a token list `tk` (empty for <2 tokens). */
+  private val bigramsExpr =
+    "list_transform(list_zip(tk[:len(tk)-1], tk[2:]), x -> struct_extract(x,1) || ' ' || struct_extract(x,2))"
+
+  val fingerprint: String = s"""WITH t AS (SELECT doc_id, lower(text) AS lt, $toks AS tk FROM documents)
+SELECT doc_id, md5(lt) AS fp_md5,
+  list_min(list_transform($bigramsExpr, b -> md5(b))) AS fp_min_bigram
+FROM t"""
+
+  val dedupExact: String = """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
+  CAST(count(*) AS INT) AS n_copies
+FROM documents GROUP BY md5(text)"""
+
+  private val K = 32
+  private val Bands = 2
+
+  private val minhashAggs: String = (0 until K)
+    .map(s => s"min(substr(md5($s || ':' || tok), 1, 16)) AS mh$s").mkString(",\n  ")
+  private val bandCols: String = (0 until Bands).map { b =>
+    val parts = (b * (K / Bands) until (b + 1) * (K / Bands)).map(i => s"mh$i").mkString(" || ")
+    s"md5($parts) AS band$b"
+  }.mkString(",\n  ")
+  private val bandJoins: String = (0 until Bands).map { b =>
+    s"SELECT l.doc_id AS a, r.doc_id AS b FROM banded l JOIN banded r ON l.band$b = r.band$b AND l.doc_id < r.doc_id"
+  }.mkString("\n    UNION ALL\n    ")
+
+  val minhashLsh: String = s"""WITH dtoks AS (
+  SELECT DISTINCT doc_id, unnest($toks) AS tok FROM documents
+), sig AS (
+  SELECT doc_id, $minhashAggs
+  FROM dtoks GROUP BY doc_id
+), banded AS (
+  SELECT doc_id, $bandCols FROM sig
+), cand AS (
+  SELECT DISTINCT a, b FROM (
+    $bandJoins)
+), tsets AS (
+  SELECT doc_id, list_distinct($toks) AS tks FROM documents
+)
+SELECT c.a, c.b,
+  CAST(len(list_intersect(sa.tks, sb.tks)) AS DOUBLE)
+    / (len(sa.tks) + len(sb.tks) - len(list_intersect(sa.tks, sb.tks))) AS jaccard
+FROM cand c JOIN tsets sa ON sa.doc_id = c.a JOIN tsets sb ON sb.doc_id = c.b
+WHERE CAST(len(list_intersect(sa.tks, sb.tks)) AS DOUBLE)
+    / (len(sa.tks) + len(sb.tks) - len(list_intersect(sa.tks, sb.tks))) >= 0.8"""
+
+  private val hexVal: String = (0 until 4).map { p =>
+    val mult = 1 << (4 * (3 - p))
+    s"(position(substr(md5(tok), ${p + 1}, 1) IN '0123456789abcdef') - 1) * $mult"
+  }.mkString(" + ")
+  private val planeSums: String = (0 until 16)
+    .map(j => s"sum(CASE WHEN (v >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j").mkString(",\n  ")
+  private val fpSum: String = (0 until 16)
+    .map(j => s"CASE WHEN s$j >= 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+
+  private val simhashCte: String = s"""WITH toksall AS (
+  SELECT doc_id, unnest($toks) AS tok FROM documents
+), tv AS (
+  SELECT doc_id, $hexVal AS v FROM toksall
+), planes AS (
+  SELECT doc_id, $planeSums FROM tv GROUP BY doc_id
+), fp AS (
+  SELECT doc_id, CAST($fpSum AS BIGINT) AS simhash FROM planes
+)"""
+
+  val simhash: String = simhashCte + "\nSELECT doc_id, simhash FROM fp"
+
+  val simhashPairs: String = simhashCte + """
+SELECT l.doc_id AS a, r.doc_id AS b,
+  CAST(bit_count(xor(l.simhash, r.simhash)) AS INT) AS hamming
+FROM fp l JOIN fp r ON l.doc_id < r.doc_id
+WHERE bit_count(xor(l.simhash, r.simhash)) <= 3"""
+
+  val ngramJaccard: String = s"""WITH t AS (
+  SELECT doc_id, $toks AS tk FROM documents
+), sets AS (
+  SELECT doc_id, list_distinct($bigramsExpr) AS bgs FROM t
+), postings AS (
+  SELECT doc_id, unnest(bgs) AS b FROM sets
+), rare AS (
+  SELECT b FROM postings GROUP BY b HAVING count(*) <= 200
+), rp AS (
+  SELECT p.doc_id, p.b FROM postings p JOIN rare r ON p.b = r.b
+), cand AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM rp l JOIN rp r ON l.b = r.b AND l.doc_id < r.doc_id
+)
+SELECT c.a, c.b,
+  CAST(len(list_intersect(sa.bgs, sb.bgs)) AS DOUBLE)
+    / (len(sa.bgs) + len(sb.bgs) - len(list_intersect(sa.bgs, sb.bgs))) AS jaccard
+FROM cand c JOIN sets sa ON sa.doc_id = c.a JOIN sets sb ON sb.doc_id = c.b
+WHERE CAST(len(list_intersect(sa.bgs, sb.bgs)) AS DOUBLE)
+    / (len(sa.bgs) + len(sb.bgs) - len(list_intersect(sa.bgs, sb.bgs))) >= 0.3"""
+
+  private val cosE = "list_dot_product(l.v, r.v) / sqrt(list_dot_product(l.v, l.v) * list_dot_product(r.v, r.v))"
+
+  val embeddingNearDup: String = s"""WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+)
+SELECT l.vec_id AS a, r.vec_id AS b, $cosE AS cosine
+FROM e l JOIN e r ON l.vec_id < r.vec_id
+WHERE $cosE >= 0.45"""
+
+  private def annSql(cellJoin: String, k: Int): String = s"""WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), q AS (
+  SELECT vec_id AS qid, label AS qcell, v AS qv FROM e WHERE vec_id % 100 = 0
+), scored AS (
+  SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+    list_dot_product(q.qv, e.v) / sqrt(list_dot_product(q.qv, q.qv) * list_dot_product(e.v, e.v)) AS cosine
+  FROM e JOIN q ON e.vec_id <> q.qid$cellJoin
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cosine FROM ranked WHERE rank <= $k"""
+
+  val annTopK: String = annSql("", 5)
+  val annIvf: String = annSql(" AND e.label = q.qcell", 3)
+
+  val mmMeta: String = """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS media_type,
+  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+  CAST(octet_length(encode(text)) % 640 AS INT) AS width,
+  CAST((doc_id * 7) % 480 AS INT) AS height,
+  octet_length(encode(text)) / CAST(1000.0 AS DOUBLE) AS duration_s,
+  md5(text) AS checksum
+FROM documents"""
+
+  val evTop3: String = """WITH r AS (
+  SELECT user_id, event_id, value,
+    row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rank
+  FROM events)
+SELECT user_id, CAST(rank AS INT) AS rank, event_id, value FROM r WHERE rank <= 3"""
+
+  val evSessionize: String = """WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+), l AS (
+  SELECT *, lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev FROM e
+), f AS (
+  SELECT *, CASE WHEN prev IS NULL OR ts_us - prev > 1800000000 THEN 1 ELSE 0 END AS flag FROM l
+), s AS (
+  SELECT *, sum(flag) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+    ROWS UNBOUNDED PRECEDING) AS sess FROM f
+)
+SELECT user_id, CAST(sess AS INT) AS session_id, CAST(count(*) AS INT) AS n_events,
+  min(ts_us) AS start_us, max(ts_us) AS end_us
+FROM s GROUP BY user_id, sess"""
+
+  val q3Join: String = """SELECT o_orderpriority, c_mktsegment,
+  CAST(count(*) AS INT) AS n,
+  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE o_orderstatus = 'O'
+GROUP BY o_orderpriority, c_mktsegment"""
+}

@@ -115,7 +115,75 @@ object SparkEntry {
         sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,4)"))
           .cast("double").as("revenue"),
         count(lit(1)).as("count_order"))
-    }))
+    }),
+
+    // 3-way join + aggregation (orders filter pushed below the joins by Catalyst).
+    "q3_join" -> ((s, dir) => {
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      val o = s.read.parquet(s"$dir/orders.parquet").filter(col("o_orderstatus") === "O")
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      c.join(o, col("o_custkey") === col("c_custkey"))
+        .join(li, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"), col("c_mktsegment"))
+        .agg(count(lit(1)).cast("int").as("n"),
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,4)"))
+            .cast("double").as("revenue"))
+    }),
+
+    // Window functions: top-3 events per user by value.
+    "ev_top3" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("value").desc, col("event_id"))
+      DeadLetterSource.events(s, dir)
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("user_id"), col("rank"), col("event_id"), col("value"))
+    }),
+
+    // Sessionization: 30-minute-gap sessions per user (lag + running sum).
+    "ev_sessionize" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      DeadLetterSource.events(s, dir)
+        .select(col("user_id"), col("event_id"), expr("ts div 1000").as("ts_us"))
+        .withColumn("prev", lag(col("ts_us"), 1).over(w))
+        .withColumn("flag",
+          when(col("prev").isNull || col("ts_us") - col("prev") > 1800000000L, 1).otherwise(0))
+        .withColumn("sess", sum(col("flag")).over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("sess"))
+        .agg(count(lit(1)).cast("int").as("n_events"),
+          min(col("ts_us")).as("start_us"), max(col("ts_us")).as("end_us"))
+        .select(col("user_id"), col("sess").cast("int").as("session_id"),
+          col("n_events"), col("start_us"), col("end_us"))
+    }),
+
+    // ---- training-data pipeline operators (documents / embeddings) ----
+
+    "text_tokens" -> ((s, dir) => ops.TextAnalysis.tokenCounts(docs(s, dir))),
+    "text_langid" -> ((s, dir) => ops.TextAnalysis.langId(docs(s, dir))),
+    "text_quality" -> ((s, dir) => ops.TextAnalysis.quality(docs(s, dir))),
+    "text_fingerprint" -> ((s, dir) => ops.TextAnalysis.fingerprint(docs(s, dir))),
+
+    "dedup_exact" -> ((s, dir) => ops.Dedup.exact(docs(s, dir))),
+    "dedup_minhash_lsh" -> ((s, dir) => ops.Dedup.minhashLsh(docs(s, dir))),
+    "dedup_simhash" -> ((s, dir) => ops.Dedup.simhash(docs(s, dir))),
+    "dedup_simhash_pairs" -> ((s, dir) => ops.Dedup.simhashPairs(docs(s, dir))),
+    "dedup_ngram_jaccard" -> ((s, dir) => ops.Dedup.ngramJaccard(docs(s, dir))),
+    "dedup_embedding" -> ((s, dir) =>
+      ops.Similarity.nearDupPairs(emb(s, dir), threshold = 0.45)),
+
+    "ann_topk" -> ((s, dir) =>
+      ops.Similarity.bruteForceTopK(emb(s, dir), col("vec_id") % 100 === 0, k = 5)),
+    "ann_ivf" -> ((s, dir) =>
+      ops.Similarity.ivfTopK(emb(s, dir), col("vec_id") % 100 === 0, k = 3)),
+
+    "mm_meta" -> ((s, dir) => ops.Multimodal.meta(s, docs(s, dir))))
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -131,5 +199,21 @@ object SparkEntry {
       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
       count(*) AS count_order
-    FROM lineitem GROUP BY l_returnflag, l_linestatus""")
+    FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+    "q3_join" -> OracleSqlOps.q3Join,
+    "ev_top3" -> OracleSqlOps.evTop3,
+    "ev_sessionize" -> OracleSqlOps.evSessionize,
+    "text_tokens" -> OracleSqlOps.textTokens,
+    "text_langid" -> OracleSqlOps.langId,
+    "text_quality" -> OracleSqlOps.quality,
+    "text_fingerprint" -> OracleSqlOps.fingerprint,
+    "dedup_exact" -> OracleSqlOps.dedupExact,
+    "dedup_minhash_lsh" -> OracleSqlOps.minhashLsh,
+    "dedup_simhash" -> OracleSqlOps.simhash,
+    "dedup_simhash_pairs" -> OracleSqlOps.simhashPairs,
+    "dedup_ngram_jaccard" -> OracleSqlOps.ngramJaccard,
+    "dedup_embedding" -> OracleSqlOps.embeddingNearDup,
+    "ann_topk" -> OracleSqlOps.annTopK,
+    "ann_ivf" -> OracleSqlOps.annIvf,
+    "mm_meta" -> OracleSqlOps.mmMeta)
 }

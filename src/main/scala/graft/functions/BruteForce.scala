@@ -49,7 +49,11 @@ object BruteForce {
   /** struct(kind, text, dead_letter) — `dead_letter` non-null iff kind = 'dead_letter'. */
   def decoded(bin: Column): Column = {
     val txt = utf8(bin)
-    val dl = from_json(txt, deadLetterJson)
+    // cheap pre-gate: a JSON dead letter must contain the literal key
+    // `"description"`, so the (expensive) JSON parse is skipped for the vast
+    // majority of payloads. (A \u-escaped key would slip past the gate —
+    // acceptable for a best-effort brute-force decoder.)
+    val dl = when(txt.contains("\"description\""), from_json(txt, deadLetterJson))
     val isDl = dl.isNotNull && dl.getField("description").isNotNull &&
       dl.getField("cause").isNotNull
     val deadLetter = struct(

@@ -1,0 +1,68 @@
+package graft.ops
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Multimodal-column plumbing for training-data pipelines: media payloads
+ * travel as opaque `binary` columns with typed metadata, and per-batch decode /
+ * feature-extraction runs in `mapPartitions` over a typed Dataset — the Scala
+ * analogue of a batched decode UDF (one decoder instantiation per partition,
+ * amortized across rows; the exact shape a JNI image/audio codec binding
+ * needs).
+ *
+ * The decoders themselves are DETERMINISTIC STUBS (this container has no media
+ * libraries): `decodeMeta` derives width/height/duration from payload bytes.
+ * The Spark-side plumbing — schema, binary columns, partition-batched typed
+ * mapping, checksum — is real and oracle-checked.
+ */
+object Multimodal {
+
+  /** A media row: opaque payload + source id. */
+  final case class MediaRow(doc_id: Long, media_type: String, payload: Array[Byte])
+
+  /** Extracted metadata (stub-decoded). */
+  final case class MediaMeta(doc_id: Long, media_type: String, n_bytes: Long,
+      width: Int, height: Int, duration_s: Double, checksum: String)
+
+  /** Media table synthesized from `documents`: the text bytes stand in for an
+    * encoded payload; media_type cycles image/audio/video. */
+  def mediaTable(docs: DataFrame): Dataset[MediaRow] = {
+    val df = docs.select(
+      col("doc_id").cast("long").as("doc_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3).cast("int") + 1).as("media_type"),
+      col("text").cast("binary").as("payload"))
+    df.as(Encoders.product[MediaRow])
+  }
+
+  private def hex(bytes: Array[Byte]): String =
+    bytes.map(b => f"$b%02x").mkString
+
+  /** The stub decoder: one per partition (the expensive-codec-init shape),
+    * deterministic so the oracle can reproduce it. */
+  def decodeMeta(media: Dataset[MediaRow]): Dataset[MediaMeta] =
+    media.mapPartitions { rows =>
+      // per-partition init: a real decoder (libjpeg/ffmpeg binding) would be
+      // constructed here once and reused across the partition's rows
+      val digest = MessageDigest.getInstance("MD5")
+      rows.map { r =>
+        digest.reset()
+        val sum = hex(digest.digest(r.payload))
+        MediaMeta(
+          doc_id = r.doc_id,
+          media_type = r.media_type,
+          n_bytes = r.payload.length.toLong,
+          width = (r.payload.length % 640).toInt,
+          height = ((r.doc_id * 7) % 480).toInt,
+          duration_s = r.payload.length / 1000.0,
+          checksum = sum)
+      }
+    }(Encoders.product[MediaMeta])
+
+  /** End-to-end: documents -> media table -> partition-batched decode. */
+  def meta(spark: SparkSession, docs: DataFrame): DataFrame =
+    decodeMeta(mediaTable(docs)).toDF()
+}

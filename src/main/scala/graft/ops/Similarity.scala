@@ -1,0 +1,74 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Approximate-nearest-neighbor search over the `embeddings` table
+ * (`embedding: array<float>`, 64-dim).
+ *
+ * Three tiers, trading recall for scan cost:
+ *  - [[bruteForceTopK]]: exact cosine top-k — the correctness baseline; the
+ *    query side is broadcast so the corpus is scanned once with no shuffle;
+ *  - [[ivfTopK]]: inverted-file style — the corpus is partitioned by a coarse
+ *    cell id and a query probes only its own cell (partition pruning: at 100 TB
+ *    this is the difference between scanning everything and scanning 1/cells);
+ *  - cosine arithmetic is a sequential double fold, bit-reproducible by the
+ *    DuckDB oracle (`list_dot_product` on DOUBLE[] folds identically).
+ */
+object Similarity {
+
+  /** Sequential-fold dot product — the codegen'd custom Expression
+    * ([[graft.functions.DotProduct]]); bit-identical to the interpreted
+    * `aggregate(zip_with(...))` formulation it replaces. */
+  def dot(a: Column, b: Column): Column =
+    graft.functions.VectorExprs.dotProduct(a, b)
+
+  /** cosine(a, b) with a fixed operation order: dot / sqrt(na * nb). */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / sqrt(dot(a, a) * dot(b, b))
+
+  /** Exact top-k neighbors for the query subset, by cosine. The query set is
+    * broadcast (small side), the corpus is scanned once; ranking shuffles only
+    * (query_id, candidate) pairs. Self-matches excluded. */
+  def bruteForceTopK(embeddings: DataFrame, queryPred: Column, k: Int = 5): DataFrame = {
+    val queries = embeddings.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val scored = embeddings.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("qe"), col("embedding")).as("cosine"))
+    topK(scored, k)
+  }
+
+  /** IVF-style ANN: both sides are assigned a coarse cell (here the stored
+    * `label`, standing in for a centroid assignment) and a query probes only
+    * its own cell. */
+  def ivfTopK(embeddings: DataFrame, queryPred: Column, k: Int = 3): DataFrame = {
+    val queries = embeddings.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("label").as("qcell"))
+    val scored = embeddings.join(broadcast(queries),
+        col("label") === col("qcell") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("qe"), col("embedding")).as("cosine"))
+    topK(scored, k)
+  }
+
+  private def topK(scored: DataFrame, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
+  /** Embedding near-duplicate pairs: cosine >= threshold over all pairs a<b.
+    * All-pairs is the exact baseline; the scale path buckets by SimHash of the
+    * embedding signs first (same banding shape as Dedup.minhashLsh). */
+  def nearDupPairs(embeddings: DataFrame, threshold: Double): DataFrame =
+    embeddings.as("l").join(embeddings.as("r"), col("l.vec_id") < col("r.vec_id"))
+      .select(col("l.vec_id").as("a"), col("r.vec_id").as("b"),
+        cosine(col("l.embedding"), col("r.embedding")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+}
