@@ -42,9 +42,10 @@ object BruteForce {
     StructField("cause", Schemas.errorDescription),
     StructField("input_timestamp", LongType)))
 
-  /** Invalid UTF-8 surfaces as U+FFFD after decode; a clean payload contains none. */
-  private def utf8(bin: Column): Column = decode(bin, "UTF-8")
-  private def isCleanUtf8(bin: Column): Column = !utf8(bin).contains("�")
+  /** binary→string cast wraps the raw bytes without validation (no throw, no
+    * replacement); `is_valid_utf8` then gates which decode branch applies. */
+  private def utf8(bin: Column): Column = bin.cast("string")
+  private def isCleanUtf8(bin: Column): Column = is_valid_utf8(utf8(bin))
 
   /** struct(kind, text, dead_letter) — `dead_letter` non-null iff kind = 'dead_letter'. */
   def decoded(bin: Column): Column = {

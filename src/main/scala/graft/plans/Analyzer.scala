@@ -154,13 +154,15 @@ object Analyzer {
       col("topic"),
       col("type"))
 
-    // Error channel (T11): both capture sites converted to dead letters with the
-    // reference's fixed descriptions; key = stringified input key (S5).
-    val errors = parseErrorDeadLetters(parseErrors)
-      .unionByName(analyzeErrorDeadLetters(analyzeErrors))
-
-    Outputs(all, stats, examples, errors)
+    Outputs(all, stats, examples, errorsOf(parseErrors, analyzeErrors))
   }
+
+  /** Error channel (T11): both capture sites converted to dead letters with the
+    * reference's fixed descriptions; key = stringified input key (S5). Shared
+    * by the batch and streaming topologies. */
+  def errorsOf(parseErrors: DataFrame, analyzeErrors: DataFrame): DataFrame =
+    parseErrorDeadLetters(parseErrors)
+      .unionByName(analyzeErrorDeadLetters(analyzeErrors))
 
   /** Failed parses → dead letters, description "Error converting errors to dead
     * letters" (reference DeadLetterAnalyzerTopology.java:128-137). */

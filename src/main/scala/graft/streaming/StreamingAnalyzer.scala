@@ -1,0 +1,143 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.plans.Analyzer
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/**
+ * Structured-Streaming topology: the reference's continuously-updated outputs
+ * (SURVEY §2.3 A1) with Kafka-Streams emission semantics.
+ *
+ * The stateless stages (dispatch, parse, enrich, classify) are the SAME column
+ * pipeline as the batch twin ([[Analyzer.parsed]]/[[Analyzer.enriched]]) —
+ * one definition, two execution modes. The stateful stage is
+ * `flatMapGroupsWithState` in Append mode with NO timeout (reference state
+ * never expires), keyed by (topic, error type), holding
+ * count/created/updated/seen-example and emitting ONE updated result per input
+ * record — including the first-example exactly-once-EVER guarantee across
+ * micro-batches, which `groupBy().agg()` in update mode cannot express
+ * (reference ErrorAggregatingProcessor.java:83-92, Result.java:33-41).
+ *
+ * Scale: state width is one small struct per (topic, error type) — key
+ * cardinality is topics × error types, unrelated to input volume; the
+ * stateful exchange is the topology's single shuffle, exactly like the
+ * reference's one repartition topic (DeadLetterAnalyzerTopology.java:194-197).
+ */
+object StreamingAnalyzer {
+
+  /** One enriched record at the stateful boundary (kept narrow: only what the
+    * stats/examples sinks need — the deserialized-object stage should carry
+    * minimal columns, everything wide stays in the codegen'd stages). */
+  final case class Enriched(
+      topic: String, errorType: String, key: String, offset: Long,
+      partition: Int, timestampUs: Long, description: String)
+
+  final case class StatsState(count: Int, createdUs: Long, updatedUs: Long)
+
+  /** Per-record emission: statistics after this record, plus the example
+    * payload only when this record is the first EVER for its key. */
+  final case class StatResult(
+      topic: String, errorType: String, count: Int, createdUs: Long,
+      updatedUs: Long, exampleKey: Option[String], exampleOffset: Option[Long],
+      examplePartition: Option[Int], exampleTimestampUs: Option[Long],
+      exampleDescription: Option[String])
+
+  /** reference ErrorAggregatingProcessor.process: merge = (count+, min, max);
+    * example set only when no prior state. Rows of one group within a
+    * micro-batch are applied in arrival (offset) order. */
+  def aggregate(key: (String, String), rows: Iterator[Enriched],
+      state: GroupState[StatsState]): Iterator[StatResult] = {
+    val ordered = rows.toIndexedSeq.sortBy(r => (r.timestampUs, r.offset))
+    ordered.iterator.map { r =>
+      val prior = state.getOption
+      val next = prior match {
+        case Some(s) => StatsState(s.count + 1,
+          math.min(s.createdUs, r.timestampUs), math.max(s.updatedUs, r.timestampUs))
+        case None => StatsState(1, r.timestampUs, r.timestampUs)
+      }
+      state.update(next)
+      val first = prior.isEmpty
+      StatResult(key._1, key._2, next.count, next.createdUs, next.updatedUs,
+        if (first) Some(r.key) else None,
+        if (first) Some(r.offset) else None,
+        if (first) Some(r.partition) else None,
+        if (first) Some(r.timestampUs) else None,
+        if (first) Some(r.description) else None)
+    }
+  }
+
+  /** The streaming outputs: `all` and `errors` are stateless projections of
+    * the shared column pipeline; `results` is the per-record update stream
+    * carrying stats and (on first occurrence) the example. */
+  final case class StreamingOutputs(all: DataFrame, results: DataFrame, errors: DataFrame)
+
+  def analyze(input: DataFrame): StreamingOutputs = {
+    val p = Analyzer.parsed(input)
+    val parseErrors = p.filter(col("parsed").getField("error").isNotNull)
+    val ok = Analyzer.enriched(p.filter(col("parsed").getField("error").isNull))
+    val analyzeErrors = ok.filter(col("enrich_error").isNotNull)
+    val good = ok.filter(col("enrich_error").isNull)
+
+    val all = good.select(
+      Analyzer.elasticId(col("topic"), col("partition"), col("offset")).as("key"),
+      col("key_string").as("context_key"),
+      col("offset"), col("partition"),
+      Analyzer.formatTimestamp(col("timestamp")).as("timestamp"),
+      col("dead_letter"), col("topic"), col("error_type").as("type"))
+
+    implicit val enc = Encoders.product[Enriched]
+    val narrow: Dataset[Enriched] = good.select(
+      col("topic"), col("error_type").as("errorType"), col("key_string").as("key"),
+      col("offset"), col("partition"), unix_micros(col("timestamp")).as("timestampUs"),
+      col("dead_letter").getField("description").as("description")).as[Enriched]
+
+    val results = narrow
+      .groupByKey(r => (r.topic, r.errorType))(
+        Encoders.tuple(Encoders.STRING, Encoders.STRING))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(aggregate)(
+        Encoders.product[StatsState], Encoders.product[StatResult])
+      .toDF()
+
+    val errors = Analyzer.errorsOf(parseErrors, analyzeErrors)
+    StreamingOutputs(all, results, errors)
+  }
+
+  /** Project the per-record result stream into the stats sink shape
+    * (FullErrorStatistics). */
+  def statsSink(results: DataFrame): DataFrame = results.select(
+    Analyzer.errorKeyString(col("topic"), col("errorType")).as("key"),
+    col("count"),
+    Analyzer.formatTimestamp(timestamp_micros(col("createdUs"))).as("created"),
+    Analyzer.formatTimestamp(timestamp_micros(col("updatedUs"))).as("updated"),
+    col("topic"), col("errorType").as("type"))
+
+  /** Project first-occurrence results into the examples sink shape (T15: 0-or-1
+    * expansion on the first-example flag). */
+  def examplesSink(results: DataFrame): DataFrame = results
+    .filter(col("exampleKey").isNotNull)
+    .select(
+      Analyzer.errorKeyString(col("topic"), col("errorType")).as("key"),
+      col("exampleKey"), col("exampleOffset"), col("examplePartition"),
+      Analyzer.formatTimestamp(timestamp_micros(col("exampleTimestampUs")))
+        .as("exampleTimestamp"),
+      col("exampleDescription"), col("topic"), col("errorType").as("type"))
+
+  /** Kafka sink: string key + JSON value (the engine's interchange rendering),
+    * matching the reference's string-keyed Avro-valued output topics. */
+  def toKafka(df: DataFrame, bootstrapServers: String, topic: String,
+      checkpoint: String): org.apache.spark.sql.streaming.DataStreamWriter[Row] = {
+    val payload = df.select(
+      col("key").cast("binary").as("key"),
+      to_json(struct(df.columns.filter(_ != "key").map(col): _*)).cast("binary").as("value"))
+    payload.writeStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("topic", topic)
+      .option("checkpointLocation", checkpoint)
+  }
+}

@@ -1,0 +1,119 @@
+package graft
+
+import graft.plans.Analyzer
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** Port of the reference end-to-end topology tests
+  * (DeadLetterAnalyzerTopologyTest.java): full-pipeline outputs on the
+  * canonical scenarios, asserted against the same literal values. */
+class AnalyzerSpec extends SparkSpec {
+  import Fixtures._
+
+  private val topic = "my-stream-dead-letter-topic"
+
+  /** shouldProcessDeadLetter (reference :131-195). */
+  test("avro dead letter flows to all three sinks with literal keys") {
+    val out = Analyzer.analyze(envelopeDf(Seq(
+      rec(topic, 0, 0, 0, "key", deadLetterJson(StackTrace), Seq()))))
+
+    val all = out.all.collect()
+    assert(all.length == 1)
+    val a = all.head
+    assert(a.getAs[String]("key") == s"$topic+0+0")
+    assert(a.getAs[String]("context_key") == "key")
+    assert(a.getAs[String]("type") == StackTraceType)
+    assert(a.getAs[String]("timestamp") == "1970-01-01T00:00:00.000")
+    val dl = a.getAs[Row]("dead_letter")
+    assert(dl.getAs[String]("input_value") == "foo")
+    assert(dl.getAs[String]("description") == "description")
+
+    val stats = out.stats.collect()
+    assert(stats.length == 1)
+    val s = stats.head
+    assert(s.getAs[String]("key") == s"$topic:$StackTraceType")
+    assert(s.getAs[Int]("count") == 1)
+    assert(s.getAs[String]("created") == "1970-01-01T00:00:00.000")
+    assert(s.getAs[String]("updated") == "1970-01-01T00:00:00.000")
+
+    val ex = out.examples.collect()
+    assert(ex.length == 1)
+    assert(ex.head.getAs[String]("key") == s"$topic:$StackTraceType")
+    assert(ex.head.getAs[Row]("example").getAs[String]("key") == "key")
+
+    assert(out.errors.count() == 0) // no unexpected dead letters (reference :677-680)
+  }
+
+  /** stats accumulation (reference :197-253): count 2, created=min, updated=max. */
+  test("statistics accumulate count/min/max across records of one error key") {
+    val out = Analyzer.analyze(envelopeDf(Seq(
+      rec(topic, 0, 0, 1000, "k1", deadLetterJson(StackTrace), Seq()),
+      rec(topic, 0, 1, 3000, "k2", deadLetterJson(StackTrace), Seq()))))
+    val s = out.stats.collect()
+    assert(s.length == 1)
+    assert(s.head.getAs[Int]("count") == 2)
+    assert(s.head.getAs[String]("created") == "1970-01-01T00:00:01.000")
+    assert(s.head.getAs[String]("updated") == "1970-01-01T00:00:03.000")
+  }
+
+  /** first-example-only-once (reference :255-318). */
+  test("exactly one example per error key, the first by arrival") {
+    val out = Analyzer.analyze(envelopeDf(Seq(
+      rec(topic, 0, 0, 1000, "first", deadLetterJson(StackTrace), Seq()),
+      rec(topic, 0, 1, 3000, "second", deadLetterJson(StackTrace), Seq()))))
+    val ex = out.examples.collect()
+    assert(ex.length == 1)
+    assert(ex.head.getAs[Row]("example").getAs[String]("key") == "first")
+  }
+
+  /** self-analysis of analyzer failure via null stack trace (reference :320-383):
+    * the error output is itself a valid input (the Kafka feedback loop), and a
+    * second pass counts it under the error topic. */
+  test("null stack trace routes to the error sink and re-analyzes on the loop") {
+    val errorTopic = "analyzer-stream-dead-letter-topic"
+    val out = Analyzer.analyze(envelopeDf(Seq(
+      rec(topic, 0, 0, 0, "key", deadLetterJson(null), Seq()))))
+    assert(out.all.count() == 0 && out.stats.count() == 0)
+
+    val errs = out.errors.collect()
+    assert(errs.length == 1)
+    assert(errs.head.getAs[String]("key") == "key")
+    val dl = errs.head.getAs[Row]("dead_letter")
+    assert(dl.getAs[String]("description") == "Error analyzing dead letter")
+    assert(dl.getAs[Row]("cause").getAs[String]("message") == "No value present")
+
+    // feedback loop: error sink -> error topic (matches the input pattern) -> re-ingest
+    val loopInput = out.errors.select(
+      lit(errorTopic).as("topic"), lit(0).as("partition"),
+      lit(0L).as("offset"), lit(new java.sql.Timestamp(0)).as("timestamp"),
+      col("key").cast("binary").as("key"),
+      to_json(col("dead_letter")).cast("binary").as("value"),
+      lit(null).cast("array<struct<key:string,value:binary>>").as("headers"))
+    val second = Analyzer.analyze(loopInput)
+    val stats = second.stats.collect()
+    assert(stats.length == 1)
+    assert(stats.head.getAs[String]("topic") == errorTopic)
+    assert(stats.head.getAs[Int]("count") == 1)
+    // the synthetic trace has no frames: classified by first-line fallback
+    assert(stats.head.getAs[String]("type") == "java.util.NoSuchElementException")
+    assert(second.errors.count() == 0)
+  }
+
+  /** non-string key stringification (reference :635-675): a JSON-record key is
+    * rendered compactly into Context.key. */
+  test("non-string key is stringified into the context") {
+    val out = Analyzer.analyze(envelopeDf(Seq(
+      rec(topic, 0, 0, 0, """{"id":1}""", deadLetterJson(StackTrace), Seq()))))
+    assert(out.all.head().getAs[String]("context_key") == """{"id":1}""")
+  }
+
+  /** different error types of one topic aggregate separately. */
+  test("separate stats per (topic, type)") {
+    val out = Analyzer.analyze(envelopeDf(Seq(
+      rec(topic, 0, 0, 0, "a", deadLetterJson(StackTrace), Seq()),
+      rec(topic, 0, 1, 0, "b", deadLetterJson("java.lang.NullPointerException\n"), Seq()))))
+    val keys = out.stats.collect().map(_.getAs[String]("type")).sorted
+    assert(keys.sameElements(Array("java.lang.NullPointerException", StackTraceType).sorted))
+  }
+}

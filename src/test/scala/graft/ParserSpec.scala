@@ -1,0 +1,163 @@
+package graft
+
+import graft.model.{Headers => H}
+import graft.operators.Parsers
+import graft.plans.Analyzer
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.col
+
+/** Port of the reference per-parser tests (StreamsDeadLetterParserTest /
+  * NativeStreamsDeadLetterParserTest / ConnectDeadLetterParserTest): happy
+  * paths, optional/null headers, exact error messages. */
+class ParserSpec extends SparkSpec {
+  import Fixtures._
+
+  private def parseOne(row: Row): Row = {
+    val p = Analyzer.parsed(envelopeDf(Seq(row)))
+    p.select(col("branch"), col("parsed.error"), col("parsed.dead_letter.*")).head()
+  }
+
+  private val streamsHappy = Seq(
+    h(H.Partition, "1"), h(H.Topic, "my-topic"), h(H.Offset, "10"),
+    h(H.Description, "description"),
+    h(H.ExceptionClassName, "org.apache.kafka.connect.errors.DataException"),
+    h(H.ExceptionMessage, "my message"), h(H.ExceptionStackTrace, StackTrace))
+
+  test("streams-header parser happy path") {
+    val r = parseOne(rec("t", 0, 0, 0, "key", "value", streamsHappy))
+    assert(r.getString(0) == "streams_headers")
+    assert(r.isNullAt(1))
+    assert(r.getString(2) == "value") // input_value
+    assert(r.getInt(3) == 1) // partition
+    assert(r.getString(4) == "my-topic")
+    assert(r.getLong(5) == 10L)
+    assert(r.getString(6) == "description")
+    val cause = r.getStruct(7)
+    assert(cause.getString(0) == "org.apache.kafka.connect.errors.DataException")
+    assert(cause.getString(1) == "my message")
+    assert(cause.getString(2) == StackTrace)
+  }
+
+  test("streams-header parser: missing required header") {
+    val r = parseOne(rec("t", 0, 0, 0, "key", "value",
+      streamsHappy.filterNot(_.getString(0) == H.Topic)))
+    assert(r.getString(1) == s"Missing required header ${H.Topic}")
+  }
+
+  test("streams-header parser: null int header value") {
+    val hs = h(H.Partition, null) +: streamsHappy.filterNot(_.getString(0) == H.Partition)
+    // lastHeader wins: put the null occurrence LAST
+    val r = parseOne(rec("t", 0, 0, 0, "key", "value",
+      streamsHappy.filterNot(_.getString(0) == H.Partition) :+ h(H.Partition, null)))
+    assert(r.getString(1) == "Cannot parse int from null")
+  }
+
+  test("streams-header parser: faulty legacy offset header accepted") {
+    val hs = streamsHappy.map(r =>
+      if (r.getString(0) == H.Offset) h(H.FaultyOffset, "10") else r)
+    val r = parseOne(rec("t", 0, 0, 0, "key", "value", hs))
+    assert(r.isNullAt(1))
+    assert(r.getLong(5) == 10L)
+  }
+
+  test("streams-header parser: real offset wins over faulty when both present") {
+    val r = parseOne(rec("t", 0, 0, 0, "key", "value",
+      streamsHappy :+ h(H.FaultyOffset, "99")))
+    assert(r.getLong(5) == 10L)
+  }
+
+  test("streams-header parser: message header present with null value") {
+    val hs = streamsHappy.map(r =>
+      if (r.getString(0) == H.ExceptionMessage) h(H.ExceptionMessage, null) else r)
+    val r = parseOne(rec("t", 0, 0, 0, "key", "value", hs))
+    assert(r.isNullAt(1))
+    assert(r.getStruct(7).isNullAt(1)) // cause.message null
+  }
+
+  test("streams-header parser: duplicate header -> last value wins") {
+    val r = parseOne(rec("t", 0, 0, 0, "key", "value",
+      streamsHappy :+ h(H.Partition, "7")))
+    assert(r.getInt(3) == 7)
+  }
+
+  private val nativeHappy = Seq(
+    h(H.NativePartitionName, "1"), h(H.NativeTopicName, "my-topic"),
+    h(H.NativeOffsetName, "10"), h(H.NativeProcessorNodeIdName, "processor"),
+    h(H.NativeTaskIdName, "task"),
+    h(H.NativeExceptionName, "org.apache.kafka.connect.errors.DataException"),
+    h(H.NativeExceptionMessageName, "my message"),
+    h(H.NativeStacktraceName, StackTrace))
+
+  test("native-streams parser happy path: synthesized description") {
+    val r = parseOne(rec("t", 0, 0, 0, "key", "value", nativeHappy))
+    assert(r.isNullAt(1))
+    assert(r.getString(6) == "Error in processor node processor in task task")
+  }
+
+  test("native-streams parser: [unknown] defaults") {
+    val hs = nativeHappy.filterNot(r =>
+      r.getString(0) == H.NativeProcessorNodeIdName || r.getString(0) == H.NativeTaskIdName)
+    val r = parseOne(rec("t", 0, 0, 0, "key", "value", hs))
+    assert(r.getString(6) == "Error in processor node [unknown] in task [unknown]")
+  }
+
+  private val connectHappy = Seq(
+    h(H.ConnectOrigPartition, "1"), h(H.ConnectOrigTopic, "my-topic"),
+    h(H.ConnectOrigOffset, "10"), h(H.ConnectStage, "VALUE_CONVERTER"),
+    h(H.ConnectExecutingClass, "org.apache.kafka.connect.json.JsonConverter"),
+    h(H.ConnectException, "org.apache.kafka.connect.errors.DataException"),
+    h(H.ConnectTaskId, "2"), h(H.ConnectConnectorName, "my-connector"),
+    h(H.ConnectExceptionMessage, "my message"),
+    h(H.ConnectExceptionStackTrace, StackTrace))
+
+  test("connect parser happy path: templated description") {
+    val r = parseOne(rec("t", 0, 0, 0, "key", "value", connectHappy))
+    assert(r.isNullAt(1))
+    assert(r.getString(6) ==
+      "Error in stage VALUE_CONVERTER (org.apache.kafka.connect.json.JsonConverter) in my-connector[2]")
+  }
+
+  test("connect parser: optional originals absent -> nulls, still parses") {
+    val hs = connectHappy.filterNot(r => r.getString(0).startsWith(H.ConnectPrefix) &&
+      Set(H.ConnectOrigPartition, H.ConnectOrigTopic, H.ConnectOrigOffset)(r.getString(0)))
+    val r = parseOne(rec("t", 0, 0, 0, "key", "value", hs))
+    assert(r.isNullAt(1))
+    assert(r.isNullAt(3) && r.isNullAt(4) && r.isNullAt(5))
+  }
+
+  test("connect parser: unparseable task id") {
+    val hs = connectHappy.map(r =>
+      if (r.getString(0) == H.ConnectTaskId) h(H.ConnectTaskId, "NaN") else r)
+    val r = parseOne(rec("t", 0, 0, 0, "key", "value", hs))
+    assert(r.getString(1) == "For input string: \"NaN\"")
+  }
+
+  test("avro-value branch parses the JSON dead letter") {
+    val r = parseOne(rec("t", 0, 0, 0, "key", deadLetterJson(StackTrace), Seq()))
+    assert(r.getString(0) == "avro_value")
+    assert(r.isNullAt(1))
+    assert(r.getString(2) == "foo")
+    assert(r.getString(6) == "description")
+    assert(r.getStruct(7).getString(2) == StackTrace)
+  }
+
+  test("record with both streams and connect headers parses once per branch") {
+    val p = Analyzer.parsed(envelopeDf(Seq(
+      rec("t", 0, 0, 0, "key", "value", streamsHappy ++ connectHappy))))
+    val branches = p.select(col("branch")).collect().map(_.getString(0)).sorted
+    assert(branches.sameElements(Array("connect_headers", "streams_headers")))
+  }
+
+  test("record matching no branch is dropped") {
+    assert(Analyzer.parsed(envelopeDf(Seq(
+      rec("t", 0, 0, 0, "key", "value", Seq(h("some-other-header", "x")))))).count() == 0)
+  }
+
+  test("binary (non-UTF8) value is hex-rendered as input_value") {
+    val row = Row("t", 0, 0L, new java.sql.Timestamp(0),
+      utf8("key"), Array[Byte](0, -1, -2), streamsHappy)
+    val r = parseOne(row)
+    assert(r.getString(2) == "00fffe")
+  }
+}

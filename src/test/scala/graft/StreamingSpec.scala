@@ -1,0 +1,94 @@
+package graft
+
+import graft.streaming.StreamingAnalyzer
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming-mode port of the reference topology tests: per-record update
+  * emission and first-example-exactly-once-EVER across micro-batches
+  * (reference DeadLetterAnalyzerTopologyTest.java:197-318 — semantics the
+  * batch twin can only show per-snapshot). */
+class StreamingSpec extends SparkSpec {
+
+  final case class HeaderKV(key: String, value: Array[Byte])
+  final case class KafkaRecord(topic: String, partition: Int, offset: Long,
+      timestamp: java.sql.Timestamp, key: Array[Byte], value: Array[Byte],
+      headers: Seq[HeaderKV])
+
+  private def record(offset: Long, tsMillis: Long, key: String, stackTrace: String) =
+    KafkaRecord("my-stream-dead-letter-topic", 0, offset,
+      new java.sql.Timestamp(tsMillis), Fixtures.utf8(key),
+      Fixtures.utf8(Fixtures.deadLetterJson(stackTrace)), Seq())
+
+  test("per-record stats emission and first-example-once across micro-batches") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark2.sqlContext
+
+    val stream = MemoryStream[KafkaRecord]
+    val out = StreamingAnalyzer.analyze(stream.toDF())
+    val q = out.results.writeStream
+      .format("memory").queryName("results").outputMode("append").start()
+    try {
+      // micro-batch 1: two records of the same error key -> TWO result rows
+      // (count 1 then count 2), example only on the first
+      stream.addData(
+        record(0, 1000, "first", Fixtures.StackTrace),
+        record(1, 3000, "second", Fixtures.StackTrace))
+      q.processAllAvailable()
+      val batch1 = spark.table("results").orderBy("count").collect()
+      assert(batch1.length == 2)
+      assert(batch1(0).getAs[Int]("count") == 1)
+      assert(batch1(0).getAs[String]("exampleKey") == "first")
+      assert(batch1(1).getAs[Int]("count") == 2)
+      assert(batch1(1).getAs[Long]("createdUs") == 1000000L)
+      assert(batch1(1).getAs[Long]("updatedUs") == 3000000L)
+      assert(batch1(1).isNullAt(batch1(1).fieldIndex("exampleKey")))
+
+      // micro-batch 2: third record, SAME key, LATER batch -> count 3 from
+      // persisted state, STILL no example (first-example-once EVER)
+      stream.addData(record(2, 2000, "third", Fixtures.StackTrace))
+      q.processAllAvailable()
+      val batch2 = spark.table("results").orderBy("count").collect()
+      assert(batch2.length == 3)
+      assert(batch2(2).getAs[Int]("count") == 3)
+      // out-of-order timestamp absorbed by min/max (reference :54-55)
+      assert(batch2(2).getAs[Long]("createdUs") == 1000000L)
+      assert(batch2(2).getAs[Long]("updatedUs") == 3000000L)
+      assert(batch2(2).isNullAt(batch2(2).fieldIndex("exampleKey")))
+
+      val examples = StreamingAnalyzer.examplesSink(spark.table("results")).collect()
+      assert(examples.length == 1)
+      assert(examples.head.getAs[String]("exampleKey") == "first")
+
+      val stats = StreamingAnalyzer.statsSink(spark.table("results"))
+        .orderBy("count").collect()
+      assert(stats.head.getAs[String]("key") ==
+        s"my-stream-dead-letter-topic:${Fixtures.StackTraceType}")
+      assert(stats.last.getAs[String]("created") == "1970-01-01T00:00:01.000")
+      assert(stats.last.getAs[String]("updated") == "1970-01-01T00:00:03.000")
+    } finally q.stop()
+  }
+
+  test("streaming error channel emits dead letters for null stack traces") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark2.sqlContext
+
+    val stream = MemoryStream[KafkaRecord]
+    val out = StreamingAnalyzer.analyze(stream.toDF())
+    val q = out.errors.writeStream
+      .format("memory").queryName("errs").outputMode("append").start()
+    try {
+      stream.addData(record(0, 0, "key", null))
+      q.processAllAvailable()
+      val errs = spark.table("errs").collect()
+      assert(errs.length == 1)
+      assert(errs.head.getAs[String]("key") == "key")
+      assert(errs.head.getAs[Row]("dead_letter")
+        .getAs[String]("description") == "Error analyzing dead letter")
+    } finally q.stop()
+  }
+}
