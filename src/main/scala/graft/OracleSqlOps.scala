@@ -144,22 +144,26 @@ FROM cand c JOIN sets sa ON sa.doc_id = c.a JOIN sets sb ON sb.doc_id = c.b
 WHERE CAST(len(list_intersect(sa.bgs, sb.bgs)) AS DOUBLE)
     / (len(sa.bgs) + len(sb.bgs) - len(list_intersect(sa.bgs, sb.bgs))) >= 0.3"""
 
-  private val cosE = "list_dot_product(l.v, r.v) / sqrt(list_dot_product(l.v, l.v) * list_dot_product(r.v, r.v))"
+  private val cosE = "list_dot_product(l.v, r.v) / sqrt(l.n2 * r.n2)"
 
   val embeddingNearDup: String = s"""WITH e AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+    list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) AS n2
+  FROM embeddings
 )
 SELECT l.vec_id AS a, r.vec_id AS b, $cosE AS cosine
 FROM e l JOIN e r ON l.vec_id < r.vec_id
 WHERE $cosE >= 0.45"""
 
   private def annSql(cellJoin: String, k: Int): String = s"""WITH e AS (
-  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+    list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) AS n2
+  FROM embeddings
 ), q AS (
-  SELECT vec_id AS qid, label AS qcell, v AS qv FROM e WHERE vec_id % 100 = 0
+  SELECT vec_id AS qid, label AS qcell, v AS qv, n2 AS qn2 FROM e WHERE vec_id % 100 = 0
 ), scored AS (
   SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
-    list_dot_product(q.qv, e.v) / sqrt(list_dot_product(q.qv, q.qv) * list_dot_product(e.v, e.v)) AS cosine
+    list_dot_product(q.qv, e.v) / sqrt(q.qn2 * e.n2) AS cosine
   FROM e JOIN q ON e.vec_id <> q.qid$cellJoin
 ), ranked AS (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank

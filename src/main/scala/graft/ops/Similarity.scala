@@ -28,15 +28,26 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / sqrt(dot(a, a) * dot(b, b))
 
+  /** cosine from a precomputed squared-norm pair: dot / sqrt(n2a * n2b) —
+    * the same doubles as [[cosine]], but self-dots are evaluated once per ROW
+    * before the pair join instead of once per PAIR (3x fewer vector ops on an
+    * all-pairs or top-k scan). */
+  private def cosineWithNorms(a: Column, b: Column, n2a: Column, n2b: Column): Column =
+    dot(a, b) / sqrt(n2a * n2b)
+
+  private def withNorm2(e: DataFrame): DataFrame =
+    e.withColumn("n2", dot(col("embedding"), col("embedding")))
+
   /** Exact top-k neighbors for the query subset, by cosine. The query set is
     * broadcast (small side), the corpus is scanned once; ranking shuffles only
     * (query_id, candidate) pairs. Self-matches excluded. */
   def bruteForceTopK(embeddings: DataFrame, queryPred: Column, k: Int = 5): DataFrame = {
-    val queries = embeddings.filter(queryPred)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-    val scored = embeddings.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+    val corpus = withNorm2(embeddings)
+    val queries = withNorm2(embeddings.filter(queryPred))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("n2").as("qn2"))
+    val scored = corpus.join(broadcast(queries), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        cosine(col("qe"), col("embedding")).as("cosine"))
+        cosineWithNorms(col("qe"), col("embedding"), col("qn2"), col("n2")).as("cosine"))
     topK(scored, k)
   }
 
@@ -44,13 +55,14 @@ object Similarity {
     * `label`, standing in for a centroid assignment) and a query probes only
     * its own cell. */
   def ivfTopK(embeddings: DataFrame, queryPred: Column, k: Int = 3): DataFrame = {
-    val queries = embeddings.filter(queryPred)
+    val corpus = withNorm2(embeddings)
+    val queries = withNorm2(embeddings.filter(queryPred))
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-        col("label").as("qcell"))
-    val scored = embeddings.join(broadcast(queries),
+        col("label").as("qcell"), col("n2").as("qn2"))
+    val scored = corpus.join(broadcast(queries),
         col("label") === col("qcell") && col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        cosine(col("qe"), col("embedding")).as("cosine"))
+        cosineWithNorms(col("qe"), col("embedding"), col("qn2"), col("n2")).as("cosine"))
     topK(scored, k)
   }
 
@@ -66,9 +78,12 @@ object Similarity {
   /** Embedding near-duplicate pairs: cosine >= threshold over all pairs a<b.
     * All-pairs is the exact baseline; the scale path buckets by SimHash of the
     * embedding signs first (same banding shape as Dedup.minhashLsh). */
-  def nearDupPairs(embeddings: DataFrame, threshold: Double): DataFrame =
-    embeddings.as("l").join(embeddings.as("r"), col("l.vec_id") < col("r.vec_id"))
+  def nearDupPairs(embeddings: DataFrame, threshold: Double): DataFrame = {
+    val e = withNorm2(embeddings)
+    e.as("l").join(e.as("r"), col("l.vec_id") < col("r.vec_id"))
       .select(col("l.vec_id").as("a"), col("r.vec_id").as("b"),
-        cosine(col("l.embedding"), col("r.embedding")).as("cosine"))
+        cosineWithNorms(col("l.embedding"), col("r.embedding"),
+          col("l.n2"), col("r.n2")).as("cosine"))
       .filter(col("cosine") >= threshold)
+  }
 }
