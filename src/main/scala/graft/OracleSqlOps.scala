@@ -174,6 +174,42 @@ SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cosine FROM ranked WHER
   val annTopK: String = annSql("", 5)
   val annIvf: String = annSql(" AND e.label = q.qcell", 3)
 
+  private val hexVal4Hp: String = (0 until 4).map { p =>
+    val mult = 1 << (4 * (3 - p))
+    s"(position(substr(md5(h.h || ':' || d.d), ${p + 1}, 1) IN '0123456789abcdef') - 1) * $mult"
+  }.mkString(" + ")
+
+  /** Random-hyperplane LSH ANN oracle: hyperplane components derived from
+    * md5("h:d") exactly as graft.ops.Similarity.hyperplane. */
+  val annLsh: String = s"""WITH hp AS (
+  SELECT h.h AS h, d.d AS d,
+    (($hexVal4Hp) - 32768) / CAST(32768.0 AS DOUBLE) AS v
+  FROM generate_series(0, ${graft.ops.Similarity.LshBits - 1}) h(h),
+       generate_series(0, 63) d(d)
+), e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+    list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) AS n2
+  FROM embeddings
+), dots AS (
+  SELECT e.vec_id, hp.h, sum(hp.v * e.v[hp.d + 1]) AS dp
+  FROM e, hp GROUP BY e.vec_id, hp.h
+), buckets AS (
+  SELECT vec_id, CAST(sum(CASE WHEN dp >= 0 THEN 1 << h ELSE 0 END) AS INT) AS bucket
+  FROM dots GROUP BY vec_id
+), q AS (
+  SELECT e.vec_id AS qid, e.v AS qv, e.n2 AS qn2, b.bucket AS qb
+  FROM e JOIN buckets b ON e.vec_id = b.vec_id WHERE e.vec_id % 100 = 0
+), scored AS (
+  SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+    list_dot_product(q.qv, e.v) / sqrt(q.qn2 * e.n2) AS cosine
+  FROM e JOIN buckets b ON e.vec_id = b.vec_id
+  JOIN q ON b.bucket = q.qb AND e.vec_id <> q.qid
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cosine FROM ranked WHERE rank <= 3"""
+
   val mmMeta: String = """SELECT CAST(doc_id AS BIGINT) AS doc_id,
   ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS media_type,
   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
@@ -182,6 +218,29 @@ SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cosine FROM ranked WHER
   octet_length(encode(text)) / CAST(1000.0 AS DOUBLE) AS duration_s,
   md5(text) AS checksum
 FROM documents"""
+
+  /** Video payload frame sampling: stride-100 byte slices (documents text is
+    * ASCII, so byte offsets = char offsets). */
+  val mmFrameSample: String = """WITH v AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 2
+), f AS (
+  SELECT doc_id, g.i AS frame_idx,
+    substr(text, g.i * 100 + 1, 100) AS frame
+  FROM v, generate_series(0, 99) g(i)
+  WHERE g.i * 100 < octet_length(encode(text))
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(frame_idx AS INT) AS frame_idx,
+  CAST(octet_length(encode(frame)) AS INT) AS n_bytes, md5(frame) AS checksum
+FROM f"""
+
+  val qRollup: String = """SELECT l_returnflag, l_linestatus,
+  CAST(count(*) AS INT) AS n, sum(l_quantity) AS sum_qty
+FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"""
+
+  val qDistinct: String = """SELECT l_returnflag,
+  CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps
+FROM lineitem GROUP BY l_returnflag"""
 
   val evTop3: String = """WITH r AS (
   SELECT user_id, event_id, value,

@@ -177,8 +177,22 @@ object SparkEntry {
       ops.Similarity.bruteForceTopK(emb(s, dir), col("vec_id") % 100 === 0, k = 5)),
     "ann_ivf" -> ((s, dir) =>
       ops.Similarity.ivfTopK(emb(s, dir), col("vec_id") % 100 === 0, k = 3)),
+    "ann_lsh" -> ((s, dir) =>
+      ops.Similarity.rpLshTopK(emb(s, dir), col("vec_id") % 100 === 0, k = 3)),
 
-    "mm_meta" -> ((s, dir) => ops.Multimodal.meta(s, docs(s, dir))))
+    "mm_meta" -> ((s, dir) => ops.Multimodal.meta(s, docs(s, dir))),
+    "mm_frame_sample" -> ((s, dir) => ops.Multimodal.frameSample(docs(s, dir)).toDF()),
+
+    // Rollup + exact distinct aggregation coverage.
+    "q_rollup" -> ((s, dir) =>
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).cast("int").as("n"), sum(col("l_quantity")).as("sum_qty"))),
+    "q_distinct" -> ((s, dir) =>
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"))))
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
@@ -215,5 +229,9 @@ object SparkEntry {
     "dedup_embedding" -> OracleSqlOps.embeddingNearDup,
     "ann_topk" -> OracleSqlOps.annTopK,
     "ann_ivf" -> OracleSqlOps.annIvf,
-    "mm_meta" -> OracleSqlOps.mmMeta)
+    "ann_lsh" -> OracleSqlOps.annLsh,
+    "mm_meta" -> OracleSqlOps.mmMeta,
+    "mm_frame_sample" -> OracleSqlOps.mmFrameSample,
+    "q_rollup" -> OracleSqlOps.qRollup,
+    "q_distinct" -> OracleSqlOps.qDistinct)
 }

@@ -25,19 +25,16 @@ object HeaderOps {
   /** value + first applicable error, both as columns. */
   final case class Extracted(value: Column, err: Column)
 
-  private def matches(headers: Column, name: String): Column =
-    filter(coalesce(headers, array()), h => h.getField("key") === lit(name))
-
-  /** Whether a header with this exact name is present (any value, incl. null). */
-  def hasHeader(headers: Column, name: String): Column = size(matches(headers, name)) > 0
+  /** Whether a header with this exact name is present (any value, incl. null).
+    * Codegen'd reverse scan ([[HeaderExprs]]) — the higher-order-function
+    * route (`filter` + `get`) is interpreted and was the parse bottleneck. */
+  def hasHeader(headers: Column, name: String): Column =
+    HeaderExprs.headerPresent(headers, name)
 
   /** UTF-8 string value of the last header with this name; null when absent or
     * when present with a null value. */
-  def lastHeader(headers: Column, name: String): Column = {
-    val ms = matches(headers, name)
-    // get() is ANSI-safe: out-of-range → null (vs element_at which raises)
-    get(ms, size(ms) - 1).getField("value").cast("string")
-  }
+  def lastHeader(headers: Column, name: String): Column =
+    HeaderExprs.lastHeaderValue(headers, name).cast("string")
 
   private def missing(name: String): Column =
     lit(Messages.MissingRequiredHeader.format(name))

@@ -65,4 +65,28 @@ object Multimodal {
   /** End-to-end: documents -> media table -> partition-batched decode. */
   def meta(spark: SparkSession, docs: DataFrame): DataFrame =
     decodeMeta(mediaTable(docs)).toDF()
+
+  /** One sampled frame of a video payload. */
+  final case class Frame(doc_id: Long, frame_idx: Int, n_bytes: Int, checksum: String)
+
+  /** Frame sampling for video payloads: a 1-to-N typed flatMap (the generator
+    * shape of a real frame extractor — one decoder per partition, N output
+    * rows per input). The stub "decoder" slices the payload at a fixed byte
+    * stride and checksums each slice. */
+  def frameSample(docs: DataFrame, stride: Int = 100): Dataset[Frame] = {
+    val videos = mediaTable(docs).filter(_.media_type == "video")
+    videos.mapPartitions { rows =>
+      val digest = MessageDigest.getInstance("MD5")
+      rows.flatMap { r =>
+        val n = r.payload.length
+        (0 until (n + stride - 1) / stride).iterator.map { i =>
+          val lo = i * stride
+          val hi = math.min(lo + stride, n)
+          digest.reset()
+          val slice = java.util.Arrays.copyOfRange(r.payload, lo, hi)
+          Frame(r.doc_id, i, hi - lo, hex(digest.digest(slice)))
+        }
+      }
+    }(Encoders.product[Frame])
+  }
 }

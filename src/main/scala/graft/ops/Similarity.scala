@@ -75,6 +75,49 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
 
+  /** Number of random hyperplanes for [[rpLshTopK]] (2^H buckets). */
+  val LshBits = 8
+
+  /** Deterministic pseudo-random hyperplanes: component d of hyperplane h is
+    * derived from md5("h:d") — first 4 hex digits as an int x in [0, 65536),
+    * mapped to (x - 32768) / 32768.0 (a dyadic rational: exactly
+    * representable, so the oracle reproduces it bit-for-bit). */
+  def hyperplane(h: Int, dims: Int): Seq[Double] = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+    (0 until dims).map { d =>
+      val hex = digest.digest(s"$h:$d".getBytes("UTF-8"))
+        .take(2).map(b => f"$b%02x").mkString
+      (Integer.parseInt(hex, 16) - 32768) / 32768.0
+    }
+  }
+
+  /** Sign-bucket of a vector under the LshBits hyperplanes. */
+  def lshBucket(embedding: Column, dims: Int): Column =
+    (0 until LshBits).map { h =>
+      when(dot(embedding, typedlit(hyperplane(h, dims))) >= 0, lit(1 << h))
+        .otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** Random-hyperplane LSH ANN: corpus and queries are hashed to sign buckets
+    * (2^LshBits of them) and a query ranks only its own bucket by exact
+    * cosine — the bucket join replaces the full corpus scan (at 100 TB,
+    * bucketing/partitioning the corpus by this key makes a query touch
+    * 1/2^bits of the data). Single-probe; recall rises with multi-probe or
+    * repeated tables, same shape. */
+  def rpLshTopK(embeddings: DataFrame, queryPred: Column, k: Int = 3,
+      dims: Int = 64): DataFrame = {
+    val corpus = withNorm2(embeddings)
+      .withColumn("bucket", lshBucket(col("embedding"), dims))
+    val queries = corpus.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("n2").as("qn2"), col("bucket").as("qbucket"))
+    val scored = corpus.join(broadcast(queries),
+        col("bucket") === col("qbucket") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosineWithNorms(col("qe"), col("embedding"), col("qn2"), col("n2")).as("cosine"))
+    topK(scored, k)
+  }
+
   /** Embedding near-duplicate pairs: cosine >= threshold over all pairs a<b.
     * All-pairs is the exact baseline; the scale path buckets by SimHash of the
     * embedding signs first (same banding shape as Dedup.minhashLsh). */
