@@ -1,0 +1,114 @@
+package graft
+
+import graft.functions.VectorExprs
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+import org.apache.spark.sql.functions._
+
+/** Unit sanity for the training-data operators (the DuckDB oracle is the main
+  * gate; these pin the local semantics and the custom expressions). */
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy dog"), // exact dup of 0
+    (2L, "the quick brown fox leaps over the lazy dog"), // near dup
+    (3L, "completely different content here entirely now")
+  ).toDF("doc_id", "text")
+
+  test("DotProduct expression matches a manual sequential fold") {
+    val df = Seq((Array(1.5f, 2.0f, -3.0f), Array(2.0f, 0.5f, 1.0f))).toDF("a", "b")
+    val got = df.select(VectorExprs.dotProduct(col("a"), col("b"))).head.getDouble(0)
+    assert(got == 1.5 * 2.0 + 2.0 * 0.5 + (-3.0) * 1.0)
+  }
+
+  test("DotProduct interpreted eval agrees with codegen") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val e = graft.functions.DotProduct(
+      Literal.create(Seq(1.0, 2.0), ArrayType(DoubleType)),
+      Literal.create(Seq(3.0, 4.0), ArrayType(DoubleType)))
+    assert(e.eval(null) == 11.0)
+  }
+
+  test("exact dedup groups identical texts") {
+    val r = Dedup.exact(docs).orderBy("keep_id").collect()
+    assert(r.length == 3)
+    assert(r.head.getAs[Long]("keep_id") == 0L && r.head.getAs[Int]("n_copies") == 2)
+  }
+
+  test("identical docs share minhash signatures; near-dups found by LSH") {
+    val sigs = Dedup.minhashSignatures(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.toSeq.tail).toMap
+    assert(sigs(0L) == sigs(1L))
+    val pairs = Dedup.minhashLsh(docs, threshold = 0.5).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"), r.getAs[Double]("jaccard")))
+    assert(pairs.exists { case (a, b, j) => a == 0L && b == 1L && j == 1.0 })
+    assert(!pairs.exists { case (a, b, _) => b == 3L || a == 3L })
+  }
+
+  test("identical docs have identical simhash; near-dups within small hamming") {
+    val fps = Dedup.simhash(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    assert(fps(0L) == fps(1L))
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 4).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")))
+    assert(pairs.contains((0L, 1L)))
+  }
+
+  test("bigram jaccard finds the one-word-edit near-dup") {
+    val pairs = Dedup.ngramJaccard(docs, threshold = 0.3).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"), r.getAs[Double]("jaccard")))
+    assert(pairs.exists { case (a, b, j) => a == 0L && b == 2L && j > 0.5 && j < 1.0 })
+  }
+
+  test("brute-force ANN ranks the identical vector first") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 0),
+      (1L, Array(1.0f, 0.0f, 0.0f), 0),
+      (2L, Array(0.9f, 0.1f, 0.0f), 0),
+      (3L, Array(0.0f, 0.0f, 1.0f), 1)).toDF("vec_id", "embedding", "label")
+    val top = Similarity.bruteForceTopK(emb, col("vec_id") === 0, k = 2).collect()
+    assert(top.length == 2)
+    assert(top.find(_.getAs[Int]("rank") == 1).get.getAs[Long]("neighbor_id") == 1L)
+    assert(top.find(_.getAs[Int]("rank") == 2).get.getAs[Long]("neighbor_id") == 2L)
+  }
+
+  test("IVF ANN only searches the query's cell") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f), 0), (1L, Array(0.9f, 0.1f), 0),
+      (2L, Array(1.0f, 0.0f), 1)).toDF("vec_id", "embedding", "label")
+    val top = Similarity.ivfTopK(emb, col("vec_id") === 0, k = 3).collect()
+    assert(top.map(_.getAs[Long]("neighbor_id")).toSet == Set(1L))
+  }
+
+  test("language-ID prefers the language with most stopword hits") {
+    val d = Seq((0L, "der hund und die katze ist nicht da"),
+      (1L, "the cat and the dog is on a mat")).toDF("doc_id", "text")
+    val r = TextAnalysis.langId(d).orderBy("doc_id").collect()
+    assert(r(0).getAs[String]("lang_guess") == "de")
+    assert(r(1).getAs[String]("lang_guess") == "en")
+  }
+
+  test("quality score is bounded and sensitive to stopword ratio") {
+    val q = TextAnalysis.quality(docs).collect()
+    assert(q.forall(r => r.getAs[Double]("quality") >= 0 && r.getAs[Double]("quality") <= 1))
+  }
+
+  test("frame sampling yields ceil(len/stride) frames per video doc") {
+    val d = Seq((2L, "x" * 250), (5L, "y" * 99)).toDF("doc_id", "text") // doc_id%3==2
+    val frames = Multimodal.frameSample(d, stride = 100).collect()
+    assert(frames.count(_.doc_id == 2L) == 3)
+    assert(frames.count(_.doc_id == 5L) == 1)
+    assert(frames.filter(_.doc_id == 2L).map(_.n_bytes).sorted.toSeq == Seq(50, 100, 100))
+  }
+
+  test("multimodal meta decodes deterministically via mapPartitions") {
+    val m = Multimodal.meta(spark, docs).orderBy("doc_id").collect()
+    assert(m.length == 4)
+    assert(m(0).getAs[String]("media_type") == "image")
+    assert(m(2).getAs[String]("media_type") == "video")
+    assert(m(0).getAs[String]("checksum") == m(1).getAs[String]("checksum"))
+  }
+}
