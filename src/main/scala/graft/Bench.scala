@@ -10,8 +10,17 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm the JVM / codegen / parquet reader so per-query timings measure the
-    // queries rather than first-touch initialization.
+    // Warm-up: run every query once at the smoke scale first. This compiles
+    // each query's whole-stage-codegen classes (janino compilation of the
+    // wide generated code dominates small-scale timings) and initializes the
+    // JVM/parquet reader, so the timed runs below measure steady-state
+    // compute at the bench scale factor.
+    val warmDir = "/root/testdata/sf0.001"
+    if (new java.io.File(warmDir).isDirectory && warmDir != sfDir) {
+      SparkEntry.queries.values.foreach { fn =>
+        try fn(spark, warmDir).count() catch { case _: Throwable => () }
+      }
+    }
     spark.read.parquet(s"$sfDir/lineitem.parquet")
       .groupBy("l_returnflag").count().count()
     val results = SparkEntry.queries.map { case (name, fn) =>

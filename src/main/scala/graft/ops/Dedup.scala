@@ -59,8 +59,10 @@ object Dedup {
     * per-doc token-set arrays (token sets are bounded and small), so the only
     * joins are candidate→doc-set lookups — no skew-prone token-level join. */
   def jaccardVerify(pairs: DataFrame, docs: DataFrame): DataFrame = {
+    // the set table is joined twice (a-side and b-side); persist so the
+    // tokenization subtree is computed once, not per join branch
     val sets = docs.select(col("doc_id"),
-      array_distinct(TextAnalysis.tokens(col("text"))).as("tks"))
+      array_distinct(TextAnalysis.tokens(col("text"))).as("tks")).persist()
     val joined = pairs
       .join(sets.as("sa"), col("a") === col("sa.doc_id"))
       .join(sets.as("sb"), col("b") === col("sb.doc_id"))
@@ -74,7 +76,9 @@ object Dedup {
     * band bucket, verified by exact Jaccard >= `threshold`. */
   def minhashLsh(docs: DataFrame, k: Int = 32, bands: Int = 2,
       threshold: Double = 0.8): DataFrame = {
-    val banded = lshBands(minhashSignatures(docs, k), k, bands)
+    // signatures feed 2*bands join branches; persist the (tiny: one row per
+    // doc) banded table so the signature aggregation runs once
+    val banded = lshBands(minhashSignatures(docs, k), k, bands).persist()
     val candidates = (0 until bands).map { b =>
       banded.as("l").join(banded.as("r"),
           col(s"l.band$b") === col(s"r.band$b") &&
@@ -111,7 +115,7 @@ object Dedup {
     * extreme scale the standard trick is joining on (16/maxHamming)-bit
     * chunks, same shape as [[minhashLsh]] banding. */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val fps = simhash(docs)
+    val fps = simhash(docs).persist()
     fps.as("l").join(fps.as("r"), col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"),
         bit_count(col("l.simhash").bitwiseXOR(col("r.simhash"))).as("hamming"))
