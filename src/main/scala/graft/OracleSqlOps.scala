@@ -66,11 +66,18 @@ FROM documents GROUP BY md5(text)"""
   private val K = 32
   private val Bands = 2
 
+  /** 28-bit lane of md5(tok) hex chars [off, off+7) as a BIGINT (mirrors
+    * graft.ops.Dedup.minhashSignatures' conv(substring(md5, off, 7),16,10)). */
+  private def hexLane(off: Int): String = (0 until 7).map { p =>
+    val mult = 1L << (4 * (6 - p))
+    s"(position(substr(md5(tok), ${off + p}, 1) IN '0123456789abcdef') - 1) * $mult"
+  }.mkString(" + ")
+
   private val minhashAggs: String = (0 until K)
-    .map(s => s"min(substr(md5($s || ':' || tok), 1, 16)) AS mh$s").mkString(",\n  ")
+    .map(s => s"min(h1 + $s * h2) AS mh$s").mkString(",\n  ")
   private val bandCols: String = (0 until Bands).map { b =>
-    val parts = (b * (K / Bands) until (b + 1) * (K / Bands)).map(i => s"mh$i").mkString(" || ")
-    s"md5($parts) AS band$b"
+    val parts = (b * (K / Bands) until (b + 1) * (K / Bands)).map(i => s"mh$i").mkString(", ")
+    s"md5(concat_ws(':', $parts)) AS band$b"
   }.mkString(",\n  ")
   private val bandJoins: String = (0 until Bands).map { b =>
     s"SELECT l.doc_id AS a, r.doc_id AS b FROM banded l JOIN banded r ON l.band$b = r.band$b AND l.doc_id < r.doc_id"
@@ -78,16 +85,20 @@ FROM documents GROUP BY md5(text)"""
 
   val minhashLsh: String = s"""WITH dtoks AS (
   SELECT DISTINCT doc_id, unnest($toks) AS tok FROM documents
+), th AS (
+  SELECT doc_id, ${hexLane(1)} AS h1, ${hexLane(9)} AS h2 FROM dtoks
 ), sig AS (
   SELECT doc_id, $minhashAggs
-  FROM dtoks GROUP BY doc_id
+  FROM th GROUP BY doc_id
 ), banded AS (
   SELECT doc_id, $bandCols FROM sig
 ), cand AS (
   SELECT DISTINCT a, b FROM (
     $bandJoins)
 ), tsets AS (
-  SELECT doc_id, list_distinct($toks) AS tks FROM documents
+  SELECT doc_id,
+    list_sort(list_distinct(list_transform($toks, tok -> ${hexLane(1)}))) AS tks
+  FROM documents
 )
 SELECT c.a, c.b,
   CAST(len(list_intersect(sa.tks, sb.tks)) AS DOUBLE)

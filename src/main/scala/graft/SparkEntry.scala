@@ -194,10 +194,12 @@ object SparkEntry {
         .agg(countDistinct(col("l_partkey")).as("n_parts"),
           countDistinct(col("l_suppkey")).as("n_supps"))))
 
+  // spread: these feed self-joins / per-row sketches whose cost is
+  // super-linear in rows-per-partition; see graft.ops.Par.
   private def docs(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/documents.parquet")
+    ops.Par.spread(s.read.parquet(s"$dir/documents.parquet"))
   private def emb(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/embeddings.parquet")
+    ops.Par.spread(s.read.parquet(s"$dir/embeddings.parquet"))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -33,58 +33,90 @@ object Dedup {
     docs.select(col("doc_id"),
       explode(array_distinct(TextAnalysis.tokens(col("text")))).as("tok"))
 
-  /** K min-hashes per doc, as 16-hex-char strings: seed k's hash of token t is
-    * substr(md5("k:t"), 1, 16). One groupBy, K aggregate expressions. */
+  /** K min-hashes per doc, as longs. ONE md5 per distinct token yields two
+    * 28-bit lanes (hex chars 1-7 and 9-15 of the digest); seed s's hash of
+    * token t is the affine h1(t) + s*h2(t) — the standard (a + s·b) family —
+    * so K min-hashes cost one digest plus K multiply-adds per token (vs K
+    * digests). One groupBy with K `min` aggregates: map-side partial
+    * aggregation shrinks the shuffle to one row per doc. */
   def minhashSignatures(docs: DataFrame, k: Int = 32): DataFrame = {
+    val d = md5(col("tok").cast("binary"))
+    val h1 = conv(substring(d, 1, 7), 16, 10).cast("long")
+    val h2 = conv(substring(d, 9, 7), 16, 10).cast("long")
     val aggs = (0 until k).map { s =>
-      min(substring(md5(concat(lit(s.toString), lit(":"), col("tok")).cast("binary")),
-        1, 16)).as(s"mh$s")
+      min(col("h1") + lit(s.toLong) * col("h2")).as(s"mh$s")
     }
-    docTokens(docs).groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    docTokens(docs).select(col("doc_id"), h1.as("h1"), h2.as("h2"))
+      .groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH band signatures: `bands` bands of `k/bands` rows; band b's signature
-    * is the md5 of its concatenated min-hashes. */
+    * is the md5 of its ':'-joined min-hashes. */
   def lshBands(sigs: DataFrame, k: Int = 32, bands: Int = 2): DataFrame = {
     val rows = k / bands
     val bandCols = (0 until bands).map { b =>
-      md5(concat((b * rows until (b + 1) * rows).map(i => col(s"mh$i")): _*)
+      md5(concat_ws(":",
+        (b * rows until (b + 1) * rows).map(i => col(s"mh$i").cast("string")): _*)
         .cast("binary")).as(s"band$b")
     }
     sigs.select(col("doc_id") +: bandCols: _*)
   }
 
-  /** Exact Jaccard similarity over distinct-token sets for a given pair
-    * relation (a, b): |A∩B| / |A∪B|. Computed with `array_intersect` on
-    * per-doc token-set arrays (token sets are bounded and small), so the only
-    * joins are candidate→doc-set lookups — no skew-prone token-level join. */
+  /** 28-bit token hash (md5 hex chars 1-7) — shingle hashing, the standard
+    * large-corpus dedup representation: set ops compare ints, not strings. */
+  private def tokHash(t: Column): Column =
+    conv(substring(md5(t.cast("binary")), 1, 7), 16, 10).cast("int")
+
+  /** Jaccard similarity over hashed-token sets for a given pair relation
+    * (a, b): |A∩B| / |A∪B|. Each doc's set is built ONCE as a sorted int
+    * array; per-pair intersection is then a codegen'd merge pass
+    * ([[graft.functions.ArrayExprs.sortedIntersectSize]]) — the verify stage
+    * runs once per candidate pair (quadratic in cluster size), so per-pair
+    * cost is the whole game at corpus scale. */
   def jaccardVerify(pairs: DataFrame, docs: DataFrame): DataFrame = {
     // the set table is joined twice (a-side and b-side); persist so the
-    // tokenization subtree is computed once, not per join branch
+    // tokenization subtree is computed once, not per join branch. Candidate
+    // pairs are quadratic in cluster size while the set table is one bounded
+    // row per doc, so the set side is broadcast — at corpus scale where even
+    // that side outgrows a broadcast, drop the hint and these become
+    // hash-partitioned joins on doc_id (AQE picks the strategy).
     val sets = docs.select(col("doc_id"),
-      array_distinct(TextAnalysis.tokens(col("text"))).as("tks")).persist()
+      array_sort(array_distinct(
+        transform(TextAnalysis.tokens(col("text")), t => tokHash(t)))).as("tks")).persist()
     val joined = pairs
-      .join(sets.as("sa"), col("a") === col("sa.doc_id"))
-      .join(sets.as("sb"), col("b") === col("sb.doc_id"))
-    val inter = size(array_intersect(col("sa.tks"), col("sb.tks")))
+      .join(broadcast(sets.as("sa")), col("a") === col("sa.doc_id"))
+      .join(broadcast(sets.as("sb")), col("b") === col("sb.doc_id"))
+    val inter = graft.functions.ArrayExprs.sortedIntersectSize(
+      col("sa.tks"), col("sb.tks"))
     joined.select(col("a"), col("b"),
       (inter.cast("double") / (size(col("sa.tks")) + size(col("sb.tks")) - inter))
         .as("jaccard"))
   }
 
   /** MinHash+LSH near-dup pairs: distinct candidate pairs from any shared
-    * band bucket, verified by exact Jaccard >= `threshold`. */
+    * band bucket, verified by exact Jaccard >= `threshold`.
+    *
+    * Candidate pairs are emitted exactly once WITHOUT a dedup shuffle: branch
+    * b's join requires all earlier bands to differ, so the branches are
+    * disjoint by construction and their union is already the distinct pair
+    * set. The one exchange that remains is a round-robin rebalance before the
+    * verify stage — intra-bucket pair generation is quadratic in bucket size,
+    * so a skewed bucket (near-identical template docs all sharing one band
+    * signature) would otherwise pin the whole verify on one task. */
   def minhashLsh(docs: DataFrame, k: Int = 32, bands: Int = 2,
       threshold: Double = 0.8): DataFrame = {
-    // signatures feed 2*bands join branches; persist the (tiny: one row per
+    // signatures feed `bands` join branches; persist the (tiny: one row per
     // doc) banded table so the signature aggregation runs once
     val banded = lshBands(minhashSignatures(docs, k), k, bands).persist()
     val candidates = (0 until bands).map { b =>
+      val guard = (0 until b)
+        .map(p => col(s"l.band$p") =!= col(s"r.band$p"))
+        .foldLeft(col(s"l.band$b") === col(s"r.band$b"))(_ && _)
       banded.as("l").join(banded.as("r"),
-          col(s"l.band$b") === col(s"r.band$b") &&
-            col("l.doc_id") < col("r.doc_id"))
+          guard && col("l.doc_id") < col("r.doc_id"))
         .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
-    }.reduce(_ unionByName _).distinct()
+    }.reduce(_ unionByName _)
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
     jaccardVerify(candidates, docs)
       .filter(col("jaccard") >= threshold)
       .select(col("a"), col("b"), col("jaccard"))

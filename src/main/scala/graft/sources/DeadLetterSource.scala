@@ -66,7 +66,10 @@ object DeadLetterSource {
     * stages (e.g. the classifier) against the oracle's closed-form expected
     * values. */
   def scenario(spark: SparkSession, sfDir: String): DataFrame = {
-    val base = events(spark, sfDir).select(
+    // spread: the envelope synthesis + downstream 4-branch parse is heavy
+    // per-row work, and the events file arrives as one partition at test
+    // scale (graft.ops.Par) — the Kafka source in production is already wide.
+    val base = graft.ops.Par.spread(events(spark, sfDir)).select(
       col("event_id"), col("user_id"), col("event_type"), col("props"),
       expr("timestamp_micros(ts div 1000)").as("timestamp"),
       (col("event_id") % 20).as("mode"),
