@@ -137,7 +137,9 @@ WHERE bit_count(xor(l.simhash, r.simhash)) <= 3"""
   val ngramJaccard: String = s"""WITH t AS (
   SELECT doc_id, $toks AS tk FROM documents
 ), sets AS (
-  SELECT doc_id, list_distinct($bigramsExpr) AS bgs FROM t
+  SELECT doc_id,
+    list_sort(list_distinct(list_transform($bigramsExpr, tok -> ${hexLane(1)}))) AS bgs
+  FROM t
 ), postings AS (
   SELECT doc_id, unnest(bgs) AS b FROM sets
 ), rare AS (

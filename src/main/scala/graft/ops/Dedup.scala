@@ -112,7 +112,13 @@ object Dedup {
       val guard = (0 until b)
         .map(p => col(s"l.band$p") =!= col(s"r.band$p"))
         .foldLeft(col(s"l.band$b") === col(s"r.band$b"))(_ && _)
-      banded.as("l").join(banded.as("r"),
+      // broadcast the build side: the stream side then stays partitioned by
+      // doc_id (its groupBy output), so a giant band bucket's quadratic pair
+      // emission spreads across all tasks instead of collapsing onto the one
+      // task that would own that band key under a sort-merge join. At corpus
+      // scale (banded too big to broadcast) the scale path is partition-by-
+      // band plus intra-bucket salting — same disjoint-branch shape.
+      banded.as("l").join(broadcast(banded.as("r")),
           guard && col("l.doc_id") < col("r.doc_id"))
         .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
     }.reduce(_ unionByName _)
@@ -142,42 +148,72 @@ object Dedup {
         ).reduce(_ + _).as("simhash"))
   }
 
-  /** SimHash near-dup pairs: Hamming distance <= maxHamming. All-pairs here
-    * (the corpus of fingerprints is tiny relative to the corpus of docs); at
-    * extreme scale the standard trick is joining on (16/maxHamming)-bit
-    * chunks, same shape as [[minhashLsh]] banding. */
+  /** SimHash near-dup pairs: Hamming distance <= maxHamming, found EXACTLY
+    * without an all-pairs product via the pigeonhole chunk-join: the 16-bit
+    * fingerprint splits into maxHamming+1 chunks, and any pair within
+    * distance maxHamming must agree exactly on at least one chunk — so
+    * equi-joins on each chunk (with a branch guard requiring earlier chunks
+    * to differ, making branches disjoint) generate every qualifying pair
+    * exactly once, then the cheap bit_count filter verifies. At corpus scale
+    * this is a hash-partitioned join per chunk instead of an n² scan. */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val fps = simhash(docs).persist()
-    fps.as("l").join(fps.as("r"), col("l.doc_id") < col("r.doc_id"))
-      .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"),
-        bit_count(col("l.simhash").bitwiseXOR(col("r.simhash"))).as("hamming"))
+    val nChunks = maxHamming + 1
+    val bitsPer = 16 / nChunks
+    val mask = (1L << bitsPer) - 1
+    val chunkCols = (0 until nChunks).map { c =>
+      shiftright(col("simhash"), c * bitsPer).bitwiseAND(lit(mask)).as(s"c$c")
+    }
+    val fps = simhash(docs).select(col("doc_id") +: col("simhash") +: chunkCols: _*)
+      .persist()
+    (0 until nChunks).map { c =>
+      val guard = (0 until c)
+        .map(p => col(s"l.c$p") =!= col(s"r.c$p"))
+        .foldLeft(col(s"l.c$c") === col(s"r.c$c"))(_ && _)
+      // broadcast build side: a 4-bit chunk has only 16 distinct values, so
+      // a shuffle join would collapse the corpus onto <=16 tasks; with the
+      // broadcast, the doc_id-partitioned stream side emits pairs in parallel
+      fps.as("l").join(broadcast(fps.as("r")), guard && col("l.doc_id") < col("r.doc_id"))
+        .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"),
+          bit_count(col("l.simhash").bitwiseXOR(col("r.simhash"))).as("hamming"))
+    }.reduce(_ unionByName _)
       .filter(col("hamming") <= maxHamming)
   }
 
   /** Word-bigram Jaccard near-dup pairs. Candidates come from an inverted
-    * index on bigrams with a document-frequency cap (`dfCap`): postings of
-    * ubiquitous bigrams are dropped — the standard skew guard; a pair is only
-    * missed if it shares NO rare bigram. Jaccard is then exact over the full
-    * bigram sets via `array_intersect`. */
+    * index on hashed bigrams with a document-frequency cap (`dfCap`):
+    * postings of ubiquitous bigrams are dropped — the standard skew guard; a
+    * pair is only missed if it shares NO rare bigram. Bigrams are 28-bit
+    * shingle hashes throughout (postings shuffle ints, not strings), and the
+    * Jaccard over the full hashed-bigram sets is a codegen'd sorted-merge
+    * pass, as in [[jaccardVerify]]. */
   def ngramJaccard(docs: DataFrame, threshold: Double = 0.3, dfCap: Int = 200): DataFrame = {
     val t = TextAnalysis.tokens(col("text"))
     val n = size(t)
+    val bigrams = zip_with(
+      slice(t, lit(1), greatest(n - 1, lit(0))),
+      slice(t, lit(2), greatest(n - 1, lit(0))),
+      (x, y) => concat(x, lit(" "), y))
     val sets = docs.select(col("doc_id"),
-      array_distinct(zip_with(
-        slice(t, lit(1), greatest(n - 1, lit(0))),
-        slice(t, lit(2), greatest(n - 1, lit(0))),
-        (x, y) => concat(x, lit(" "), y))).as("bgs"))
+      array_sort(array_distinct(transform(bigrams, b => tokHash(b)))).as("bgs"))
+      .persist()
+    // ONE shuffle builds the inverted index: postings group to per-bigram
+    // doc lists, the df cap drops ubiquitous bigrams (bounding every bucket
+    // at dfCap docs = dfCap² pair expansions), and candidate pairs expand
+    // in place by double explode — no posting self-join, no second shuffle.
     val postings = sets.select(col("doc_id"), explode(col("bgs")).as("bg"))
-    val rare = postings.groupBy(col("bg")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= dfCap).select(col("bg"))
-    val rarePostings = postings.join(rare, "bg")
-    val candidates = rarePostings.as("l").join(rarePostings.as("r"),
-        col("l.bg") === col("r.bg") && col("l.doc_id") < col("r.doc_id"))
-      .select(col("l.doc_id").as("a"), col("r.doc_id").as("b")).distinct()
+    val buckets = postings.groupBy(col("bg"))
+      .agg(collect_list(col("doc_id")).as("ds"))
+      .filter(size(col("ds")).between(2, dfCap))
+    val candidates = buckets
+      .select(explode(col("ds")).as("a"), col("ds"))
+      .select(col("a"), explode(col("ds")).as("b"))
+      .filter(col("a") < col("b"))
+      .distinct()
     val joined = candidates
-      .join(sets.as("sa"), col("a") === col("sa.doc_id"))
-      .join(sets.as("sb"), col("b") === col("sb.doc_id"))
-    val inter = size(array_intersect(col("sa.bgs"), col("sb.bgs")))
+      .join(broadcast(sets.as("sa")), col("a") === col("sa.doc_id"))
+      .join(broadcast(sets.as("sb")), col("b") === col("sb.doc_id"))
+    val inter = graft.functions.ArrayExprs.sortedIntersectSize(
+      col("sa.bgs"), col("sb.bgs"))
     joined.select(col("a"), col("b"),
       (inter.cast("double") / (size(col("sa.bgs")) + size(col("sb.bgs")) - inter))
         .as("jaccard"))

@@ -35,8 +35,14 @@ object Similarity {
   private def cosineWithNorms(a: Column, b: Column, n2a: Column, n2b: Column): Column =
     dot(a, b) / sqrt(n2a * n2b)
 
+  /** Adds the squared norm AND pre-casts the float embedding to
+    * array<double> ONCE per row: every pair-scoring join downstream evaluates
+    * the dot on the double arrays directly — without this, the float→double
+    * cast (an array allocation) re-runs per PAIR, which at n² pairs dwarfs
+    * the dot product itself. */
   private def withNorm2(e: DataFrame): DataFrame =
-    e.withColumn("n2", dot(col("embedding"), col("embedding")))
+    e.withColumn("embedding", col("embedding").cast("array<double>"))
+      .withColumn("n2", dot(col("embedding"), col("embedding")))
 
   /** Exact top-k neighbors for the query subset, by cosine. The query set is
     * broadcast (small side), the corpus is scanned once; ranking shuffles only
