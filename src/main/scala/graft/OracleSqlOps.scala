@@ -64,7 +64,7 @@ FROM t"""
 FROM documents GROUP BY md5(text)"""
 
   private val K = 32
-  private val Bands = 2
+  private val Bands = 8
 
   /** 28-bit lane of md5(tok) hex chars [off, off+7) as a BIGINT (mirrors
     * graft.ops.Dedup.minhashSignatures' conv(substring(md5, off, 7),16,10)). */
@@ -74,10 +74,18 @@ FROM documents GROUP BY md5(text)"""
   }.mkString(" + ")
 
   private val minhashAggs: String = (0 until K)
-    .map(s => s"min(h1 + $s * h2) AS mh$s").mkString(",\n  ")
+    .map(s => s"min((h1 + $s * h2) % ${graft.ops.Dedup.MinhashPrime}) AS mh$s")
+    .mkString(",\n  ")
+  /** 60-bit lane of md5(e) hex chars 1-15 as a BIGINT (mirrors
+    * graft.ops.Dedup.lshBands' conv(substring(md5, 1, 15),16,10)). */
+  private def hexLane60(e: String): String = (0 until 15).map { p =>
+    val mult = 1L << (4 * (14 - p))
+    s"(position(substr(md5($e), ${p + 1}, 1) IN '0123456789abcdef') - 1) * CAST($mult AS BIGINT)"
+  }.mkString(" + ")
+
   private val bandCols: String = (0 until Bands).map { b =>
     val parts = (b * (K / Bands) until (b + 1) * (K / Bands)).map(i => s"mh$i").mkString(", ")
-    s"md5(concat_ws(':', $parts)) AS band$b"
+    s"${hexLane60(s"concat_ws(':', $parts)")} AS band$b"
   }.mkString(",\n  ")
   private val bandJoins: String = (0 until Bands).map { b =>
     s"SELECT l.doc_id AS a, r.doc_id AS b FROM banded l JOIN banded r ON l.band$b = r.band$b AND l.doc_id < r.doc_id"
@@ -107,19 +115,19 @@ FROM cand c JOIN tsets sa ON sa.doc_id = c.a JOIN tsets sb ON sb.doc_id = c.b
 WHERE CAST(len(list_intersect(sa.tks, sb.tks)) AS DOUBLE)
     / (len(sa.tks) + len(sb.tks) - len(list_intersect(sa.tks, sb.tks))) >= 0.8"""
 
-  private val hexVal: String = (0 until 4).map { p =>
-    val mult = 1 << (4 * (3 - p))
-    s"(position(substr(md5(tok), ${p + 1}, 1) IN '0123456789abcdef') - 1) * $mult"
-  }.mkString(" + ")
-  private val planeSums: String = (0 until 16)
-    .map(j => s"sum(CASE WHEN (v >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j").mkString(",\n  ")
-  private val fpSum: String = (0 until 16)
+  /** 56-bit simhash planes (mirrors graft.ops.Dedup.simhash): bits 0-27 from
+    * the h1 lane (md5 hex chars 1-7), bits 28-55 from h2 (chars 9-15). */
+  private val planeSums: String = (0 until graft.ops.Dedup.SimhashBits).map { j =>
+    val (lane, sh) = if (j < 28) ("h1", j) else ("h2", j - 28)
+    s"sum(CASE WHEN ($lane >> $sh) & 1 = 1 THEN 1 ELSE -1 END) AS s$j"
+  }.mkString(",\n  ")
+  private val fpSum: String = (0 until graft.ops.Dedup.SimhashBits)
     .map(j => s"CASE WHEN s$j >= 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
 
   private val simhashCte: String = s"""WITH toksall AS (
   SELECT doc_id, unnest($toks) AS tok FROM documents
 ), tv AS (
-  SELECT doc_id, $hexVal AS v FROM toksall
+  SELECT doc_id, ${hexLane(1)} AS h1, ${hexLane(9)} AS h2 FROM toksall
 ), planes AS (
   SELECT doc_id, $planeSums FROM tv GROUP BY doc_id
 ), fp AS (

@@ -36,6 +36,11 @@ object SparkEntry {
   private def analyzed(s: SparkSession, dir: String): Analyzer.Outputs =
     Analyzer.analyzeParsed(parsedCached(s, dir))
 
+  /** Bench hygiene: materialize the envelope+parse caches for (s, dir) up
+    * front, so per-query timings don't attribute the one-time shared parse
+    * materialization to whichever dl_* query happens to run first. */
+  def prewarm(s: SparkSession, dir: String): Unit = { parsedCached(s, dir); () }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // T12: stack-trace classification over the synthesized scenario traces.
     "dl_classify" -> ((s, dir) =>

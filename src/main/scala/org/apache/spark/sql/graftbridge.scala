@@ -12,4 +12,13 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object graftbridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** The session's broadcast-join size threshold (bytes; <=0 = disabled). */
+  def autoBroadcastThreshold(s: SparkSession): Long =
+    s.asInstanceOf[classic.SparkSession].sessionState.conf.autoBroadcastJoinThreshold
+
+  /** Catalyst's optimizer-time size estimate for a frame — available without
+    * running a job (statistics propagation over the optimized logical plan). */
+  def planSizeBytes(df: DataFrame): BigInt =
+    df.asInstanceOf[classic.Dataset[_]].queryExecution.optimizedPlan.stats.sizeInBytes
 }
