@@ -8,6 +8,10 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // the harness runs ~27 distinct queries; the default 100-entry codegen
+      // class cache evicts the warm-up's compiled classes before the timed
+      // runs, re-paying multi-second janino compiles inside query timings
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -165,35 +165,108 @@ FROM cand c JOIN sets sa ON sa.doc_id = c.a JOIN sets sb ON sb.doc_id = c.b
 WHERE CAST(len(list_intersect(sa.bgs, sb.bgs)) AS DOUBLE)
     / (len(sa.bgs) + len(sb.bgs) - len(list_intersect(sa.bgs, sb.bgs))) >= 0.3"""
 
-  private val cosE = "list_dot_product(l.v, r.v) / sqrt(l.n2 * r.n2)"
+  /** Hyperplane CTE shared by the sign-LSH oracles: component (h, d) derived
+    * from md5("h:d") exactly as graft.ops.Similarity.hyperplane. */
+  private def hyperplaneCte(bits: Int): String = {
+    val hexVal4Hp = (0 until 4).map { p =>
+      val mult = 1 << (4 * (3 - p))
+      s"(position(substr(md5(h.h || ':' || d.d), ${p + 1}, 1) IN '0123456789abcdef') - 1) * $mult"
+    }.mkString(" + ")
+    s"""hp AS (
+  SELECT h.h AS h, d.d AS d,
+    (($hexVal4Hp) - 32768) / CAST(32768.0 AS DOUBLE) AS v
+  FROM generate_series(0, ${bits - 1}) h(h),
+       generate_series(0, 63) d(d)
+)"""
+  }
 
-  val embeddingNearDup: String = s"""WITH e AS (
+  /** Banded sign-LSH near-dup oracle (mirrors graft.ops.Similarity
+    * .nearDupPairs at threshold 0.45): candidates = pairs agreeing on >= 1
+    * band of the sign fingerprint, then exact-cosine verified. The engine's
+    * disjoint-branch union emits exactly this OR-DISTINCT candidate set. */
+  val embeddingNearDup: String = {
+    val threshold = 0.45
+    val (r, b) = graft.ops.Similarity.lshParams(threshold)
+    val bandOr = (0 until b)
+      .map(i => s"((l.sig >> ${i * r}) & ${(1L << r) - 1}) = ((r.sig >> ${i * r}) & ${(1L << r) - 1})")
+      .mkString("(", "\n    OR ", ")")
+    s"""WITH ${hyperplaneCte(r * b)}, e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
     list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) AS n2
   FROM embeddings
+), dots AS (
+  SELECT e.vec_id, hp.h, sum(hp.v * e.v[hp.d + 1]) AS dp
+  FROM e, hp GROUP BY e.vec_id, hp.h
+), sigs AS (
+  SELECT vec_id, CAST(sum(CASE WHEN dp >= 0 THEN 1::BIGINT << h ELSE 0 END) AS BIGINT) AS sig
+  FROM dots GROUP BY vec_id
 )
-SELECT l.vec_id AS a, r.vec_id AS b, $cosE AS cosine
-FROM e l JOIN e r ON l.vec_id < r.vec_id
-WHERE $cosE >= 0.45"""
+SELECT l.vec_id AS a, r.vec_id AS b,
+  list_dot_product(le.v, re.v) / sqrt(le.n2 * re.n2) AS cosine
+FROM sigs l JOIN sigs r ON l.vec_id < r.vec_id AND $bandOr
+JOIN e le ON le.vec_id = l.vec_id
+JOIN e re ON re.vec_id = r.vec_id
+WHERE list_dot_product(le.v, re.v) / sqrt(le.n2 * re.n2) >= $threshold"""
+  }
 
-  private def annSql(cellJoin: String, k: Int): String = s"""WITH e AS (
-  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+  val annTopK: String = s"""WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
     list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) AS n2
   FROM embeddings
 ), q AS (
-  SELECT vec_id AS qid, label AS qcell, v AS qv, n2 AS qn2 FROM e WHERE vec_id % 100 = 0
+  SELECT vec_id AS qid, v AS qv, n2 AS qn2 FROM e WHERE vec_id % 100 = 0
 ), scored AS (
   SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
     list_dot_product(q.qv, e.v) / sqrt(q.qn2 * e.n2) AS cosine
-  FROM e JOIN q ON e.vec_id <> q.qid$cellJoin
+  FROM e JOIN q ON e.vec_id <> q.qid
 ), ranked AS (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
   FROM scored
 )
-SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cosine FROM ranked WHERE rank <= $k"""
+SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cosine FROM ranked WHERE rank <= 5"""
 
-  val annTopK: String = annSql("", 5)
-  val annIvf: String = annSql(" AND e.label = q.qcell", 3)
+  /** Real-IVF oracle (mirrors graft.ops.Similarity.ivfTopK): sampled
+    * centroids (vec_id % stride = residue), nearest-centroid cell
+    * assignment, nprobe=2 probe cells per query. */
+  val annIvf: String = {
+    val (stride, residue) =
+      (graft.ops.Similarity.IvfCentroidStride, graft.ops.Similarity.IvfCentroidResidue)
+    s"""WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+    list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) AS n2
+  FROM embeddings
+), c AS (
+  SELECT vec_id AS cid, v AS cv, n2 AS cn2 FROM e WHERE vec_id % $stride = $residue
+), assign AS (
+  SELECT e.vec_id, c.cid,
+    list_dot_product(e.v, c.cv) / sqrt(e.n2 * c.cn2) AS cs
+  FROM e, c
+), cell AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT vec_id, cid,
+      row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+    FROM assign) WHERE rn = 1
+), q AS (
+  SELECT vec_id AS qid, v AS qv, n2 AS qn2 FROM e WHERE vec_id % 100 = 0
+), probes AS (
+  SELECT qid, cid AS cell FROM (
+    SELECT q.qid, c.cid,
+      row_number() OVER (PARTITION BY q.qid
+        ORDER BY list_dot_product(q.qv, c.cv) / sqrt(q.qn2 * c.cn2) DESC, c.cid) AS pr
+    FROM q, c) WHERE pr <= 2
+), scored AS (
+  SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+    list_dot_product(q.qv, e.v) / sqrt(q.qn2 * e.n2) AS cosine
+  FROM e
+  JOIN cell ON e.vec_id = cell.vec_id
+  JOIN probes ON cell.cell = probes.cell
+  JOIN q ON q.qid = probes.qid AND e.vec_id <> q.qid
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cosine FROM ranked WHERE rank <= 3"""
+  }
 
   private val hexVal4Hp: String = (0 until 4).map { p =>
     val mult = 1 << (4 * (3 - p))

@@ -21,4 +21,8 @@ object graftbridge {
     * running a job (statistics propagation over the optimized logical plan). */
   def planSizeBytes(df: DataFrame): BigInt =
     df.asInstanceOf[classic.Dataset[_]].queryExecution.optimizedPlan.stats.sizeInBytes
+
+  /** Rendered physical plan (test/diagnostic hook). */
+  def executedPlanString(df: DataFrame): String =
+    df.asInstanceOf[classic.Dataset[_]].queryExecution.executedPlan.toString
 }

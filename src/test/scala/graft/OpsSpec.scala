@@ -48,6 +48,30 @@ class OpsSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b, _) => b == 3L || a == 3L })
   }
 
+  test("LSH banding finds a pair at jaccard ~= the 0.8 verify threshold") {
+    // 18 shared tokens + 2 distinct per side: |A∩B|=18, |A∪B|=22, j=0.818 —
+    // just above the default threshold, the regime the r2 parameters (2 bands
+    // x 16 rows, ~6% candidate recall) silently missed.
+    val shared = (1 to 18).map(i => s"tok$i")
+    val a = (shared ++ Seq("alpha", "beta")).mkString(" ")
+    val b = (shared ++ Seq("gamma", "delta")).mkString(" ")
+    val d = Seq((0L, a), (1L, b)).toDF("doc_id", "text")
+    val pairs = Dedup.minhashLsh(d).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"), r.getAs[Double]("jaccard")))
+    assert(pairs.exists { case (x, y, j) => x == 0L && y == 1L && j > 0.8 && j < 0.85 })
+  }
+
+  test("broadcast hints are gated: threshold off means no broadcast joins") {
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = org.apache.spark.sql.graftbridge.executedPlanString(Dedup.minhashLsh(docs))
+      assert(!plan.contains("BroadcastHashJoin"), "expected partitioned-join fallback")
+      assert(!plan.contains("BroadcastNestedLoopJoin"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    graft.ops.CacheScope.releaseAll(spark)
+  }
+
   test("identical docs have identical simhash; near-dups within small hamming") {
     val fps = Dedup.simhash(docs).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
@@ -75,12 +99,46 @@ class OpsSpec extends SparkSpec {
     assert(top.find(_.getAs[Int]("rank") == 2).get.getAs[Long]("neighbor_id") == 2L)
   }
 
-  test("IVF ANN only searches the query's cell") {
-    val emb = Seq(
-      (0L, Array(1.0f, 0.0f), 0), (1L, Array(0.9f, 0.1f), 0),
-      (2L, Array(1.0f, 0.0f), 1)).toDF("vec_id", "embedding", "label")
-    val top = Similarity.ivfTopK(emb, col("vec_id") === 0, k = 3).collect()
-    assert(top.map(_.getAs[Long]("neighbor_id")).toSet == Set(1L))
+  // Clustered toy corpus: three well-separated directions in 4-dim space,
+  // members spread so vec_ids 7, 32, 57 (the % 25 == 7 sampled centroids)
+  // land one per cluster.
+  private lazy val clusteredEmb = {
+    def v(base: Array[Float], wiggle: Float) =
+      Array(base(0) + wiggle, base(1) - wiggle, base(2) + wiggle / 2, base(3))
+    val cx = Array(10f, 0f, 0f, 1f); val cy = Array(0f, 10f, 0f, 1f)
+    val cz = Array(0f, 0f, 10f, 1f)
+    val rows = (0 until 75).map { i =>
+      val base = (i % 75) / 25 match { case 0 => cx; case 1 => cy; case _ => cz }
+      (i.toLong, v(base, (i % 7) * 0.1f), 0)
+    }
+    rows.toDF("vec_id", "embedding", "label")
+  }
+
+  test("IVF ANN recall: top-1 matches brute force for every query") {
+    // queries: one member of each cluster (and vec_id 0 exercises % 100 = 0)
+    val pred = col("vec_id").isin(0L, 30L, 60L)
+    val bf = Similarity.bruteForceTopK(clusteredEmb, pred, k = 1).collect()
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id")).toMap
+    val ivf = Similarity.ivfTopK(clusteredEmb, pred, k = 1).collect()
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id")).toMap
+    assert(ivf.keySet == bf.keySet)
+    ivf.foreach { case (q, n) => assert(bf(q) == n, s"query $q: ivf=$n bf=${bf(q)}") }
+    graft.ops.CacheScope.releaseAll(spark)
+  }
+
+  test("banded near-dup matches the exact all-pairs result, without a nested loop") {
+    val banded = Similarity.nearDupPairs(clusteredEmb, threshold = 0.9, dims = 4)
+    val exact = Similarity.nearDupPairsExact(clusteredEmb, threshold = 0.9)
+    val plan = org.apache.spark.sql.graftbridge.executedPlanString(banded)
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      "candidates must come from equi-joins on band keys")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+    val (bp, ep) = (pairs(banded), pairs(exact))
+    assert(bp.subsetOf(ep))
+    // >= 99% target recall from lshParams; on this clustered corpus expect all
+    assert(bp.size >= (ep.size * 0.95).toInt, s"recall ${bp.size}/${ep.size}")
+    graft.ops.CacheScope.releaseAll(spark)
   }
 
   test("language-ID prefers the language with most stopword hits") {
