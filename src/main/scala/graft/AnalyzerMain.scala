@@ -1,0 +1,107 @@
+package graft
+
+import graft.sources.DeadLetterSource
+import graft.streaming.StreamingAnalyzer
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+/**
+ * Production entry point: regex-pattern Kafka source → streaming analyzer →
+ * the four Kafka sinks with per-sink checkpoints (reference
+ * `DeadLetterAnalyzerApplication.java:43-71`, CLI surface `README.md:33-41`).
+ *
+ * CLI mirrors the reference:
+ *   --brokers host:port            Kafka bootstrap servers        (required)
+ *   --input-pattern regex          topic subscription pattern     (required)
+ *   --output-topic name            "all" sink topic               (required)
+ *   --error-topic name             engine-failure dead letters    (required)
+ *   --extra-output-topics stats=name,examples=name  labeled sinks
+ *                                  (default: <output-topic>-stats/-examples,
+ *                                  mirroring the reference's topic labels)
+ *   --checkpoint-dir path          checkpoint root (one subdir per sink)
+ *
+ * Pointing --error-topic at a topic matching --input-pattern closes the
+ * reference's feedback loop: the engine re-analyzes its own failures (the
+ * cycle passes through Kafka; the Spark plan stays acyclic, SURVEY §2.1 S5).
+ *
+ * Each sink is an independent streaming query; the two stateful sinks and
+ * the error sink's aggregate branch each maintain their own copy of the
+ * (tiny: one row per topic × error type) statistics state under their own
+ * checkpoint — equivalent content, per-sink recovery, no cross-sink
+ * coordination. A single-pass alternative is `foreachBatch` fanning one
+ * query out to all four topics.
+ */
+object AnalyzerMain {
+
+  final case class Config(
+      brokers: String, inputPattern: String, outputTopic: String,
+      errorTopic: String, statsTopic: String, examplesTopic: String,
+      checkpointDir: String)
+
+  private val Usage =
+    "usage: AnalyzerMain --brokers B --input-pattern P --output-topic T " +
+      "--error-topic E [--extra-output-topics stats=S,examples=X] " +
+      "[--checkpoint-dir DIR]"
+
+  def parseArgs(args: Array[String]): Config = {
+    val kv = args.sliding(2, 2).collect {
+      case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
+    }.toMap
+    def req(k: String): String =
+      kv.getOrElse(k, throw new IllegalArgumentException(s"missing --$k\n$Usage"))
+    val out = req("output-topic")
+    val extra = kv.get("extra-output-topics")
+      .map(_.split(",").map { e =>
+        val Array(label, topic) = e.split("=", 2)
+        label -> topic
+      }.toMap)
+      .getOrElse(Map.empty)
+    Config(
+      brokers = req("brokers"),
+      inputPattern = req("input-pattern"),
+      outputTopic = out,
+      errorTopic = req("error-topic"),
+      statsTopic = extra.getOrElse("stats", s"$out-stats"),
+      examplesTopic = extra.getOrElse("examples", s"$out-examples"),
+      checkpointDir = kv.getOrElse("checkpoint-dir", "/tmp/graft-analyzer-checkpoints"))
+  }
+
+  /** The four named sink frames of the topology, from an arbitrary envelope
+    * source (production: [[DeadLetterSource.kafka]]; tests: a MemoryStream
+    * with the same columns standing in for Kafka). */
+  def sinkFrames(outputs: StreamingAnalyzer.StreamingOutputs): Seq[(String, DataFrame)] = Seq(
+    "all" -> outputs.all,
+    "stats" -> StreamingAnalyzer.statsSink(outputs.results),
+    "examples" -> StreamingAnalyzer.examplesSink(outputs.results),
+    // the error topic's value is the DeadLetter itself (reference S5)
+    "errors" -> outputs.errors.select(
+      col("key"), to_json(col("dead_letter")).as("value")))
+
+  /** Build the full production topology: four Kafka writers with per-sink
+    * checkpoint directories. Construction validates the plan (source +
+    * transforms analyzed by Catalyst); nothing starts until `.start()`. */
+  def topology(spark: SparkSession, cfg: Config): Seq[(String, DataStreamWriter[Row])] = {
+    val input = DeadLetterSource.kafka(spark, cfg.brokers, cfg.inputPattern)
+    val topicOf = Map(
+      "all" -> cfg.outputTopic, "stats" -> cfg.statsTopic,
+      "examples" -> cfg.examplesTopic, "errors" -> cfg.errorTopic)
+    sinkFrames(StreamingAnalyzer.analyze(input)).map { case (name, df) =>
+      name -> StreamingAnalyzer.toKafka(
+        df, cfg.brokers, topicOf(name), s"${cfg.checkpointDir}/$name")
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cfg = parseArgs(args)
+    val spark = SparkSession.builder()
+      .appName(s"dead-letter-analyzer-${cfg.outputTopic}")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    topology(spark, cfg).foreach { case (name, writer) =>
+      writer.queryName(name).start()
+    }
+    spark.streams.awaitAnyTermination()
+  }
+}

@@ -1,0 +1,45 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import scala.util.control.NonFatal
+
+import org.apache.avro.Schema
+import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+import org.apache.avro.io.DecoderFactory
+
+/**
+ * Confluent-wire-format Avro decode for [[BruteForce.decodedWithAvro]]
+ * (reference `BruteForceSerde`'s schema-registry-Avro first tier, SURVEY §2.2
+ * T18): byte 0 is the magic 0, bytes 1-4 the big-endian schema id, the rest
+ * binary Avro. A static id→schema map stands in for the live registry; the
+ * record renders to its compact-JSON `toString` — exactly the
+ * `ErrorUtil.toString` rendering the reference uses for Avro payloads.
+ *
+ * Schemas parse lazily per executor (Avro `Schema` is not serializable across
+ * all versions; the JSON strings are).
+ */
+final case class AvroDecode(schemasById: Map[Int, String]) extends Serializable {
+
+  @transient private lazy val readers: Map[Int, GenericDatumReader[GenericRecord]] =
+    schemasById.map { case (id, json) =>
+      id -> new GenericDatumReader[GenericRecord](new Schema.Parser().parse(json))
+    }
+
+  /** JSON rendering of a Confluent-framed Avro payload; null when the frame,
+    * id, or body doesn't decode (the caller falls through its decode chain). */
+  def render(bytes: Array[Byte]): String = {
+    if (bytes == null || bytes.length < 6 || bytes(0) != 0) null
+    else {
+      val id = ByteBuffer.wrap(bytes, 1, 4).getInt
+      readers.get(id) match {
+        case None => null
+        case Some(reader) =>
+          try {
+            val dec = DecoderFactory.get.binaryDecoder(bytes, 5, bytes.length - 5, null)
+            reader.read(null, dec).toString
+          } catch { case NonFatal(_) => null }
+      }
+    }
+  }
+}

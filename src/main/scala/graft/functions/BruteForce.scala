@@ -13,20 +13,25 @@ import org.apache.spark.sql.types._
  * format, and every payload has a deterministic string rendering used for
  * `input_value` and stringified keys.
  *
- * Decode chain (deterministic, first match wins):
+ * Decode chain (deterministic, first match wins — the reference's serde tries
+ * schema-registry Avro FIRST, then falls back,
+ * DeadLetterAnalyzerTopology.java:102-105):
  *   1. null → null
- *   2. bytes that are valid JSON carrying the dead-letter shape (a
+ *   2. (when a schema map is configured) Confluent wire format — magic byte 0
+ *      + big-endian 4-byte schema id + binary Avro — with a known schema id →
+ *      the record's compact-JSON rendering (what `ErrorUtil.toString`
+ *      produces for Avro records, e.g. `{"id":1}`, reference
+ *      DeadLetterAnalyzerTopologyTest.java:653-659); kind `dead_letter` if
+ *      the rendering carries the dead-letter shape, else kind `avro`. A
+ *      static id→schema map replaces the live registry lookup (an
+ *      operational transport concern); unknown ids fall through the chain.
+ *   3. bytes that are valid JSON carrying the dead-letter shape (a
  *      `description` plus a `cause` object) → kind `dead_letter`, the JSON
- *      itself is the rendering. This is the engine's wire format for Avro
+ *      itself is the rendering — the engine's JSON interchange for Avro
  *      `DeadLetter` values (format #1, reference
- *      DeadLetterAnalyzerTopology.java:98-100): records are interchanged as
- *      their compact-JSON rendering, exactly what `ErrorUtil.toString` produces
- *      for Avro records (e.g. `{"id":1}`, reference
- *      DeadLetterAnalyzerTopologyTest.java:653-659). Confluent
- *      schema-registry binary Avro is an operational transport concern and a
- *      documented non-goal (SURVEY §7.4).
- *   3. bytes that decode as clean UTF-8 → kind `string`, the text itself.
- *   4. anything else → kind `binary`, lowercase hex rendering.
+ *      DeadLetterAnalyzerTopology.java:98-100).
+ *   4. bytes that decode as clean UTF-8 → kind `string`, the text itself.
+ *   5. anything else → kind `binary`, lowercase hex rendering.
  */
 object BruteForce {
 
@@ -47,9 +52,8 @@ object BruteForce {
   private def utf8(bin: Column): Column = bin.cast("string")
   private def isCleanUtf8(bin: Column): Column = is_valid_utf8(utf8(bin))
 
-  /** struct(kind, text, dead_letter) — `dead_letter` non-null iff kind = 'dead_letter'. */
-  def decoded(bin: Column): Column = {
-    val txt = utf8(bin)
+  /** Parse a candidate dead-letter JSON rendering: (isDeadLetter, struct). */
+  private def dlFromJson(txt: Column): (Column, Column) = {
     // cheap pre-gate: a JSON dead letter must contain the literal key
     // `"description"`, so the (expensive) JSON parse is skipped for the vast
     // majority of payloads. (A \u-escaped key would slip past the gate —
@@ -65,7 +69,18 @@ object BruteForce {
       dl.getField("description").as("description"),
       dl.getField("cause").as("cause"),
       timestamp_millis(dl.getField("input_timestamp")).as("input_timestamp"))
-    when(bin.isNull, lit(null).cast(decodedType))
+    (isDl, deadLetter)
+  }
+
+  /** struct(kind, text, dead_letter) — `dead_letter` non-null iff kind = 'dead_letter'. */
+  def decoded(bin: Column): Column = decodedWithAvro(bin, Map.empty)
+
+  /** [[decoded]] with a Confluent-wire-format Avro tier tried first (chain
+    * step 2). `schemasById` maps schema-registry ids to Avro schema JSON. */
+  def decodedWithAvro(bin: Column, schemasById: Map[Int, String]): Column = {
+    val txt = utf8(bin)
+    val (isDl, deadLetter) = dlFromJson(txt)
+    val base = when(bin.isNull, lit(null).cast(decodedType))
       .when(isCleanUtf8(bin) && isDl,
         struct(lit("dead_letter").as("kind"), txt.as("text"), deadLetter.as("dead_letter")))
       .when(isCleanUtf8(bin),
@@ -74,6 +89,26 @@ object BruteForce {
       .otherwise(
         struct(lit("binary").as("kind"), lower(hex(bin)).as("text"),
           lit(null).cast(deadLetterStruct).as("dead_letter")))
+    if (schemasById.isEmpty) base
+    else {
+      // Confluent framing gate (magic byte 0, >= 6 bytes) is pure column
+      // arithmetic; only gated rows reach the Avro-decode function (CaseWhen
+      // evaluates the matched branch only). The decode renders the record as
+      // compact JSON — a failed decode or unknown id yields null and falls
+      // through to the remaining tiers.
+      val decoder = AvroDecode(schemasById)
+      val gate = bin.isNotNull && length(bin) > 5 &&
+        substring(bin, 1, 1) === lit(Array[Byte](0))
+      val avroTxt = udf((b: Array[Byte]) => decoder.render(b)).apply(bin)
+      val (avroIsDl, avroDl) = dlFromJson(avroTxt)
+      when(gate && avroTxt.isNotNull && avroIsDl,
+          struct(lit("dead_letter").as("kind"), avroTxt.as("text"),
+            avroDl.as("dead_letter")))
+        .when(gate && avroTxt.isNotNull,
+          struct(lit("avro").as("kind"), avroTxt.as("text"),
+            lit(null).cast(deadLetterStruct).as("dead_letter")))
+        .otherwise(base)
+    }
   }
 
   private val deadLetterStruct: StructType = Schemas.deadLetter

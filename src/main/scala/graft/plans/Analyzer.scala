@@ -196,8 +196,9 @@ object Analyzer {
     * AvroDeadLetterConverter semantics): the synthetic stack trace holds
     * `class: message` — the real Java trace does not exist in a declarative
     * plan; classification of these still lands on the exception class via the
-    * first-line fallback, exactly as the reference's feedback loop does. */
-  private def errorDeadLetter(description: Column, errorClass: Column,
+    * first-line fallback, exactly as the reference's feedback loop does.
+    * Shared with the streaming topology's aggregate error capture. */
+  private[graft] def errorDeadLetter(description: Column, errorClass: Column,
       message: Column, inputValue: Column, timestamp: Column): Column =
     struct(
       inputValue.as("input_value"),

@@ -39,44 +39,89 @@ object StreamingAnalyzer {
 
   final case class StatsState(count: Int, createdUs: Long, updatedUs: Long)
 
+  /** The aggregate stage's error capture payload (third
+    * processValuesCapturingErrors site, reference
+    * DeadLetterAnalyzerTopology.java:194-215): enough of the failed record to
+    * build its dead letter. */
+  final case class AggError(
+      errorClass: String, message: String, recordKey: String,
+      inputValue: String, timestampUs: Long)
+
   /** Per-record emission: statistics after this record, plus the example
-    * payload only when this record is the first EVER for its key. */
+    * payload only when this record is the first EVER for its key; OR an
+    * aggregation failure (`aggError` set, stat fields zeroed, state
+    * untouched) — the record dead-letters instead of killing the query. */
   final case class StatResult(
       topic: String, errorType: String, count: Int, createdUs: Long,
       updatedUs: Long, exampleKey: Option[String], exampleOffset: Option[Long],
       examplePartition: Option[Int], exampleTimestampUs: Option[Long],
-      exampleDescription: Option[String])
+      exampleDescription: Option[String], aggError: Option[AggError])
+
+  private def jsonStr(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+
+  /** `ErrorUtil.toString`-style rendering of the enriched record, used as the
+    * failed record's `input_value` on the error topic. */
+  private def renderEnriched(r: Enriched): String =
+    s"""{"topic":${jsonStr(r.topic)},"errorType":${jsonStr(r.errorType)},""" +
+      s""""key":${jsonStr(r.key)},"offset":${r.offset},""" +
+      s""""partition":${r.partition},"timestampUs":${r.timestampUs},""" +
+      s""""description":${jsonStr(r.description)}}"""
 
   /** reference ErrorAggregatingProcessor.process: merge = (count+, min, max);
     * example set only when no prior state. Rows of one group within a
-    * micro-batch are applied in arrival (offset) order. */
-  def aggregate(key: (String, String), rows: Iterator[Enriched],
+    * micro-batch are applied in arrival (offset) order. `onRecord` is the
+    * processor body hook (no-op in production; tests inject a poisoned one) —
+    * ANY failure while aggregating a record is captured per the reference's
+    * third error channel: the record surfaces as a dead letter with
+    * description "Error aggregating dead letters", state is left as it was,
+    * and the stream continues. */
+  def aggregateWith(onRecord: Enriched => Unit)(
+      key: (String, String), rows: Iterator[Enriched],
       state: GroupState[StatsState]): Iterator[StatResult] = {
     val ordered = rows.toIndexedSeq.sortBy(r => (r.timestampUs, r.offset))
     ordered.iterator.map { r =>
-      val prior = state.getOption
-      val next = prior match {
-        case Some(s) => StatsState(s.count + 1,
-          math.min(s.createdUs, r.timestampUs), math.max(s.updatedUs, r.timestampUs))
-        case None => StatsState(1, r.timestampUs, r.timestampUs)
+      try {
+        onRecord(r)
+        val prior = state.getOption
+        val next = prior match {
+          case Some(s) => StatsState(s.count + 1,
+            math.min(s.createdUs, r.timestampUs), math.max(s.updatedUs, r.timestampUs))
+          case None => StatsState(1, r.timestampUs, r.timestampUs)
+        }
+        state.update(next)
+        val first = prior.isEmpty
+        StatResult(key._1, key._2, next.count, next.createdUs, next.updatedUs,
+          if (first) Some(r.key) else None,
+          if (first) Some(r.offset) else None,
+          if (first) Some(r.partition) else None,
+          if (first) Some(r.timestampUs) else None,
+          if (first) Some(r.description) else None,
+          None)
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          StatResult(key._1, key._2, 0, 0L, 0L, None, None, None, None, None,
+            Some(AggError(e.getClass.getName,
+              Option(e.getMessage).getOrElse(""), r.key, renderEnriched(r),
+              r.timestampUs)))
       }
-      state.update(next)
-      val first = prior.isEmpty
-      StatResult(key._1, key._2, next.count, next.createdUs, next.updatedUs,
-        if (first) Some(r.key) else None,
-        if (first) Some(r.offset) else None,
-        if (first) Some(r.partition) else None,
-        if (first) Some(r.timestampUs) else None,
-        if (first) Some(r.description) else None)
     }
   }
 
-  /** The streaming outputs: `all` and `errors` are stateless projections of
-    * the shared column pipeline; `results` is the per-record update stream
-    * carrying stats and (on first occurrence) the example. */
+  /** Production aggregate: the plain processor body. */
+  def aggregate(key: (String, String), rows: Iterator[Enriched],
+      state: GroupState[StatsState]): Iterator[StatResult] =
+    aggregateWith(_ => ())(key, rows, state)
+
+  /** The streaming outputs: `all` is a stateless projection of the shared
+    * column pipeline; `results` is the per-record update stream carrying
+    * stats and (on first occurrence) the example; `errors` unions all THREE
+    * capture sites — parse, analyze (stateless), and aggregate (carried
+    * through `results`, reference's third processValuesCapturingErrors). */
   final case class StreamingOutputs(all: DataFrame, results: DataFrame, errors: DataFrame)
 
-  def analyze(input: DataFrame): StreamingOutputs = {
+  def analyze(input: DataFrame,
+      onAggRecord: Enriched => Unit = _ => ()): StreamingOutputs = {
     val p = Analyzer.parsed(input)
     val parseErrors = p.filter(col("parsed").getField("error").isNotNull)
     val ok = Analyzer.enriched(p.filter(col("parsed").getField("error").isNull))
@@ -99,17 +144,32 @@ object StreamingAnalyzer {
     val results = narrow
       .groupByKey(r => (r.topic, r.errorType))(
         Encoders.tuple(Encoders.STRING, Encoders.STRING))
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(aggregate)(
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        aggregateWith(onAggRecord))(
         Encoders.product[StatsState], Encoders.product[StatResult])
       .toDF()
 
     val errors = Analyzer.errorsOf(parseErrors, analyzeErrors)
+      .unionByName(aggregateErrors(results))
     StreamingOutputs(all, results, errors)
   }
 
+  /** Aggregate-stage failures projected to the error-sink shape (key +
+    * DeadLetter with the reference's literal description). */
+  def aggregateErrors(results: DataFrame): DataFrame =
+    results.filter(col("aggError").isNotNull).select(
+      col("aggError.recordKey").as("key"),
+      Analyzer.errorDeadLetter(
+        description = lit(graft.model.Messages.ErrorAggregating),
+        errorClass = col("aggError.errorClass"),
+        message = col("aggError.message"),
+        inputValue = col("aggError.inputValue"),
+        timestamp = timestamp_micros(col("aggError.timestampUs"))).as("dead_letter"))
+
   /** Project the per-record result stream into the stats sink shape
     * (FullErrorStatistics). */
-  def statsSink(results: DataFrame): DataFrame = results.select(
+  def statsSink(results: DataFrame): DataFrame = results
+    .filter(col("aggError").isNull).select(
     Analyzer.errorKeyString(col("topic"), col("errorType")).as("key"),
     col("count"),
     Analyzer.formatTimestamp(timestamp_micros(col("createdUs"))).as("created"),
@@ -119,7 +179,7 @@ object StreamingAnalyzer {
   /** Project first-occurrence results into the examples sink shape (T15: 0-or-1
     * expansion on the first-example flag). */
   def examplesSink(results: DataFrame): DataFrame = results
-    .filter(col("exampleKey").isNotNull)
+    .filter(col("aggError").isNull && col("exampleKey").isNotNull)
     .select(
       Analyzer.errorKeyString(col("topic"), col("errorType")).as("key"),
       col("exampleKey"), col("exampleOffset"), col("examplePartition"),
@@ -128,12 +188,16 @@ object StreamingAnalyzer {
       col("exampleDescription"), col("topic"), col("errorType").as("type"))
 
   /** Kafka sink: string key + JSON value (the engine's interchange rendering),
-    * matching the reference's string-keyed Avro-valued output topics. */
+    * matching the reference's string-keyed Avro-valued output topics. A frame
+    * already shaped as exactly (key, value) passes through unwrapped. */
   def toKafka(df: DataFrame, bootstrapServers: String, topic: String,
       checkpoint: String): org.apache.spark.sql.streaming.DataStreamWriter[Row] = {
-    val payload = df.select(
-      col("key").cast("binary").as("key"),
-      to_json(struct(df.columns.filter(_ != "key").map(col): _*)).cast("binary").as("value"))
+    val payload =
+      if (df.columns.toSeq == Seq("key", "value"))
+        df.select(col("key").cast("binary").as("key"), col("value").cast("binary").as("value"))
+      else df.select(
+        col("key").cast("binary").as("key"),
+        to_json(struct(df.columns.filter(_ != "key").map(col): _*)).cast("binary").as("value"))
     payload.writeStream
       .format("kafka")
       .option("kafka.bootstrap.servers", bootstrapServers)

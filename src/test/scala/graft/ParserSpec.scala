@@ -160,4 +160,102 @@ class ParserSpec extends SparkSpec {
     val r = parseOne(row)
     assert(r.getString(2) == "00fffe")
   }
+
+  // ---- Confluent wire-format Avro tier (reference BruteForceSerde tries
+  // schema-registry Avro FIRST, DeadLetterAnalyzerTopology.java:102-105) ----
+
+  private val deadLetterAvroSchema = """{"type":"record","name":"DeadLetter","fields":[
+    {"name":"input_value","type":["null","string"],"default":null},
+    {"name":"partition","type":["null","int"],"default":null},
+    {"name":"topic","type":["null","string"],"default":null},
+    {"name":"offset","type":["null","long"],"default":null},
+    {"name":"description","type":"string"},
+    {"name":"cause","type":{"type":"record","name":"ErrorDescription","fields":[
+      {"name":"error_class","type":["null","string"],"default":null},
+      {"name":"message","type":["null","string"],"default":null},
+      {"name":"stack_trace","type":["null","string"],"default":null}]}},
+    {"name":"input_timestamp","type":["null","long"],"default":null}]}"""
+
+  private def confluentFrame(schemaJson: String, schemaId: Int,
+      fill: org.apache.avro.generic.GenericData.Record => Unit): Array[Byte] = {
+    val schema = new org.apache.avro.Schema.Parser().parse(schemaJson)
+    val record = new org.apache.avro.generic.GenericData.Record(schema)
+    fill(record)
+    val baos = new java.io.ByteArrayOutputStream()
+    val enc = org.apache.avro.io.EncoderFactory.get.binaryEncoder(baos, null)
+    new org.apache.avro.generic.GenericDatumWriter[
+      org.apache.avro.generic.GenericRecord](schema).write(record, enc)
+    enc.flush()
+    java.nio.ByteBuffer.allocate(5 + baos.size).put(0: Byte).putInt(schemaId)
+      .put(baos.toByteArray).array
+  }
+
+  test("binary Avro dead letter decodes end-to-end through the Confluent tier") {
+    val spark2 = spark
+    import spark2.implicits._
+    val framed = confluentFrame(deadLetterAvroSchema, 7, { r =>
+      val schema = new org.apache.avro.Schema.Parser().parse(deadLetterAvroSchema)
+      val cause = new org.apache.avro.generic.GenericData.Record(
+        schema.getField("cause").schema())
+      cause.put("error_class", "java.lang.RuntimeException")
+      cause.put("message", "boom")
+      cause.put("stack_trace", StackTrace)
+      r.put("input_value", "foo"); r.put("partition", 3)
+      r.put("topic", "orig-topic"); r.put("offset", 42L)
+      r.put("description", "description"); r.put("cause", cause)
+      r.put("input_timestamp", 200L)
+    })
+    val d = Seq(Tuple1(framed)).toDF("value")
+      .select(graft.functions.BruteForce
+        .decodedWithAvro(col("value"), Map(7 -> deadLetterAvroSchema)).as("d"))
+      .select("d.*").head()
+    assert(d.getAs[String]("kind") == "dead_letter")
+    val dl = d.getAs[Row]("dead_letter")
+    assert(dl.getAs[String]("input_value") == "foo")
+    assert(dl.getAs[Int]("partition") == 3)
+    assert(dl.getAs[String]("topic") == "orig-topic")
+    assert(dl.getAs[Long]("offset") == 42L)
+    assert(dl.getAs[String]("description") == "description")
+    assert(dl.getAs[Row]("cause").getAs[String]("error_class")
+      == "java.lang.RuntimeException")
+    assert(dl.getAs[Row]("cause").getAs[String]("stack_trace") == StackTrace)
+    assert(dl.getAs[java.sql.Timestamp]("input_timestamp").getTime == 200L)
+  }
+
+  test("non-dead-letter Avro records render as their JSON toString (ErrorUtil parity)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val trSchema =
+      """{"type":"record","name":"TestRecord","fields":[{"name":"id","type":"int"}]}"""
+    val framed = confluentFrame(trSchema, 1, _.put("id", 1))
+    val d = Seq(Tuple1(framed)).toDF("value")
+      .select(graft.functions.BruteForce
+        .decodedWithAvro(col("value"), Map(1 -> trSchema)).as("d"))
+      .select("d.*").head()
+    assert(d.getAs[String]("kind") == "avro")
+    assert(d.getAs[String]("text").replaceAll("\\s", "") == """{"id":1}""")
+    assert(d.isNullAt(d.fieldIndex("dead_letter")))
+  }
+
+  test("unknown schema id and unconfigured decode fall through the chain") {
+    val spark2 = spark
+    import spark2.implicits._
+    val framed = confluentFrame(deadLetterAvroSchema, 99, { r =>
+      val schema = new org.apache.avro.Schema.Parser().parse(deadLetterAvroSchema)
+      r.put("description", "d")
+      r.put("cause", new org.apache.avro.generic.GenericData.Record(
+        schema.getField("cause").schema()))
+    })
+    // id 99 is not in the configured map -> not decoded as Avro
+    val d = Seq(Tuple1(framed)).toDF("value")
+      .select(graft.functions.BruteForce
+        .decodedWithAvro(col("value"), Map(7 -> deadLetterAvroSchema)).as("d"))
+      .select("d.*").head()
+    assert(d.getAs[String]("kind") != "dead_letter" && d.getAs[String]("kind") != "avro")
+    // no schema map at all (the default decode) -> same fall-through
+    val d2 = Seq(Tuple1(framed)).toDF("value")
+      .select(graft.functions.BruteForce.decoded(col("value")).as("d"))
+      .select("d.*").head()
+    assert(d2.getAs[String]("kind") != "dead_letter" && d2.getAs[String]("kind") != "avro")
+  }
 }

@@ -72,6 +72,95 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("aggregate-stage failure dead-letters the record and the stream continues") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark2.sqlContext
+
+    val stream = MemoryStream[KafkaRecord]
+    // poisoned processor body: the reference's third capture site wraps ANY
+    // aggregate failure (DeadLetterAnalyzerTopology.java:194-215)
+    val out = StreamingAnalyzer.analyze(stream.toDF(),
+      onAggRecord = r =>
+        if (r.key == "poison") throw new IllegalStateException("boom"))
+    val qe = out.errors.writeStream
+      .format("memory").queryName("agg_errs").outputMode("append").start()
+    val qr = out.results.writeStream
+      .format("memory").queryName("agg_results").outputMode("append").start()
+    try {
+      stream.addData(
+        record(0, 1000, "healthy", Fixtures.StackTrace),
+        record(1, 2000, "poison", Fixtures.StackTrace),
+        record(2, 3000, "healthy2", Fixtures.StackTrace))
+      qe.processAllAvailable(); qr.processAllAvailable()
+
+      val errs = spark.table("agg_errs").collect()
+      assert(errs.length == 1)
+      assert(errs.head.getAs[String]("key") == "poison")
+      val dl = errs.head.getAs[Row]("dead_letter")
+      assert(dl.getAs[String]("description") == "Error aggregating dead letters")
+      assert(dl.getAs[Row]("cause")
+        .getAs[String]("error_class") == "java.lang.IllegalStateException")
+      assert(dl.getAs[Row]("cause").getAs[String]("message") == "boom")
+
+      // the poisoned record did NOT touch state: healthy records count 1, 2
+      val stats = StreamingAnalyzer.statsSink(spark.table("agg_results"))
+        .orderBy("count").collect()
+      assert(stats.map(_.getAs[Int]("count")).toSeq == Seq(1, 2))
+      // and it is excluded from the examples sink
+      val ex = StreamingAnalyzer.examplesSink(spark.table("agg_results")).collect()
+      assert(ex.length == 1 && ex.head.getAs[String]("exampleKey") == "healthy")
+    } finally { qe.stop(); qr.stop() }
+  }
+
+  test("production topology: four sinks wired end-to-end over a memory source") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark2.sqlContext
+
+    val stream = MemoryStream[KafkaRecord]
+    val frames = AnalyzerMain.sinkFrames(StreamingAnalyzer.analyze(stream.toDF()))
+    assert(frames.map(_._1) == Seq("all", "stats", "examples", "errors"))
+    val queries = frames.map { case (name, df) =>
+      name -> df.writeStream.format("memory")
+        .queryName(s"topo_$name").outputMode("append").start()
+    }
+    try {
+      stream.addData(
+        record(0, 1000, "k0", Fixtures.StackTrace),
+        record(1, 2000, "k1", Fixtures.StackTrace),
+        record(2, 3000, "bad", null)) // null stack trace -> error sink
+      queries.foreach(_._2.processAllAvailable())
+      assert(spark.table("topo_all").count() == 2)
+      assert(spark.table("topo_stats").count() == 2) // per-record updates
+      assert(spark.table("topo_examples").count() == 1)
+      val errs = spark.table("topo_errors").collect()
+      assert(errs.length == 1 && errs.head.getAs[String]("key") == "bad")
+    } finally queries.foreach(_._2.stop())
+  }
+
+  test("AnalyzerMain CLI parsing mirrors the reference surface") {
+    val cfg = AnalyzerMain.parseArgs(Array(
+      "--brokers", "broker:9092",
+      "--input-pattern", ".*-dead-letters",
+      "--output-topic", "analyzed",
+      "--error-topic", "analyzer-dead-letters",
+      "--extra-output-topics", "stats=analyzed-stats,examples=analyzed-examples",
+      "--checkpoint-dir", "/tmp/ckpt"))
+    assert(cfg.brokers == "broker:9092")
+    assert(cfg.inputPattern == ".*-dead-letters")
+    assert(cfg.statsTopic == "analyzed-stats")
+    assert(cfg.examplesTopic == "analyzed-examples")
+    // labeled topics default from the output topic, like the reference labels
+    val dflt = AnalyzerMain.parseArgs(Array(
+      "--brokers", "b", "--input-pattern", "p",
+      "--output-topic", "out", "--error-topic", "err"))
+    assert(dflt.statsTopic == "out-stats" && dflt.examplesTopic == "out-examples")
+    intercept[IllegalArgumentException] {
+      AnalyzerMain.parseArgs(Array("--brokers", "b"))
+    }
+  }
+
   test("streaming error channel emits dead letters for null stack traces") {
     val spark2 = spark
     import spark2.implicits._
