@@ -73,7 +73,10 @@ object AnalyzerMain {
     * with the same columns standing in for Kafka). */
   def sinkFrames(outputs: StreamingAnalyzer.StreamingOutputs): Seq[(String, DataFrame)] = Seq(
     "all" -> outputs.all,
-    "stats" -> StreamingAnalyzer.statsSink(outputs.results),
+    // serde distinction: the stats topic carries plain Avro values
+    // (reference DeadLetterAnalyzerTopology.java:149-152)
+    "stats" -> StreamingAnalyzer.statsAvroValues(
+      StreamingAnalyzer.statsSink(outputs.results)),
     "examples" -> StreamingAnalyzer.examplesSink(outputs.results),
     // the error topic's value is the DeadLetter itself (reference S5)
     "errors" -> outputs.errors.select(

@@ -135,10 +135,23 @@ object Dedup {
     * case. */
   def minhashLsh(docs: DataFrame, k: Int = 32, bands: Int = 8,
       threshold: Double = 0.8): DataFrame = {
-    // signatures feed `bands` join branches; persist the (one row per doc)
-    // banded table so the signature aggregation runs once
-    val banded = CacheScope.track(lshBands(minhashSignatures(docs, k), k, bands))
-    val candidates = (0 until bands).map { b =>
+    // One row per doc: band keys + the sorted hashed-token set, joined once
+    // at build time (an n-row join) and persisted. Carrying the token sets ON
+    // the banded table fuses verification into the candidate joins — each
+    // emitted pair computes its Jaccard in-stage instead of flowing through
+    // two more id->set joins over the (quadratic) candidate stream. The
+    // trade-off is a wider build side / wider fallback shuffle rows; at
+    // sketch sizes (ints, deduped tokens) the per-row set is bounded and the
+    // candidate stream is orders of magnitude larger than the doc table, so
+    // fusing wins on both counts.
+    val sets = docs.select(col("doc_id"),
+      array_sort(array_distinct(
+        transform(TextAnalysis.tokens(col("text")), t => tokHash(t)))).as("tks"))
+    val banded = CacheScope.track(
+      lshBands(minhashSignatures(docs, k), k, bands).join(sets, "doc_id"))
+    val inter = graft.functions.ArrayExprs.sortedIntersectSize(
+      col("l.tks"), col("r.tks"))
+    (0 until bands).map { b =>
       val guard = (0 until b)
         .map(p => col(s"l.band$p") =!= col(s"r.band$p"))
         .foldLeft(col(s"l.band$b") === col(s"r.band$b"))(_ && _)
@@ -147,14 +160,15 @@ object Dedup {
       // quadratic pair emission spreads across all tasks instead of
       // collapsing onto the one task that would own that band key under a
       // sort-merge join. Past the broadcast threshold the branches fall back
-      // to partitioned joins on the band key.
+      // to partitioned joins on the band key, where AQE's skew splitting
+      // handles the giant-bucket case.
       banded.as("l").join(maybeBroadcast(banded.as("r")),
           guard && col("l.doc_id") < col("r.doc_id"))
-        .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
+        .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"),
+          (inter.cast("double") /
+            (size(col("l.tks")) + size(col("r.tks")) - inter)).as("jaccard"))
     }.reduce(_ unionByName _)
-    jaccardVerify(candidates, docs)
       .filter(col("jaccard") >= threshold)
-      .select(col("a"), col("b"), col("jaccard"))
   }
 
   /** Fingerprint width of [[simhash]]: 56 bits = two 28-bit md5 hex lanes. */

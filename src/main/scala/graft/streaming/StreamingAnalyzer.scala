@@ -176,6 +176,23 @@ object StreamingAnalyzer {
     Analyzer.formatTimestamp(timestamp_micros(col("updatedUs"))).as("updated"),
     col("topic"), col("errorType").as("type"))
 
+  /** Stats sink values as Confluent-framed binary Avro — the reference's
+    * serde distinction: the stats topic overrides to plain Avro values while
+    * every other sink is string-rendered (DeadLetterAnalyzerTopology
+    * .java:149-152). Shaped as exactly (key, value) so [[toKafka]] passes the
+    * frames through unwrapped. */
+  def statsAvroValues(stats: DataFrame): DataFrame = {
+    val enc = graft.functions.AvroEncode(
+      graft.functions.AvroEncode.FullErrorStatisticsSchema,
+      graft.functions.AvroEncode.FullErrorStatisticsId)
+    val encode = udf((count: Int, created: String, updated: String,
+        topic: String, tpe: String) =>
+      enc.encode(count, created, updated, topic, tpe))
+    stats.select(col("key"),
+      encode(col("count"), col("created"), col("updated"),
+        col("topic"), col("type")).as("value"))
+  }
+
   /** Project first-occurrence results into the examples sink shape (T15: 0-or-1
     * expansion on the first-example flag). */
   def examplesSink(results: DataFrame): DataFrame = results

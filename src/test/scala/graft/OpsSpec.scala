@@ -62,6 +62,9 @@ class OpsSpec extends SparkSpec {
   }
 
   test("broadcast hints are gated: threshold off means no broadcast joins") {
+    // drop caches persisted by earlier tests: a cached subtree planned under
+    // the default threshold would surface its broadcast in this plan string
+    graft.ops.CacheScope.releaseAll(spark)
     val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")

@@ -139,6 +139,26 @@ class StreamingSpec extends SparkSpec {
     } finally queries.foreach(_._2.stop())
   }
 
+  test("stats sink values are Confluent-framed Avro (serde distinction)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val stats = Seq(("t:cls", 2, "1970-01-01T00:00:01.000",
+      "1970-01-01T00:00:03.000", "t", "cls"))
+      .toDF("key", "count", "created", "updated", "topic", "type")
+    val framed = StreamingAnalyzer.statsAvroValues(stats).head()
+    assert(framed.getAs[String]("key") == "t:cls")
+    val bytes = framed.getAs[Array[Byte]]("value")
+    assert(bytes(0) == 0) // Confluent magic byte
+    // round-trip through the decode tier recovers the record
+    val json = graft.functions.AvroDecode(Map(
+      graft.functions.AvroEncode.FullErrorStatisticsId ->
+        graft.functions.AvroEncode.FullErrorStatisticsSchema)).render(bytes)
+    val compact = json.replaceAll("\\s", "")
+    assert(compact.contains("\"count\":2"))
+    assert(compact.contains("\"topic\":\"t\""))
+    assert(compact.contains("\"created\":\"1970-01-01T00:00:01.000\""))
+  }
+
   test("AnalyzerMain CLI parsing mirrors the reference surface") {
     val cfg = AnalyzerMain.parseArgs(Array(
       "--brokers", "broker:9092",
