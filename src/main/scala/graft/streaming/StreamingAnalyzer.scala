@@ -76,9 +76,18 @@ object StreamingAnalyzer {
     * third error channel: the record surfaces as a dead letter with
     * description "Error aggregating dead letters", state is left as it was,
     * and the stream continues. */
-  def aggregateWith(onRecord: Enriched => Unit)(
+  def aggregateWith(onRecord: Enriched => Unit,
+      stateTtlMs: Option[Long] = None)(
       key: (String, String), rows: Iterator[Enriched],
       state: GroupState[StatsState]): Iterator[StatResult] = {
+    // Optional state TTL — a scale extension OFF by default: reference state
+    // never expires (SURVEY §2.4/§4; key cardinality is topics × error
+    // types, so parity mode is safe). With a TTL, an idle key's stats are
+    // dropped and its next record starts a fresh count/example epoch.
+    if (state.hasTimedOut) {
+      state.remove()
+      return Iterator.empty
+    }
     val ordered = rows.toIndexedSeq.sortBy(r => (r.timestampUs, r.offset))
     ordered.iterator.map { r =>
       try {
@@ -90,6 +99,7 @@ object StreamingAnalyzer {
           case None => StatsState(1, r.timestampUs, r.timestampUs)
         }
         state.update(next)
+        stateTtlMs.foreach(state.setTimeoutDuration)
         val first = prior.isEmpty
         StatResult(key._1, key._2, next.count, next.createdUs, next.updatedUs,
           if (first) Some(r.key) else None,
@@ -121,7 +131,8 @@ object StreamingAnalyzer {
   final case class StreamingOutputs(all: DataFrame, results: DataFrame, errors: DataFrame)
 
   def analyze(input: DataFrame,
-      onAggRecord: Enriched => Unit = _ => ()): StreamingOutputs = {
+      onAggRecord: Enriched => Unit = _ => (),
+      stateTtlMs: Option[Long] = None): StreamingOutputs = {
     val p = Analyzer.parsed(input)
     val parseErrors = p.filter(col("parsed").getField("error").isNotNull)
     val ok = Analyzer.enriched(p.filter(col("parsed").getField("error").isNull))
@@ -141,11 +152,14 @@ object StreamingAnalyzer {
       col("offset"), col("partition"), unix_micros(col("timestamp")).as("timestampUs"),
       col("dead_letter").getField("description").as("description")).as[Enriched]
 
+    val timeout =
+      if (stateTtlMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     val results = narrow
       .groupByKey(r => (r.topic, r.errorType))(
         Encoders.tuple(Encoders.STRING, Encoders.STRING))
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        aggregateWith(onAggRecord))(
+      .flatMapGroupsWithState(OutputMode.Append, timeout)(
+        aggregateWith(onAggRecord, stateTtlMs))(
         Encoders.product[StatsState], Encoders.product[StatResult])
       .toDF()
 

@@ -181,6 +181,37 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("optional state TTL: timed-out key is dropped and restarts an epoch") {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    val enriched = StreamingAnalyzer.Enriched(
+      "t", "cls", "k", 0L, 0, 1000L, "d")
+
+    // timed-out invocation: state removed, nothing emitted
+    val timedOut = TestGroupState.create[StreamingAnalyzer.StatsState](
+      org.apache.spark.api.java.Optional.of(StreamingAnalyzer.StatsState(5, 1L, 2L)),
+      GroupStateTimeout.ProcessingTimeTimeout, 1000L,
+      org.apache.spark.api.java.Optional.empty[Long](), hasTimedOut = true)
+    val out = StreamingAnalyzer.aggregateWith(_ => (), Some(60000L))(
+      ("t", "cls"), Iterator.empty, timedOut).toSeq
+    assert(out.isEmpty && timedOut.isRemoved)
+
+    // fresh record after expiry: a NEW epoch — count restarts, example re-emitted
+    val fresh = TestGroupState.create[StreamingAnalyzer.StatsState](
+      org.apache.spark.api.java.Optional.empty[StreamingAnalyzer.StatsState](), GroupStateTimeout.ProcessingTimeTimeout, 1000L,
+      org.apache.spark.api.java.Optional.empty[Long](), hasTimedOut = false)
+    val out2 = StreamingAnalyzer.aggregateWith(_ => (), Some(60000L))(
+      ("t", "cls"), Iterator(enriched), fresh).toSeq
+    assert(out2.length == 1 && out2.head.count == 1 && out2.head.exampleKey.contains("k"))
+    assert(fresh.getTimeoutTimestampMs.isPresent) // TTL armed
+
+    // parity mode (no TTL): no timeout ever armed
+    val parity = TestGroupState.create[StreamingAnalyzer.StatsState](
+      org.apache.spark.api.java.Optional.empty[StreamingAnalyzer.StatsState](), GroupStateTimeout.NoTimeout, 1000L,
+      org.apache.spark.api.java.Optional.empty[Long](), hasTimedOut = false)
+    StreamingAnalyzer.aggregate(("t", "cls"), Iterator(enriched), parity).toSeq
+    assert(!parity.getTimeoutTimestampMs.isPresent)
+  }
+
   test("streaming error channel emits dead letters for null stack traces") {
     val spark2 = spark
     import spark2.implicits._
