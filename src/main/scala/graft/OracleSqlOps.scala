@@ -268,6 +268,21 @@ SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cosine FROM ranked WHER
 SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cosine FROM ranked WHERE rank <= 3"""
   }
 
+  /** Connected-component cluster assignment over the SimHash near-dup pair
+    * graph (mirrors graft.ops.Dedup.clusters): cluster_id = min doc_id
+    * reachable; reachability via a recursive CTE. */
+  val dedupClusters: String = s"""WITH RECURSIVE pairs AS ($simhashPairs),
+edges AS (SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs),
+verts AS (SELECT doc_id AS v FROM documents),
+reach(src, dst) AS (
+  SELECT v, v FROM verts
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+)
+SELECT src AS doc_id, min(dst) AS cluster_id,
+  (src = min(dst)) AS is_canonical
+FROM reach GROUP BY src"""
+
   private val hexVal4Hp: String = (0 until 4).map { p =>
     val mult = 1 << (4 * (3 - p))
     s"(position(substr(md5(h.h || ':' || d.d), ${p + 1}, 1) IN '0123456789abcdef') - 1) * $mult"

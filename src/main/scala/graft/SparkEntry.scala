@@ -175,6 +175,12 @@ object SparkEntry {
     "dedup_simhash" -> ((s, dir) => ops.Dedup.simhash(docs(s, dir))),
     "dedup_simhash_pairs" -> ((s, dir) => ops.Dedup.simhashPairs(docs(s, dir))),
     "dedup_ngram_jaccard" -> ((s, dir) => ops.Dedup.ngramJaccard(docs(s, dir))),
+    // near-dup cluster resolution over the SimHash pair graph: the keep/drop
+    // decision per document (canonical = min doc_id of the component)
+    "dedup_clusters" -> ((s, dir) => {
+      val d = docs(s, dir)
+      ops.Dedup.clusters(d, ops.Dedup.simhashPairs(d).select(col("a"), col("b")))
+    }),
     "dedup_embedding" -> ((s, dir) =>
       ops.Similarity.nearDupPairs(emb(s, dir), threshold = 0.45)),
 
@@ -233,6 +239,7 @@ object SparkEntry {
     "dedup_simhash" -> OracleSqlOps.simhash,
     "dedup_simhash_pairs" -> OracleSqlOps.simhashPairs,
     "dedup_ngram_jaccard" -> OracleSqlOps.ngramJaccard,
+    "dedup_clusters" -> OracleSqlOps.dedupClusters,
     "dedup_embedding" -> OracleSqlOps.embeddingNearDup,
     "ann_topk" -> OracleSqlOps.annTopK,
     "ann_ivf" -> OracleSqlOps.annIvf,

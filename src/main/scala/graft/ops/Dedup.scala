@@ -229,6 +229,65 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Near-dup cluster resolution: the keep/drop decision a dedup pipeline
+    * actually needs. Given the near-dup pair graph, every document is
+    * assigned `cluster_id` = the minimum doc_id of its connected component
+    * (`is_canonical` marks the one document to keep per cluster; documents
+    * with no near-dup are singleton canonicals).
+    *
+    * Algorithm: min-label propagation — labels start as doc_id; each round
+    * every vertex takes the min of its own and its neighbors' labels; the
+    * fixpoint is the exact component minimum. Rounds needed = graph
+    * diameter, which for near-dup graphs (dense cliques plus short chains)
+    * is small; convergence is detected by the strictly-decreasing label sum,
+    * ONE scalar aggregate action per round. Per round the work is a single
+    * edge-label equi-join + two partial-aggregating groupBys — all
+    * hash-partitioned and skew-tolerant under AQE at corpus scale (the
+    * alternating large-star/small-star variant drops in for adversarial
+    * high-diameter graphs; near-dup graphs don't need it). Superseded label
+    * frames are unpersisted eagerly each round. */
+  def clusters(docs: DataFrame, pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    // Iterative algorithm: every round MUST truncate lineage (eager
+    // localCheckpoint), or each round's logical plan embeds the whole
+    // history plus the pair-generation subtree and Catalyst re-analyzes a
+    // plan that grows without bound — planning time, not data, becomes the
+    // bottleneck. localCheckpoint stores executor-local blocks (the label
+    // table is one narrow row per doc); a cluster deployment needing
+    // fault-tolerant lineage would use checkpoint() with a checkpoint dir.
+    // the pair table materializes ONCE (the symmetric union would otherwise
+    // re-run the whole pair-generation subtree per branch), and edges are
+    // hash-partitioned once by the per-round join key (b) at the session
+    // parallelism, so every round reshuffles only the one-row-per-doc label
+    // table, never the 2|pairs| edge table
+    val p = pairs.select(col("a"), col("b")).localCheckpoint()
+    val edges = p
+      .unionByName(p.select(col("b").as("a"), col("a").as("b")))
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("b"))
+      .localCheckpoint()
+    var labels = docs.select(col("doc_id"), col("doc_id").as("label"))
+      .localCheckpoint()
+    var prevSum = labels.agg(sum(col("label"))).head.getLong(0)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      val neighborMin = edges
+        .join(labels.select(col("doc_id").as("b"), col("label")), "b")
+        .groupBy(col("a")).agg(min(col("label")).as("nmin"))
+      val next = labels
+        .join(neighborMin, labels("doc_id") === neighborMin("a"), "left")
+        .select(labels("doc_id"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .localCheckpoint()
+      val sumNow = next.agg(sum(col("label"))).head.getLong(0)
+      labels = next
+      converged = sumNow == prevSum
+      prevSum = sumNow
+      it += 1
+    }
+    labels.select(col("doc_id"), col("label").as("cluster_id"),
+      (col("doc_id") === col("label")).as("is_canonical"))
+  }
+
   /** Word-bigram Jaccard near-dup pairs. Candidates come from an inverted
     * index on hashed bigrams with a document-frequency cap (`dfCap`):
     * postings of ubiquitous bigrams are dropped — the standard skew guard; a

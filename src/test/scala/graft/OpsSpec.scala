@@ -84,6 +84,19 @@ class OpsSpec extends SparkSpec {
     assert(pairs.contains((0L, 1L)))
   }
 
+  test("cluster resolution assigns min-id components and marks canonicals") {
+    val d = (0L to 5L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // components: {0,1,2} (chain), {3,4}; 5 isolated
+    val pairs = Seq((0L, 1L), (1L, 2L), (3L, 4L)).toDF("a", "b")
+    val r = Dedup.clusters(d, pairs).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("cluster_id"), x.getAs[Boolean]("is_canonical"))).toMap
+    assert(r == Map(
+      0L -> (0L, true), 1L -> (0L, false), 2L -> (0L, false),
+      3L -> (3L, true), 4L -> (3L, false), 5L -> (5L, true)))
+    graft.ops.CacheScope.releaseAll(spark)
+  }
+
   test("bigram jaccard finds the one-word-edit near-dup") {
     val pairs = Dedup.ngramJaccard(docs, threshold = 0.3).collect()
       .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"), r.getAs[Double]("jaccard")))
