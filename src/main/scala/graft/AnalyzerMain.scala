@@ -46,16 +46,28 @@ object AnalyzerMain {
       "[--checkpoint-dir DIR]"
 
   def parseArgs(args: Array[String]): Config = {
-    val kv = args.sliding(2, 2).collect {
-      case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
-    }.toMap
+    // strict pairwise parse: every token must be a --flag followed by its
+    // value — a lone or mispositioned flag fails loudly with usage instead
+    // of silently shifting the pairing
+    val kv = scala.collection.mutable.Map[String, String]()
+    var i = 0
+    while (i < args.length) {
+      val k = args(i)
+      if (!k.startsWith("--") || i + 1 >= args.length)
+        throw new IllegalArgumentException(s"unexpected argument '$k'\n$Usage")
+      kv(k.drop(2)) = args(i + 1)
+      i += 2
+    }
     def req(k: String): String =
       kv.getOrElse(k, throw new IllegalArgumentException(s"missing --$k\n$Usage"))
     val out = req("output-topic")
     val extra = kv.get("extra-output-topics")
       .map(_.split(",").map { e =>
-        val Array(label, topic) = e.split("=", 2)
-        label -> topic
+        e.split("=", 2) match {
+          case Array(label, topic) => label -> topic
+          case _ => throw new IllegalArgumentException(
+            s"malformed --extra-output-topics entry '$e' (want label=topic)\n$Usage")
+        }
       }.toMap)
       .getOrElse(Map.empty)
     Config(

@@ -237,6 +237,7 @@ SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cosine FROM ranked WHER
   FROM embeddings
 ), c AS (
   SELECT vec_id AS cid, v AS cv, n2 AS cn2 FROM e WHERE vec_id % $stride = $residue
+  ORDER BY vec_id LIMIT ${graft.ops.Similarity.IvfMaxCells}
 ), assign AS (
   SELECT e.vec_id, c.cid,
     list_dot_product(e.v, c.cv) / sqrt(e.n2 * c.cn2) AS cs
@@ -283,19 +284,10 @@ SELECT src AS doc_id, min(dst) AS cluster_id,
   (src = min(dst)) AS is_canonical
 FROM reach GROUP BY src"""
 
-  private val hexVal4Hp: String = (0 until 4).map { p =>
-    val mult = 1 << (4 * (3 - p))
-    s"(position(substr(md5(h.h || ':' || d.d), ${p + 1}, 1) IN '0123456789abcdef') - 1) * $mult"
-  }.mkString(" + ")
-
   /** Random-hyperplane LSH ANN oracle: hyperplane components derived from
-    * md5("h:d") exactly as graft.ops.Similarity.hyperplane. */
-  val annLsh: String = s"""WITH hp AS (
-  SELECT h.h AS h, d.d AS d,
-    (($hexVal4Hp) - 32768) / CAST(32768.0 AS DOUBLE) AS v
-  FROM generate_series(0, ${graft.ops.Similarity.LshBits - 1}) h(h),
-       generate_series(0, 63) d(d)
-), e AS (
+    * md5("h:d") exactly as graft.ops.Similarity.hyperplane (shared
+    * [[hyperplaneCte]], one definition for all sign-LSH oracles). */
+  val annLsh: String = s"""WITH ${hyperplaneCte(graft.ops.Similarity.LshBits)}, e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
     list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) AS n2
   FROM embeddings

@@ -27,9 +27,11 @@ final case class AvroDecode(schemasById: Map[Int, String]) extends Serializable 
     }
 
   /** JSON rendering of a Confluent-framed Avro payload; null when the frame,
-    * id, or body doesn't decode (the caller falls through its decode chain). */
+    * id, or body doesn't decode (the caller falls through its decode chain).
+    * A 5-byte frame is valid: a zero-field record's body encodes to zero
+    * bytes. */
   def render(bytes: Array[Byte]): String = {
-    if (bytes == null || bytes.length < 6 || bytes(0) != 0) null
+    if (bytes == null || bytes.length < 5 || bytes(0) != 0) null
     else {
       val id = ByteBuffer.wrap(bytes, 1, 4).getInt
       readers.get(id) match {

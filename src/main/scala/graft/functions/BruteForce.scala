@@ -97,7 +97,7 @@ object BruteForce {
       // compact JSON — a failed decode or unknown id yields null and falls
       // through to the remaining tiers.
       val decoder = AvroDecode(schemasById)
-      val gate = bin.isNotNull && length(bin) > 5 &&
+      val gate = bin.isNotNull && length(bin) >= 5 &&
         substring(bin, 1, 1) === lit(Array[Byte](0))
       val avroTxt = udf((b: Array[Byte]) => decoder.render(b)).apply(bin)
       val (avroIsDl, avroDl) = dlFromJson(avroTxt)

@@ -31,12 +31,23 @@ object CacheScope {
     df
   }
 
-  /** Unpersist every tracked intermediate of `spark` (non-blocking). Safe to
-    * call between queries: long-lived harness caches (the parsed/envelope
-    * frames in SparkEntry/DeadLetterSource) are NOT tracked here. */
+  /** Unpersist every tracked intermediate of `spark` (non-blocking). The
+    * queue is drained in place rather than removed from the registry, so a
+    * concurrent [[track]] can never register into an orphaned queue (it
+    * lands in the live one and is released by this or the next drain).
+    * Release scope is the SESSION: callers interleaving queries on one
+    * session release between queries, not mid-flight. Long-lived harness
+    * caches (the parsed/envelope frames in SparkEntry/DeadLetterSource) are
+    * NOT tracked here. */
   def releaseAll(spark: SparkSession): Unit = {
-    val q = tracked.remove(spark)
-    if (q != null) q.forEach { df => df.unpersist(blocking = false); () }
+    val q = tracked.get(spark)
+    if (q != null) {
+      var df = q.poll()
+      while (df != null) {
+        df.unpersist(blocking = false)
+        df = q.poll()
+      }
+    }
   }
 
   /** Number of currently tracked frames for `spark` (test hook). */

@@ -244,8 +244,10 @@ object Dedup {
     * edge-label equi-join + two partial-aggregating groupBys — all
     * hash-partitioned and skew-tolerant under AQE at corpus scale (the
     * alternating large-star/small-star variant drops in for adversarial
-    * high-diameter graphs; near-dup graphs don't need it). Superseded label
-    * frames are unpersisted eagerly each round. */
+    * high-diameter graphs; near-dup graphs don't need it). Superseded rounds'
+    * checkpoint blocks (one narrow row per doc each) are reclaimed by the
+    * ContextCleaner once unreferenced; an explicit per-round release would
+    * need the internal checkpointed-RDD handle. */
   def clusters(docs: DataFrame, pairs: DataFrame, maxIter: Int = 50): DataFrame = {
     // Iterative algorithm: every round MUST truncate lineage (eager
     // localCheckpoint), or each round's logical plan embeds the whole
@@ -266,7 +268,11 @@ object Dedup {
       .localCheckpoint()
     var labels = docs.select(col("doc_id"), col("doc_id").as("label"))
       .localCheckpoint()
-    var prevSum = labels.agg(sum(col("label"))).head.getLong(0)
+    def labelSum(df: DataFrame): Long = {
+      val row = df.agg(sum(col("label"))).head
+      if (row.isNullAt(0)) 0L else row.getLong(0) // empty docs -> empty result
+    }
+    var prevSum = labelSum(labels)
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
@@ -278,12 +284,16 @@ object Dedup {
         .select(labels("doc_id"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
         .localCheckpoint()
-      val sumNow = next.agg(sum(col("label"))).head.getLong(0)
+      val sumNow = labelSum(next)
       labels = next
       converged = sumNow == prevSum
       prevSum = sumNow
       it += 1
     }
+    if (!converged)
+      System.err.println(s"[graft] Dedup.clusters hit maxIter=$maxIter before " +
+        "convergence — a component with diameter > maxIter is only partially " +
+        "merged; raise maxIter (or pre-contract with large-star rounds)")
     labels.select(col("doc_id"), col("label").as("cluster_id"),
       (col("doc_id") === col("label")).as("is_canonical"))
   }

@@ -64,10 +64,13 @@ object Similarity {
     * with `vec_id % IvfCentroidStride == IvfCentroidResidue` are the cell
     * centroids (a uniform sample — the sampled-quantizer variant of IVF; a
     * Lloyd-iterated codebook drops in by replacing this relation, the
-    * assignment/probe plan is identical). Deterministic so the DuckDB oracle
-    * reproduces the cells bit-for-bit. */
+    * assignment/probe plan is identical), capped at [[IvfMaxCells]] by
+    * smallest vec_id so the codebook is a BOUNDED broadcastable table at any
+    * corpus size (a stride sample alone grows with n). Deterministic so the
+    * DuckDB oracle reproduces the cells bit-for-bit. */
   val IvfCentroidStride = 25
   val IvfCentroidResidue = 7
+  val IvfMaxCells = 4096
 
   /** IVF ANN. Build side: every corpus vector is assigned to its nearest
     * centroid by cosine — one broadcast of the (small) centroid table and one
@@ -84,8 +87,12 @@ object Similarity {
   def ivfTopK(embeddings: DataFrame, queryPred: Column, k: Int = 3,
       nprobe: Int = 2): DataFrame = {
     val corpus = CacheScope.track(withNorm2(embeddings))
+    // the codebook is bounded (<= IvfMaxCells rows, ~2 MB at 64 dims), so
+    // broadcasting it below is safe at ANY corpus size — unlike the raw
+    // stride sample, which grows with n
     val centroids = corpus
       .filter(col("vec_id") % IvfCentroidStride === IvfCentroidResidue)
+      .orderBy(col("vec_id")).limit(IvfMaxCells)
       .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("n2").as("cn2"))
     // nearest-centroid assignment: min over C of (-cosine, cid) — the struct
     // min is partially aggregable (map-side combine), deterministic ties on
@@ -112,7 +119,10 @@ object Similarity {
       .withColumn("prank", row_number().over(probeW))
       .filter(col("prank") <= nprobe)
       .select(col("query_id"), col("qe"), col("qn2"), col("cid").as("cell"))
-    val scored = celled.join(broadcast(probes),
+    // probes carry full query vectors — small by the operator's query-subset
+    // contract, but unbounded in principle, so the hint is size-gated with a
+    // partitioned cell-join fallback
+    val scored = celled.join(Par.maybeBroadcast(probes),
         celled("cell") === probes("cell") && col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         cosineWithNorms(col("qe"), col("embedding"), col("qn2"), col("n2")).as("cosine"))
@@ -183,11 +193,18 @@ object Similarity {
     * log p), and the band count b is the smallest achieving
     * 1-(1-p^r)^b >= targetRecall. */
   def lshParams(threshold: Double, targetRecall: Double = 0.99): (Int, Int) = {
-    val p = 1.0 - math.acos(threshold) / math.Pi
-    val r = math.max(1, math.round(math.log(0.5) / math.log(p)).toInt)
-    val b = math.ceil(
-      math.log(1 - targetRecall) / math.log(1 - math.pow(p, r))).toInt
-    (r, b)
+    // clamp p below 1 so the formulas stay finite at threshold -> 1.0, and
+    // cap r (it diverges as p -> 1: near-exact thresholds would ask for
+    // hundreds of rows per band)
+    val p = math.min(1.0 - math.acos(threshold) / math.Pi, 0.999)
+    val r = math.min(32, math.max(1, math.round(math.log(0.5) / math.log(p)).toInt))
+    val b = math.max(1, math.ceil(
+      math.log(1 - targetRecall) / math.log(1 - math.pow(p, r))).toInt)
+    // the fingerprint packs r*b sign bits into ONE long; past 63 bits the
+    // JVM shift wraps (1L << 64 == 1L) and bands would silently alias into
+    // low bits — cap bands to what the long holds (recall degrades
+    // gracefully; widening to a second lane is the extension point)
+    (r, math.max(1, math.min(b, 63 / r)))
   }
 
   /** Embedding near-duplicate pairs: cosine >= threshold, candidates from

@@ -157,6 +157,19 @@ class OpsSpec extends SparkSpec {
     graft.ops.CacheScope.releaseAll(spark)
   }
 
+  test("lshParams stays within one 64-bit fingerprint at extreme thresholds") {
+    for (t <- Seq(0.45, 0.8, 0.9, 0.97, 0.99, 1.0)) {
+      val (r, b) = Similarity.lshParams(t)
+      assert(r >= 1 && b >= 1, s"t=$t gave ($r, $b)")
+      assert(r * b <= 63, s"t=$t gave ${r * b} bits — fingerprint would wrap")
+    }
+    // high-threshold near-dup runs without crashing and finds exact dups
+    val pairs = Similarity.nearDupPairs(clusteredEmb, threshold = 0.99, dims = 4)
+      .collect()
+    assert(pairs.nonEmpty)
+    graft.ops.CacheScope.releaseAll(spark)
+  }
+
   test("language-ID prefers the language with most stopword hits") {
     val d = Seq((0L, "der hund und die katze ist nicht da"),
       (1L, "the cat and the dog is on a mat")).toDF("doc_id", "text")
