@@ -38,12 +38,20 @@ object AnalyzerMain {
   final case class Config(
       brokers: String, inputPattern: String, outputTopic: String,
       errorTopic: String, statsTopic: String, examplesTopic: String,
-      checkpointDir: String)
+      checkpointDir: String, avroSchemaFiles: Map[Int, String] = Map.empty) {
+    /** Decode configuration: schema files read once at startup (the static
+      * stand-in for the reference's live schema registry). */
+    def decodeConfig: graft.functions.DecodeConfig =
+      graft.functions.DecodeConfig(avroSchemaFiles.map { case (id, path) =>
+        id -> new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8)
+      })
+  }
 
   private val Usage =
     "usage: AnalyzerMain --brokers B --input-pattern P --output-topic T " +
       "--error-topic E [--extra-output-topics stats=S,examples=X] " +
-      "[--checkpoint-dir DIR]"
+      "[--checkpoint-dir DIR] [--avro-schema-files id=path,...]"
 
   def parseArgs(args: Array[String]): Config = {
     // strict pairwise parse: every token must be a --flag followed by its
@@ -70,6 +78,15 @@ object AnalyzerMain {
         }
       }.toMap)
       .getOrElse(Map.empty)
+    val schemaFiles = kv.get("avro-schema-files")
+      .map(_.split(",").map { e =>
+        e.split("=", 2) match {
+          case Array(id, path) if id.forall(_.isDigit) => id.toInt -> path
+          case _ => throw new IllegalArgumentException(
+            s"malformed --avro-schema-files entry '$e' (want numericId=path)\n$Usage")
+        }
+      }.toMap)
+      .getOrElse(Map.empty[Int, String])
     Config(
       brokers = req("brokers"),
       inputPattern = req("input-pattern"),
@@ -77,7 +94,8 @@ object AnalyzerMain {
       errorTopic = req("error-topic"),
       statsTopic = extra.getOrElse("stats", s"$out-stats"),
       examplesTopic = extra.getOrElse("examples", s"$out-examples"),
-      checkpointDir = kv.getOrElse("checkpoint-dir", "/tmp/graft-analyzer-checkpoints"))
+      checkpointDir = kv.getOrElse("checkpoint-dir", "/tmp/graft-analyzer-checkpoints"),
+      avroSchemaFiles = schemaFiles)
   }
 
   /** The four named sink frames of the topology, from an arbitrary envelope
@@ -98,6 +116,7 @@ object AnalyzerMain {
     * checkpoint directories. Construction validates the plan (source +
     * transforms analyzed by Catalyst); nothing starts until `.start()`. */
   def topology(spark: SparkSession, cfg: Config): Seq[(String, DataStreamWriter[Row])] = {
+    implicit val dc: graft.functions.DecodeConfig = cfg.decodeConfig
     val input = DeadLetterSource.kafka(spark, cfg.brokers, cfg.inputPattern)
     val topicOf = Map(
       "all" -> cfg.outputTopic, "stats" -> cfg.statsTopic,

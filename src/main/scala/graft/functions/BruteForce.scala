@@ -33,6 +33,15 @@ import org.apache.spark.sql.types._
  *   4. bytes that decode as clean UTF-8 → kind `string`, the text itself.
  *   5. anything else → kind `binary`, lowercase hex rendering.
  */
+/** Decode-layer configuration threaded (implicitly) through the parsers and
+  * both topologies: the Confluent schema-registry id → Avro schema JSON map
+  * for chain step 2. The default (empty map) disables the Avro tier. */
+final case class DecodeConfig(avroSchemas: Map[Int, String] = Map.empty)
+
+object DecodeConfig {
+  implicit val default: DecodeConfig = DecodeConfig()
+}
+
 object BruteForce {
 
   /** JSON interchange schema for dead-letter payloads: timestamps travel as
@@ -72,8 +81,11 @@ object BruteForce {
     (isDl, deadLetter)
   }
 
-  /** struct(kind, text, dead_letter) — `dead_letter` non-null iff kind = 'dead_letter'. */
-  def decoded(bin: Column): Column = decodedWithAvro(bin, Map.empty)
+  /** struct(kind, text, dead_letter) — `dead_letter` non-null iff kind =
+    * 'dead_letter'. The Avro tier activates when the in-scope [[DecodeConfig]]
+    * carries schemas (default: none). */
+  def decoded(bin: Column)(implicit dc: DecodeConfig): Column =
+    decodedWithAvro(bin, dc.avroSchemas)
 
   /** [[decoded]] with a Confluent-wire-format Avro tier tried first (chain
     * step 2). `schemasById` maps schema-registry ids to Avro schema JSON. */
@@ -119,7 +131,9 @@ object BruteForce {
     StructField("dead_letter", deadLetterStruct, nullable = true)))
 
   /** The reference's `ErrorUtil.toString` rendering of an arbitrary payload:
-    * the decoded text regardless of kind (JSON for records, raw text for
-    * strings, hex for binary); null for null. */
-  def stringified(bin: Column): Column = decoded(bin).getField("text")
+    * the decoded text regardless of kind (JSON for records — including
+    * registry-Avro ones when schemas are configured — raw text for strings,
+    * hex for binary); null for null. */
+  def stringified(bin: Column)(implicit dc: DecodeConfig): Column =
+    decoded(bin).getField("text")
 }

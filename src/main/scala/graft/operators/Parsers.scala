@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.{BruteForce, HeaderOps}
+import graft.functions.{BruteForce, DecodeConfig, HeaderOps}
 import graft.functions.HeaderOps._
 import graft.model.{Headers => H, Messages, Schemas}
 
@@ -23,7 +23,7 @@ object Parsers {
   /** Branch-dispatch predicates (reference DeadLetterAnalyzerTopology.java:160-185).
     * Additive, not exclusive: a record matching several is processed once per
     * branch (SURVEY §2.5.1). */
-  def isAvroDeadLetter(value: Column): Column =
+  def isAvroDeadLetter(value: Column)(implicit dc: DecodeConfig): Column =
     BruteForce.decoded(value).getField("kind") === "dead_letter"
   def hasStreamsHeaders(headers: Column): Column =
     HeaderOps.hasHeader(headers, H.ExceptionClassName)
@@ -53,7 +53,7 @@ object Parsers {
   /** Format #1: the value already is a dead letter (reference
     * DeadLetterAnalyzerTopology.java:98-100). Never errors — dispatch
     * guarantees the shape. */
-  def avroValue(value: Column): Column = {
+  def avroValue(value: Column)(implicit dc: DecodeConfig): Column = {
     val dl = BruteForce.decoded(value).getField("dead_letter")
     result(dl, lit(null).cast("string"))
   }
@@ -61,7 +61,7 @@ object Parsers {
   /** Format #2a: bakdata error-handling headers (reference
     * StreamsDeadLetterParser.java:44-90). Value passes through as
     * `input_value`; the record timestamp is propagated. */
-  def streamsHeaders(value: Column, headers: Column, timestamp: Column): Column = {
+  def streamsHeaders(value: Column, headers: Column, timestamp: Column)(implicit dc: DecodeConfig): Column = {
     val partition = reqInt(headers, H.Partition)
     val topic = reqString(headers, H.Topic)
     val offset = reqLongWithFallback(headers, H.Offset, H.FaultyOffset)
@@ -81,7 +81,7 @@ object Parsers {
   /** Format #2b: native Kafka Streams DLQ headers, KIP-1034 (reference
     * NativeStreamsDeadLetterParser.java:44-87). Description is synthesized
     * with `[unknown]` defaults. */
-  def nativeHeaders(value: Column, headers: Column, timestamp: Column): Column = {
+  def nativeHeaders(value: Column, headers: Column, timestamp: Column)(implicit dc: DecodeConfig): Column = {
     val partition = reqInt(headers, H.NativePartitionName)
     val topic = optString(headers, H.NativeTopicName)
     val offset = reqLong(headers, H.NativeOffsetName)
@@ -105,7 +105,7 @@ object Parsers {
     * ConnectDeadLetterParser.java:46-92). Original topic/partition/offset are
     * optional; the stage/class/connector/task fields are required and fill the
     * description template. */
-  def connectHeaders(value: Column, headers: Column, timestamp: Column): Column = {
+  def connectHeaders(value: Column, headers: Column, timestamp: Column)(implicit dc: DecodeConfig): Column = {
     val partition = optInt(headers, H.ConnectOrigPartition)
     val topic = optString(headers, H.ConnectOrigTopic)
     val offset = optLong(headers, H.ConnectOrigOffset)

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{BruteForce, Classify}
+import graft.functions.{BruteForce, Classify, DecodeConfig}
 import graft.model.Messages
 import graft.operators.Parsers
 
@@ -54,7 +54,7 @@ object Analyzer {
     * Records matching no branch are dropped, like the reference's unmatched
     * records. Output = envelope columns + `parsed: struct(dead_letter,
     * error)` + `branch`. */
-  def parsed(input: DataFrame): DataFrame = {
+  def parsed(input: DataFrame)(implicit dc: DecodeConfig): DataFrame = {
     val v = col("value"); val h = col("headers"); val ts = col("timestamp")
     def branch(name: String, predicate: Column, parser: Column): Column =
       when(predicate, struct(lit(name).as("branch"), parser.as("parsed")))
@@ -80,7 +80,7 @@ object Analyzer {
     * column, not an exception (SURVEY §2.5.3). Output columns:
     * `topic, partition, offset, timestamp, key_string, error_type,
     *  dead_letter, enrich_error`. */
-  def enriched(parsedOk: DataFrame): DataFrame = {
+  def enriched(parsedOk: DataFrame)(implicit dc: DecodeConfig): DataFrame = {
     val dl = col("parsed").getField("dead_letter")
     val stackTrace = dl.getField("cause").getField("stack_trace")
     parsedOk
@@ -98,12 +98,12 @@ object Analyzer {
   // ---------------------------------------------------------------------------
 
   /** Full pipeline over a raw envelope input. */
-  def analyze(input: DataFrame): Outputs = analyzeParsed(parsed(input))
+  def analyze(input: DataFrame)(implicit dc: DecodeConfig): Outputs = analyzeParsed(parsed(input))
 
   /** Pipeline from an already-parsed frame (the production topology is ONE
     * job fanning out to four sinks from a single parse pass; callers may
     * persist the parsed frame to share it). */
-  def analyzeParsed(p: DataFrame): Outputs = {
+  def analyzeParsed(p: DataFrame)(implicit dc: DecodeConfig): Outputs = {
     val parseErrors = p.filter(col("parsed").getField("error").isNotNull)
     val ok = enriched(p.filter(col("parsed").getField("error").isNull))
     val analyzeErrors = ok.filter(col("enrich_error").isNotNull)
@@ -160,13 +160,13 @@ object Analyzer {
   /** Error channel (T11): both capture sites converted to dead letters with the
     * reference's fixed descriptions; key = stringified input key (S5). Shared
     * by the batch and streaming topologies. */
-  def errorsOf(parseErrors: DataFrame, analyzeErrors: DataFrame): DataFrame =
+  def errorsOf(parseErrors: DataFrame, analyzeErrors: DataFrame)(implicit dc: DecodeConfig): DataFrame =
     parseErrorDeadLetters(parseErrors)
       .unionByName(analyzeErrorDeadLetters(analyzeErrors))
 
   /** Failed parses → dead letters, description "Error converting errors to dead
     * letters" (reference DeadLetterAnalyzerTopology.java:128-137). */
-  private def parseErrorDeadLetters(parseErrors: DataFrame): DataFrame = {
+  private def parseErrorDeadLetters(parseErrors: DataFrame)(implicit dc: DecodeConfig): DataFrame = {
     val err = col("parsed").getField("error")
     parseErrors.select(
       coalesce(BruteForce.stringified(col("key")), lit("null")).as("key"),

@@ -142,7 +142,8 @@ object StreamingAnalyzer {
 
   def analyze(input: DataFrame,
       onAggRecord: Enriched => Unit = _ => (),
-      stateTtlMs: Option[Long] = None): StreamingOutputs = {
+      stateTtlMs: Option[Long] = None)(
+      implicit dc: graft.functions.DecodeConfig): StreamingOutputs = {
     val p = Analyzer.parsed(input)
     val parseErrors = p.filter(col("parsed").getField("error").isNotNull)
     val ok = Analyzer.enriched(p.filter(col("parsed").getField("error").isNull))

@@ -222,6 +222,31 @@ class ParserSpec extends SparkSpec {
     assert(dl.getAs[java.sql.Timestamp]("input_timestamp").getTime == 200L)
   }
 
+  test("framed Avro dead letter flows through the FULL topology via DecodeConfig") {
+    implicit val dc: graft.functions.DecodeConfig =
+      graft.functions.DecodeConfig(Map(7 -> deadLetterAvroSchema))
+    val framed = confluentFrame(deadLetterAvroSchema, 7, { r =>
+      val schema = new org.apache.avro.Schema.Parser().parse(deadLetterAvroSchema)
+      val cause = new org.apache.avro.generic.GenericData.Record(
+        schema.getField("cause").schema())
+      cause.put("error_class", "java.lang.RuntimeException")
+      cause.put("message", "boom")
+      cause.put("stack_trace", StackTrace)
+      r.put("description", "description"); r.put("cause", cause)
+      r.put("input_timestamp", 200L)
+    })
+    val row = Row("t", 0, 0L, new java.sql.Timestamp(0), utf8("key"), framed,
+      Seq[Row]())
+    // dispatch must route the BINARY Avro value down the avro_value branch
+    // and classify from its stack trace — the registry-Avro-first tier of
+    // the reference's BruteForceSerde, end to end
+    val out = Analyzer.analyze(envelopeDf(Seq(row)))
+    val all = out.all.head()
+    assert(all.getAs[String]("type") == StackTraceType)
+    assert(all.getAs[Row]("dead_letter").getAs[String]("description") == "description")
+    assert(out.errors.count() == 0)
+  }
+
   test("non-dead-letter Avro records render as their JSON toString (ErrorUtil parity)") {
     val spark2 = spark
     import spark2.implicits._
