@@ -311,6 +311,37 @@ FROM reach GROUP BY src"""
 )
 SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cosine FROM ranked WHERE rank <= 3"""
 
+  /** Multi-probe RP-LSH oracle: probe set = own bucket + the LshBits
+    * one-bit-flip buckets (mirrors graft.ops.Similarity.rpLshMultiProbeTopK;
+    * g = -1 encodes the unflipped probe). */
+  val annLshMultiProbe: String = s"""WITH ${hyperplaneCte(graft.ops.Similarity.LshBits)}, e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+    list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) AS n2
+  FROM embeddings
+), dots AS (
+  SELECT e.vec_id, hp.h, sum(hp.v * e.v[hp.d + 1]) AS dp
+  FROM e, hp GROUP BY e.vec_id, hp.h
+), buckets AS (
+  SELECT vec_id, CAST(sum(CASE WHEN dp >= 0 THEN 1 << h ELSE 0 END) AS INT) AS bucket
+  FROM dots GROUP BY vec_id
+), q AS (
+  SELECT e.vec_id AS qid, e.v AS qv, e.n2 AS qn2, b.bucket AS qb
+  FROM e JOIN buckets b ON e.vec_id = b.vec_id WHERE e.vec_id % 100 = 0
+), probes AS (
+  SELECT q.qid, q.qv, q.qn2,
+    CASE WHEN g.g = -1 THEN q.qb ELSE xor(q.qb, 1 << g.g) END AS pbucket
+  FROM q, generate_series(-1, ${graft.ops.Similarity.LshBits - 1}) g(g)
+), scored AS (
+  SELECT p.qid AS query_id, e.vec_id AS neighbor_id,
+    list_dot_product(p.qv, e.v) / sqrt(p.qn2 * e.n2) AS cosine
+  FROM e JOIN buckets b ON e.vec_id = b.vec_id
+  JOIN probes p ON b.bucket = p.pbucket AND e.vec_id <> p.qid
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cosine FROM ranked WHERE rank <= 3"""
+
   val mmMeta: String = """SELECT CAST(doc_id AS BIGINT) AS doc_id,
   ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS media_type,
   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

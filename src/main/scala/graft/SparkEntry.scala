@@ -190,6 +190,8 @@ object SparkEntry {
       ops.Similarity.ivfTopK(emb(s, dir), col("vec_id") % 100 === 0, k = 3)),
     "ann_lsh" -> ((s, dir) =>
       ops.Similarity.rpLshTopK(emb(s, dir), col("vec_id") % 100 === 0, k = 3)),
+    "ann_lsh_multiprobe" -> ((s, dir) =>
+      ops.Similarity.rpLshMultiProbeTopK(emb(s, dir), col("vec_id") % 100 === 0, k = 3)),
 
     "mm_meta" -> ((s, dir) => ops.Multimodal.meta(s, docs(s, dir))),
     "mm_frame_sample" -> ((s, dir) => ops.Multimodal.frameSample(docs(s, dir)).toDF()),
@@ -244,6 +246,7 @@ object SparkEntry {
     "ann_topk" -> OracleSqlOps.annTopK,
     "ann_ivf" -> OracleSqlOps.annIvf,
     "ann_lsh" -> OracleSqlOps.annLsh,
+    "ann_lsh_multiprobe" -> OracleSqlOps.annLshMultiProbe,
     "mm_meta" -> OracleSqlOps.mmMeta,
     "mm_frame_sample" -> OracleSqlOps.mmFrameSample,
     "q_rollup" -> OracleSqlOps.qRollup,

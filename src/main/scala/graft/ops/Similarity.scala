@@ -186,6 +186,34 @@ object Similarity {
     topK(scored, k)
   }
 
+  /** Multi-probe RP-LSH ANN: each query probes its own sign bucket PLUS the
+    * [[LshBits]] buckets at Hamming distance 1 (one flipped hyperplane sign)
+    * — the standard recall recovery for sign-LSH: a near neighbor that
+    * disagrees on exactly one hyperplane is found without duplicating the
+    * corpus into repeated hash tables. The probe set is built on the (small,
+    * broadcast-gated) query side; the corpus keeps exactly one bucket per
+    * vector, so no result deduplication is needed and at 100 TB the
+    * bucket-partitioned corpus serves each probe as a pruned partition
+    * read. */
+  def rpLshMultiProbeTopK(embeddings: DataFrame, queryPred: Column, k: Int = 3,
+      dims: Int = 64): DataFrame = {
+    val corpus = CacheScope.track(withNorm2(embeddings)
+      .withColumn("bucket", lshBucket(col("embedding"), dims)))
+    val probeCols = array(
+      col("qbucket") +: (0 until LshBits).map(h =>
+        col("qbucket").bitwiseXOR(lit(1 << h))): _*)
+    val probes = corpus.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("n2").as("qn2"), col("bucket").as("qbucket"))
+      .select(col("query_id"), col("qe"), col("qn2"),
+        explode(probeCols).as("pbucket"))
+    val scored = corpus.join(Par.maybeBroadcast(probes),
+        col("bucket") === col("pbucket") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosineWithNorms(col("qe"), col("embedding"), col("qn2"), col("n2")).as("cosine"))
+    topK(scored, k)
+  }
+
   /** Banding parameters (rowsPerBand, bands) for a cosine threshold, from the
     * sign-LSH s-curve: per-hyperplane agreement probability for a pair at
     * cosine t is p = 1 - arccos(t)/π; rows r per band are sized so a

@@ -157,6 +157,24 @@ class OpsSpec extends SparkSpec {
     graft.ops.CacheScope.releaseAll(spark)
   }
 
+  test("multi-probe LSH recall dominates single-probe") {
+    val pred = col("vec_id").isin(0L, 30L, 60L)
+    def byQuery(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(rows =>
+        (rows.length, rows.map(_.getAs[Double]("cosine")).max)).toMap
+    val single = byQuery(Similarity.rpLshTopK(clusteredEmb, pred, k = 3, dims = 4))
+    val multi = byQuery(Similarity.rpLshMultiProbeTopK(clusteredEmb, pred, k = 3, dims = 4))
+    // the multi-probe candidate set is a superset: at least as many results,
+    // best cosine at least as good, for every query single-probe answers
+    single.foreach { case (q, (n, best)) =>
+      val (mn, mbest) = multi(q)
+      assert(mn >= n && mbest >= best, s"query $q: single=($n,$best) multi=($mn,$mbest)")
+    }
+    assert(multi.keySet.size >= single.keySet.size)
+    graft.ops.CacheScope.releaseAll(spark)
+  }
+
   test("lshParams stays within one 64-bit fingerprint at extreme thresholds") {
     for (t <- Seq(0.45, 0.8, 0.9, 0.97, 0.99, 1.0)) {
       val (r, b) = Similarity.lshParams(t)
