@@ -157,6 +157,24 @@ class OpsSpec extends SparkSpec {
     graft.ops.CacheScope.releaseAll(spark)
   }
 
+  test("bench-loop hygiene: released operator caches leave no cached blocks") {
+    graft.ops.CacheScope.releaseAll(spark)
+    Thread.sleep(200)
+    val before = spark.sparkContext.getPersistentRDDs.size
+    Dedup.minhashLsh(docs).count()
+    Dedup.simhashPairs(docs).count()
+    assert(graft.ops.CacheScope.trackedCount(spark) > 0)
+    graft.ops.CacheScope.releaseAll(spark)
+    assert(graft.ops.CacheScope.trackedCount(spark) == 0)
+    // unpersist(blocking = false) is async — poll for the blocks to drop
+    val deadline = System.nanoTime() + 10e9.toLong
+    var now = spark.sparkContext.getPersistentRDDs.size
+    while (now > before && System.nanoTime() < deadline) {
+      Thread.sleep(100); now = spark.sparkContext.getPersistentRDDs.size
+    }
+    assert(now <= before, s"cached RDDs grew: $before -> $now")
+  }
+
   test("multi-probe LSH recall dominates single-probe") {
     val pred = col("vec_id").isin(0L, 30L, 60L)
     def byQuery(df: org.apache.spark.sql.DataFrame) = df.collect()
