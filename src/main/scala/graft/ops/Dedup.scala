@@ -273,17 +273,21 @@ object Dedup {
       if (row.isNullAt(0)) 0L else row.getLong(0) // empty docs -> empty result
     }
     var prevSum = labelSum(labels)
+    def hop(l: DataFrame): DataFrame = {
+      val neighborMin = edges
+        .join(l.select(col("doc_id").as("b"), col("label")), "b")
+        .groupBy(col("a")).agg(min(col("label")).as("nmin"))
+      l.join(neighborMin, l("doc_id") === neighborMin("a"), "left")
+        .select(l("doc_id"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+    }
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
-      val neighborMin = edges
-        .join(labels.select(col("doc_id").as("b"), col("label")), "b")
-        .groupBy(col("a")).agg(min(col("label")).as("nmin"))
-      val next = labels
-        .join(neighborMin, labels("doc_id") === neighborMin("a"), "left")
-        .select(labels("doc_id"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-        .localCheckpoint()
+      // TWO propagation hops per checkpointed round: the checkpoint action
+      // and convergence-check job are per-round fixed costs, so composing
+      // hops halves them; two composed hops keep a bounded plan depth.
+      val next = hop(hop(labels)).localCheckpoint()
       val sumNow = labelSum(next)
       labels = next
       converged = sumNow == prevSum
@@ -291,9 +295,10 @@ object Dedup {
       it += 1
     }
     if (!converged)
-      System.err.println(s"[graft] Dedup.clusters hit maxIter=$maxIter before " +
-        "convergence — a component with diameter > maxIter is only partially " +
-        "merged; raise maxIter (or pre-contract with large-star rounds)")
+      System.err.println(s"[graft] Dedup.clusters hit maxIter=$maxIter rounds " +
+        "(2 hops each) before convergence — a component with diameter > " +
+        "2*maxIter is only partially merged; raise maxIter (or pre-contract " +
+        "with large-star rounds)")
     labels.select(col("doc_id"), col("label").as("cluster_id"),
       (col("doc_id") === col("label")).as("is_canonical"))
   }
