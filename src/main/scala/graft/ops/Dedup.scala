@@ -284,10 +284,11 @@ object Dedup {
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
-      // TWO propagation hops per checkpointed round: the checkpoint action
-      // and convergence-check job are per-round fixed costs, so composing
-      // hops halves them; two composed hops keep a bounded plan depth.
-      val next = hop(hop(labels)).localCheckpoint()
+      // ONE hop per checkpointed round: composing two hops per round halves
+      // the fixed per-round job costs but the first hop's output then feeds
+      // two consumers with no cache between them (its join+agg recomputes),
+      // and the larger composed plan re-pays codegen — measured net slower.
+      val next = hop(labels).localCheckpoint()
       val sumNow = labelSum(next)
       labels = next
       converged = sumNow == prevSum
@@ -295,10 +296,9 @@ object Dedup {
       it += 1
     }
     if (!converged)
-      System.err.println(s"[graft] Dedup.clusters hit maxIter=$maxIter rounds " +
-        "(2 hops each) before convergence — a component with diameter > " +
-        "2*maxIter is only partially merged; raise maxIter (or pre-contract " +
-        "with large-star rounds)")
+      System.err.println(s"[graft] Dedup.clusters hit maxIter=$maxIter before " +
+        "convergence — a component with diameter > maxIter is only partially " +
+        "merged; raise maxIter (or pre-contract with large-star rounds)")
     labels.select(col("doc_id"), col("label").as("cluster_id"),
       (col("doc_id") === col("label")).as("is_canonical"))
   }
