@@ -59,6 +59,31 @@ SELECT doc_id, md5(lt) AS fp_md5,
   list_min(list_transform($bigramsExpr, b -> md5(b))) AS fp_min_bigram
 FROM t"""
 
+  /** Top-K document-frequency vocabulary (mirrors
+    * graft.ops.TextAnalysis.vocabulary, minDf=2, topK=1000). */
+  val textVocab: String = s"""WITH dtoks AS (
+  SELECT DISTINCT doc_id, unnest($toks) AS tok FROM documents
+), dfs AS (
+  SELECT tok, count(*) AS df FROM dtoks GROUP BY tok HAVING count(*) >= 2
+), ranked AS (
+  SELECT tok, CAST(df AS BIGINT) AS df,
+    row_number() OVER (ORDER BY df DESC, tok) AS rank
+  FROM dfs
+)
+SELECT CAST(rank AS INT) AS rank, tok, df FROM ranked WHERE rank <= 1000"""
+
+  /** Deterministic hash split (mirrors graft.ops.TextAnalysis.hashSplit,
+    * trainPct=90): md5 lane of the stringified doc_id, mod 100. */
+  val textSplit: String = {
+    val lane = (0 until 7).map { p =>
+      val mult = 1L << (4 * (6 - p))
+      s"(position(substr(md5(CAST(doc_id AS VARCHAR)), ${p + 1}, 1) IN '0123456789abcdef') - 1) * $mult"
+    }.mkString(" + ")
+    s"""SELECT doc_id,
+  CASE WHEN ($lane) % 100 < 90 THEN 'train' ELSE 'val' END AS split
+FROM documents"""
+  }
+
   val dedupExact: String = """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
   CAST(count(*) AS INT) AS n_copies
 FROM documents GROUP BY md5(text)"""

@@ -169,6 +169,8 @@ object SparkEntry {
     "text_langid" -> ((s, dir) => ops.TextAnalysis.langId(docs(s, dir))),
     "text_quality" -> ((s, dir) => ops.TextAnalysis.quality(docs(s, dir))),
     "text_fingerprint" -> ((s, dir) => ops.TextAnalysis.fingerprint(docs(s, dir))),
+    "text_vocab" -> ((s, dir) => ops.TextAnalysis.vocabulary(docs(s, dir))),
+    "text_split" -> ((s, dir) => ops.TextAnalysis.hashSplit(docs(s, dir))),
 
     "dedup_exact" -> ((s, dir) => ops.Dedup.exact(docs(s, dir))),
     "dedup_minhash_lsh" -> ((s, dir) => ops.Dedup.minhashLsh(docs(s, dir))),
@@ -236,6 +238,8 @@ object SparkEntry {
     "text_langid" -> OracleSqlOps.langId,
     "text_quality" -> OracleSqlOps.quality,
     "text_fingerprint" -> OracleSqlOps.fingerprint,
+    "text_vocab" -> OracleSqlOps.textVocab,
+    "text_split" -> OracleSqlOps.textSplit,
     "dedup_exact" -> OracleSqlOps.dedupExact,
     "dedup_minhash_lsh" -> OracleSqlOps.minhashLsh,
     "dedup_simhash" -> OracleSqlOps.simhash,

@@ -91,4 +91,35 @@ object TextAnalysis {
       md5(lower(col("text")).cast("binary")).as("fp_md5"),
       array_min(transform(bigrams, b => md5(b.cast("binary")))).as("fp_min_bigram"))
   }
+
+  /** Corpus vocabulary: the top-K tokens by document frequency, with
+    * `minDf` dropping hapax noise. The document-frequency aggregation is one
+    * map-side-combining groupBy over distinct per-doc tokens; the top-K is a
+    * distributed TakeOrdered (`orderBy.limit`), NOT a global window sort —
+    * only K rows ever reach one place, so the op holds at any corpus size.
+    * The rank column is then a window over just those K rows. Vocabulary
+    * building is the input to tokenizer training. */
+  def vocabulary(docs: DataFrame, minDf: Int = 2, topK: Int = 1000): DataFrame = {
+    val postings = docs.select(
+      explode(array_distinct(tokens(col("text")))).as("tok"))
+    val dfs = postings.groupBy(col("tok"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+    val top = dfs.orderBy(col("df").desc, col("tok")).limit(topK)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("df").desc, col("tok"))
+    top.withColumn("rank", row_number().over(w))
+      .select(col("rank"), col("tok"), col("df"))
+  }
+
+  /** Deterministic train/validation split: the split is a pure function of
+    * doc_id (md5 lane mod 100 vs `trainPct`), so it is stable across runs,
+    * cluster layouts, and engine versions — no sampling state, no seed
+    * coordination; a pure per-row projection at scan speed. */
+  def hashSplit(docs: DataFrame, trainPct: Int = 90): DataFrame = {
+    val lane = conv(substring(
+      md5(col("doc_id").cast("string").cast("binary")), 1, 7), 16, 10).cast("long")
+    docs.select(col("doc_id"),
+      when(lane % 100 < trainPct, lit("train")).otherwise(lit("val")).as("split"))
+  }
 }

@@ -206,6 +206,28 @@ class OpsSpec extends SparkSpec {
     graft.ops.CacheScope.releaseAll(spark)
   }
 
+  test("vocabulary ranks tokens by document frequency with deterministic ties") {
+    val d = Seq(
+      (0L, "apple banana cherry"),
+      (1L, "apple banana"),
+      (2L, "apple date date date"), // dup tokens count once per doc
+      (3L, "egg")).toDF("doc_id", "text")
+    val v = TextAnalysis.vocabulary(d, minDf = 2, topK = 10).collect()
+      .map(r => (r.getAs[Int]("rank"), r.getAs[String]("tok"), r.getAs[Long]("df")))
+    assert(v.toSeq == Seq((1, "apple", 3L), (2, "banana", 2L)))
+  }
+
+  test("hash split is deterministic and roughly honors the train fraction") {
+    val d = (0L until 1000L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val s1 = TextAnalysis.hashSplit(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    val s2 = TextAnalysis.hashSplit(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    assert(s1 == s2)
+    val trainFrac = s1.values.count(_ == "train").toDouble / s1.size
+    assert(trainFrac > 0.85 && trainFrac < 0.95, s"train fraction $trainFrac")
+  }
+
   test("language-ID prefers the language with most stopword hits") {
     val d = Seq((0L, "der hund und die katze ist nicht da"),
       (1L, "the cat and the dog is on a mat")).toDF("doc_id", "text")
