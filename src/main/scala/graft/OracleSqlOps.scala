@@ -74,15 +74,9 @@ SELECT CAST(rank AS INT) AS rank, tok, df FROM ranked WHERE rank <= 1000"""
 
   /** Deterministic hash split (mirrors graft.ops.TextAnalysis.hashSplit,
     * trainPct=90): md5 lane of the stringified doc_id, mod 100. */
-  val textSplit: String = {
-    val lane = (0 until 7).map { p =>
-      val mult = 1L << (4 * (6 - p))
-      s"(position(substr(md5(CAST(doc_id AS VARCHAR)), ${p + 1}, 1) IN '0123456789abcdef') - 1) * $mult"
-    }.mkString(" + ")
-    s"""SELECT doc_id,
-  CASE WHEN ($lane) % 100 < 90 THEN 'train' ELSE 'val' END AS split
+  val textSplit: String = s"""SELECT doc_id,
+  CASE WHEN (${hexLaneOf("CAST(doc_id AS VARCHAR)", 1, 7)}) % 100 < 90 THEN 'train' ELSE 'val' END AS split
 FROM documents"""
-  }
 
   val dedupExact: String = """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
   CAST(count(*) AS INT) AS n_copies
@@ -91,26 +85,27 @@ FROM documents GROUP BY md5(text)"""
   private val K = 32
   private val Bands = 8
 
-  /** 28-bit lane of md5(tok) hex chars [off, off+7) as a BIGINT (mirrors
-    * graft.ops.Dedup.minhashSignatures' conv(substring(md5, off, 7),16,10)). */
-  private def hexLane(off: Int): String = (0 until 7).map { p =>
-    val mult = 1L << (4 * (6 - p))
-    s"(position(substr(md5(tok), ${off + p}, 1) IN '0123456789abcdef') - 1) * $mult"
-  }.mkString(" + ")
+  /** Hex lane of md5(e) chars [off, off+chars) as an integer — the one
+    * definition behind every md5-derived value the oracles mirror
+    * (minhash/simhash lanes, band keys, hyperplane components, hash splits):
+    * mirrors the engine's conv(substring(md5(x), off, chars), 16, 10).
+    * Multipliers past int32 are cast so DuckDB promotes to BIGINT. */
+  private def hexLaneOf(e: String, off: Int, chars: Int): String =
+    (0 until chars).map { p =>
+      val mult = 1L << (4 * (chars - 1 - p))
+      val multExpr = if (mult > Int.MaxValue) s"CAST($mult AS BIGINT)" else mult.toString
+      s"(position(substr(md5($e), ${off + p}, 1) IN '0123456789abcdef') - 1) * $multExpr"
+    }.mkString(" + ")
+
+  /** 28-bit lane of md5(tok) hex chars [off, off+7). */
+  private def hexLane(off: Int): String = hexLaneOf("tok", off, 7)
 
   private val minhashAggs: String = (0 until K)
     .map(s => s"min((h1 + $s * h2) % ${graft.ops.Dedup.MinhashPrime}) AS mh$s")
     .mkString(",\n  ")
-  /** 60-bit lane of md5(e) hex chars 1-15 as a BIGINT (mirrors
-    * graft.ops.Dedup.lshBands' conv(substring(md5, 1, 15),16,10)). */
-  private def hexLane60(e: String): String = (0 until 15).map { p =>
-    val mult = 1L << (4 * (14 - p))
-    s"(position(substr(md5($e), ${p + 1}, 1) IN '0123456789abcdef') - 1) * CAST($mult AS BIGINT)"
-  }.mkString(" + ")
-
   private val bandCols: String = (0 until Bands).map { b =>
     val parts = (b * (K / Bands) until (b + 1) * (K / Bands)).map(i => s"mh$i").mkString(", ")
-    s"${hexLane60(s"concat_ws(':', $parts)")} AS band$b"
+    s"${hexLaneOf(s"concat_ws(':', $parts)", 1, 15)} AS band$b"
   }.mkString(",\n  ")
   private val bandJoins: String = (0 until Bands).map { b =>
     s"SELECT l.doc_id AS a, r.doc_id AS b FROM banded l JOIN banded r ON l.band$b = r.band$b AND l.doc_id < r.doc_id"
@@ -192,18 +187,13 @@ WHERE CAST(len(list_intersect(sa.bgs, sb.bgs)) AS DOUBLE)
 
   /** Hyperplane CTE shared by the sign-LSH oracles: component (h, d) derived
     * from md5("h:d") exactly as graft.ops.Similarity.hyperplane. */
-  private def hyperplaneCte(bits: Int): String = {
-    val hexVal4Hp = (0 until 4).map { p =>
-      val mult = 1 << (4 * (3 - p))
-      s"(position(substr(md5(h.h || ':' || d.d), ${p + 1}, 1) IN '0123456789abcdef') - 1) * $mult"
-    }.mkString(" + ")
+  private def hyperplaneCte(bits: Int): String =
     s"""hp AS (
   SELECT h.h AS h, d.d AS d,
-    (($hexVal4Hp) - 32768) / CAST(32768.0 AS DOUBLE) AS v
+    ((${hexLaneOf("h.h || ':' || d.d", 1, 4)}) - 32768) / CAST(32768.0 AS DOUBLE) AS v
   FROM generate_series(0, ${bits - 1}) h(h),
        generate_series(0, 63) d(d)
 )"""
-  }
 
   /** Banded sign-LSH near-dup oracle (mirrors graft.ops.Similarity
     * .nearDupPairs at threshold 0.45): candidates = pairs agreeing on >= 1

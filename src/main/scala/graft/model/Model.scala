@@ -155,3 +155,21 @@ object Messages {
   /** reference ContextEnricher.java:52-53 */
   val NoMetadataAvailable = "No metadata available"
 }
+
+/** Minimal JSON text escaping shared by the engine's hand-rendered JSON
+  * (aggregate-error input_value) and the verify harness's oracle_sql dump:
+  * backslash, quote, and ALL control chars (< 0x20). */
+object JsonText {
+  def escape(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
+  /** A quoted JSON string literal. */
+  def str(s: String): String = "\"" + escape(s) + "\""
+}

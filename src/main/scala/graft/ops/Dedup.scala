@@ -93,6 +93,13 @@ object Dedup {
   private def tokHash(t: Column): Column =
     conv(substring(md5(t.cast("binary")), 1, 7), 16, 10).cast("int")
 
+  /** One sorted hashed-token set per doc — the per-doc sketch every Jaccard
+    * verify path compares (codegen'd merge intersect). */
+  private def hashedTokenSets(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      array_sort(array_distinct(
+        transform(TextAnalysis.tokens(col("text")), t => tokHash(t)))).as("tks"))
+
   /** Jaccard similarity over hashed-token sets for a given pair relation
     * (a, b): |A∩B| / |A∪B|. Each doc's set is built ONCE as a sorted int
     * array; per-pair intersection is then a codegen'd merge pass
@@ -106,9 +113,7 @@ object Dedup {
     // row per doc, so the set side broadcasts while it fits the session
     // threshold; past that, maybeBroadcast leaves both joins hash-partitioned
     // on doc_id (AQE picks the strategy).
-    val sets = CacheScope.track(docs.select(col("doc_id"),
-      array_sort(array_distinct(
-        transform(TextAnalysis.tokens(col("text")), t => tokHash(t)))).as("tks")))
+    val sets = CacheScope.track(hashedTokenSets(docs))
     val joined = pairs
       .join(maybeBroadcast(sets.as("sa")), col("a") === col("sa.doc_id"))
       .join(maybeBroadcast(sets.as("sb")), col("b") === col("sb.doc_id"))
@@ -144,11 +149,9 @@ object Dedup {
     // sketch sizes (ints, deduped tokens) the per-row set is bounded and the
     // candidate stream is orders of magnitude larger than the doc table, so
     // fusing wins on both counts.
-    val sets = docs.select(col("doc_id"),
-      array_sort(array_distinct(
-        transform(TextAnalysis.tokens(col("text")), t => tokHash(t)))).as("tks"))
     val banded = CacheScope.track(
-      lshBands(minhashSignatures(docs, k), k, bands).join(sets, "doc_id"))
+      lshBands(minhashSignatures(docs, k), k, bands)
+        .join(hashedTokenSets(docs), "doc_id"))
     val inter = graft.functions.ArrayExprs.sortedIntersectSize(
       col("l.tks"), col("r.tks"))
     (0 until bands).map { b =>

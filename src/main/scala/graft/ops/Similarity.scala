@@ -170,21 +170,11 @@ object Similarity {
     * (2^LshBits of them) and a query ranks only its own bucket by exact
     * cosine — the bucket join replaces the full corpus scan (at 100 TB,
     * bucketing/partitioning the corpus by this key makes a query touch
-    * 1/2^bits of the data). Single-probe; recall rises with multi-probe or
-    * repeated tables, same shape. */
+    * 1/2^bits of the data). Single-probe; see [[rpLshMultiProbeTopK]] for
+    * the recall-recovery variant. */
   def rpLshTopK(embeddings: DataFrame, queryPred: Column, k: Int = 3,
-      dims: Int = 64): DataFrame = {
-    val corpus = withNorm2(embeddings)
-      .withColumn("bucket", lshBucket(col("embedding"), dims))
-    val queries = corpus.filter(queryPred)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-        col("n2").as("qn2"), col("bucket").as("qbucket"))
-    val scored = corpus.join(broadcast(queries),
-        col("bucket") === col("qbucket") && col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        cosineWithNorms(col("qe"), col("embedding"), col("qn2"), col("n2")).as("cosine"))
-    topK(scored, k)
-  }
+      dims: Int = 64): DataFrame =
+    rpLsh(embeddings, queryPred, k, dims, multiProbe = false)
 
   /** Multi-probe RP-LSH ANN: each query probes its own sign bucket PLUS the
     * [[LshBits]] buckets at Hamming distance 1 (one flipped hyperplane sign)
@@ -196,17 +186,23 @@ object Similarity {
     * bucket-partitioned corpus serves each probe as a pruned partition
     * read. */
   def rpLshMultiProbeTopK(embeddings: DataFrame, queryPred: Column, k: Int = 3,
-      dims: Int = 64): DataFrame = {
+      dims: Int = 64): DataFrame =
+    rpLsh(embeddings, queryPred, k, dims, multiProbe = true)
+
+  private def rpLsh(embeddings: DataFrame, queryPred: Column, k: Int,
+      dims: Int, multiProbe: Boolean): DataFrame = {
     val corpus = CacheScope.track(withNorm2(embeddings)
       .withColumn("bucket", lshBucket(col("embedding"), dims)))
-    val probeCols = array(
-      col("qbucket") +: (0 until LshBits).map(h =>
-        col("qbucket").bitwiseXOR(lit(1 << h))): _*)
-    val probes = corpus.filter(queryPred)
+    val queries = corpus.filter(queryPred)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
         col("n2").as("qn2"), col("bucket").as("qbucket"))
-      .select(col("query_id"), col("qe"), col("qn2"),
-        explode(probeCols).as("pbucket"))
+    val probeCols =
+      if (multiProbe) array(
+        col("qbucket") +: (0 until LshBits).map(h =>
+          col("qbucket").bitwiseXOR(lit(1 << h))): _*)
+      else array(col("qbucket"))
+    val probes = queries.select(col("query_id"), col("qe"), col("qn2"),
+      explode(probeCols).as("pbucket"))
     val scored = corpus.join(Par.maybeBroadcast(probes),
         col("bucket") === col("pbucket") && col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),

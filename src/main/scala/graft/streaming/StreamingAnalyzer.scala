@@ -57,18 +57,7 @@ object StreamingAnalyzer {
       examplePartition: Option[Int], exampleTimestampUs: Option[Long],
       exampleDescription: Option[String], aggError: Option[AggError])
 
-  /** JSON string literal with FULL control-char escaping — a raw newline in
-    * a record key would otherwise make the rendered input_value invalid
-    * JSON for every downstream consumer. */
-  private def jsonStr(s: String): String = "\"" + s.flatMap {
-    case '"' => "\\\""
-    case '\\' => "\\\\"
-    case '\n' => "\\n"
-    case '\r' => "\\r"
-    case '\t' => "\\t"
-    case c if c < ' ' => f"\\u${c.toInt}%04x"
-    case c => c.toString
-  } + "\""
+  private def jsonStr(s: String): String = graft.model.JsonText.str(s)
 
   /** `ErrorUtil.toString`-style rendering of the enriched record, used as the
     * failed record's `input_value` on the error topic. */
