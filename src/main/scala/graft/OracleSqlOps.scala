@@ -366,6 +366,39 @@ SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cosine FROM ranked WHER
   md5(text) AS checksum
 FROM documents"""
 
+  /** Image payload stub resize (mirrors graft.ops.Multimodal.resizeImages,
+    * target 224): gather 224 evenly-spaced bytes, floor(i*n/224). */
+  val mmResize: String = """WITH i AS (
+  SELECT doc_id, text, octet_length(encode(text)) AS n
+  FROM documents WHERE doc_id % 3 = 0
+), r AS (
+  SELECT doc_id, n,
+    CASE WHEN n <= 224 THEN text
+    ELSE array_to_string(list_transform(range(224),
+      x -> substr(text, CAST((x * n) // 224 AS INT) + 1, 1)), '') END AS resized
+  FROM i
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, 224 AS width, 224 AS height,
+  CAST(octet_length(encode(resized)) AS INT) AS n_bytes, md5(resized) AS checksum
+FROM r"""
+
+  /** Audio payload stub features (mirrors graft.ops.Multimodal.audioFeatures):
+    * f_j = sum of bytes at 0-indexed positions ≡ j mod 8, over length. */
+  val mmFeatures: String = {
+    val fs = (0 until 8).map { j =>
+      s"""CAST(coalesce(list_sum(list_transform(generate_series(${j + 1}, n, 8),
+      p -> ascii(substr(text, CAST(p AS INT), 1)))), 0) AS DOUBLE)
+    / CAST(greatest(n, 1) AS DOUBLE) AS f$j"""
+    }.mkString(",\n  ")
+    s"""WITH a AS (
+  SELECT doc_id, text, octet_length(encode(text)) AS n
+  FROM documents WHERE doc_id % 3 = 1
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  $fs
+FROM a"""
+  }
+
   /** Video payload frame sampling: stride-100 byte slices (documents text is
     * ASCII, so byte offsets = char offsets). */
   val mmFrameSample: String = """WITH v AS (

@@ -197,6 +197,8 @@ object SparkEntry {
 
     "mm_meta" -> ((s, dir) => ops.Multimodal.meta(s, docs(s, dir))),
     "mm_frame_sample" -> ((s, dir) => ops.Multimodal.frameSample(docs(s, dir)).toDF()),
+    "mm_resize" -> ((s, dir) => ops.Multimodal.resizeImages(docs(s, dir)).toDF()),
+    "mm_features" -> ((s, dir) => ops.Multimodal.audioFeatures(docs(s, dir)).toDF()),
 
     // Rollup + exact distinct aggregation coverage.
     "q_rollup" -> ((s, dir) =>
@@ -253,6 +255,8 @@ object SparkEntry {
     "ann_lsh_multiprobe" -> OracleSqlOps.annLshMultiProbe,
     "mm_meta" -> OracleSqlOps.mmMeta,
     "mm_frame_sample" -> OracleSqlOps.mmFrameSample,
+    "mm_resize" -> OracleSqlOps.mmResize,
+    "mm_features" -> OracleSqlOps.mmFeatures,
     "q_rollup" -> OracleSqlOps.qRollup,
     "q_distinct" -> OracleSqlOps.qDistinct)
 }

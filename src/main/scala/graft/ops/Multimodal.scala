@@ -66,6 +66,58 @@ object Multimodal {
   def meta(spark: SparkSession, docs: DataFrame): DataFrame =
     decodeMeta(mediaTable(docs)).toDF()
 
+  /** A stub-resized image payload's metadata. */
+  final case class ResizedImage(
+      doc_id: Long, width: Int, height: Int, n_bytes: Int, checksum: String)
+
+  /** Image resize: per-partition decoder init, 1-to-1 typed map — the shape
+    * of a real libjpeg/opencv resize. The stub "resample" gathers `target`
+    * evenly-spaced payload bytes (floor(i*n/target)), deterministic so the
+    * oracle reproduces the checksum; payloads already at or under the target
+    * pass through. */
+  def resizeImages(docs: DataFrame, target: Int = 224): Dataset[ResizedImage] = {
+    val images = mediaTable(docs).filter(_.media_type == "image")
+    images.mapPartitions { rows =>
+      val digest = MessageDigest.getInstance("MD5")
+      rows.map { r =>
+        val n = r.payload.length
+        val out =
+          if (n <= target) r.payload
+          else Array.tabulate(target)(i => r.payload((i.toLong * n / target).toInt))
+        digest.reset()
+        ResizedImage(r.doc_id, target, target, out.length, hex(digest.digest(out)))
+      }
+    }(Encoders.product[ResizedImage])
+  }
+
+  /** Stub audio feature vector: 8 payload-normalized banded byte sums
+    * (f_j = sum of bytes at positions ≡ j mod 8, over payload length) — the
+    * fixed-width per-row feature shape of a real MFCC extractor, as scalar
+    * columns (engine outputs stay array-free for the oracle hash compare). */
+  final case class AudioFeatures(doc_id: Long,
+      f0: Double, f1: Double, f2: Double, f3: Double,
+      f4: Double, f5: Double, f6: Double, f7: Double)
+
+  /** Audio feature extraction: per-partition init, one fixed-width feature
+    * row per payload. */
+  def audioFeatures(docs: DataFrame): Dataset[AudioFeatures] = {
+    val audios = mediaTable(docs).filter(_.media_type == "audio")
+    audios.mapPartitions { rows =>
+      rows.map { r =>
+        val sums = new Array[Long](8)
+        var i = 0
+        while (i < r.payload.length) {
+          sums(i % 8) += r.payload(i) & 0xff
+          i += 1
+        }
+        val n = math.max(r.payload.length, 1).toDouble
+        AudioFeatures(r.doc_id,
+          sums(0) / n, sums(1) / n, sums(2) / n, sums(3) / n,
+          sums(4) / n, sums(5) / n, sums(6) / n, sums(7) / n)
+      }
+    }(Encoders.product[AudioFeatures])
+  }
+
   /** One sampled frame of a video payload. */
   final case class Frame(doc_id: Long, frame_idx: Int, n_bytes: Int, checksum: String)
 

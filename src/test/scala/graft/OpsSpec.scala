@@ -249,6 +249,27 @@ class OpsSpec extends SparkSpec {
     assert(frames.filter(_.doc_id == 2L).map(_.n_bytes).sorted.toSeq == Seq(50, 100, 100))
   }
 
+  test("image resize gathers evenly-spaced bytes; short payloads pass through") {
+    val d = Seq((0L, "x" * 500), (3L, "tiny")).toDF("doc_id", "text") // doc_id%3==0
+    val r = Multimodal.resizeImages(d, target = 224).collect()
+      .map(x => x.doc_id -> x).toMap
+    assert(r(0L).n_bytes == 224 && r(0L).width == 224 && r(0L).height == 224)
+    assert(r(3L).n_bytes == 4) // under target: pass-through
+    // all-'x' input resampled is still all 'x': checksum = md5 of 224 x's
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expect = md.digest(Array.fill(224)('x'.toByte)).map(b => f"$b%02x").mkString
+    assert(r(0L).checksum == expect)
+  }
+
+  test("audio features are payload-normalized banded byte sums") {
+    val d = Seq((1L, "aaaaaaaa")).toDF("doc_id", "text") // doc_id%3==1, 8 bytes
+    val f = Multimodal.audioFeatures(d).collect().head
+    // each band holds exactly one 'a' (97) over n=8
+    (0 until 8).foreach { j =>
+      assert(f.productElement(j + 1).asInstanceOf[Double] == 97.0 / 8)
+    }
+  }
+
   test("multimodal meta decodes deterministically via mapPartitions") {
     val m = Multimodal.meta(spark, docs).orderBy("doc_id").collect()
     assert(m.length == 4)
