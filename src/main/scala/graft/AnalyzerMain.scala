@@ -26,12 +26,12 @@ import org.apache.spark.sql.streaming.DataStreamWriter
  * reference's feedback loop: the engine re-analyzes its own failures (the
  * cycle passes through Kafka; the Spark plan stays acyclic, SURVEY §2.1 S5).
  *
- * Each sink is an independent streaming query; the two stateful sinks and
- * the error sink's aggregate branch each maintain their own copy of the
- * (tiny: one row per topic × error type) statistics state under their own
- * checkpoint — equivalent content, per-sink recovery, no cross-sink
- * coordination. A single-pass alternative is `foreachBatch` fanning one
- * query out to all four topics.
+ * The whole topology is ONE streaming query: the source is consumed once, the
+ * statistics state exists once, recovery replays one checkpoint, and each
+ * micro-batch fans out to the four topics via batch Kafka writes
+ * ([[StreamingAnalyzer.unified]]/[[StreamingAnalyzer.fanOut]]) — the same
+ * compute-once-and-branch shape as the reference
+ * (DeadLetterAnalyzerTopology.java:139-158).
  */
 object AnalyzerMain {
 
@@ -98,32 +98,25 @@ object AnalyzerMain {
       avroSchemaFiles = schemaFiles)
   }
 
-  /** The four named sink frames of the topology, from an arbitrary envelope
-    * source (production: [[DeadLetterSource.kafka]]; tests: a MemoryStream
-    * with the same columns standing in for Kafka). */
-  def sinkFrames(outputs: StreamingAnalyzer.StreamingOutputs): Seq[(String, DataFrame)] = Seq(
-    "all" -> outputs.all,
-    // serde distinction: the stats topic carries plain Avro values
-    // (reference DeadLetterAnalyzerTopology.java:149-152)
-    "stats" -> StreamingAnalyzer.statsAvroValues(
-      StreamingAnalyzer.statsSink(outputs.results)),
-    "examples" -> StreamingAnalyzer.examplesSink(outputs.results),
-    // the error topic's value is the DeadLetter itself (reference S5)
-    "errors" -> outputs.errors.select(
-      col("key"), to_json(col("dead_letter")).as("value")))
-
-  /** Build the full production topology: four Kafka writers with per-sink
-    * checkpoint directories. Construction validates the plan (source +
-    * transforms analyzed by Catalyst); nothing starts until `.start()`. */
-  def topology(spark: SparkSession, cfg: Config): Seq[(String, DataStreamWriter[Row])] = {
+  /** Build the full production topology as ONE streaming query: a single
+    * Kafka source read, a single statistics state, one checkpoint; each
+    * micro-batch fans the tagged unified frame out to the four topics via
+    * batch Kafka writes. Construction validates the plan (source + transforms
+    * analyzed by Catalyst); nothing starts until `.start()`. */
+  def topology(spark: SparkSession, cfg: Config): DataStreamWriter[Row] = {
     implicit val dc: graft.functions.DecodeConfig = cfg.decodeConfig
     val input = DeadLetterSource.kafka(spark, cfg.brokers, cfg.inputPattern)
     val topicOf = Map(
       "all" -> cfg.outputTopic, "stats" -> cfg.statsTopic,
       "examples" -> cfg.examplesTopic, "errors" -> cfg.errorTopic)
-    sinkFrames(StreamingAnalyzer.analyze(input)).map { case (name, df) =>
-      name -> StreamingAnalyzer.toKafka(
-        df, cfg.brokers, topicOf(name), s"${cfg.checkpointDir}/$name")
+    StreamingAnalyzer.fanOut(
+      StreamingAnalyzer.unified(input), cfg.checkpointDir) { (name, frame) =>
+      frame
+        .select(col("key").cast("binary").as("key"), col("value"))
+        .write.format("kafka")
+        .option("kafka.bootstrap.servers", cfg.brokers)
+        .option("topic", topicOf(name))
+        .save()
     }
   }
 
@@ -133,9 +126,7 @@ object AnalyzerMain {
       .appName(s"dead-letter-analyzer-${cfg.outputTopic}")
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
-    topology(spark, cfg).foreach { case (name, writer) =>
-      writer.queryName(name).start()
-    }
+    topology(spark, cfg).queryName("dead-letter-analyzer").start()
     spark.streams.awaitAnyTermination()
   }
 }

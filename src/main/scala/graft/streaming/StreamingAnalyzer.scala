@@ -2,12 +2,14 @@ package graft.streaming
 
 import java.sql.Timestamp
 
+import graft.functions.{BruteForce, Classify}
+import graft.model.Messages
 import graft.plans.Analyzer
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, Row}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode}
 
 /**
  * Structured-Streaming topology: the reference's continuously-updated outputs
@@ -146,6 +148,17 @@ object StreamingAnalyzer {
       Analyzer.formatTimestamp(col("timestamp")).as("timestamp"),
       col("dead_letter"), col("topic"), col("error_type").as("type"))
 
+    val results = statResults(good, onAggRecord, stateTtlMs)
+
+    val errors = Analyzer.errorsOf(parseErrors, analyzeErrors)
+      .unionByName(aggregateErrors(results))
+    StreamingOutputs(all, results, errors)
+  }
+
+  /** The stateful stage: narrow projection → one `groupByKey` exchange →
+    * `flatMapGroupsWithState`. Shared by [[analyze]] and [[unified]]. */
+  private def statResults(good: DataFrame, onAggRecord: Enriched => Unit,
+      stateTtlMs: Option[Long]): DataFrame = {
     implicit val enc = Encoders.product[Enriched]
     val narrow: Dataset[Enriched] = good.select(
       col("topic"), col("error_type").as("errorType"), col("key_string").as("key"),
@@ -155,18 +168,128 @@ object StreamingAnalyzer {
     val timeout =
       if (stateTtlMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
       else GroupStateTimeout.NoTimeout
-    val results = narrow
+    narrow
       .groupByKey(r => (r.topic, r.errorType))(
         Encoders.tuple(Encoders.STRING, Encoders.STRING))
       .flatMapGroupsWithState(OutputMode.Append, timeout)(
         aggregateWith(onAggRecord, stateTtlMs))(
         Encoders.product[StatsState], Encoders.product[StatResult])
       .toDF()
-
-    val errors = Analyzer.errorsOf(parseErrors, analyzeErrors)
-      .unionByName(aggregateErrors(results))
-    StreamingOutputs(all, results, errors)
   }
+
+  /** Fan-out order of the four sinks. */
+  val SinkNames: Seq[String] = Seq("all", "stats", "examples", "errors")
+
+  /** The WHOLE topology as ONE streaming frame: every output record tagged
+    * with its sink name, shaped `(sink string, key string, value binary)`.
+    * Combined with [[fanOut]] this runs the four sinks as a single streaming
+    * query — one source read, one statistics state, one checkpoint — the way
+    * the reference computes once and branches
+    * (DeadLetterAnalyzerTopology.java:139-158). (Running each sink as its own
+    * query consumes the source 4× and keeps 3 independent copies of the
+    * statistics state under separate checkpoints, diverging on recovery.)
+    *
+    * Plan shape: the source forks exactly twice. One STATELESS pass emits the
+    * `all` rows and both stateless error channels from a single case
+    * projection (each input row lands in exactly one branch). One STATEFUL
+    * pass feeds `flatMapGroupsWithState`; its subtree is referenced EXACTLY
+    * ONCE — each StatResult row explodes into its stats row, optional example
+    * row, and optional aggregate-error row. Filtering the result stream three
+    * times (as the per-sink projections do in per-query mode) would plant
+    * three independent state stores in one plan, tripling state writes. */
+  def unified(input: DataFrame, onAggRecord: Enriched => Unit = _ => (),
+      stateTtlMs: Option[Long] = None)(
+      implicit dc: graft.functions.DecodeConfig): DataFrame = {
+    val p = Analyzer.parsed(input)
+    val err = col("parsed").getField("error")
+    val dl = col("parsed").getField("dead_letter")
+    val stackTrace = dl.getField("cause").getField("stack_trace")
+    val keyString = coalesce(BruteForce.stringified(col("key")), lit("null"))
+    def row(sink: String, key: Column, value: Column): Column =
+      struct(lit(sink).as("sink"), key.as("key"), value.cast("binary").as("value"))
+
+    // Stateless pass — the same three projections as Analyzer.analyzeParsed /
+    // errorsOf, fused into one per-row case so the parse pipeline runs once.
+    val parseDl = Analyzer.errorDeadLetter(
+      description = lit(Messages.ErrorConvertingErrors),
+      errorClass = when(err.startsWith("For input string"),
+          lit("java.lang.NumberFormatException"))
+        .otherwise(lit("java.lang.IllegalArgumentException")),
+      message = err,
+      inputValue = BruteForce.stringified(col("value")),
+      timestamp = col("timestamp"))
+    val analyzeDl = Analyzer.errorDeadLetter(
+      description = lit(Messages.ErrorAnalyzing),
+      errorClass = lit("java.util.NoSuchElementException"),
+      message = lit("No value present"),
+      inputValue = to_json(dl),
+      timestamp = col("timestamp"))
+    val allValue = to_json(struct(
+      keyString.as("context_key"), col("offset"), col("partition"),
+      Analyzer.formatTimestamp(col("timestamp")).as("timestamp"),
+      dl.as("dead_letter"), col("topic"),
+      Classify.classify(stackTrace).as("type")))
+    val stateless = p.select(
+      when(err.isNotNull, row("errors", keyString, to_json(parseDl)))
+        .when(stackTrace.isNull, row("errors", keyString, to_json(analyzeDl)))
+        .otherwise(row("all",
+          Analyzer.elasticId(col("topic"), col("partition"), col("offset")),
+          allValue))
+        .as("r"))
+
+    // Stateful pass — referenced once; per-result-row 1→N expansion.
+    val good = Analyzer.enriched(p.filter(err.isNull))
+      .filter(col("enrich_error").isNull)
+    val results = statResults(good, onAggRecord, stateTtlMs)
+    val statsKey = Analyzer.errorKeyString(col("topic"), col("errorType"))
+    val examplesValue = to_json(struct(
+      col("exampleKey"), col("exampleOffset"), col("examplePartition"),
+      Analyzer.formatTimestamp(timestamp_micros(col("exampleTimestampUs")))
+        .as("exampleTimestamp"),
+      col("exampleDescription"), col("topic"), col("errorType").as("type")))
+    val aggErrDl = Analyzer.errorDeadLetter(
+      description = lit(Messages.ErrorAggregating),
+      errorClass = col("aggError.errorClass"),
+      message = col("aggError.message"),
+      inputValue = col("aggError.inputValue"),
+      timestamp = timestamp_micros(col("aggError.timestampUs")))
+    val fromResults = results.select(
+      explode(array_compact(array(
+        when(col("aggError").isNull, row("stats", statsKey,
+          statsAvroEncode(col("count"),
+            Analyzer.formatTimestamp(timestamp_micros(col("createdUs"))),
+            Analyzer.formatTimestamp(timestamp_micros(col("updatedUs"))),
+            col("topic"), col("errorType")))),
+        when(col("aggError").isNull && col("exampleKey").isNotNull,
+          row("examples", statsKey, examplesValue)),
+        when(col("aggError").isNotNull,
+          row("errors", col("aggError.recordKey"), to_json(aggErrDl))))))
+        .as("r"))
+
+    stateless.unionByName(fromResults)
+      .select(col("r.sink").as("sink"), col("r.key").as("key"),
+        col("r.value").as("value"))
+  }
+
+  /** Run the [[unified]] topology as ONE streaming query, fanning each
+    * micro-batch out to the four sinks through `write(sinkName, frame)` where
+    * `frame` is the batch's `(key string, value binary)` slice for that sink
+    * (production: a batch Kafka write per topic; tests: an in-memory
+    * collector). The batch is persisted before the per-sink filters — load
+    * bearing: without it each sink's action re-executes the batch plan,
+    * re-running the source scan and re-applying the state updates. */
+  def fanOut(unified: DataFrame, checkpointDir: String)(
+      write: (String, DataFrame) => Unit): DataStreamWriter[Row] =
+    unified.writeStream.outputMode(OutputMode.Append).foreachBatch {
+      (batch: Dataset[Row], _: Long) =>
+        batch.persist()
+        try SinkNames.foreach { name =>
+          write(name, batch.filter(col("sink") === name).select("key", "value"))
+        } finally {
+          batch.unpersist()
+          ()
+        }
+    }.option("checkpointLocation", checkpointDir)
 
   /** Aggregate-stage failures projected to the error-sink shape (key +
     * DeadLetter with the reference's literal description). */
@@ -195,16 +318,20 @@ object StreamingAnalyzer {
     * every other sink is string-rendered (DeadLetterAnalyzerTopology
     * .java:149-152). Shaped as exactly (key, value) so [[toKafka]] passes the
     * frames through unwrapped. */
-  def statsAvroValues(stats: DataFrame): DataFrame = {
+  def statsAvroValues(stats: DataFrame): DataFrame =
+    stats.select(col("key"),
+      statsAvroEncode(col("count"), col("created"), col("updated"),
+        col("topic"), col("type")).as("value"))
+
+  /** Confluent-framed Avro encoder for FullErrorStatistics rows, as a UDF
+    * (no spark-avro jar on the classpath — see [[graft.functions.AvroEncode]]). */
+  private lazy val statsAvroEncode = {
     val enc = graft.functions.AvroEncode(
       graft.functions.AvroEncode.FullErrorStatisticsSchema,
       graft.functions.AvroEncode.FullErrorStatisticsId)
-    val encode = udf((count: Int, created: String, updated: String,
+    udf((count: Int, created: String, updated: String,
         topic: String, tpe: String) =>
       enc.encode(count, created, updated, topic, tpe))
-    stats.select(col("key"),
-      encode(col("count"), col("created"), col("updated"),
-        col("topic"), col("type")).as("value"))
   }
 
   /** Project first-occurrence results into the examples sink shape (T15: 0-or-1
@@ -218,21 +345,4 @@ object StreamingAnalyzer {
         .as("exampleTimestamp"),
       col("exampleDescription"), col("topic"), col("errorType").as("type"))
 
-  /** Kafka sink: string key + JSON value (the engine's interchange rendering),
-    * matching the reference's string-keyed Avro-valued output topics. A frame
-    * already shaped as exactly (key, value) passes through unwrapped. */
-  def toKafka(df: DataFrame, bootstrapServers: String, topic: String,
-      checkpoint: String): org.apache.spark.sql.streaming.DataStreamWriter[Row] = {
-    val payload =
-      if (df.columns.toSeq == Seq("key", "value"))
-        df.select(col("key").cast("binary").as("key"), col("value").cast("binary").as("value"))
-      else df.select(
-        col("key").cast("binary").as("key"),
-        to_json(struct(df.columns.filter(_ != "key").map(col): _*)).cast("binary").as("value"))
-    payload.writeStream
-      .format("kafka")
-      .option("kafka.bootstrap.servers", bootstrapServers)
-      .option("topic", topic)
-      .option("checkpointLocation", checkpoint)
-  }
 }

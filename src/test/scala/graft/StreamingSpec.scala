@@ -113,30 +113,63 @@ class StreamingSpec extends SparkSpec {
     } finally { qe.stop(); qr.stop() }
   }
 
-  test("production topology: four sinks wired end-to-end over a memory source") {
+  test("production topology: four sinks from ONE query with ONE stateful operator") {
     val spark2 = spark
     import spark2.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark2.sqlContext
 
     val stream = MemoryStream[KafkaRecord]
-    val frames = AnalyzerMain.sinkFrames(StreamingAnalyzer.analyze(stream.toDF()))
-    assert(frames.map(_._1) == Seq("all", "stats", "examples", "errors"))
-    val queries = frames.map { case (name, df) =>
-      name -> df.writeStream.format("memory")
-        .queryName(s"topo_$name").outputMode("append").start()
+    // poisoned aggregate body exercises the third error channel through the
+    // unified plan alongside the analyze-channel "bad" record
+    val unified = StreamingAnalyzer.unified(stream.toDF(),
+      onAggRecord = r =>
+        if (r.key == "poison") throw new IllegalStateException("boom"))
+    val collected = scala.collection.concurrent.TrieMap[String, Seq[(String, Array[Byte])]]()
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val writer = StreamingAnalyzer.fanOut(unified, ckpt) { (name, frame) =>
+      val rows = frame.collect()
+        .map(r => (r.getAs[String]("key"), r.getAs[Array[Byte]]("value"))).toSeq
+      collected.updateWith(name)(prev => Some(prev.getOrElse(Seq.empty) ++ rows))
     }
+    val q = writer.queryName("single_topo").start()
     try {
       stream.addData(
         record(0, 1000, "k0", Fixtures.StackTrace),
         record(1, 2000, "k1", Fixtures.StackTrace),
-        record(2, 3000, "bad", null)) // null stack trace -> error sink
-      queries.foreach(_._2.processAllAvailable())
-      assert(spark.table("topo_all").count() == 2)
-      assert(spark.table("topo_stats").count() == 2) // per-record updates
-      assert(spark.table("topo_examples").count() == 1)
-      val errs = spark.table("topo_errors").collect()
-      assert(errs.length == 1 && errs.head.getAs[String]("key") == "bad")
-    } finally queries.foreach(_._2.stop())
+        record(2, 3000, "bad", null), // null stack trace -> analyze error
+        record(3, 4000, "poison", Fixtures.StackTrace)) // aggregate error
+      q.processAllAvailable()
+
+      // k0, k1, poison — the poison record fails only at the AGGREGATE stage,
+      // so it still reaches the all sink (which is upstream of aggregation)
+      assert(collected("all").size == 3)
+      val allJson = new String(collected("all").head._2, "UTF-8")
+      assert(allJson.contains("\"topic\":\"my-stream-dead-letter-topic\""))
+      assert(allJson.contains("\"type\":\"" + Fixtures.StackTraceType + "\""))
+
+      // per-record updates: k0 (count 1) + k1 (count 2); poison touches nothing
+      assert(collected("stats").size == 2)
+      val statsJson = graft.functions.AvroDecode(Map(
+        graft.functions.AvroEncode.FullErrorStatisticsId ->
+          graft.functions.AvroEncode.FullErrorStatisticsSchema))
+        .render(collected("stats").last._2).replaceAll("\\s", "")
+      assert(statsJson.contains("\"count\":2"))
+
+      assert(collected("examples").size == 1)
+      assert(new String(collected("examples").head._2, "UTF-8")
+        .contains("\"exampleKey\":\"k0\""))
+
+      // both error channels through one plan: analyze ("bad") + aggregate ("poison")
+      assert(collected("errors").map(_._1).sorted == Seq("bad", "poison"))
+      val poisonJson = new String(
+        collected("errors").find(_._1 == "poison").get._2, "UTF-8")
+      assert(poisonJson.contains("\"description\":\"Error aggregating dead letters\""))
+
+      // EXACTLY ONE stateful operator and ONE streaming query back the topology
+      val progresses = q.recentProgress.toSeq
+      assert(progresses.exists(_.stateOperators.nonEmpty))
+      assert(progresses.forall(_.stateOperators.length <= 1))
+    } finally q.stop()
   }
 
   test("stats sink values are Confluent-framed Avro (serde distinction)") {
