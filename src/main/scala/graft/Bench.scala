@@ -36,9 +36,17 @@ object Bench {
     import scala.jdk.CollectionConverters._
     def gcMillis: Long = java.lang.management.ManagementFactory
       .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+    // fail loudly: a throwing query prints its stack and is counted in the
+    // bench line's "errors" — a broken query must not bench as a fast no-op
+    val failed = scala.collection.mutable.ListBuffer[String]()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime(); val g0 = gcMillis
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count(); () } catch {
+        case e: Throwable =>
+          failed += name
+          System.err.println(s"[bench] $name FAILED: $e")
+          e.printStackTrace()
+      }
       val sec = (System.nanoTime() - t0) / 1e9
       // release operator-internal persists so cached blocks don't accumulate
       // across the loop (storage-memory hygiene; see graft.ops.CacheScope)
@@ -49,7 +57,8 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = failed.map(n => "\"" + n + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","errors":${failed.size},"failed":$errs,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

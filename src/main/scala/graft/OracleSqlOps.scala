@@ -196,15 +196,11 @@ WHERE CAST(len(list_intersect(sa.bgs, sb.bgs)) AS DOUBLE)
 )"""
 
   /** Banded sign-LSH near-dup oracle (mirrors graft.ops.Similarity
-    * .nearDupPairs at threshold 0.45): candidates = pairs agreeing on >= 1
-    * band of the sign fingerprint, then exact-cosine verified. The engine's
-    * disjoint-branch union emits exactly this OR-DISTINCT candidate set. */
-  val embeddingNearDup: String = {
-    val threshold = 0.45
+    * .nearDupPairs at the given threshold): per-band keys pack the signs of
+    * hyperplanes [band·r, (band+1)·r) exactly as SignBandKeys; candidates =
+    * DISTINCT pairs sharing any (band, key), then exact-cosine verified. */
+  def embeddingNearDup(threshold: Double): String = {
     val (r, b) = graft.ops.Similarity.lshParams(threshold)
-    val bandOr = (0 until b)
-      .map(i => s"((l.sig >> ${i * r}) & ${(1L << r) - 1}) = ((r.sig >> ${i * r}) & ${(1L << r) - 1})")
-      .mkString("(", "\n    OR ", ")")
     s"""WITH ${hyperplaneCte(r * b)}, e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
     list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) AS n2
@@ -213,14 +209,19 @@ WHERE CAST(len(list_intersect(sa.bgs, sb.bgs)) AS DOUBLE)
   SELECT e.vec_id, hp.h, sum(hp.v * e.v[hp.d + 1]) AS dp
   FROM e, hp GROUP BY e.vec_id, hp.h
 ), sigs AS (
-  SELECT vec_id, CAST(sum(CASE WHEN dp >= 0 THEN 1::BIGINT << h ELSE 0 END) AS BIGINT) AS sig
-  FROM dots GROUP BY vec_id
+  SELECT vec_id, h // $r AS band,
+    sum(CASE WHEN dp >= 0 THEN 1::BIGINT << (h % $r) ELSE 0 END) AS key
+  FROM dots GROUP BY vec_id, h // $r
+), cand AS (
+  SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+  FROM sigs l JOIN sigs r
+    ON l.band = r.band AND l.key = r.key AND l.vec_id < r.vec_id
 )
-SELECT l.vec_id AS a, r.vec_id AS b,
+SELECT c.a, c.b,
   list_dot_product(le.v, re.v) / sqrt(le.n2 * re.n2) AS cosine
-FROM sigs l JOIN sigs r ON l.vec_id < r.vec_id AND $bandOr
-JOIN e le ON le.vec_id = l.vec_id
-JOIN e re ON re.vec_id = r.vec_id
+FROM cand c
+JOIN e le ON le.vec_id = c.a
+JOIN e re ON re.vec_id = c.b
 WHERE list_dot_product(le.v, re.v) / sqrt(le.n2 * re.n2) >= $threshold"""
   }
 

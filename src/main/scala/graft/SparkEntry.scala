@@ -183,8 +183,13 @@ object SparkEntry {
       val d = docs(s, dir)
       ops.Dedup.clusters(d, ops.Dedup.simhashPairs(d).select(col("a"), col("b")))
     }),
+    // t=0.45 is the stress case (sign-LSH can't prune at θ≈63°, candidates
+    // approach all-pairs — the operator's honesty note); t=0.8 is the
+    // production near-dup regime where the s-curve actually prunes.
     "dedup_embedding" -> ((s, dir) =>
       ops.Similarity.nearDupPairs(emb(s, dir), threshold = 0.45)),
+    "dedup_embedding_t08" -> ((s, dir) =>
+      ops.Similarity.nearDupPairs(emb(s, dir), threshold = 0.8)),
 
     "ann_topk" -> ((s, dir) =>
       ops.Similarity.bruteForceTopK(emb(s, dir), col("vec_id") % 100 === 0, k = 5)),
@@ -213,9 +218,9 @@ object SparkEntry {
 
   // spread: these feed self-joins / per-row sketches whose cost is
   // super-linear in rows-per-partition; see graft.ops.Par.
-  private def docs(s: SparkSession, dir: String): DataFrame =
+  private[graft] def docs(s: SparkSession, dir: String): DataFrame =
     ops.Par.spread(s.read.parquet(s"$dir/documents.parquet"))
-  private def emb(s: SparkSession, dir: String): DataFrame =
+  private[graft] def emb(s: SparkSession, dir: String): DataFrame =
     ops.Par.spread(s.read.parquet(s"$dir/embeddings.parquet"))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -248,7 +253,8 @@ object SparkEntry {
     "dedup_simhash_pairs" -> OracleSqlOps.simhashPairs,
     "dedup_ngram_jaccard" -> OracleSqlOps.ngramJaccard,
     "dedup_clusters" -> OracleSqlOps.dedupClusters,
-    "dedup_embedding" -> OracleSqlOps.embeddingNearDup,
+    "dedup_embedding" -> OracleSqlOps.embeddingNearDup(0.45),
+    "dedup_embedding_t08" -> OracleSqlOps.embeddingNearDup(0.8),
     "ann_topk" -> OracleSqlOps.annTopK,
     "ann_ivf" -> OracleSqlOps.annIvf,
     "ann_lsh" -> OracleSqlOps.annLsh,

@@ -30,6 +30,15 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // sketch-parameter recall vs exact no-sketch baselines (see graft.Recall:
+    // CORRECTNESS alone is self-consistency for oracle-mirrored LSH ops)
+    try {
+      val recallJson = Recall.toJson(Recall.metrics(spark, sfDir))
+      Files.writeString(Paths.get(s"$outDir/recall.json"), recallJson)
+      println(s"[verify] recall: $recallJson")
+    } catch { case e: Throwable =>
+      System.err.println(s"[verify] recall metrics failed: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

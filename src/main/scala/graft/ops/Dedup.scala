@@ -232,6 +232,26 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Exact all-pairs Jaccard baseline for [[minhashLsh]] — NO sketch, every
+    * pair verified (recall measurement / small corpora only: n²/2 pairs). */
+  def jaccardPairsExact(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+    val ids = docs.select(col("doc_id"))
+    val pairs = ids.as("l").join(ids.as("r"),
+        col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
+    jaccardVerify(pairs, docs).filter(col("jaccard") >= threshold)
+  }
+
+  /** Exact all-pairs Hamming baseline for [[simhashPairs]] — no pigeonhole
+    * chunk join (recall measurement / small corpora only). */
+  def simhashPairsExact(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val fps = CacheScope.track(simhash(docs))
+    fps.as("l").join(fps.as("r"), col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"),
+        bit_count(col("l.simhash").bitwiseXOR(col("r.simhash"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Near-dup cluster resolution: the keep/drop decision a dedup pipeline
     * actually needs. Given the near-dup pair graph, every document is
     * assigned `cluster_id` = the minimum doc_id of its connected component
@@ -242,47 +262,59 @@ object Dedup {
     * every vertex takes the min of its own and its neighbors' labels; the
     * fixpoint is the exact component minimum. Rounds needed = graph
     * diameter, which for near-dup graphs (dense cliques plus short chains)
-    * is small; convergence is detected by the strictly-decreasing label sum,
-    * ONE scalar aggregate action per round. Per round the work is a single
-    * edge-label equi-join + two partial-aggregating groupBys — all
-    * hash-partitioned and skew-tolerant under AQE at corpus scale (the
-    * alternating large-star/small-star variant drops in for adversarial
-    * high-diameter graphs; near-dup graphs don't need it). Superseded rounds'
-    * checkpoint blocks (one narrow row per doc each) are reclaimed by the
-    * ContextCleaner once unreferenced; an explicit per-round release would
-    * need the internal checkpointed-RDD handle. */
-  def clusters(docs: DataFrame, pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    * is small. Convergence detection rides INSIDE the round's one
+    * materialization job: each row's label-shrank flag bumps a Spark
+    * accumulator while the checkpoint job writes the new label table, so a
+    * round is exactly ONE action — no separate scalar aggregate (and no
+    * sum-of-labels comparison, which could wrap at extreme id scale). Per
+    * round the work is a single edge-label equi-join + two
+    * partial-aggregating groupBys — all hash-partitioned and skew-tolerant
+    * under AQE at corpus scale (the alternating large-star/small-star
+    * variant drops in for adversarial high-diameter graphs; near-dup graphs
+    * don't need it). Superseded rounds' checkpoint blocks (one narrow row
+    * per doc each) are reclaimed by the ContextCleaner once unreferenced; an
+    * explicit per-round release would need the internal checkpointed-RDD
+    * handle.
+    *
+    * @param checkpointDir when set, per-round lineage truncation uses
+    *   reliable `checkpoint()` into this directory (HDFS/S3 on a cluster) so
+    *   a lost executor replays from storage instead of failing the job;
+    *   default is executor-local `localCheckpoint()` — faster, not
+    *   fault-tolerant. */
+  def clusters(docs: DataFrame, pairs: DataFrame, maxIter: Int = 50,
+      checkpointDir: Option[String] = None): DataFrame = {
     // Iterative algorithm: every round MUST truncate lineage (eager
-    // localCheckpoint), or each round's logical plan embeds the whole
-    // history plus the pair-generation subtree and Catalyst re-analyzes a
-    // plan that grows without bound — planning time, not data, becomes the
-    // bottleneck. localCheckpoint stores executor-local blocks (the label
-    // table is one narrow row per doc); a cluster deployment needing
-    // fault-tolerant lineage would use checkpoint() with a checkpoint dir.
+    // checkpoint), or each round's logical plan embeds the whole history
+    // plus the pair-generation subtree and Catalyst re-analyzes a plan that
+    // grows without bound — planning time, not data, becomes the bottleneck.
     // the pair table materializes ONCE (the symmetric union would otherwise
     // re-run the whole pair-generation subtree per branch), and edges are
     // hash-partitioned once by the per-round join key (b) at the session
     // parallelism, so every round reshuffles only the one-row-per-doc label
     // table, never the 2|pairs| edge table
-    val p = pairs.select(col("a"), col("b")).localCheckpoint()
-    val edges = p
+    val sc = docs.sparkSession.sparkContext
+    checkpointDir.foreach(sc.setCheckpointDir)
+    def truncate(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+    val p = truncate(pairs.select(col("a"), col("b")))
+    val edges = truncate(p
       .unionByName(p.select(col("b").as("a"), col("a").as("b")))
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("b"))
-      .localCheckpoint()
-    var labels = docs.select(col("doc_id"), col("doc_id").as("label"))
-      .localCheckpoint()
-    def labelSum(df: DataFrame): Long = {
-      val row = df.agg(sum(col("label"))).head
-      if (row.isNullAt(0)) 0L else row.getLong(0) // empty docs -> empty result
-    }
-    var prevSum = labelSum(labels)
+      .repartition(sc.defaultParallelism, col("b")))
+    var labels = truncate(docs.select(col("doc_id"), col("doc_id").as("label")))
+    // Rides the checkpoint job; only zero-vs-nonzero is read, so task
+    // retries inflating the count are harmless (a retry can only re-count a
+    // genuinely changed row — an unchanged fixpoint always reads 0).
+    val changedAcc = sc.longAccumulator("graft.clusters.changed")
+    val markChanged = udf { (c: Boolean) => if (c) changedAcc.add(1L); c }
     def hop(l: DataFrame): DataFrame = {
       val neighborMin = edges
         .join(l.select(col("doc_id").as("b"), col("label")), "b")
         .groupBy(col("a")).agg(min(col("label")).as("nmin"))
       l.join(neighborMin, l("doc_id") === neighborMin("a"), "left")
         .select(l("doc_id"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
+          markChanged(coalesce(col("nmin") < col("label"), lit(false)))
+            .as("changed"))
     }
     var converged = false
     var it = 0
@@ -291,11 +323,9 @@ object Dedup {
       // the fixed per-round job costs but the first hop's output then feeds
       // two consumers with no cache between them (its join+agg recomputes),
       // and the larger composed plan re-pays codegen — measured net slower.
-      val next = hop(labels).localCheckpoint()
-      val sumNow = labelSum(next)
-      labels = next
-      converged = sumNow == prevSum
-      prevSum = sumNow
+      changedAcc.reset()
+      labels = truncate(hop(labels)).drop("changed")
+      converged = changedAcc.value == 0L
       it += 1
     }
     if (!converged)

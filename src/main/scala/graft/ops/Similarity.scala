@@ -141,18 +141,10 @@ object Similarity {
   /** Number of random hyperplanes for [[rpLshTopK]] (2^H buckets). */
   val LshBits = 8
 
-  /** Deterministic pseudo-random hyperplanes: component d of hyperplane h is
-    * derived from md5("h:d") — first 4 hex digits as an int x in [0, 65536),
-    * mapped to (x - 32768) / 32768.0 (a dyadic rational: exactly
-    * representable, so the oracle reproduces it bit-for-bit). */
-  def hyperplane(h: Int, dims: Int): Seq[Double] = {
-    val digest = java.security.MessageDigest.getInstance("MD5")
-    (0 until dims).map { d =>
-      val hex = digest.digest(s"$h:$d".getBytes("UTF-8"))
-        .take(2).map(b => f"$b%02x").mkString
-      (Integer.parseInt(hex, 16) - 32768) / 32768.0
-    }
-  }
+  /** Deterministic pseudo-random hyperplanes (md5-derived, oracle-
+    * reproducible) — see [[graft.functions.VectorExprs.hyperplane]]. */
+  def hyperplane(h: Int, dims: Int): Seq[Double] =
+    graft.functions.VectorExprs.hyperplane(h, dims)
 
   /** Sign fingerprint of a vector under hyperplanes 0..bits-1: bit h is the
     * sign of the dot with hyperplane h. */
@@ -210,25 +202,34 @@ object Similarity {
     topK(scored, k)
   }
 
+  /** Sign-bit budget for [[lshParams]]: the sketch computes r·b sign dots per
+    * vector, so this bounds sketch cost (and the oracle's hyperplane CTE). */
+  val MaxSignBits = 512
+
   /** Banding parameters (rowsPerBand, bands) for a cosine threshold, from the
     * sign-LSH s-curve: per-hyperplane agreement probability for a pair at
-    * cosine t is p = 1 - arccos(t)/π; rows r per band are sized so a
-    * threshold pair matches a band with probability ~1/2 (r = log 0.5 /
-    * log p), and the band count b is the smallest achieving
-    * 1-(1-p^r)^b >= targetRecall. */
+    * cosine t is p = 1 - arccos(t)/π. For each candidate band length r, the
+    * band count b is the smallest achieving recall 1-(1-p^r)^b >=
+    * targetRecall; among the (r, b) whose total bits fit [[MaxSignBits]], the
+    * pair MINIMIZING the random-pair candidate rate 1-(1-2^-r)^b wins (ties:
+    * fewer bits). Longer bands prune random pairs exponentially harder but
+    * need more bands for the same recall — the budget is what arbitrates
+    * (the r3 single-long fingerprint capped r·b at 63, which at t=0.8 forced
+    * r=3 and a ~60 % random candidate rate: recall without pruning). */
   def lshParams(threshold: Double, targetRecall: Double = 0.99): (Int, Int) = {
-    // clamp p below 1 so the formulas stay finite at threshold -> 1.0, and
-    // cap r (it diverges as p -> 1: near-exact thresholds would ask for
-    // hundreds of rows per band)
+    // clamp p below 1 so the formulas stay finite at threshold -> 1.0
     val p = math.min(1.0 - math.acos(threshold) / math.Pi, 0.999)
-    val r = math.min(32, math.max(1, math.round(math.log(0.5) / math.log(p)).toInt))
-    val b = math.max(1, math.ceil(
-      math.log(1 - targetRecall) / math.log(1 - math.pow(p, r))).toInt)
-    // the fingerprint packs r*b sign bits into ONE long; past 63 bits the
-    // JVM shift wraps (1L << 64 == 1L) and bands would silently alias into
-    // low bits — cap bands to what the long holds (recall degrades
-    // gracefully; widening to a second lane is the extension point)
-    (r, math.max(1, math.min(b, 63 / r)))
+    val options = (1 to 24).flatMap { r =>
+      val pr = math.pow(p, r)
+      val b = math.max(1, math.ceil(
+        math.log(1 - targetRecall) / math.log(1 - pr)).toInt)
+      if (r.toLong * b <= MaxSignBits) {
+        val falseRate = 1.0 - math.pow(1.0 - math.pow(0.5, r), b)
+        Some((falseRate, r * b, r, b))
+      } else None
+    }
+    val best = options.min
+    (best._3, best._4)
   }
 
   /** Embedding near-duplicate pairs: cosine >= threshold, candidates from
@@ -247,27 +248,47 @@ object Similarity {
     * low thresholds its value is structural: equi-join candidates partition
     * across the cluster, a nested-loop product cannot. */
   def nearDupPairs(embeddings: DataFrame, threshold: Double,
+      dims: Int = 64): DataFrame =
+    nearDupCandidates(embeddings, threshold, dims)
+      .filter(col("cosine") >= threshold)
+
+  /** The banded candidate stream of [[nearDupPairs]] BEFORE the cosine
+    * filter — exposed so harnesses can measure the sketch's real pruning
+    * power (candidate count vs n²/2) at a given threshold.
+    *
+    * Shape: band keys come from ONE [[graft.functions.SignBandKeys]] pass
+    * (production banding is hundreds of sign bits — see [[lshParams]]),
+    * posexploded to (vec_id, band, key) rows; candidates are an equi-join on
+    * (band, key) deduplicated by a (a, b) distinct, then verified by exact
+    * cosine through two id→vector joins. Everything partitions: the
+    * candidate join by its (band, key) space, the distinct and verify joins
+    * by pair/doc ids; the vector side of the verify joins broadcasts only
+    * while it fits ([[Par.maybeBroadcast]]). (The r3 shape — one join branch
+    * per band with disjointness guards — needed no distinct, but kept every
+    * band key as a plan column and a plan branch: at 40+ bands the branch
+    * union explodes the plan while this stays three joins at ANY band
+    * count.) */
+  def nearDupCandidates(embeddings: DataFrame, threshold: Double,
       dims: Int = 64): DataFrame = {
     val (rowsPerBand, bands) = lshParams(threshold)
-    val mask = (1L << rowsPerBand) - 1
-    val bandCols = (0 until bands).map { b =>
-      shiftright(col("sig"), b * rowsPerBand).bitwiseAND(lit(mask)).as(s"b$b")
-    }
     val e = CacheScope.track(withNorm2(embeddings)
-      .withColumn("sig",
-        signFingerprint(col("embedding"), dims, rowsPerBand * bands))
-      .select(Seq(col("vec_id"), col("embedding"), col("n2")) ++ bandCols: _*))
-    (0 until bands).map { b =>
-      val guard = (0 until b)
-        .map(p => col(s"l.b$p") =!= col(s"r.b$p"))
-        .foldLeft(col(s"l.b$b") === col(s"r.b$b"))(_ && _)
-      e.as("l").join(Par.maybeBroadcast(e.as("r")),
-          guard && col("l.vec_id") < col("r.vec_id"))
-        .select(col("l.vec_id").as("a"), col("r.vec_id").as("b"),
-          cosineWithNorms(col("l.embedding"), col("r.embedding"),
-            col("l.n2"), col("r.n2")).as("cosine"))
-    }.reduce(_ unionByName _)
-      .filter(col("cosine") >= threshold)
+      .select(col("vec_id"), col("embedding"), col("n2"),
+        graft.functions.VectorExprs.signBandKeys(
+          col("embedding"), dims, rowsPerBand, bands).as("keys")))
+    val banded = e.select(col("vec_id"),
+      posexplode(col("keys")).as(Seq("band", "key")))
+    val cand = banded.as("l").join(banded.as("r"),
+        col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
+          col("l.vec_id") < col("r.vec_id"))
+      .select(col("l.vec_id").as("a"), col("r.vec_id").as("b"))
+      .distinct()
+    cand
+      .join(Par.maybeBroadcast(
+        e.select(col("vec_id").as("a"), col("embedding").as("ea"), col("n2").as("n2a"))), "a")
+      .join(Par.maybeBroadcast(
+        e.select(col("vec_id").as("b"), col("embedding").as("eb"), col("n2").as("n2b"))), "b")
+      .select(col("a"), col("b"),
+        cosineWithNorms(col("ea"), col("eb"), col("n2a"), col("n2b")).as("cosine"))
   }
 
   /** Exact all-pairs baseline for [[nearDupPairs]] (small corpora / recall

@@ -193,12 +193,22 @@ class OpsSpec extends SparkSpec {
     graft.ops.CacheScope.releaseAll(spark)
   }
 
-  test("lshParams stays within one 64-bit fingerprint at extreme thresholds") {
+  test("lshParams honors the bits budget and recall target at extreme thresholds") {
     for (t <- Seq(0.45, 0.8, 0.9, 0.97, 0.99, 1.0)) {
       val (r, b) = Similarity.lshParams(t)
       assert(r >= 1 && b >= 1, s"t=$t gave ($r, $b)")
-      assert(r * b <= 63, s"t=$t gave ${r * b} bits — fingerprint would wrap")
+      assert(r * b <= Similarity.MaxSignBits,
+        s"t=$t gave ${r * b} bits — over the sketch budget")
+      // b was sized for the 0.99 recall target at this threshold's p
+      val p = math.min(1.0 - math.acos(t) / math.Pi, 0.999)
+      val recall = 1.0 - math.pow(1.0 - math.pow(p, r), b)
+      assert(recall >= 0.99, s"t=$t ($r, $b) theoretical recall $recall")
     }
+    // the production regime must actually PRUNE: random-pair candidate rate
+    // well under all-pairs (the r3 63-bit cap forced ~60% at t=0.8)
+    val (r8, b8) = Similarity.lshParams(0.8)
+    val falseRate = 1.0 - math.pow(1.0 - math.pow(0.5, r8), b8)
+    assert(falseRate <= 0.05, s"t=0.8 ($r8, $b8) random candidate rate $falseRate")
     // high-threshold near-dup runs without crashing and finds exact dups
     val pairs = Similarity.nearDupPairs(clusteredEmb, threshold = 0.99, dims = 4)
       .collect()
