@@ -38,20 +38,29 @@ object AnalyzerMain {
   final case class Config(
       brokers: String, inputPattern: String, outputTopic: String,
       errorTopic: String, statsTopic: String, examplesTopic: String,
-      checkpointDir: String, avroSchemaFiles: Map[Int, String] = Map.empty) {
-    /** Decode configuration: schema files read once at startup (the static
-      * stand-in for the reference's live schema registry). */
+      checkpointDir: String, avroSchemaFiles: Map[Int, String] = Map.empty,
+      timestampZone: Option[String] = None) {
+    /** Decode configuration: schema files read AND parse-validated once at
+      * startup (fail fast on malformed schema JSON instead of at first
+      * decode on an executor), wrapped in the static [[graft.functions
+      * .SchemaProvider]] — the submit-time stand-in for the reference's live
+      * registry; a registry-client provider drops in here. */
     def decodeConfig: graft.functions.DecodeConfig =
       graft.functions.DecodeConfig(avroSchemaFiles.map { case (id, path) =>
-        id -> new String(java.nio.file.Files.readAllBytes(
+        val json = new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8)
-      })
+        try new org.apache.avro.Schema.Parser().parse(json)
+        catch { case e: Exception => throw new IllegalArgumentException(
+          s"--avro-schema-files $id=$path: not a valid Avro schema: ${e.getMessage}") }
+        id -> json
+      }).copy(timestampZone = timestampZone)
   }
 
   private val Usage =
     "usage: AnalyzerMain --brokers B --input-pattern P --output-topic T " +
       "--error-topic E [--extra-output-topics stats=S,examples=X] " +
-      "[--checkpoint-dir DIR] [--avro-schema-files id=path,...]"
+      "[--checkpoint-dir DIR] [--avro-schema-files id=path,...] " +
+      "[--timestamp-zone host|ZONE_ID]"
 
   def parseArgs(args: Array[String]): Config = {
     // strict pairwise parse: every token must be a --flag followed by its
@@ -87,6 +96,13 @@ object AnalyzerMain {
         }
       }.toMap)
       .getOrElse(Map.empty[Int, String])
+    // reference parity: it renders sink timestamps in the HOST zone
+    // (Formatter.java:60-62); "host" resolves the submitting JVM's zone.
+    // Default (absent) keeps the engine's deterministic session-UTC rendering.
+    val tsZone = kv.get("timestamp-zone").map {
+      case "host" => java.time.ZoneId.systemDefault().getId
+      case z => java.time.ZoneId.of(z).getId // validates, fails fast
+    }
     Config(
       brokers = req("brokers"),
       inputPattern = req("input-pattern"),
@@ -95,7 +111,8 @@ object AnalyzerMain {
       statsTopic = extra.getOrElse("stats", s"$out-stats"),
       examplesTopic = extra.getOrElse("examples", s"$out-examples"),
       checkpointDir = kv.getOrElse("checkpoint-dir", "/tmp/graft-analyzer-checkpoints"),
-      avroSchemaFiles = schemaFiles)
+      avroSchemaFiles = schemaFiles,
+      timestampZone = tsZone)
   }
 
   /** Build the full production topology as ONE streaming query: a single

@@ -33,13 +33,34 @@ import org.apache.spark.sql.types._
  *   4. bytes that decode as clean UTF-8 → kind `string`, the text itself.
  *   5. anything else → kind `binary`, lowercase hex rendering.
  */
-/** Decode-layer configuration threaded (implicitly) through the parsers and
-  * both topologies: the Confluent schema-registry id → Avro schema JSON map
-  * for chain step 2. The default (empty map) disables the Avro tier. */
-final case class DecodeConfig(avroSchemas: Map[Int, String] = Map.empty)
+/** Topology configuration threaded (implicitly) through the parsers and both
+  * topologies.
+  *
+  *  - `schemas`: the [[SchemaProvider]] resolving Confluent schema ids for
+  *    decode-chain step 2. The default (an empty static map) disables the
+  *    Avro tier.
+  *  - `timestampZone`: when set, sink timestamps render as wall-clock time
+  *    of this zone id — the reference formats in the HOST zone
+  *    (`Formatter.java:60-62`, `ZoneId.systemDefault()`), so zone parity is
+  *    `Some(ZoneId.systemDefault().getId)`. Default None = session zone
+  *    (pinned UTC in this project): deterministic across hosts.
+  *  - `timestampOptionalParts`: render `…THH:mm` when seconds+millis are
+  *    zero and `…THH:mm:ss` when only millis are zero (the short forms of
+  *    `LocalDateTime.toString`, which the reference's DATE_TIME_FORMATTER
+  *    *parses*; its `format()` output is always fixed-width — Java optional
+  *    sections shorten parsing, not formatting — so fixed-width stays the
+  *    default). */
+final case class DecodeConfig(
+    schemas: SchemaProvider = StaticSchemas(Map.empty),
+    timestampZone: Option[String] = None,
+    timestampOptionalParts: Boolean = false)
 
 object DecodeConfig {
   implicit val default: DecodeConfig = DecodeConfig()
+
+  /** Convenience: a config over a static id→schema map. */
+  def apply(byId: Map[Int, String]): DecodeConfig =
+    DecodeConfig(StaticSchemas(byId))
 }
 
 object BruteForce {
@@ -83,13 +104,18 @@ object BruteForce {
 
   /** struct(kind, text, dead_letter) — `dead_letter` non-null iff kind =
     * 'dead_letter'. The Avro tier activates when the in-scope [[DecodeConfig]]
-    * carries schemas (default: none). */
+    * carries an active [[SchemaProvider]] (default: none). */
   def decoded(bin: Column)(implicit dc: DecodeConfig): Column =
-    decodedWithAvro(bin, dc.avroSchemas)
+    decodedWithAvro(bin, dc.schemas)
+
+  /** [[decoded]] over a static id→schema map (test/fixture convenience). */
+  def decodedWithAvro(bin: Column, schemasById: Map[Int, String]): Column =
+    decodedWithAvro(bin, StaticSchemas(schemasById))
 
   /** [[decoded]] with a Confluent-wire-format Avro tier tried first (chain
-    * step 2). `schemasById` maps schema-registry ids to Avro schema JSON. */
-  def decodedWithAvro(bin: Column, schemasById: Map[Int, String]): Column = {
+    * step 2), resolving schema ids through `provider` — the reference's
+    * registry-first serde chain with the registry behind the seam. */
+  def decodedWithAvro(bin: Column, provider: SchemaProvider): Column = {
     val txt = utf8(bin)
     val (isDl, deadLetter) = dlFromJson(txt)
     val base = when(bin.isNull, lit(null).cast(decodedType))
@@ -101,14 +127,16 @@ object BruteForce {
       .otherwise(
         struct(lit("binary").as("kind"), lower(hex(bin)).as("text"),
           lit(null).cast(deadLetterStruct).as("dead_letter")))
-    if (schemasById.isEmpty) base
+    if (!provider.isActive) base
     else {
-      // Confluent framing gate (magic byte 0, >= 6 bytes) is pure column
+      // Confluent framing gate (magic byte 0, >= 5 bytes — the 1+4-byte
+      // header alone is a valid frame for a zero-field record body, matching
+      // AvroDecode.render's minimum) is pure column
       // arithmetic; only gated rows reach the Avro-decode function (CaseWhen
       // evaluates the matched branch only). The decode renders the record as
       // compact JSON — a failed decode or unknown id yields null and falls
       // through to the remaining tiers.
-      val decoder = AvroDecode(schemasById)
+      val decoder = AvroDecode(provider)
       val gate = bin.isNotNull && length(bin) >= 5 &&
         substring(bin, 1, 1) === lit(Array[Byte](0))
       val avroTxt = udf((b: Array[Byte]) => decoder.render(b)).apply(bin)

@@ -41,9 +41,9 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).cast("int").as("n_copies"))
 
   /** (doc_id, tok) with distinct tokens per doc — the token-set relation. */
-  private def docTokens(docs: DataFrame): DataFrame =
+  private def docTokens(docs: DataFrame, tokenizer: Tokenizer): DataFrame =
     docs.select(col("doc_id"),
-      explode(array_distinct(TextAnalysis.tokens(col("text")))).as("tok"))
+      explode(array_distinct(tokenizer.tokens(col("text")))).as("tok"))
 
   /** Modulus of the (h1 + s·h2) seed family: the Mersenne prime 2^31-1. The
     * wrap decorrelates the K seeds — without it every seed is a monotone
@@ -59,14 +59,15 @@ object Dedup {
     * plus K multiply-add-mods per token (vs K digests). One groupBy with K
     * `min` aggregates: map-side partial aggregation shrinks the shuffle to
     * one row per doc. */
-  def minhashSignatures(docs: DataFrame, k: Int = 32): DataFrame = {
+  def minhashSignatures(docs: DataFrame, k: Int = 32,
+      tokenizer: Tokenizer = Tokenizer.Whitespace): DataFrame = {
     val d = md5(col("tok").cast("binary"))
     val h1 = conv(substring(d, 1, 7), 16, 10).cast("long")
     val h2 = conv(substring(d, 9, 7), 16, 10).cast("long")
     val aggs = (0 until k).map { s =>
       min((col("h1") + lit(s.toLong) * col("h2")) % lit(MinhashPrime)).as(s"mh$s")
     }
-    docTokens(docs).select(col("doc_id"), h1.as("h1"), h2.as("h2"))
+    docTokens(docs, tokenizer).select(col("doc_id"), h1.as("h1"), h2.as("h2"))
       .groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -95,10 +96,11 @@ object Dedup {
 
   /** One sorted hashed-token set per doc — the per-doc sketch every Jaccard
     * verify path compares (codegen'd merge intersect). */
-  private def hashedTokenSets(docs: DataFrame): DataFrame =
+  private def hashedTokenSets(docs: DataFrame,
+      tokenizer: Tokenizer = Tokenizer.Whitespace): DataFrame =
     docs.select(col("doc_id"),
       array_sort(array_distinct(
-        transform(TextAnalysis.tokens(col("text")), t => tokHash(t)))).as("tks"))
+        transform(tokenizer.tokens(col("text")), t => tokHash(t)))).as("tks"))
 
   /** Jaccard similarity over hashed-token sets for a given pair relation
     * (a, b): |A∩B| / |A∪B|. Each doc's set is built ONCE as a sorted int
@@ -139,7 +141,8 @@ object Dedup {
     * broadcast threshold, AQE's skew-join splitting handles the giant-bucket
     * case. */
   def minhashLsh(docs: DataFrame, k: Int = 32, bands: Int = 8,
-      threshold: Double = 0.8): DataFrame = {
+      threshold: Double = 0.8,
+      tokenizer: Tokenizer = Tokenizer.Whitespace): DataFrame = {
     // One row per doc: band keys + the sorted hashed-token set, joined once
     // at build time (an n-row join) and persisted. Carrying the token sets ON
     // the banded table fuses verification into the candidate joins — each
@@ -150,8 +153,8 @@ object Dedup {
     // candidate stream is orders of magnitude larger than the doc table, so
     // fusing wins on both counts.
     val banded = CacheScope.track(
-      lshBands(minhashSignatures(docs, k), k, bands)
-        .join(hashedTokenSets(docs), "doc_id"))
+      lshBands(minhashSignatures(docs, k, tokenizer), k, bands)
+        .join(hashedTokenSets(docs, tokenizer), "doc_id"))
     val inter = graft.functions.ArrayExprs.sortedIntersectSize(
       col("l.tks"), col("r.tks"))
     (0 until bands).map { b =>
@@ -182,9 +185,10 @@ object Dedup {
     * come from md5 hex chars 1-7, bits 28-55 from chars 9-15 (the same two
     * lanes as [[minhashSignatures]]). One groupBy with 56 bit-plane sums;
     * map-side partial aggregation shrinks the shuffle to one row per doc. */
-  def simhash(docs: DataFrame): DataFrame = {
+  def simhash(docs: DataFrame,
+      tokenizer: Tokenizer = Tokenizer.Whitespace): DataFrame = {
     val toksAll = docs.select(col("doc_id"),
-      explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      explode(tokenizer.tokens(col("text"))).as("tok"))
     val d = md5(col("tok").cast("binary"))
     val withLanes = toksAll.select(col("doc_id"),
       conv(substring(d, 1, 7), 16, 10).cast("long").as("h1"),
@@ -234,7 +238,8 @@ object Dedup {
 
   /** Exact all-pairs Jaccard baseline for [[minhashLsh]] — NO sketch, every
     * pair verified (recall measurement / small corpora only: n²/2 pairs). */
-  def jaccardPairsExact(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+  def jaccardPairsExact(docs: DataFrame, threshold: Double = 0.8,
+      tokenizer: Tokenizer = Tokenizer.Whitespace): DataFrame = {
     val ids = docs.select(col("doc_id"))
     val pairs = ids.as("l").join(ids.as("r"),
         col("l.doc_id") < col("r.doc_id"))
@@ -310,11 +315,20 @@ object Dedup {
       val neighborMin = edges
         .join(l.select(col("doc_id").as("b"), col("label")), "b")
         .groupBy(col("a")).agg(min(col("label")).as("nmin"))
+      // pointer jump: label-of-label from the SAME checkpointed table (a
+      // second scan of materialized blocks — no edge join, no recompute)
+      // advances chain vertices one extra hop per round; measured 13 -> 10
+      // rounds / -13 % total on the sf0.1 pair graph. Deeper walks and full
+      // two-edge-hop rounds both measured SLOWER: progress here is bounded
+      // by min-label diffusion through dense regions (one edge-hop per
+      // round regardless of label-chain depth), and extra joins just grow
+      // the per-round plan. least() ignores the left-join nulls.
+      val jump = l.select(col("doc_id").as("jd"), col("label").as("jlabel"))
+      val newLabel = least(l("label"), col("nmin"), col("jlabel"))
       l.join(neighborMin, l("doc_id") === neighborMin("a"), "left")
-        .select(l("doc_id"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
-          markChanged(coalesce(col("nmin") < col("label"), lit(false)))
-            .as("changed"))
+        .join(jump, l("label") === col("jd"), "left")
+        .select(l("doc_id"), newLabel.as("label"),
+          markChanged(newLabel < l("label")).as("changed"))
     }
     var converged = false
     var it = 0
@@ -324,9 +338,13 @@ object Dedup {
       // two consumers with no cache between them (its join+agg recomputes),
       // and the larger composed plan re-pays codegen — measured net slower.
       changedAcc.reset()
+      val t0 = System.nanoTime()
       labels = truncate(hop(labels)).drop("changed")
       converged = changedAcc.value == 0L
       it += 1
+      if (sys.env.contains("GRAFT_CLUSTERS_DEBUG"))
+        System.err.println(f"[graft] clusters round $it: " +
+          f"changed=${changedAcc.value} ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     if (!converged)
       System.err.println(s"[graft] Dedup.clusters hit maxIter=$maxIter before " +

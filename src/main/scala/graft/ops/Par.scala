@@ -39,7 +39,15 @@ object Par {
    */
   def maybeBroadcast(df: DataFrame): DataFrame = {
     val threshold = graftbridge.autoBroadcastThreshold(df.sparkSession)
-    if (threshold > 0 && graftbridge.planSizeBytes(df) <= threshold) broadcast(df)
-    else df
+    val estimate = graftbridge.planSizeBytes(df)
+    if (threshold > 0 && estimate <= threshold) broadcast(df)
+    else {
+      // observable fallback (advisor r3): the estimate can be wildly high for
+      // aggregated/joined subtrees, and a silently dropped hint also drops the
+      // stream-side partitioning the skew notes in Dedup rely on
+      System.err.println(s"[graft] maybeBroadcast: declined (estimate " +
+        s"$estimate B > threshold $threshold B) — partitioned-join fallback")
+      df
+    }
   }
 }

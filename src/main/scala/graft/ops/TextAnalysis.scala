@@ -12,11 +12,34 @@ import org.apache.spark.sql.functions._
  * noted), so they stream over a 100 TB corpus at scan speed with full
  * predicate/column pushdown into the source.
  */
+/** Tokenization strategy threaded through the text/dedup family. Whitespace
+  * split is the default (cheap, oracle-mirrored); the BPE-ish variant
+  * separates punctuation-glued words — on real corpora whitespace
+  * under-tokenizes ("quick,brown" is one token) and near-dup detection
+  * misses pairs that differ only in punctuation spacing. */
+sealed trait Tokenizer extends Serializable {
+  def tokens(text: Column): Column
+}
+
+object Tokenizer {
+  /** Split on single spaces, empties dropped. */
+  case object Whitespace extends Tokenizer {
+    override def tokens(text: Column): Column =
+      filter(split(text, " "), t => t =!= "")
+  }
+
+  /** BPE-ish pre-tokenization: alphanumeric runs or single non-space
+    * symbols — the shape of byte-pair-encoder pre-splitting. */
+  case object BpeIsh extends Tokenizer {
+    override def tokens(text: Column): Column =
+      regexp_extract_all(text, lit(TextAnalysis.BpeRegex), lit(0))
+  }
+}
+
 object TextAnalysis {
 
-  /** Whitespace tokens, empties dropped. */
-  def tokens(text: Column): Column =
-    filter(split(text, " "), t => t =!= "")
+  /** Whitespace tokens, empties dropped (the default [[Tokenizer]]). */
+  def tokens(text: Column): Column = Tokenizer.Whitespace.tokens(text)
 
   /** BPE-ish pre-tokenization: alphanumeric runs or single non-space symbols —
     * the shape of byte-pair-encoder pre-splitting. */
@@ -99,9 +122,10 @@ object TextAnalysis {
     * only K rows ever reach one place, so the op holds at any corpus size.
     * The rank column is then a window over just those K rows. Vocabulary
     * building is the input to tokenizer training. */
-  def vocabulary(docs: DataFrame, minDf: Int = 2, topK: Int = 1000): DataFrame = {
+  def vocabulary(docs: DataFrame, minDf: Int = 2, topK: Int = 1000,
+      tokenizer: Tokenizer = Tokenizer.Whitespace): DataFrame = {
     val postings = docs.select(
-      explode(array_distinct(tokens(col("text")))).as("tok"))
+      explode(array_distinct(tokenizer.tokens(col("text")))).as("tok"))
     val dfs = postings.groupBy(col("tok"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf)

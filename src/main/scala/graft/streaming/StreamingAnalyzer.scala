@@ -305,7 +305,8 @@ object StreamingAnalyzer {
 
   /** Project the per-record result stream into the stats sink shape
     * (FullErrorStatistics). */
-  def statsSink(results: DataFrame): DataFrame = results
+  def statsSink(results: DataFrame)(
+      implicit dc: graft.functions.DecodeConfig): DataFrame = results
     .filter(col("aggError").isNull).select(
     Analyzer.errorKeyString(col("topic"), col("errorType")).as("key"),
     col("count"),
@@ -336,7 +337,8 @@ object StreamingAnalyzer {
 
   /** Project first-occurrence results into the examples sink shape (T15: 0-or-1
     * expansion on the first-example flag). */
-  def examplesSink(results: DataFrame): DataFrame = results
+  def examplesSink(results: DataFrame)(
+      implicit dc: graft.functions.DecodeConfig): DataFrame = results
     .filter(col("aggError").isNull && col("exampleKey").isNotNull)
     .select(
       Analyzer.errorKeyString(col("topic"), col("errorType")).as("key"),

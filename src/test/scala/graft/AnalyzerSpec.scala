@@ -13,6 +13,31 @@ class AnalyzerSpec extends SparkSpec {
 
   private val topic = "my-stream-dead-letter-topic"
 
+  test("timestamp rendering: optional-parts short forms and zone parity flags") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq(60000L, 61000L, 61500L).toDF("ms")
+      .select(timestamp_millis(col("ms")).as("ts"))
+    // optional-parts style: seconds+millis zero -> THH:mm; millis zero ->
+    // THH:mm:ss; otherwise full fixed width (reference Formatter.java:43-58's
+    // optional sections, as LocalDateTime.toString would render them)
+    val optional = graft.functions.DecodeConfig(timestampOptionalParts = true)
+    val rendered = df.select(Analyzer.formatTimestamp(col("ts"))(optional).as("t"))
+      .collect().map(_.getString(0)).toSeq
+    assert(rendered == Seq(
+      "1970-01-01T00:01", "1970-01-01T00:01:01", "1970-01-01T00:01:01.500"))
+    // zone parity: wall clock of the configured zone (reference renders
+    // ZoneId.systemDefault(), Formatter.java:60-62), fixed width by default
+    val berlin = graft.functions.DecodeConfig(timestampZone = Some("Europe/Berlin"))
+    val z = df.limit(1).select(Analyzer.formatTimestamp(col("ts"))(berlin).as("t"))
+      .head().getString(0)
+    assert(z == "1970-01-01T01:01:00.000") // UTC+1 in January 1970
+    // the default renders session-UTC fixed width
+    val dflt = df.limit(1).select(Analyzer.formatTimestamp(col("ts")).as("t"))
+      .head().getString(0)
+    assert(dflt == "1970-01-01T00:01:00.000")
+  }
+
   /** shouldProcessDeadLetter (reference :131-195). */
   test("avro dead letter flows to all three sinks with literal keys") {
     val out = Analyzer.analyze(envelopeDf(Seq(

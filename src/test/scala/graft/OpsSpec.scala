@@ -75,6 +75,24 @@ class OpsSpec extends SparkSpec {
     graft.ops.CacheScope.releaseAll(spark)
   }
 
+  test("BPE-ish tokenizer finds the punctuation-glued near-dup whitespace misses") {
+    import graft.ops.Tokenizer
+    // same 20 words; doc 1 glues every word pair with a comma — under
+    // whitespace tokenization the token sets are DISJOINT (10 glued tokens vs
+    // 20 words), under BPE-ish pre-tokenization they differ only by the ","
+    // token (jaccard 20/21 ~= 0.95)
+    val words = (1 to 20).map(i => s"word$i")
+    val spaced = words.mkString(" ")
+    val glued = words.grouped(2).map(_.mkString(",")).mkString(" ")
+    val d = Seq((0L, spaced), (1L, glued)).toDF("doc_id", "text")
+    def pairsWith(t: Tokenizer) =
+      Dedup.minhashLsh(d, threshold = 0.8, tokenizer = t).collect()
+        .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")))
+    assert(pairsWith(Tokenizer.Whitespace).isEmpty)
+    assert(pairsWith(Tokenizer.BpeIsh).contains((0L, 1L)))
+    graft.ops.CacheScope.releaseAll(spark)
+  }
+
   test("identical docs have identical simhash; near-dups within small hamming") {
     val fps = Dedup.simhash(docs).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap

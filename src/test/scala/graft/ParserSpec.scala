@@ -247,6 +247,42 @@ class ParserSpec extends SparkSpec {
     assert(out.errors.count() == 0)
   }
 
+  test("decode chain resolves ids through the SchemaProvider seam (registry drop-in)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val trSchema =
+      """{"type":"record","name":"TestRecord","fields":[{"name":"id","type":"int"}]}"""
+    // a NON-static provider (what an HTTP registry client would be): resolves
+    // two distinct ids, counts lookups on the driver side of the closure
+    val lookups = new java.util.concurrent.atomic.AtomicInteger(0)
+    val provider = new graft.functions.SchemaProvider {
+      override def schemaFor(id: Int): Option[String] = {
+        lookups.incrementAndGet()
+        id match {
+          case 7 => Some(deadLetterAvroSchema)
+          case 9 => Some(trSchema)
+          case _ => None
+        }
+      }
+      override def isActive: Boolean = true
+    }
+    val dlFrame = confluentFrame(deadLetterAvroSchema, 7, { r =>
+      val schema = new org.apache.avro.Schema.Parser().parse(deadLetterAvroSchema)
+      r.put("description", "d")
+      r.put("cause", new org.apache.avro.generic.GenericData.Record(
+        schema.getField("cause").schema()))
+    })
+    val trFrame = confluentFrame(trSchema, 9, _.put("id", 5))
+    val rows = Seq(Tuple1(dlFrame), Tuple1(trFrame), Tuple1(utf8("plain"))).toDF("value")
+      .select(graft.functions.BruteForce
+        .decodedWithAvro(col("value"), provider).as("d"))
+      .select("d.*").collect()
+    assert(rows(0).getAs[String]("kind") == "dead_letter")
+    assert(rows(1).getAs[String]("kind") == "avro")
+    assert(rows(1).getAs[String]("text").replaceAll("\\s", "") == """{"id":5}""")
+    assert(rows(2).getAs[String]("kind") == "string")
+  }
+
   test("non-dead-letter Avro records render as their JSON toString (ErrorUtil parity)") {
     val spark2 = spark
     import spark2.implicits._
