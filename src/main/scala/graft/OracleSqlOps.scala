@@ -303,6 +303,42 @@ FROM reach GROUP BY src"""
   /** Random-hyperplane LSH ANN oracle: hyperplane components derived from
     * md5("h:d") exactly as graft.ops.Similarity.hyperplane (shared
     * [[hyperplaneCte]], one definition for all sign-LSH oracles). */
+  /** Multi-table RP-LSH oracle (mirrors graft.ops.Similarity
+    * .rpLshMultiTableTopK): table t's bucket packs the signs of hyperplanes
+    * [t·r, (t+1)·r); candidates = DISTINCT (query, neighbor) sharing any
+    * table's bucket, ranked by exact cosine. */
+  val annLshMultiTable: String = {
+    val (tables, r) =
+      (graft.ops.Similarity.LshTables, graft.ops.Similarity.LshBitsPerTable)
+    s"""WITH ${hyperplaneCte(tables * r)}, e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+    list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) AS n2
+  FROM embeddings
+), dots AS (
+  SELECT e.vec_id, hp.h, sum(hp.v * e.v[hp.d + 1]) AS dp
+  FROM e, hp GROUP BY e.vec_id, hp.h
+), buckets AS (
+  SELECT vec_id, h // $r AS tbl,
+    sum(CASE WHEN dp >= 0 THEN 1::BIGINT << (h % $r) ELSE 0 END) AS bucket
+  FROM dots GROUP BY vec_id, h // $r
+), cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM buckets c
+  JOIN buckets q ON c.tbl = q.tbl AND c.bucket = q.bucket
+    AND c.vec_id <> q.vec_id AND q.vec_id % 100 = 0
+), scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+    list_dot_product(qe.v, ne.v) / sqrt(qe.n2 * ne.n2) AS cosine
+  FROM cand
+  JOIN e qe ON qe.vec_id = cand.query_id
+  JOIN e ne ON ne.vec_id = cand.neighbor_id
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cosine FROM ranked WHERE rank <= 3"""
+  }
+
   val annLsh: String = s"""WITH ${hyperplaneCte(graft.ops.Similarity.LshBits)}, e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
     list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) AS n2

@@ -68,6 +68,9 @@ object Recall {
       released(topkRecall("ann_lsh_multiprobe_top3",
         ops.Similarity.rpLshMultiProbeTopK(SparkEntry.emb(s, dir), queryPred, k = 3),
         ops.Similarity.bruteForceTopK(SparkEntry.emb(s, dir), queryPred, k = 3))),
+      released(topkRecall("ann_lsh_multitable_top3",
+        ops.Similarity.rpLshMultiTableTopK(SparkEntry.emb(s, dir), queryPred, k = 3),
+        ops.Similarity.bruteForceTopK(SparkEntry.emb(s, dir), queryPred, k = 3))),
       embeddingMetric(s, dir, 0.45),
       embeddingMetric(s, dir, 0.8))
   }
@@ -101,8 +104,9 @@ object Recall {
       "per-hyperplane agreement ~2/3, so P(sharing an 8-bit sign bucket) ~0.04 " +
       "for a TRUE neighbor), the regime where any LSH/IVF tier degrades toward " +
       "its pruning rate and brute force is the correct tier. OpsSpec pins " +
-      "ann recall on clustered vectors (IVF top-1 = brute force; multi-probe " +
-      "dominates single-probe); embedding_neardup_* measure banding recall on " +
+      "ann recall on clustered vectors (IVF top-1 = brute force; 16-table " +
+      "LSH = exact top-3; multi-probe dominates single-probe); " +
+      "embedding_neardup_* measure banding recall on " +
       "ALL pairs above threshold and are held to the bar, with candidate " +
       "counts evidencing pruning (t80) vs the documented no-prune stress " +
       "regime (t45)")

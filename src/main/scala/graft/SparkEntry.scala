@@ -199,6 +199,8 @@ object SparkEntry {
       ops.Similarity.rpLshTopK(emb(s, dir), col("vec_id") % 100 === 0, k = 3)),
     "ann_lsh_multiprobe" -> ((s, dir) =>
       ops.Similarity.rpLshMultiProbeTopK(emb(s, dir), col("vec_id") % 100 === 0, k = 3)),
+    "ann_lsh_multitable" -> ((s, dir) =>
+      ops.Similarity.rpLshMultiTableTopK(emb(s, dir), col("vec_id") % 100 === 0, k = 3)),
 
     "mm_meta" -> ((s, dir) => ops.Multimodal.meta(s, docs(s, dir))),
     "mm_frame_sample" -> ((s, dir) => ops.Multimodal.frameSample(docs(s, dir)).toDF()),
@@ -259,6 +261,7 @@ object SparkEntry {
     "ann_ivf" -> OracleSqlOps.annIvf,
     "ann_lsh" -> OracleSqlOps.annLsh,
     "ann_lsh_multiprobe" -> OracleSqlOps.annLshMultiProbe,
+    "ann_lsh_multitable" -> OracleSqlOps.annLshMultiTable,
     "mm_meta" -> OracleSqlOps.mmMeta,
     "mm_frame_sample" -> OracleSqlOps.mmFrameSample,
     "mm_resize" -> OracleSqlOps.mmResize,

@@ -181,6 +181,51 @@ object Similarity {
       dims: Int = 64): DataFrame =
     rpLsh(embeddings, queryPred, k, dims, multiProbe = true)
 
+  /** Default multi-table layout for [[rpLshMultiTableTopK]]: L independent
+    * tables of `r` sign bits each. Recall compounds across tables —
+    * P(miss) = (1 - p^r)^L for per-hyperplane agreement p — which is the
+    * standard way sign-LSH reaches HIGH recall: one table's bits can only
+    * trade recall against scan fraction, L tables multiply the chances
+    * while each probe still reads only ~n/2^r of the corpus. */
+  val LshTables = 16
+  val LshBitsPerTable = 8
+
+  /** Multi-TABLE RP-LSH ANN: the corpus is bucketed under [[LshTables]]
+    * independent sign hashings (one [[graft.functions.SignBandKeys]] pass;
+    * table t uses hyperplanes [t·r, (t+1)·r)); a query probes its bucket in
+    * EVERY table, candidates deduplicate per (query, neighbor), and the
+    * survivors rank by exact cosine. At cluster scale the corpus is stored
+    * once per table (L × n rows, the classic memory-for-recall trade)
+    * partitioned by (table, bucket), so each probe is a pruned read of
+    * ~n/2^bits rows — this is the recall-bearing LSH tier, where
+    * single-fingerprint probing ([[rpLshTopK]]/[[rpLshMultiProbeTopK]])
+    * caps out at what one table's Hamming ball can reach. */
+  def rpLshMultiTableTopK(embeddings: DataFrame, queryPred: Column, k: Int = 3,
+      dims: Int = 64, tables: Int = LshTables,
+      bitsPerTable: Int = LshBitsPerTable): DataFrame = {
+    val e = CacheScope.track(withNorm2(embeddings)
+      .select(col("vec_id"), col("embedding"), col("n2"),
+        graft.functions.VectorExprs.signBandKeys(
+          col("embedding"), dims, bitsPerTable, tables).as("keys")))
+    val banded = e.select(col("vec_id"),
+      posexplode(col("keys")).as(Seq("table", "bucket")))
+    val qprobes = e.filter(queryPred).select(col("vec_id").as("query_id"),
+      posexplode(col("keys")).as(Seq("table", "bucket")))
+    val cand = banded.as("c").join(Par.maybeBroadcast(qprobes.as("q")),
+        col("c.table") === col("q.table") && col("c.bucket") === col("q.bucket") &&
+          col("c.vec_id") =!= col("q.query_id"))
+      .select(col("q.query_id"), col("c.vec_id").as("neighbor_id"))
+      .distinct()
+    val scored = cand
+      .join(Par.maybeBroadcast(e.select(col("vec_id").as("query_id"),
+        col("embedding").as("qe"), col("n2").as("qn2"))), "query_id")
+      .join(Par.maybeBroadcast(e.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("ne"), col("n2").as("nn2"))), "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        cosineWithNorms(col("qe"), col("ne"), col("qn2"), col("nn2")).as("cosine"))
+    topK(scored, k)
+  }
+
   private def rpLsh(embeddings: DataFrame, queryPred: Column, k: Int,
       dims: Int, multiProbe: Boolean): DataFrame = {
     val corpus = CacheScope.track(withNorm2(embeddings)

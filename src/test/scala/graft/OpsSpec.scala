@@ -211,6 +211,23 @@ class OpsSpec extends SparkSpec {
     graft.ops.CacheScope.releaseAll(spark)
   }
 
+  test("multi-table LSH reaches near-exact recall on clustered vectors") {
+    val pred = col("vec_id").isin(0L, 30L, 60L)
+    def hits(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val exact = hits(Similarity.bruteForceTopK(clusteredEmb, pred, k = 3))
+    val multi = hits(Similarity.rpLshMultiTableTopK(clusteredEmb, pred, k = 3,
+      dims = 4))
+    // 16 independent tables compound per-table hit probability: on clustered
+    // vectors (intra-cluster cosine ~0.99) recall is effectively exact —
+    // the regime where the single-fingerprint probes cap out
+    assert((exact -- multi).isEmpty,
+      s"multi-table missed ${(exact -- multi).size} of ${exact.size}")
+    val single = hits(Similarity.rpLshTopK(clusteredEmb, pred, k = 3, dims = 4))
+    assert(multi.size >= single.size)
+    graft.ops.CacheScope.releaseAll(spark)
+  }
+
   test("lshParams honors the bits budget and recall target at extreme thresholds") {
     for (t <- Seq(0.45, 0.8, 0.9, 0.97, 0.99, 1.0)) {
       val (r, b) = Similarity.lshParams(t)
