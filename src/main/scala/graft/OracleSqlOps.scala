@@ -78,6 +78,78 @@ SELECT CAST(rank AS INT) AS rank, tok, df FROM ranked WHERE rank <= 1000"""
   CASE WHEN (${hexLaneOf("CAST(doc_id AS VARCHAR)", 1, 7)}) % 100 < 90 THEN 'train' ELSE 'val' END AS split
 FROM documents"""
 
+  /** DuckDB word n-grams of a token list `tk`, space-joined (mirrors
+    * graft.ops.TextAnalysis.grams). */
+  private def gramsExpr(width: Int): String =
+    s"list_transform(range(1, greatest(len(tk) - ${width - 1}, 0) + 1), " +
+      s"i -> array_to_string(array_slice(tk, i, i + ${width - 1}), ' '))"
+
+  /** Repetition signals (mirrors graft.ops.TextAnalysis.repetition). */
+  val textRepetition: String = s"""WITH t AS (
+  SELECT doc_id, $toks AS tk FROM documents
+), a AS (
+  SELECT doc_id, tk, len(tk) AS n,
+    ${gramsExpr(2)} AS bg, ${gramsExpr(3)} AS tg
+  FROM t
+), topb AS (
+  SELECT doc_id, max(c) AS topc FROM (
+    SELECT doc_id, g, count(*) AS c
+    FROM (SELECT doc_id, unnest(bg) AS g FROM a) GROUP BY doc_id, g)
+  GROUP BY doc_id
+)
+SELECT a.doc_id,
+  CASE WHEN n = 0 THEN 0.0 ELSE CAST(n - len(list_distinct(tk)) AS DOUBLE) / n END AS dup_token_frac,
+  CASE WHEN len(tg) = 0 THEN 0.0 ELSE CAST(len(tg) - len(list_distinct(tg)) AS DOUBLE) / len(tg) END AS dup_trigram_frac,
+  CASE WHEN len(bg) = 0 THEN 0.0 ELSE coalesce(CAST(topc AS DOUBLE) / len(bg), 0.0) END AS top_bigram_frac
+FROM a LEFT JOIN topb ON a.doc_id = topb.doc_id"""
+
+  /** Contamination check (mirrors graft.ops.TextAnalysis.decontaminate,
+    * width=5, trainPct=90): train docs sharing any word 5-gram with a val
+    * doc. */
+  val textDecontaminate: String = s"""WITH t AS (
+  SELECT doc_id, $toks AS tk FROM documents
+), s AS (
+  SELECT doc_id,
+    CASE WHEN (${hexLaneOf("CAST(doc_id AS VARCHAR)", 1, 7)}) % 100 < 90 THEN 'train' ELSE 'val' END AS split
+  FROM documents
+), g AS (
+  SELECT DISTINCT doc_id, g FROM
+    (SELECT doc_id, unnest(${gramsExpr(5)}) AS g FROM t)
+), vg AS (
+  SELECT DISTINCT g.g FROM g JOIN s USING (doc_id) WHERE s.split = 'val'
+), c AS (
+  SELECT DISTINCT g.doc_id FROM g JOIN s USING (doc_id) JOIN vg ON g.g = vg.g
+  WHERE s.split = 'train'
+)
+SELECT s.doc_id, s.split, (s.split = 'train' AND c.doc_id IS NOT NULL) AS contaminated
+FROM s LEFT JOIN c ON s.doc_id = c.doc_id"""
+
+  /** Sequence packing (mirrors graft.ops.TextAnalysis.pack, budget=2048,
+    * shards=32). */
+  val textPack: String = s"""WITH t AS (
+  SELECT doc_id, CAST(len($toks) AS BIGINT) AS n_tokens,
+    (${hexLaneOf("CAST(doc_id AS VARCHAR)", 1, 7)}) AS lane
+  FROM documents
+), sh AS (
+  SELECT *, CAST(lane % 32 AS INT) AS shard FROM t
+), c AS (
+  SELECT *, coalesce(sum(n_tokens) OVER (
+      PARTITION BY shard ORDER BY lane, doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM sh
+)
+SELECT doc_id, shard, CAST(cum_before // 2048 AS INT) AS seq,
+  CAST(cum_before % 2048 AS INT) AS tok_offset, CAST(n_tokens AS INT) AS n_tokens
+FROM c"""
+
+  /** Stratified sample (mirrors graft.ops.TextAnalysis.stratifiedSample with
+    * DefaultSampleRates, defaultPct=10; salted lane decorrelates from the
+    * split lane). */
+  val textSample: String = s"""SELECT doc_id, lang,
+  ((${hexLaneOf("'sample:' || CAST(doc_id AS VARCHAR)", 1, 7)}) % 100) <
+  (CASE lang WHEN 'en' THEN 100 WHEN 'de' THEN 50 WHEN 'es' THEN 50 WHEN 'fr' THEN 25 ELSE 10 END) AS kept
+FROM documents"""
+
   val dedupExact: String = """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
   CAST(count(*) AS INT) AS n_copies
 FROM documents GROUP BY md5(text)"""

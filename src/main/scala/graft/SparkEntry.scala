@@ -171,6 +171,10 @@ object SparkEntry {
     "text_fingerprint" -> ((s, dir) => ops.TextAnalysis.fingerprint(docs(s, dir))),
     "text_vocab" -> ((s, dir) => ops.TextAnalysis.vocabulary(docs(s, dir))),
     "text_split" -> ((s, dir) => ops.TextAnalysis.hashSplit(docs(s, dir))),
+    "text_repetition" -> ((s, dir) => ops.TextAnalysis.repetition(docs(s, dir))),
+    "text_decontaminate" -> ((s, dir) => ops.TextAnalysis.decontaminate(docs(s, dir))),
+    "text_pack" -> ((s, dir) => ops.TextAnalysis.pack(docs(s, dir))),
+    "text_sample" -> ((s, dir) => ops.TextAnalysis.stratifiedSample(docs(s, dir))),
 
     "dedup_exact" -> ((s, dir) => ops.Dedup.exact(docs(s, dir))),
     "dedup_minhash_lsh" -> ((s, dir) => ops.Dedup.minhashLsh(docs(s, dir))),
@@ -249,6 +253,10 @@ object SparkEntry {
     "text_fingerprint" -> OracleSqlOps.fingerprint,
     "text_vocab" -> OracleSqlOps.textVocab,
     "text_split" -> OracleSqlOps.textSplit,
+    "text_repetition" -> OracleSqlOps.textRepetition,
+    "text_decontaminate" -> OracleSqlOps.textDecontaminate,
+    "text_pack" -> OracleSqlOps.textPack,
+    "text_sample" -> OracleSqlOps.textSample,
     "dedup_exact" -> OracleSqlOps.dedupExact,
     "dedup_minhash_lsh" -> OracleSqlOps.minhashLsh,
     "dedup_simhash" -> OracleSqlOps.simhash,

@@ -136,14 +136,145 @@ object TextAnalysis {
       .select(col("rank"), col("tok"), col("df"))
   }
 
+  /** 28-bit integer lane of md5(e): the one deterministic hash behind the
+    * split/pack/sample family (mirrored in the DuckDB oracles). */
+  private def md5Lane(e: Column): Column =
+    conv(substring(md5(e.cast("binary")), 1, 7), 16, 10).cast("long")
+
   /** Deterministic train/validation split: the split is a pure function of
     * doc_id (md5 lane mod 100 vs `trainPct`), so it is stable across runs,
     * cluster layouts, and engine versions — no sampling state, no seed
     * coordination; a pure per-row projection at scan speed. */
   def hashSplit(docs: DataFrame, trainPct: Int = 90): DataFrame = {
-    val lane = conv(substring(
-      md5(col("doc_id").cast("string").cast("binary")), 1, 7), 16, 10).cast("long")
+    val lane = md5Lane(col("doc_id").cast("string"))
     docs.select(col("doc_id"),
       when(lane % 100 < trainPct, lit("train")).otherwise(lit("val")).as("split"))
+  }
+
+  /** Word n-grams of token array `tk` (which must have `n` = size(tk)
+    * alongside), joined with single spaces; empty when the doc is shorter
+    * than `width` tokens. Guarded so `sequence` never sees start > stop
+    * (Spark would generate a DESCENDING range). */
+  private def grams(tk: Column, n: Column, width: Int): Column =
+    when(n >= width,
+      transform(sequence(lit(1), n - (width - 1)),
+        i => array_join(slice(tk, i, lit(width)), " ")))
+      .otherwise(array().cast("array<string>"))
+
+  /** Repetition signals (the Gopher-style quality filters): fraction of
+    * duplicate tokens, fraction of duplicate word-trigrams, and the fraction
+    * of word-bigram occurrences taken by the single most frequent bigram.
+    * High values flag boilerplate / degenerate generations.
+    *
+    * The duplicate fractions are pure array expressions (scan speed); the
+    * top-bigram mode needs a per-(doc, bigram) count — an explode + two
+    * map-side-combining aggregations keyed by doc_id, so it partitions
+    * cleanly at any corpus size (no per-doc quadratic array scan).
+    */
+  def repetition(docs: DataFrame,
+      tokenizer: Tokenizer = Tokenizer.Whitespace): DataFrame = {
+    val base = docs
+      .select(col("doc_id"), tokenizer.tokens(col("text")).as("tk"))
+      .withColumn("n", size(col("tk")))
+      .select(col("doc_id"), col("n"),
+        when(col("n") === 0, lit(0.0))
+          .otherwise((col("n") - size(array_distinct(col("tk")))).cast("double")
+            / col("n")).as("dup_token_frac"),
+        grams(col("tk"), col("n"), 3).as("tg"),
+        grams(col("tk"), col("n"), 2).as("bg"))
+      .withColumn("n2", size(col("bg")))
+    val topBigram = base
+      .select(col("doc_id"), explode(col("bg")).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("topc"))
+    base.join(topBigram, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        col("dup_token_frac"),
+        when(size(col("tg")) === 0, lit(0.0))
+          .otherwise((size(col("tg")) - size(array_distinct(col("tg"))))
+            .cast("double") / size(col("tg"))).as("dup_trigram_frac"),
+        when(col("n2") === 0, lit(0.0))
+          .otherwise(coalesce(col("topc").cast("double") / col("n2"), lit(0.0)))
+          .as("top_bigram_frac"))
+  }
+
+  /** Benchmark decontamination: flag training documents that share any word
+    * `width`-gram with a validation document (the standard n-gram-overlap
+    * contamination check run before pretraining). Output: every doc with its
+    * split and a `contaminated` flag (true only for flagged train docs).
+    *
+    * Scale shape: per-doc DISTINCT shingles explode to a (doc, gram) posting
+    * list; the val-side gram set is a DISTINCT projection and the train-side
+    * check is a `left_semi` equi-join on the gram string — everything
+    * hash-partitions on the gram, no pair blow-up on hot shingles.
+    */
+  def decontaminate(docs: DataFrame, width: Int = 5, trainPct: Int = 90,
+      tokenizer: Tokenizer = Tokenizer.Whitespace): DataFrame = {
+    val split = hashSplit(docs, trainPct)
+    val postings = docs
+      .select(col("doc_id"), tokenizer.tokens(col("text")).as("tk"))
+      .withColumn("n", size(col("tk")))
+      .select(col("doc_id"),
+        explode(array_distinct(grams(col("tk"), col("n"), width))).as("g"))
+      .join(split, Seq("doc_id"))
+    val valGrams = postings.filter(col("split") === "val")
+      .select(col("g")).distinct()
+    val contaminated = postings.filter(col("split") === "train")
+      .join(valGrams, Seq("g"), "left_semi")
+      .select(col("doc_id")).distinct()
+      .withColumn("hit", lit(true))
+    split.join(contaminated, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("split"),
+        (col("split") === "train" && coalesce(col("hit"), lit(false)))
+          .as("contaminated"))
+  }
+
+  /** Deterministic sequence packing (the concat-and-chunk layout used to
+    * fill fixed-length pretraining sequences): documents are dealt to
+    * `shards` by id hash, ordered within each shard by the same hash, and
+    * assigned the chunk (`seq`) and token offset where each begins in the
+    * shard's concatenated token stream.
+    *
+    * The window is PARTITIONED by shard — each shard's running sum is
+    * independent, so the layout parallelizes across the cluster and adding
+    * shards scales it; a single global ordering (one-reducer window) is
+    * exactly what this avoids. Output is a pure function of doc ids +
+    * token counts: stable across runs and cluster layouts.
+    */
+  def pack(docs: DataFrame, budget: Int = 2048, shards: Int = 32,
+      tokenizer: Tokenizer = Tokenizer.Whitespace): DataFrame = {
+    val base = docs.select(col("doc_id"),
+      size(tokenizer.tokens(col("text"))).cast("long").as("n_tokens"),
+      md5Lane(col("doc_id").cast("string")).as("lane"))
+      .withColumn("shard", (col("lane") % shards).cast("int"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("lane"), col("doc_id"))
+    base.withColumn("cum_before",
+        coalesce(sum(col("n_tokens")).over(w.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("doc_id"), col("shard"),
+        floor(col("cum_before") / budget).cast("int").as("seq"),
+        (col("cum_before") % budget).cast("int").as("tok_offset"),
+        col("n_tokens").cast("int").as("n_tokens"))
+  }
+
+  /** Default per-language keep rates for [[stratifiedSample]]. */
+  val DefaultSampleRates: Map[String, Int] =
+    Map("en" -> 100, "de" -> 50, "es" -> 50, "fr" -> 25)
+
+  /** Deterministic stratified sampling: per-language keep percentages
+    * applied via a salted id hash — a pure per-row projection (scan speed,
+    * no sampling state), reproducible across runs and engines. The salt
+    * decorrelates the sample from [[hashSplit]]'s lane so sampling composes
+    * with splitting without bias. */
+  def stratifiedSample(docs: DataFrame,
+      rates: Map[String, Int] = DefaultSampleRates,
+      defaultPct: Int = 10): DataFrame = {
+    val lane = md5Lane(concat(lit("sample:"), col("doc_id").cast("string")))
+    val rate = rates.toSeq.sortBy(_._1).foldRight(lit(defaultPct): Column) {
+      case ((l, p), acc) => when(col("lang") === l, lit(p)).otherwise(acc)
+    }
+    docs.select(col("doc_id"), col("lang"), (lane % 100 < rate).as("kept"))
   }
 }

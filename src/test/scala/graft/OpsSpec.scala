@@ -322,4 +322,91 @@ class OpsSpec extends SparkSpec {
     assert(m(2).getAs[String]("media_type") == "video")
     assert(m(0).getAs[String]("checksum") == m(1).getAs[String]("checksum"))
   }
+
+  test("repetition flags the degenerate doc, not the clean one") {
+    val d = Seq(
+      (0L, "a b c d e f g h"),                    // no repetition at all
+      (1L, "spam spam spam spam spam spam spam"), // fully degenerate
+      (2L, "x y x y x y x y")                     // one bigram loops
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.repetition(d).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r(0L).getAs[Double]("dup_token_frac") == 0.0)
+    assert(r(0L).getAs[Double]("dup_trigram_frac") == 0.0)
+    // 7 spam tokens: 6/7 duplicates; all 6 bigrams identical
+    assert(math.abs(r(1L).getAs[Double]("dup_token_frac") - 6.0 / 7) < 1e-12)
+    assert(r(1L).getAs[Double]("top_bigram_frac") == 1.0)
+    // x y x y...: bigrams alternate "x y"(4) / "y x"(3) over 7 total
+    assert(math.abs(r(2L).getAs[Double]("top_bigram_frac") - 4.0 / 7) < 1e-12)
+    assert(r(2L).getAs[Double]("dup_trigram_frac") > 0.5)
+  }
+
+  test("repetition handles empty and single-token docs without NaN") {
+    val d = Seq((0L, ""), (1L, "solo")).toDF("doc_id", "text")
+    val r = TextAnalysis.repetition(d).collect()
+    r.foreach { x =>
+      assert(x.getAs[Double]("dup_token_frac") == 0.0)
+      assert(x.getAs[Double]("dup_trigram_frac") == 0.0)
+      assert(x.getAs[Double]("top_bigram_frac") == 0.0)
+    }
+  }
+
+  test("decontaminate flags exactly the train docs sharing a shingle with val") {
+    // force a split where we know the lanes: find ids landing on each side
+    val base = (0L until 40L).map(i => (i, s"filler$i only unique tokens here padpad$i"))
+    val split = TextAnalysis.hashSplit(base.toDF("doc_id", "text")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    val valId = split.collectFirst { case (id, "val") => id }.get
+    val trainId = split.collectFirst { case (id, "train") => id }.get
+    val cleanId = split.collectFirst { case (id, "train") => id } // any other train
+    val other = split.collectFirst { case (id, "train") if id != trainId => id }.get
+    val shared = "one two three four five six seven"
+    val d = Seq(
+      (valId, s"$shared val side tail"),
+      (trainId, s"head words then $shared"), // shares a 5-gram with val doc
+      (other, "totally disjoint vocabulary nothing matches anywhere at all")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.decontaminate(d).collect()
+      .map(x => (x.getAs[Long]("doc_id"), x.getAs[String]("split"),
+        x.getAs[Boolean]("contaminated"))).toSet
+    assert(r.contains((valId, "val", false)))
+    assert(r.contains((trainId, "train", true)))
+    assert(r.contains((other, "train", false)))
+    assert(cleanId.isDefined)
+  }
+
+  test("pack lays docs head-to-tail per shard within the token budget") {
+    val d = (0L until 100L).map(i => (i, ("tok " * 50).trim)).toDF("doc_id", "text")
+    val r = TextAnalysis.pack(d, budget = 128, shards = 4).collect()
+    assert(r.map(_.getAs[Int]("shard")).distinct.sorted.sameElements(Array(0, 1, 2, 3)))
+    // within a shard, offsets advance by exactly n_tokens mod budget
+    r.groupBy(_.getAs[Int]("shard")).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(x => (x.getAs[Int]("seq"), x.getAs[Int]("tok_offset")))
+      sorted.sliding(2).foreach {
+        case Array(p, n) =>
+          val cumP = p.getAs[Int]("seq").toLong * 128 + p.getAs[Int]("tok_offset")
+          val cumN = n.getAs[Int]("seq").toLong * 128 + n.getAs[Int]("tok_offset")
+          assert(cumN == cumP + p.getAs[Int]("n_tokens"))
+        case _ => ()
+      }
+    }
+    // every offset is inside the budget
+    assert(r.forall(_.getAs[Int]("tok_offset") < 128))
+  }
+
+  test("stratified sample honors per-language rates deterministically") {
+    val d = (0L until 400L).map(i =>
+      (i, "text", if (i % 2 == 0) "en" else "zz")).toDF("doc_id", "text", "lang")
+    val r1 = TextAnalysis.stratifiedSample(d).collect()
+      .map(x => (x.getAs[Long]("doc_id"), x.getAs[Boolean]("kept")))
+    val r2 = TextAnalysis.stratifiedSample(d).collect()
+      .map(x => (x.getAs[Long]("doc_id"), x.getAs[Boolean]("kept")))
+    assert(r1.sorted.sameElements(r2.sorted)) // deterministic
+    val byLang = r1.toMap
+    // en rate=100: every en doc kept
+    assert((0L until 400L by 2).forall(byLang(_)))
+    // unknown lang falls to defaultPct=10: some dropped, few kept
+    val zzKept = (1L until 400L by 2).count(byLang(_))
+    assert(zzKept > 0 && zzKept < 60)
+  }
 }
