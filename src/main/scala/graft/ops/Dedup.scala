@@ -281,13 +281,28 @@ object Dedup {
     * explicit per-round release would need the internal checkpointed-RDD
     * handle.
     *
+    * Two-level finish: the pair graph of a dedup run is vastly smaller than
+    * the corpus (one row per near-dup PAIR, not per document), so after the
+    * one materialization of the pair table its size is known exactly; when
+    * it is under `localEdgeGate` the component minima are computed with
+    * union-find on the driver (linear, ~α(n) per edge) and broadcast-joined
+    * back — one job instead of diameter-many rounds. This is the same
+    * size-gated pattern as broadcast joins (and the big-graph/small-graph
+    * split in GraphFrames' connectedComponents): the distributed loop below
+    * remains the path for edge sets over the gate, where per-round work is
+    * hash-partitioned and skew-tolerant.
+    *
     * @param checkpointDir when set, per-round lineage truncation uses
     *   reliable `checkpoint()` into this directory (HDFS/S3 on a cluster) so
     *   a lost executor replays from storage instead of failing the job;
     *   default is executor-local `localCheckpoint()` — faster, not
-    *   fault-tolerant. */
+    *   fault-tolerant.
+    * @param localEdgeGate max pair count solved driver-side (default 1M
+    *   edges ≈ tens of MB of ids on the driver — the broadcast-join size
+    *   class); larger graphs take the distributed label-propagation loop. */
   def clusters(docs: DataFrame, pairs: DataFrame, maxIter: Int = 50,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None,
+      localEdgeGate: Long = 1000000L): DataFrame = {
     // Iterative algorithm: every round MUST truncate lineage (eager
     // checkpoint), or each round's logical plan embeds the whole history
     // plus the pair-generation subtree and Catalyst re-analyzes a plan that
@@ -302,6 +317,9 @@ object Dedup {
     def truncate(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
     val p = truncate(pairs.select(col("a"), col("b")))
+    // The truncate above already materialized p, so this count is a cheap
+    // cached-block scan, not a recompute of the pair-generation subtree.
+    if (p.count() <= localEdgeGate) return clustersLocal(docs, p)
     val edges = truncate(p
       .unionByName(p.select(col("b").as("a"), col("a").as("b")))
       .repartition(sc.defaultParallelism, col("b")))
@@ -352,6 +370,57 @@ object Dedup {
         "merged; raise maxIter (or pre-contract with large-star rounds)")
     labels.select(col("doc_id"), col("label").as("cluster_id"),
       (col("doc_id") === col("label")).as("is_canonical"))
+  }
+
+  /** Driver-side finish for [[clusters]] under the edge gate: union-find
+    * with path compression over the (already materialized, gate-checked)
+    * pair table, then the vertex→component-min mapping — one small row per
+    * edge-touched vertex — broadcast-joined to the doc table. Singletons
+    * never enter the mapping; the join's null coalesces to doc_id. Id-type
+    * generic: works for any orderable id column (long, string). */
+  private def clustersLocal(docs: DataFrame, p: DataFrame): DataFrame = {
+    import scala.collection.mutable
+    val parent = mutable.HashMap.empty[Any, Any]
+    def find(x: Any): Any = {
+      var root = x
+      while (parent.get(root).exists(_ != root)) root = parent(root)
+      var cur = x
+      while (cur != root) { val nxt = parent(cur); parent(cur) = root; cur = nxt }
+      root
+    }
+    val vertices = mutable.LinkedHashSet.empty[Any]
+    p.toLocalIterator().forEachRemaining { r =>
+      val (a, b) = (r.get(0), r.get(1))
+      if (a != null && b != null) {
+        vertices += a; vertices += b
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(rb) = ra
+      }
+    }
+    def lt(x: Any, y: Any): Boolean = (x, y) match {
+      case (a: Long, b: Long)     => a < b
+      case (a: Int, b: Int)       => a < b
+      case (a: String, b: String) => a < b
+      case _                      => String.valueOf(x) < String.valueOf(y)
+    }
+    val minOf = mutable.HashMap.empty[Any, Any]
+    vertices.foreach { v =>
+      val r = find(v)
+      if (!minOf.get(r).exists(m => !lt(v, m))) minOf(r) = v
+    }
+    val idType = p.schema.head.dataType
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", idType),
+      org.apache.spark.sql.types.StructField("cluster_id", idType)))
+    val rows = vertices.iterator
+      .map(v => org.apache.spark.sql.Row(v, minOf(find(v)))).toSeq
+    import scala.jdk.CollectionConverters._
+    val mapping = docs.sparkSession.createDataFrame(rows.asJava, schema)
+    docs.select(col("doc_id"))
+      .join(broadcast(mapping), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
   }
 
   /** Word-bigram Jaccard near-dup pairs. Candidates come from an inverted

@@ -115,6 +115,32 @@ class OpsSpec extends SparkSpec {
     graft.ops.CacheScope.releaseAll(spark)
   }
 
+  test("cluster resolution: distributed loop matches the local finish") {
+    val d = (0L to 5L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = Seq((0L, 1L), (1L, 2L), (3L, 4L)).toDF("a", "b")
+    // localEdgeGate = 0 pushes the 3-edge graph over the gate → loop path
+    val loop = Dedup.clusters(d, pairs, localEdgeGate = 0L).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("cluster_id"), x.getAs[Boolean]("is_canonical"))).toMap
+    val local = Dedup.clusters(d, pairs).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("cluster_id"), x.getAs[Boolean]("is_canonical"))).toMap
+    assert(loop == local)
+    assert(loop(2L) == ((0L, false)) && loop(5L) == ((5L, true)))
+    graft.ops.CacheScope.releaseAll(spark)
+  }
+
+  test("cluster resolution: string ids through the local finish") {
+    val d = Seq("x", "y", "z").map(s => (s, s)).toDF("doc_id", "text")
+    val pairs = Seq(("y", "z")).toDF("a", "b")
+    val r = Dedup.clusters(d, pairs).collect()
+      .map(x => x.getAs[String]("doc_id") ->
+        (x.getAs[String]("cluster_id"), x.getAs[Boolean]("is_canonical"))).toMap
+    assert(r == Map(
+      "x" -> (("x", true)), "y" -> (("y", true)), "z" -> (("y", false))))
+    graft.ops.CacheScope.releaseAll(spark)
+  }
+
   test("bigram jaccard finds the one-word-edit near-dup") {
     val pairs = Dedup.ngramJaccard(docs, threshold = 0.3).collect()
       .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"), r.getAs[Double]("jaccard")))
