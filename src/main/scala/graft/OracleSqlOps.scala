@@ -551,6 +551,61 @@ SELECT user_id, CAST(sess AS INT) AS session_id, CAST(count(*) AS INT) AS n_even
   min(ts_us) AS start_us, max(ts_us) AS end_us
 FROM s GROUP BY user_id, sess"""
 
+  /** As-of join (mirrors graft.ops.Relational.asofJoin over events): for
+    * each error event, the most recent signup of the same user at or before
+    * it. The oracle states the semantics directly (join + max); the engine
+    * computes it as a single-pass keyed window — same relation. */
+  val evAsof: String = """WITH e AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events WHERE event_type = 'error'
+), s AS (
+  SELECT user_id, epoch_us(ts) AS ts_us FROM events WHERE event_type = 'signup'
+)
+SELECT e.event_id, e.user_id, e.ts_us, max(s.ts_us) AS last_signup_us
+FROM e LEFT JOIN s ON s.user_id = e.user_id AND s.ts_us <= e.ts_us
+GROUP BY e.event_id, e.user_id, e.ts_us"""
+
+  /** Day-over-day retention: active users per day and how many were also
+    * active the previous day. */
+  val evRetention: String = """WITH d AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+), a AS (
+  SELECT day, CAST(count(*) AS INT) AS active FROM d GROUP BY day
+), r AS (
+  SELECT c.day, CAST(count(*) AS INT) AS retained
+  FROM d c JOIN d p ON c.user_id = p.user_id AND c.day = p.day + 1
+  GROUP BY c.day
+)
+SELECT a.day, a.active, COALESCE(r.retained, 0) AS retained
+FROM a LEFT JOIN r ON r.day = a.day"""
+
+  /** Dataset-card rollup by (lang, source); the mean is one division of
+    * exact integer aggregates (bit-identical across engines). */
+  val corpusStats: String = s"""WITH t AS (
+  SELECT lang, source, len($toks) AS n_tokens, length(text) AS n_chars FROM documents
+)
+SELECT lang, source, CAST(count(*) AS INT) AS n_docs,
+  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+  CAST(max(n_tokens) AS INT) AS max_tokens,
+  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+  CAST(sum(n_tokens) AS DOUBLE) / count(*) AS avg_tokens
+FROM t GROUP BY lang, source"""
+
+  /** Corpus-frequency quality (mirrors graft.ops.TextAnalysis.freqQuality):
+    * rare = `2·c·|vocab| < total` — an integer predicate, no float
+    * threshold; both output ratios are single divisions of exact integers. */
+  val textFreqQuality: String = s"""WITH t AS (
+  SELECT doc_id, unnest($toks) AS tok FROM documents
+), f AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS c FROM t GROUP BY tok
+), g AS (
+  SELECT CAST(sum(c) AS BIGINT) AS total, CAST(count(*) AS BIGINT) AS n_vocab FROM f
+)
+SELECT doc_id, CAST(count(*) AS INT) AS n_tokens,
+  CAST(sum(c) AS DOUBLE) / count(*) AS mean_tok_count,
+  CAST(count(*) FILTER (WHERE 2 * c * n_vocab < total) AS DOUBLE) / count(*) AS rare_frac
+FROM t JOIN f USING (tok) CROSS JOIN g
+GROUP BY doc_id"""
+
   val q3Join: String = """SELECT o_orderpriority, c_mktsegment,
   CAST(count(*) AS INT) AS n,
   CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue

@@ -163,6 +163,37 @@ object SparkEntry {
           col("n_events"), col("start_us"), col("end_us"))
     }),
 
+    // As-of join: last signup at or before each error event, per user — a
+    // single-pass keyed window (Relational.asofJoin), not a range join.
+    "ev_asof" -> ((s, dir) => {
+      val ev = DeadLetterSource.events(s, dir)
+        .select(col("event_id"), col("user_id"),
+          expr("ts div 1000").as("ts_us"), col("event_type"))
+      val errors = ev.filter(col("event_type") === "error").drop("event_type")
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts_us").as("s_ts_us"))
+      ops.Relational.asofJoin(errors, signups, "user_id", "ts_us", "s_ts_us",
+          Seq("s_ts_us" -> "last_signup_us"))
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("last_signup_us"))
+    }),
+
+    // Day-over-day retention: distinct (user, day) once, then the d-1
+    // self-semi-join — both sides hash-partition on (user_id, day).
+    "ev_retention" -> ((s, dir) => {
+      val d = DeadLetterSource.events(s, dir)
+        .select(col("user_id"), expr("ts div 1000 div 86400000000").as("day"))
+        .distinct()
+      val active = d.groupBy(col("day"))
+        .agg(count(lit(1)).cast("int").as("active"))
+      val prev = d.select(col("user_id"), (col("day") + 1).as("day"))
+      val retained = d.join(prev, Seq("user_id", "day"), "left_semi")
+        .groupBy(col("day")).agg(count(lit(1)).cast("int").as("retained"))
+      active.join(retained, Seq("day"), "left")
+        .select(col("day"), col("active"),
+          coalesce(col("retained"), lit(0)).as("retained"))
+    }),
+
     // ---- training-data pipeline operators (documents / embeddings) ----
 
     "text_tokens" -> ((s, dir) => ops.TextAnalysis.tokenCounts(docs(s, dir))),
@@ -175,6 +206,8 @@ object SparkEntry {
     "text_decontaminate" -> ((s, dir) => ops.TextAnalysis.decontaminate(docs(s, dir))),
     "text_pack" -> ((s, dir) => ops.TextAnalysis.pack(docs(s, dir))),
     "text_sample" -> ((s, dir) => ops.TextAnalysis.stratifiedSample(docs(s, dir))),
+    "corpus_stats" -> ((s, dir) => ops.TextAnalysis.corpusStats(docs(s, dir))),
+    "text_freq_quality" -> ((s, dir) => ops.TextAnalysis.freqQuality(docs(s, dir))),
 
     "dedup_exact" -> ((s, dir) => ops.Dedup.exact(docs(s, dir))),
     "dedup_minhash_lsh" -> ((s, dir) => ops.Dedup.minhashLsh(docs(s, dir))),
@@ -247,6 +280,8 @@ object SparkEntry {
     "q3_join" -> OracleSqlOps.q3Join,
     "ev_top3" -> OracleSqlOps.evTop3,
     "ev_sessionize" -> OracleSqlOps.evSessionize,
+    "ev_asof" -> OracleSqlOps.evAsof,
+    "ev_retention" -> OracleSqlOps.evRetention,
     "text_tokens" -> OracleSqlOps.textTokens,
     "text_langid" -> OracleSqlOps.langId,
     "text_quality" -> OracleSqlOps.quality,
@@ -257,6 +292,8 @@ object SparkEntry {
     "text_decontaminate" -> OracleSqlOps.textDecontaminate,
     "text_pack" -> OracleSqlOps.textPack,
     "text_sample" -> OracleSqlOps.textSample,
+    "corpus_stats" -> OracleSqlOps.corpusStats,
+    "text_freq_quality" -> OracleSqlOps.textFreqQuality,
     "dedup_exact" -> OracleSqlOps.dedupExact,
     "dedup_minhash_lsh" -> OracleSqlOps.minhashLsh,
     "dedup_simhash" -> OracleSqlOps.simhash,

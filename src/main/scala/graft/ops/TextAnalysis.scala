@@ -277,4 +277,57 @@ object TextAnalysis {
     }
     docs.select(col("doc_id"), col("lang"), (lane % 100 < rate).as("kept"))
   }
+
+  /** Corpus statistics by (lang, source) — the dataset-card rollup: doc
+    * count, token totals/mean/max, char total. One map-side-combining
+    * groupBy over per-row projections (scan speed at any corpus size). The
+    * mean is a single division of exact integer aggregates, so it is
+    * bit-identical across engines. */
+  def corpusStats(docs: DataFrame,
+      tokenizer: Tokenizer = Tokenizer.Whitespace): DataFrame =
+    docs.select(col("lang"), col("source"),
+        size(tokenizer.tokens(col("text"))).cast("long").as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).cast("int").as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        max(col("n_tokens")).cast("int").as("max_tokens"),
+        sum(col("n_chars")).as("total_chars"))
+      .withColumn("avg_tokens",
+        col("total_tokens").cast("double") / col("n_docs"))
+
+  /** Corpus-frequency quality signals (the frequency half of a CCNet-style
+    * LM filter, kept float-log-free so it is deterministic across engines):
+    * per document, the mean corpus count of its tokens (high = boilerplate
+    * from ubiquitous tokens) and the fraction of tokens rarer than half the
+    * corpus mean frequency (high = gibberish / OOV-dense). "Rare" is the
+    * pure integer predicate `2·c·|vocab| < total_tokens` — scale-free, no
+    * float threshold.
+    *
+    * Scale shape: token frequencies come from one map-side-combining
+    * groupBy; the (total, vocab-size) scalars ride a 1-row broadcast cross
+    * join; the token→count attach is a size-gated broadcast (partitioned
+    * equi-join on the token when the vocabulary outgrows the gate). Docs
+    * with zero tokens have no frequency rows and are omitted. */
+  def freqQuality(docs: DataFrame,
+      tokenizer: Tokenizer = Tokenizer.Whitespace): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(tokenizer.tokens(col("text"))).as("tok"))
+    // persisted: the frequency table feeds both the scalar rollup and the
+    // per-token join, and it is tiny (one row per vocab entry)
+    val freq = CacheScope.track(
+      toks.groupBy(col("tok")).agg(count(lit(1)).as("c")))
+    val corpus = freq.agg(sum(col("c")).as("total"),
+      count(lit(1)).as("n_vocab"))
+    toks.join(Par.maybeBroadcast(freq), Seq("tok"))
+      .crossJoin(broadcast(corpus))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("n_tokens"),
+        sum(col("c")).as("sum_c"),
+        sum(when(lit(2) * col("c") * col("n_vocab") < col("total"), 1L)
+          .otherwise(0L)).as("rare"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("sum_c").cast("double") / col("n_tokens")).as("mean_tok_count"),
+        (col("rare").cast("double") / col("n_tokens")).as("rare_frac"))
+  }
 }

@@ -130,6 +130,45 @@ class OpsSpec extends SparkSpec {
     graft.ops.CacheScope.releaseAll(spark)
   }
 
+  test("as-of join: inclusive ties, carry-forward, and null before first") {
+    val left = Seq((1L, 10L, "e1"), (1L, 20L, "e2"), (1L, 5L, "e0"),
+      (2L, 10L, "e3")).toDF("k", "ts", "name")
+    val right = Seq((1L, 10L, "r10"), (1L, 15L, "r15")).toDF("k", "rts", "v")
+    val got = graft.ops.Relational
+      .asofJoin(left, right, "k", "ts", "rts", Seq("v" -> "last_v"))
+      .collect().map(r => r.getAs[String]("name") ->
+        Option(r.getAs[String]("last_v"))).toMap
+    assert(got == Map(
+      "e0" -> None,         // before any right row
+      "e1" -> Some("r10"),  // equal timestamp IS visible (inclusive)
+      "e2" -> Some("r15"),  // latest prior, not first
+      "e3" -> None))        // key with no right rows at all
+  }
+
+  test("freq quality: rare tokens flagged relative to mean frequency") {
+    // "common" appears 12x, each rare* once: vocab=4, total=15, mean 3.75;
+    // rare predicate 2*c*4 < 15 holds only for the c=1 tokens
+    val d = Seq(
+      (0L, "common common common common common common"),
+      (1L, "common common common common common common"),
+      (2L, "rare1 rare2 rare3")).toDF("doc_id", "text")
+    val r = TextAnalysis.freqQuality(d).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Int]("n_tokens"), x.getAs[Double]("rare_frac"))).toMap
+    assert(r(0L) == ((6, 0.0)) && r(2L) == ((3, 1.0)))
+    graft.ops.CacheScope.releaseAll(spark)
+  }
+
+  test("corpus stats aggregates per (lang, source)") {
+    val d = Seq((0L, "a b c", "en", "web"), (1L, "d e", "en", "web"),
+      (2L, "f", "de", "book")).toDF("doc_id", "text", "lang", "source")
+    val r = TextAnalysis.corpusStats(d).collect()
+      .map(x => (x.getAs[String]("lang"), x.getAs[String]("source")) ->
+        (x.getAs[Int]("n_docs"), x.getAs[Long]("total_tokens"),
+          x.getAs[Double]("avg_tokens"))).toMap
+    assert(r(("en", "web")) == ((2, 5L, 2.5)) && r(("de", "book")) == ((1, 1L, 1.0)))
+  }
+
   test("cluster resolution: string ids through the local finish") {
     val d = Seq("x", "y", "z").map(s => (s, s)).toDF("doc_id", "text")
     val pairs = Seq(("y", "z")).toDF("a", "b")
