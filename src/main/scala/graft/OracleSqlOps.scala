@@ -590,6 +590,20 @@ SELECT lang, source, CAST(count(*) AS INT) AS n_docs,
   CAST(sum(n_tokens) AS DOUBLE) / count(*) AS avg_tokens
 FROM t GROUP BY lang, source"""
 
+  /** PII scrub (mirrors graft.ops.TextAnalysis.pii — same pattern constants,
+    * same email → ip → phone replacement order; patterns are restricted to
+    * the Java-regex ∩ RE2 dialect so both engines match identically). */
+  val textPii: String = {
+    import graft.ops.TextAnalysis.PiiPatterns._
+    s"""SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '$Email')) AS INT) AS n_emails,
+  CAST(len(regexp_extract_all(text, '$Ipv4')) AS INT) AS n_ipv4,
+  CAST(len(regexp_extract_all(text, '$Phone')) AS INT) AS n_phones,
+  regexp_replace(regexp_replace(regexp_replace(text,
+    '$Email', '<EMAIL>', 'g'), '$Ipv4', '<IP>', 'g'), '$Phone', '<PHONE>', 'g') AS redacted
+FROM documents"""
+  }
+
   /** Corpus-frequency quality (mirrors graft.ops.TextAnalysis.freqQuality):
     * rare = `2·c·|vocab| < total` — an integer predicate, no float
     * threshold; both output ratios are single divisions of exact integers. */

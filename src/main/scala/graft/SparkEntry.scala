@@ -208,6 +208,7 @@ object SparkEntry {
     "text_sample" -> ((s, dir) => ops.TextAnalysis.stratifiedSample(docs(s, dir))),
     "corpus_stats" -> ((s, dir) => ops.TextAnalysis.corpusStats(docs(s, dir))),
     "text_freq_quality" -> ((s, dir) => ops.TextAnalysis.freqQuality(docs(s, dir))),
+    "text_pii" -> ((s, dir) => ops.TextAnalysis.pii(docs(s, dir))),
 
     "dedup_exact" -> ((s, dir) => ops.Dedup.exact(docs(s, dir))),
     "dedup_minhash_lsh" -> ((s, dir) => ops.Dedup.minhashLsh(docs(s, dir))),
@@ -294,6 +295,7 @@ object SparkEntry {
     "text_sample" -> OracleSqlOps.textSample,
     "corpus_stats" -> OracleSqlOps.corpusStats,
     "text_freq_quality" -> OracleSqlOps.textFreqQuality,
+    "text_pii" -> OracleSqlOps.textPii,
     "dedup_exact" -> OracleSqlOps.dedupExact,
     "dedup_minhash_lsh" -> OracleSqlOps.minhashLsh,
     "dedup_simhash" -> OracleSqlOps.simhash,

@@ -278,6 +278,37 @@ object TextAnalysis {
     docs.select(col("doc_id"), col("lang"), (lane % 100 < rate).as("kept"))
   }
 
+  /** PII patterns shared by [[pii]] and its oracle mirror. Deliberately
+    * restricted to syntax both Java regex and RE2 (DuckDB) interpret
+    * identically: character classes, bounded repetition, \b — no
+    * lookaround, no backreferences. */
+  object PiiPatterns {
+    val Email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val Ipv4 = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+    val Phone = "\\+?[0-9][0-9() -]{6,}[0-9]"
+  }
+
+  /** PII scrub (the redaction pass before a corpus is trainable): per
+    * document, occurrence counts of emails / IPv4 addresses / phone-shaped
+    * number runs, and the text with each replaced by a typed placeholder.
+    * Pure codegen'd `regexp_count`/`regexp_replace` column expressions —
+    * scan speed, no UDF, trivially partitionable. Replacement order
+    * (email → ip → phone) is part of the contract: earlier placeholders
+    * keep their digits out of later, greedier patterns. */
+  def pii(docs: DataFrame): DataFrame = {
+    import PiiPatterns._
+    val redacted = regexp_replace(
+      regexp_replace(
+        regexp_replace(col("text"), lit(Email), lit("<EMAIL>")),
+        lit(Ipv4), lit("<IP>")),
+      lit(Phone), lit("<PHONE>"))
+    docs.select(col("doc_id"),
+      regexp_count(col("text"), lit(Email)).cast("int").as("n_emails"),
+      regexp_count(col("text"), lit(Ipv4)).cast("int").as("n_ipv4"),
+      regexp_count(col("text"), lit(Phone)).cast("int").as("n_phones"),
+      redacted.as("redacted"))
+  }
+
   /** Corpus statistics by (lang, source) — the dataset-card rollup: doc
     * count, token totals/mean/max, char total. One map-side-combining
     * groupBy over per-row projections (scan speed at any corpus size). The

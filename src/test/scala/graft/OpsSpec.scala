@@ -159,6 +159,20 @@ class OpsSpec extends SparkSpec {
     graft.ops.CacheScope.releaseAll(spark)
   }
 
+  test("pii scrub counts and redacts planted emails, IPs, and phones") {
+    val d = Seq(
+      (0L, "contact bob.smith+x@example.co.uk or 10.0.0.1 now"),
+      (1L, "call +1 (555) 123-4567 twice"),
+      (2L, "clean text with no identifiers at all")).toDF("doc_id", "text")
+    val r = TextAnalysis.pii(d).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Int]("n_emails"), x.getAs[Int]("n_ipv4"),
+          x.getAs[Int]("n_phones"), x.getAs[String]("redacted"))).toMap
+    assert(r(0L) == ((1, 1, 0, "contact <EMAIL> or <IP> now")))
+    assert(r(1L) == ((0, 0, 1, "call <PHONE> twice")))
+    assert(r(2L)._4 == "clean text with no identifiers at all")
+  }
+
   test("corpus stats aggregates per (lang, source)") {
     val d = Seq((0L, "a b c", "en", "web"), (1L, "d e", "en", "web"),
       (2L, "f", "de", "book")).toDF("doc_id", "text", "lang", "source")
