@@ -1,0 +1,61 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming ingest-time exact dedup: emit only the FIRST record seen for
+  * each key (e.g. a content hash) across all micro-batches of a stream.
+  *
+  * This is the streaming twin of [[graft.ops.Dedup.exact]]: where the batch
+  * operator groups a complete corpus, this one suppresses duplicates as
+  * data arrives, holding one tiny state entry (first-seen timestamp) per
+  * distinct key in the checkpointed state store. State is partitioned by
+  * the key hash, so it scales horizontally like any keyed stream.
+  *
+  * State growth is the 100 TB concern: unbounded distinct keys mean
+  * unbounded state. `stateTtlMs` bounds it with a processing-time TTL —
+  * after expiry a recurring duplicate is re-admitted (the standard
+  * dedup-window trade, same contract as `dropDuplicates` with a watermark;
+  * exact-forever dedup needs the batch operator over the accumulated
+  * corpus).
+  *
+  * Works on batch frames too (Spark runs `flatMapGroupsWithState` with
+  * batch semantics: per-group state starts empty), where it degenerates to
+  * "first row per key" — handy for unit parity.
+  *
+  * @param keyExpr deduplication key, cast to string (use a content hash
+  *   like `md5(col("text"))` — never raw long documents)
+  */
+object StreamingDedup {
+
+  def firstSeen(df: DataFrame, keyExpr: org.apache.spark.sql.Column,
+      stateTtlMs: Option[Long] = None): DataFrame = {
+    val withKey = df.withColumn("__dedup_key", keyExpr.cast("string"))
+    val rowEnc = Encoders.row(withKey.schema)
+    val keyIdx = withKey.schema.fieldIndex("__dedup_key")
+    val timeout =
+      if (stateTtlMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    val deduped = withKey.as(rowEnc)
+      .groupByKey(r => r.getString(keyIdx))(Encoders.STRING)
+      .flatMapGroupsWithState(OutputMode.Append, timeout) {
+        (_: String, rows: Iterator[Row], state: GroupState[Long]) =>
+          if (state.hasTimedOut) {
+            // TTL expiry delivers an empty batch for the group; drop the
+            // entry so a later recurrence is re-admitted as first-seen
+            state.remove()
+            Iterator.empty
+          } else if (state.exists || !rows.hasNext) {
+            stateTtlMs.foreach(state.setTimeoutDuration)
+            Iterator.empty
+          } else {
+            state.update(System.currentTimeMillis())
+            stateTtlMs.foreach(state.setTimeoutDuration)
+            // a single micro-batch can itself carry duplicates: first wins
+            Iterator.single(rows.next())
+          }
+      }(Encoders.scalaLong, rowEnc)
+    deduped.drop("__dedup_key")
+  }
+}

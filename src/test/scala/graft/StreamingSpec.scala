@@ -264,4 +264,31 @@ class StreamingSpec extends SparkSpec {
         .getAs[String]("description") == "Error analyzing dead letter")
     } finally q.stop()
   }
+
+  test("streaming dedup emits first-seen only, within and across batches") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark2.sqlContext
+
+    val stream = MemoryStream[(Long, String)]
+    val docs = stream.toDF().toDF("doc_id", "text")
+    val out = graft.streaming.StreamingDedup.firstSeen(docs, md5(col("text")))
+    val q = out.writeStream
+      .format("memory").queryName("dedup_out").outputMode("append").start()
+    try {
+      // batch 1: "a" arrives twice in ONE batch -> only the first row
+      stream.addData((0L, "a"), (1L, "b"), (2L, "a"))
+      q.processAllAvailable()
+      val b1 = spark.table("dedup_out").orderBy("doc_id").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text")))
+      assert(b1.toSeq == Seq((0L, "a"), (1L, "b")))
+
+      // batch 2: "b" recurs across batches (state suppresses), "c" is new
+      stream.addData((3L, "b"), (4L, "c"))
+      q.processAllAvailable()
+      val b2 = spark.table("dedup_out").orderBy("doc_id").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text")))
+      assert(b2.toSeq == Seq((0L, "a"), (1L, "b"), (4L, "c")))
+    } finally q.stop()
+  }
 }
