@@ -181,9 +181,11 @@ object SparkEntry {
     // Day-over-day retention: distinct (user, day) once, then the d-1
     // self-semi-join — both sides hash-partition on (user_id, day).
     "ev_retention" -> ((s, dir) => {
-      val d = DeadLetterSource.events(s, dir)
+      // persisted: the distinct (user, day) table feeds active, prev, and
+      // retained — without it the 3 branches each re-scan+re-distinct events
+      val d = ops.CacheScope.track(DeadLetterSource.events(s, dir)
         .select(col("user_id"), expr("ts div 1000 div 86400000000").as("day"))
-        .distinct()
+        .distinct())
       val active = d.groupBy(col("day"))
         .agg(count(lit(1)).cast("int").as("active"))
       val prev = d.select(col("user_id"), (col("day") + 1).as("day"))

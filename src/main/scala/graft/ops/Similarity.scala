@@ -72,6 +72,55 @@ object Similarity {
   val IvfCentroidResidue = 7
   val IvfMaxCells = 4096
 
+  /** The bounded stride-sample codebook over a [[withNorm2]]'d corpus. */
+  private def sampleCentroids(corpus: DataFrame): DataFrame = corpus
+    .filter(col("vec_id") % IvfCentroidStride === IvfCentroidResidue)
+    .orderBy(col("vec_id")).limit(IvfMaxCells)
+    .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("n2").as("cn2"))
+
+  /** Nearest-centroid assignment (vec_id → cell): min over C of
+    * (-cosine, cid) — the struct min is partially aggregable (map-side
+    * combine), deterministic ties on the smaller centroid id, and avoids a
+    * window shuffle of n×C rows. Shared by [[ivfTopK]] and the Lloyd
+    * iterations. */
+  private def assignCells(corpus: DataFrame, centroids: DataFrame): DataFrame =
+    corpus.crossJoin(broadcast(centroids))
+      .select(col("vec_id"),
+        struct(
+          (-cosineWithNorms(col("embedding"), col("ce"), col("n2"), col("cn2")))
+            .as("d"),
+          col("cid")).as("dc"))
+      .groupBy(col("vec_id")).agg(min(col("dc")).as("best"))
+      .select(col("vec_id"), col("best.cid").as("cell"))
+
+  /** One Lloyd (k-means) step: re-assign, then replace every centroid with
+    * its cell's per-dimension mean — a (cell, dim) aggregation with map-side
+    * combine, nothing quadratic. The step output is eagerly checkpointed so
+    * iterated codebooks don't grow lineage (same iterative-plan rule as
+    * [[Dedup.clusters]]); cells that lose all members drop out (codebook can
+    * only shrink). */
+  private def lloydStep(corpus: DataFrame, centroids: DataFrame): DataFrame =
+    corpus.join(assignCells(corpus, centroids), "vec_id")
+      .select(col("cell"), posexplode(col("embedding")).as(Seq("i", "x")))
+      .groupBy(col("cell"), col("i"))
+      .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+      .groupBy(col("cell"))
+      .agg(sort_array(collect_list(struct(col("i"), (col("sx") / col("n")).as("m"))))
+        .as("im"))
+      .select(col("cell").as("cid"),
+        transform(col("im"), e => e.getField("m")).as("ce"))
+      .withColumn("cn2", dot(col("ce"), col("ce")))
+      .localCheckpoint()
+
+  /** The IVF codebook after `lloydIters` refinement steps (0 = the raw
+    * deterministic stride sample the oracle mirrors). Exposed for
+    * inspection/tests; [[ivfTopK]] uses the same construction. */
+  def ivfCentroids(embeddings: DataFrame, lloydIters: Int = 0): DataFrame = {
+    val corpus = CacheScope.track(withNorm2(embeddings))
+    (1 to lloydIters).foldLeft(sampleCentroids(corpus))(
+      (c, _) => lloydStep(corpus, c))
+  }
+
   /** IVF ANN. Build side: every corpus vector is assigned to its nearest
     * centroid by cosine — one broadcast of the (small) centroid table and one
     * `min(struct(...))` aggregation whose map-side partial combine reduces
@@ -82,29 +131,21 @@ object Similarity {
     * bucketed/partitioned by `cell`, making the probe a partition-pruned
     * scan of nprobe/C of the data.
     *
+    * `lloydIters` k-means steps refine the sampled codebook (the benched /
+    * oracle-mirrored default is 0: the deterministic sample); the
+    * assignment/probe plan is identical either way.
+    *
     * Replaces the r2 version that reused the stored `label` column as the
     * "cell" — IVF plumbing with no quantizer (judge r2 finding). */
   def ivfTopK(embeddings: DataFrame, queryPred: Column, k: Int = 3,
-      nprobe: Int = 2): DataFrame = {
+      nprobe: Int = 2, lloydIters: Int = 0): DataFrame = {
     val corpus = CacheScope.track(withNorm2(embeddings))
     // the codebook is bounded (<= IvfMaxCells rows, ~2 MB at 64 dims), so
     // broadcasting it below is safe at ANY corpus size — unlike the raw
     // stride sample, which grows with n
-    val centroids = corpus
-      .filter(col("vec_id") % IvfCentroidStride === IvfCentroidResidue)
-      .orderBy(col("vec_id")).limit(IvfMaxCells)
-      .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("n2").as("cn2"))
-    // nearest-centroid assignment: min over C of (-cosine, cid) — the struct
-    // min is partially aggregable (map-side combine), deterministic ties on
-    // the smaller centroid id, and avoids a window shuffle of n×C rows.
-    val assigned = corpus.crossJoin(broadcast(centroids))
-      .select(col("vec_id"),
-        struct(
-          (-cosineWithNorms(col("embedding"), col("ce"), col("n2"), col("cn2")))
-            .as("d"),
-          col("cid")).as("dc"))
-      .groupBy(col("vec_id")).agg(min(col("dc")).as("best"))
-      .select(col("vec_id"), col("best.cid").as("cell"))
+    val centroids = (1 to lloydIters)
+      .foldLeft(sampleCentroids(corpus))((c, _) => lloydStep(corpus, c))
+    val assigned = assignCells(corpus, centroids)
     val celled = corpus.join(assigned, "vec_id")
     val queries = corpus.filter(queryPred)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("n2").as("qn2"))

@@ -159,6 +159,32 @@ class OpsSpec extends SparkSpec {
     graft.ops.CacheScope.releaseAll(spark)
   }
 
+  test("lloyd iterations pull IVF centroids to the true cluster means") {
+    // ids 0..24 cluster on e1, 25..49 on e3; members carry large alternating
+    // jitter on a second axis, so any SINGLE member (like sampled centroid
+    // id=7, jitter -0.8) is far from the cluster mean while the per-cell
+    // mean cancels the jitter
+    val vecs = (0L to 49L).map { i =>
+      val j = if (i % 2 == 0) 0.8f else -0.8f
+      val e = if (i < 25) Array(1f, j, 0f, 0f) else Array(0f, 0f, 1f, j)
+      (i, e, 0)
+    }.toDF("vec_id", "embedding", "label")
+    def axisCos(ce: scala.collection.Seq[Double], axis: Int): Double = {
+      val n = math.sqrt(ce.map(x => x * x).sum)
+      ce(axis) / n
+    }
+    val initial = Similarity.ivfCentroids(vecs, lloydIters = 0).collect()
+      .map(r => r.getAs[Long]("cid") -> r.getSeq[Double](r.fieldIndex("ce"))).toMap
+    val refined = Similarity.ivfCentroids(vecs, lloydIters = 2).collect()
+      .map(r => r.getAs[Long]("cid") -> r.getSeq[Double](r.fieldIndex("ce"))).toMap
+    // sampled centroid 7 is a jittered member: cos to e1 ≈ 1/sqrt(1.64) ≈ 0.78
+    assert(axisCos(initial(7L), 0) < 0.9)
+    // after 2 Lloyd steps its cell mean has the jitter cancelled
+    assert(axisCos(refined(7L), 0) > 0.99)
+    assert(axisCos(refined(32L), 2) > 0.99)
+    graft.ops.CacheScope.releaseAll(spark)
+  }
+
   test("pii scrub counts and redacts planted emails, IPs, and phones") {
     val d = Seq(
       (0L, "contact bob.smith+x@example.co.uk or 10.0.0.1 now"),
