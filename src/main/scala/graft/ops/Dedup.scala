@@ -390,7 +390,12 @@ object Dedup {
     * `cluster_id` = min doc_id of the merged component. */
   def dedupPipeline(docs: DataFrame, threshold: Double = 0.8,
       tokenizer: Tokenizer = Tokenizer.Whitespace,
-      localEdgeGate: Long = 1000000L): DataFrame = {
+      localEdgeGate: Long = 5000000L): DataFrame = {
+    // The gate default is higher than clusters()' own: a rep pair graph is
+    // dense (near-dup cliques), so edge count overstates the union-find
+    // footprint badly — driver memory is O(distinct VERTICES) ≤ |reps|
+    // (edges stream via toLocalIterator), and 5M edges is ~80 MB of id
+    // transfer for a find that replaces diameter-many distributed rounds.
     // doc → representative (min doc_id per exact text hash); one shuffle on
     // the 16-byte digest, same shape as [[exact]]
     val withRep = CacheScope.track(docs
