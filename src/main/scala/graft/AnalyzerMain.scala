@@ -9,7 +9,7 @@ import org.apache.spark.sql.streaming.DataStreamWriter
 
 /**
  * Production entry point: regex-pattern Kafka source → streaming analyzer →
- * the four Kafka sinks with per-sink checkpoints (reference
+ * the four Kafka sinks from ONE query and ONE checkpoint (reference
  * `DeadLetterAnalyzerApplication.java:43-71`, CLI surface `README.md:33-41`).
  *
  * CLI mirrors the reference:
@@ -20,18 +20,23 @@ import org.apache.spark.sql.streaming.DataStreamWriter
  *   --extra-output-topics stats=name,examples=name  labeled sinks
  *                                  (default: <output-topic>-stats/-examples,
  *                                  mirroring the reference's topic labels)
- *   --checkpoint-dir path          checkpoint root (one subdir per sink)
+ *   --checkpoint-dir path          checkpoint location of the unified query
  *
  * Pointing --error-topic at a topic matching --input-pattern closes the
  * reference's feedback loop: the engine re-analyzes its own failures (the
  * cycle passes through Kafka; the Spark plan stays acyclic, SURVEY §2.1 S5).
  *
- * The whole topology is ONE streaming query: the source is consumed once, the
- * statistics state exists once, recovery replays one checkpoint, and each
- * micro-batch fans out to the four topics via batch Kafka writes
- * ([[StreamingAnalyzer.unified]]/[[StreamingAnalyzer.fanOut]]) — the same
- * compute-once-and-branch shape as the reference
- * (DeadLetterAnalyzerTopology.java:139-158).
+ * The whole topology is ONE streaming query: the statistics state exists
+ * once, recovery replays one checkpoint, and each micro-batch fans out to
+ * the four topics via batch Kafka writes
+ * ([[StreamingAnalyzer.unified]]/[[StreamingAnalyzer.fanOut]]) — the
+ * compute-once-and-branch shape of the reference
+ * (DeadLetterAnalyzerTopology.java:139-158). Honest caveat: the unified plan
+ * forks the parsed source into a stateless branch and a stateful branch, and
+ * Spark cannot persist upstream of a stateful streaming operator, so each
+ * micro-batch's offset range is scanned/decoded twice within the one query —
+ * versus 4 source reads and 3 duplicate state stores in the pre-unified
+ * layout, and versus once in Kafka Streams' record-at-a-time fork.
  */
 object AnalyzerMain {
 
@@ -137,12 +142,35 @@ object AnalyzerMain {
     }
   }
 
+  /** Refuse to silently discard pre-unified state. The four-query layout
+    * checkpointed each sink under `$dir/<sink>`; the unified query
+    * checkpoints at `$dir` itself. An in-place upgrade restarted on the old
+    * root would come up as a brand-new query — Kafka offsets reset and the
+    * statistics state (counts, first-example-ever flags) silently dropped.
+    * Detecting legacy sink checkpoints with no unified state fails fast and
+    * tells the operator to decide. */
+  def assertCheckpointLayout(spark: SparkSession, dir: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val legacy = Seq("all", "stats", "examples", "errors")
+      .filter(s => fs.exists(new org.apache.hadoop.fs.Path(root, s"$s/offsets")))
+    val unifiedStarted = fs.exists(new org.apache.hadoop.fs.Path(root, "offsets"))
+    if (legacy.nonEmpty && !unifiedStarted)
+      throw new IllegalStateException(
+        s"checkpoint dir $dir holds per-sink checkpoints of the pre-unified " +
+          s"topology (${legacy.mkString(", ")}) but no unified-query state; " +
+          "starting here would reset Kafka offsets and discard the " +
+          "statistics state. Move the legacy checkpoints aside to start " +
+          "fresh, or point --checkpoint-dir at a new location.")
+  }
+
   def main(args: Array[String]): Unit = {
     val cfg = parseArgs(args)
     val spark = SparkSession.builder()
       .appName(s"dead-letter-analyzer-${cfg.outputTopic}")
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
+    assertCheckpointLayout(spark, cfg.checkpointDir)
     topology(spark, cfg).queryName("dead-letter-analyzer").start()
     spark.streams.awaitAnyTermination()
   }

@@ -643,7 +643,8 @@ FROM documents"""
 )
 SELECT doc_id, CAST(count(*) AS INT) AS n_tokens,
   CAST(sum(c) AS DOUBLE) / count(*) AS mean_tok_count,
-  CAST(count(*) FILTER (WHERE 2 * c * n_vocab < total) AS DOUBLE) / count(*) AS rare_frac
+  CAST(count(*) FILTER (WHERE c <= (total - 1) // (2 * n_vocab)) AS DOUBLE)
+    / count(*) AS rare_frac
 FROM t JOIN f USING (tok) CROSS JOIN g
 GROUP BY doc_id"""
 

@@ -299,7 +299,10 @@ object Dedup {
     *   fault-tolerant.
     * @param localEdgeGate max pair count solved driver-side (default 1M
     *   edges ≈ tens of MB of ids on the driver — the broadcast-join size
-    *   class); larger graphs take the distributed label-propagation loop. */
+    *   class); larger graphs take the distributed label-propagation loop.
+    *
+    * Contract: edges whose endpoint is absent from `docs` are ignored on
+    * BOTH paths (the graph is the docs-induced subgraph of `pairs`). */
   def clusters(docs: DataFrame, pairs: DataFrame, maxIter: Int = 50,
       checkpointDir: Option[String] = None,
       localEdgeGate: Long = 1000000L): DataFrame = {
@@ -316,7 +319,19 @@ object Dedup {
     checkpointDir.foreach(sc.setCheckpointDir)
     def truncate(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
-    val p = truncate(pairs.select(col("a"), col("b")))
+    // Restrict edges to the docs-induced subgraph BEFORE materializing:
+    // an edge with an endpoint absent from `docs` is ignored (it cannot
+    // carry a label in the propagation loop, and filtering here makes the
+    // driver union-find finish agree exactly — without it the two paths
+    // would cluster foreign-vertex-bridged docs differently). Size-gated
+    // broadcast of the id column; partitioned semi-joins at corpus scale.
+    val ids = docs.select(col("doc_id"))
+    val p = truncate(pairs.select(col("a"), col("b"))
+      .join(Par.maybeBroadcast(ids.withColumnRenamed("doc_id", "a")),
+        Seq("a"), "left_semi")
+      .join(Par.maybeBroadcast(ids.withColumnRenamed("doc_id", "b")),
+        Seq("b"), "left_semi")
+      .select(col("a"), col("b")))
     // The truncate above already materialized p, so this count is a cheap
     // cached-block scan, not a recompute of the pair-generation subtree.
     if (p.count() <= localEdgeGate) return clustersLocal(docs, p)

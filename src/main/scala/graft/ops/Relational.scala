@@ -49,7 +49,11 @@ object Relational {
     val rSel = Seq(col(key), col(rightTs).as("__ts"), lit(0).as("__side")) ++
       leftRest.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
       rightPayload.map { case (src, out) => col(src).as(out) }
-    val merged = left.select(lSel: _*).unionByName(right.select(rSel: _*))
+    // a null-timestamp right row satisfies no `rts <= lts` and must not be
+    // carried anywhere (unfiltered it sorts NULLS FIRST, i.e. before every
+    // left row of its key)
+    val merged = left.select(lSel: _*)
+      .unionByName(right.filter(col(rightTs).isNotNull).select(rSel: _*))
     val w = Window.partitionBy(col(key)).orderBy(col("__ts"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, 0)
     val filled = rightPayload.foldLeft(merged) { case (df, (_, out)) =>

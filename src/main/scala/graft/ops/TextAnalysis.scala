@@ -173,7 +173,10 @@ object TextAnalysis {
     */
   def repetition(docs: DataFrame,
       tokenizer: Tokenizer = Tokenizer.Whitespace): DataFrame = {
-    val base = docs
+    // persisted: the tokenize + n-gram projection feeds both the bigram
+    // explode-aggregate and the final join — untracked it re-tokenizes the
+    // corpus twice
+    val base = CacheScope.track(docs
       .select(col("doc_id"), tokenizer.tokens(col("text")).as("tk"))
       .withColumn("n", size(col("tk")))
       .select(col("doc_id"), col("n"),
@@ -182,7 +185,7 @@ object TextAnalysis {
             / col("n")).as("dup_token_frac"),
         grams(col("tk"), col("n"), 3).as("tg"),
         grams(col("tk"), col("n"), 2).as("bg"))
-      .withColumn("n2", size(col("bg")))
+      .withColumn("n2", size(col("bg"))))
     val topBigram = base
       .select(col("doc_id"), explode(col("bg")).as("g"))
       .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
@@ -211,12 +214,15 @@ object TextAnalysis {
   def decontaminate(docs: DataFrame, width: Int = 5, trainPct: Int = 90,
       tokenizer: Tokenizer = Tokenizer.Whitespace): DataFrame = {
     val split = hashSplit(docs, trainPct)
-    val postings = docs
+    // persisted: the shingle posting list feeds the val-gram set AND the
+    // train-side semi-join — untracked each branch re-runs the 5-gram
+    // explode over the corpus
+    val postings = CacheScope.track(docs
       .select(col("doc_id"), tokenizer.tokens(col("text")).as("tk"))
       .withColumn("n", size(col("tk")))
       .select(col("doc_id"),
         explode(array_distinct(grams(col("tk"), col("n"), width))).as("g"))
-      .join(split, Seq("doc_id"))
+      .join(split, Seq("doc_id")))
     val valGrams = postings.filter(col("split") === "val")
       .select(col("g")).distinct()
     val contaminated = postings.filter(col("split") === "train")
@@ -333,7 +339,9 @@ object TextAnalysis {
     * from ubiquitous tokens) and the fraction of tokens rarer than half the
     * corpus mean frequency (high = gibberish / OOV-dense). "Rare" is the
     * pure integer predicate `2·c·|vocab| < total_tokens` — scale-free, no
-    * float threshold.
+    * float threshold — evaluated as the algebraically equal
+    * `c ≤ (total−1) div (2·|vocab|)` so no intermediate product can
+    * overflow Long at web-corpus token counts.
     *
     * Scale shape: token frequencies come from one map-side-combining
     * groupBy; the (total, vocab-size) scalars ride a 1-row broadcast cross
@@ -355,7 +363,11 @@ object TextAnalysis {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).cast("int").as("n_tokens"),
         sum(col("c")).as("sum_c"),
-        sum(when(lit(2) * col("c") * col("n_vocab") < col("total"), 1L)
+        // rare ⟺ 2·c·|vocab| < total, algebraically rearranged to a
+        // threshold compare (c ≤ (total-1) div (2·|vocab|)) so no product
+        // can overflow Long at web-corpus token counts
+        sum(when(col("c") <=
+            expr("(total - 1) div (2 * n_vocab)"), 1L)
           .otherwise(0L)).as("rare"))
       .select(col("doc_id"), col("n_tokens"),
         (col("sum_c").cast("double") / col("n_tokens")).as("mean_tok_count"),

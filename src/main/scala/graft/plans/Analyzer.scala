@@ -98,9 +98,7 @@ object Analyzer {
     parsedOk
       .withColumn("key_string", coalesce(BruteForce.stringified(col("key")), lit("null")))
       .withColumn("dead_letter", dl)
-      // stackTrace.orElseThrow() → NoSuchElementException("No value present")
-      .withColumn("enrich_error",
-        when(stackTrace.isNull, lit("No value present")))
+      .withColumn("enrich_error", enrichErrorMessage(stackTrace))
       .withColumn("error_type", when(stackTrace.isNotNull, Classify.classify(stackTrace)))
       .drop("parsed")
   }
@@ -176,33 +174,51 @@ object Analyzer {
     parseErrorDeadLetters(parseErrors)
       .unionByName(analyzeErrorDeadLetters(analyzeErrors))
 
-  /** Failed parses → dead letters, description "Error converting errors to dead
-    * letters" (reference DeadLetterAnalyzerTopology.java:128-137). */
+  /** The enrichment-failure message for a null stack trace — ONE definition
+    * shared by batch enrichment and the streaming stateless pass (reference:
+    * `stackTrace.orElseThrow()` → NoSuchElementException("No value
+    * present")). */
+  private[graft] def enrichErrorMessage(stackTrace: Column): Column =
+    when(stackTrace.isNull, lit("No value present"))
+
+  /** Parse-failure dead-letter value (description "Error converting errors
+    * to dead letters", reference DeadLetterAnalyzerTopology.java:128-137) —
+    * shared by the batch error sink and the streaming stateless pass. */
+  private[graft] def parseErrorDl(err: Column, value: Column,
+      timestamp: Column)(implicit dc: DecodeConfig): Column =
+    errorDeadLetter(
+      description = lit(Messages.ErrorConvertingErrors),
+      errorClass = when(err.startsWith("For input string"),
+          lit("java.lang.NumberFormatException"))
+        .otherwise(lit("java.lang.IllegalArgumentException")),
+      message = err,
+      inputValue = BruteForce.stringified(value),
+      timestamp = timestamp)
+
+  /** Analyze-failure dead-letter value (description "Error analyzing dead
+    * letter", reference DeadLetterAnalyzerTopology.java:115-124) — shared by
+    * the batch error sink and the streaming stateless pass. */
+  private[graft] def analyzeErrorDl(message: Column, deadLetter: Column,
+      timestamp: Column): Column =
+    errorDeadLetter(
+      description = lit(Messages.ErrorAnalyzing),
+      errorClass = lit("java.util.NoSuchElementException"),
+      message = message,
+      inputValue = to_json(deadLetter),
+      timestamp = timestamp)
+
   private def parseErrorDeadLetters(parseErrors: DataFrame)(implicit dc: DecodeConfig): DataFrame = {
     val err = col("parsed").getField("error")
     parseErrors.select(
       coalesce(BruteForce.stringified(col("key")), lit("null")).as("key"),
-      errorDeadLetter(
-        description = lit(Messages.ErrorConvertingErrors),
-        errorClass = when(err.startsWith("For input string"),
-            lit("java.lang.NumberFormatException"))
-          .otherwise(lit("java.lang.IllegalArgumentException")),
-        message = err,
-        inputValue = BruteForce.stringified(col("value")),
-        timestamp = col("timestamp")).as("dead_letter"))
+      parseErrorDl(err, col("value"), col("timestamp")).as("dead_letter"))
   }
 
-  /** Null-stack-trace records → dead letters, description "Error analyzing dead
-    * letter" (reference DeadLetterAnalyzerTopology.java:115-124). */
   private def analyzeErrorDeadLetters(analyzeErrors: DataFrame): DataFrame =
     analyzeErrors.select(
       col("key_string").as("key"),
-      errorDeadLetter(
-        description = lit(Messages.ErrorAnalyzing),
-        errorClass = lit("java.util.NoSuchElementException"),
-        message = col("enrich_error"),
-        inputValue = to_json(col("dead_letter")),
-        timestamp = col("timestamp")).as("dead_letter"))
+      analyzeErrorDl(col("enrich_error"), col("dead_letter"),
+        col("timestamp")).as("dead_letter"))
 
   /** DeadLetter for the engine's own processing failure (reference
     * AvroDeadLetterConverter semantics): the synthetic stack trace holds

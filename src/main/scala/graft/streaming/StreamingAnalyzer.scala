@@ -208,22 +208,13 @@ object StreamingAnalyzer {
     def row(sink: String, key: Column, value: Column): Column =
       struct(lit(sink).as("sink"), key.as("key"), value.cast("binary").as("value"))
 
-    // Stateless pass — the same three projections as Analyzer.analyzeParsed /
-    // errorsOf, fused into one per-row case so the parse pipeline runs once.
-    val parseDl = Analyzer.errorDeadLetter(
-      description = lit(Messages.ErrorConvertingErrors),
-      errorClass = when(err.startsWith("For input string"),
-          lit("java.lang.NumberFormatException"))
-        .otherwise(lit("java.lang.IllegalArgumentException")),
-      message = err,
-      inputValue = BruteForce.stringified(col("value")),
-      timestamp = col("timestamp"))
-    val analyzeDl = Analyzer.errorDeadLetter(
-      description = lit(Messages.ErrorAnalyzing),
-      errorClass = lit("java.util.NoSuchElementException"),
-      message = lit("No value present"),
-      inputValue = to_json(dl),
-      timestamp = col("timestamp"))
+    // Stateless pass — the SAME dead-letter builders as Analyzer.errorsOf
+    // (one definition; parity drift between batch and streaming would
+    // otherwise go unnoticed until a sink diff), fused into one per-row
+    // case so the parse pipeline runs once.
+    val parseDl = Analyzer.parseErrorDl(err, col("value"), col("timestamp"))
+    val analyzeDl = Analyzer.analyzeErrorDl(
+      Analyzer.enrichErrorMessage(stackTrace), dl, col("timestamp"))
     val allValue = to_json(struct(
       keyString.as("context_key"), col("offset"), col("partition"),
       Analyzer.formatTimestamp(col("timestamp")).as("timestamp"),

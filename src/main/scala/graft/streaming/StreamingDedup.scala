@@ -26,14 +26,25 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *
   * @param keyExpr deduplication key, cast to string (use a content hash
   *   like `md5(col("text"))` — never raw long documents)
+  * @param orderBy when a single micro-batch carries several rows of one
+  *   key, the group iterator is UNORDERED; pass a long-castable expression
+  *   (Kafka offset, event timestamp) and the minimal row wins
+  *   deterministically — without it the batch's first-encountered row is
+  *   kept, which can differ across crash-replays of an uncommitted batch
   */
 object StreamingDedup {
 
   def firstSeen(df: DataFrame, keyExpr: org.apache.spark.sql.Column,
-      stateTtlMs: Option[Long] = None): DataFrame = {
-    val withKey = df.withColumn("__dedup_key", keyExpr.cast("string"))
+      stateTtlMs: Option[Long] = None,
+      orderBy: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    val withKey = orderBy.foldLeft(
+      df.withColumn("__dedup_key", keyExpr.cast("string"))) {
+      (d, c) => d.withColumn("__dedup_ord", c.cast("long"))
+    }
     val rowEnc = Encoders.row(withKey.schema)
     val keyIdx = withKey.schema.fieldIndex("__dedup_key")
+    val ordIdx = if (orderBy.isDefined)
+      withKey.schema.fieldIndex("__dedup_ord") else -1
     val timeout =
       if (stateTtlMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
       else GroupStateTimeout.NoTimeout
@@ -52,10 +63,21 @@ object StreamingDedup {
           } else {
             state.update(System.currentTimeMillis())
             stateTtlMs.foreach(state.setTimeoutDuration)
-            // a single micro-batch can itself carry duplicates: first wins
-            Iterator.single(rows.next())
+            // a single micro-batch can itself carry duplicates: the
+            // orderBy-minimal row wins (or the first encountered, if no
+            // order was given) — O(1) memory either way
+            var first = rows.next()
+            if (ordIdx >= 0) {
+              def ord(r: Row): Long =
+                if (r.isNullAt(ordIdx)) Long.MaxValue else r.getLong(ordIdx)
+              while (rows.hasNext) {
+                val r = rows.next()
+                if (ord(r) < ord(first)) first = r
+              }
+            }
+            Iterator.single(first)
           }
       }(Encoders.scalaLong, rowEnc)
-    deduped.drop("__dedup_key")
+    deduped.drop("__dedup_key").drop("__dedup_ord")
   }
 }

@@ -163,6 +163,16 @@ class OpsSpec extends SparkSpec {
       "e3" -> None))        // key with no right rows at all
   }
 
+  test("as-of join: null-timestamp right rows carry nothing") {
+    val left = Seq((1L, 10L, "e1")).toDF("k", "ts", "name")
+    val right = Seq((1L, Option.empty[Long], "ghost"),
+      (1L, Some(4L), "real")).toDF("k", "rts", "v")
+    val got = graft.ops.Relational
+      .asofJoin(left, right, "k", "ts", "rts", Seq("v" -> "last_v"))
+      .collect().map(r => Option(r.getAs[String]("last_v")))
+    assert(got.toSeq == Seq(Some("real")))
+  }
+
   test("freq quality: rare tokens flagged relative to mean frequency") {
     // "common" appears 12x, each rare* once: vocab=4, total=15, mean 3.75;
     // rare predicate 2*c*4 < 15 holds only for the c=1 tokens
@@ -225,6 +235,20 @@ class OpsSpec extends SparkSpec {
         (x.getAs[Int]("n_docs"), x.getAs[Long]("total_tokens"),
           x.getAs[Double]("avg_tokens"))).toMap
     assert(r(("en", "web")) == ((2, 5L, 2.5)) && r(("de", "book")) == ((1, 1L, 1.0)))
+  }
+
+  test("cluster resolution ignores edges through foreign vertices on both paths") {
+    // vertex 0 is NOT in docs; its edges must not bridge 5 and 6 — and the
+    // local and distributed paths must agree on that
+    val d = Seq((5L, "five"), (6L, "six")).toDF("doc_id", "text")
+    val pairs = Seq((0L, 5L), (0L, 6L)).toDF("a", "b")
+    def run(gate: Long) = Dedup.clusters(d, pairs, localEdgeGate = gate).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("cluster_id"), x.getAs[Boolean]("is_canonical"))).toMap
+    val expected = Map(5L -> ((5L, true)), 6L -> ((6L, true)))
+    assert(run(1000L) == expected)   // local finish
+    assert(run(0L) == expected)      // distributed loop
+    graft.ops.CacheScope.releaseAll(spark)
   }
 
   test("cluster resolution: string ids through the local finish") {

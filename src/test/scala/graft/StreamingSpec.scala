@@ -265,6 +265,23 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("checkpoint guard fails fast on a legacy per-sink layout") {
+    val root = java.nio.file.Files.createTempDirectory("ckpt").toFile
+    // legacy layout: per-sink checkpoints with offsets, no unified state
+    new java.io.File(root, "stats/offsets").mkdirs()
+    new java.io.File(root, "all/offsets").mkdirs()
+    val e = intercept[IllegalStateException] {
+      AnalyzerMain.assertCheckpointLayout(spark, root.getAbsolutePath)
+    }
+    assert(e.getMessage.contains("pre-unified"))
+    // once the unified query has state, restarts proceed
+    new java.io.File(root, "offsets").mkdirs()
+    AnalyzerMain.assertCheckpointLayout(spark, root.getAbsolutePath)
+    // and a fresh directory is fine
+    val fresh = java.nio.file.Files.createTempDirectory("ckpt2").toFile
+    AnalyzerMain.assertCheckpointLayout(spark, fresh.getAbsolutePath)
+  }
+
   test("streaming dedup emits first-seen only, within and across batches") {
     val spark2 = spark
     import spark2.implicits._
@@ -272,7 +289,8 @@ class StreamingSpec extends SparkSpec {
 
     val stream = MemoryStream[(Long, String)]
     val docs = stream.toDF().toDF("doc_id", "text")
-    val out = graft.streaming.StreamingDedup.firstSeen(docs, md5(col("text")))
+    val out = graft.streaming.StreamingDedup.firstSeen(docs, md5(col("text")),
+      orderBy = Some(col("doc_id")))
     val q = out.writeStream
       .format("memory").queryName("dedup_out").outputMode("append").start()
     try {
