@@ -605,6 +605,28 @@ GROUP BY e.event_id, e.user_id, e.ts_us"""
 SELECT a.day, a.active, COALESCE(r.retained, 0) AS retained
 FROM a LEFT JOIN r ON r.day = a.day"""
 
+  /** Conversion funnel (mirrors the ev_funnel composition): per user, the
+    * first purchase within 7 days of its as-of signup. */
+  val evFunnel: String = """WITH e AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type FROM events
+), p AS (
+  SELECT event_id, user_id, ts_us FROM e WHERE event_type = 'purchase'
+), s AS (
+  SELECT user_id, ts_us FROM e WHERE event_type = 'signup'
+), a AS (
+  SELECT p.event_id, p.user_id, p.ts_us, max(s.ts_us) AS signup_us
+  FROM p LEFT JOIN s ON s.user_id = p.user_id AND s.ts_us <= p.ts_us
+  GROUP BY p.event_id, p.user_id, p.ts_us
+), f AS (
+  SELECT * FROM a
+  WHERE signup_us IS NOT NULL AND ts_us - signup_us <= 7 * 86400000000
+), r AS (
+  SELECT user_id, ts_us AS purchase_us, signup_us,
+    row_number() OVER (PARTITION BY user_id ORDER BY ts_us, signup_us) AS rn
+  FROM f
+)
+SELECT user_id, purchase_us, signup_us FROM r WHERE rn = 1"""
+
   /** Dataset-card rollup by (lang, source); the mean is one division of
     * exact integer aggregates (bit-identical across engines). */
   val corpusStats: String = s"""WITH t AS (

@@ -196,6 +196,26 @@ object SparkEntry {
           coalesce(col("retained"), lit(0)).as("retained"))
     }),
 
+    // Conversion funnel on top of the as-of join: each user's FIRST purchase
+    // that follows a signup within 7 days, with the signup it converted from.
+    "ev_funnel" -> ((s, dir) => {
+      val ev = DeadLetterSource.events(s, dir)
+        .select(col("event_id"), col("user_id"),
+          expr("ts div 1000").as("ts_us"), col("event_type"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .drop("event_type")
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts_us").as("s_ts_us"))
+      ops.Relational.asofJoin(purchases, signups, "user_id", "ts_us", "s_ts_us",
+          Seq("s_ts_us" -> "signup_us"))
+        .filter(col("signup_us").isNotNull &&
+          col("ts_us") - col("signup_us") <= 7L * 86400000000L)
+        .groupBy(col("user_id"))
+        .agg(min(struct(col("ts_us"), col("signup_us"))).as("first"))
+        .select(col("user_id"), col("first.ts_us").as("purchase_us"),
+          col("first.signup_us").as("signup_us"))
+    }),
+
     // ---- training-data pipeline operators (documents / embeddings) ----
 
     "text_tokens" -> ((s, dir) => ops.TextAnalysis.tokenCounts(docs(s, dir))),
@@ -286,6 +306,7 @@ object SparkEntry {
     "ev_sessionize" -> OracleSqlOps.evSessionize,
     "ev_asof" -> OracleSqlOps.evAsof,
     "ev_retention" -> OracleSqlOps.evRetention,
+    "ev_funnel" -> OracleSqlOps.evFunnel,
     "text_tokens" -> OracleSqlOps.textTokens,
     "text_langid" -> OracleSqlOps.langId,
     "text_quality" -> OracleSqlOps.quality,
