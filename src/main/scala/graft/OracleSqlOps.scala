@@ -605,6 +605,44 @@ GROUP BY e.event_id, e.user_id, e.ts_us"""
 SELECT a.day, a.active, COALESCE(r.retained, 0) AS retained
 FROM a LEFT JOIN r ON r.day = a.day"""
 
+  /** Product-quantization codes (mirrors graft.ops.Similarity.pqCodes):
+    * same stride-sampled codebooks, same ‖x−c‖² = x·x − 2·x·c + c·c fold
+    * order, same (distance, code) tie-break. */
+  val pqCodes: String = {
+    val (m, codes, stride, residue) =
+      (graft.ops.Similarity.PqSubspaces, graft.ops.Similarity.PqCodes,
+        graft.ops.Similarity.IvfCentroidStride,
+        graft.ops.Similarity.IvfCentroidResidue)
+    val sd = 64 / m
+    s"""WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), samp AS (
+  SELECT vec_id, v FROM e WHERE vec_id % $stride = $residue
+  ORDER BY vec_id LIMIT $codes
+), cb AS (
+  SELECT sub, vec_id AS cid, v[sub * $sd + 1 : sub * $sd + $sd] AS ce,
+    CAST(row_number() OVER (PARTITION BY sub ORDER BY vec_id) - 1 AS INT) AS code
+  FROM samp, range($m) t(sub)
+), cbn AS (
+  SELECT *, list_dot_product(ce, ce) AS cn2 FROM cb
+), vs AS (
+  SELECT vec_id, sub, v[sub * $sd + 1 : sub * $sd + $sd] AS sv
+  FROM e, range($m) t(sub)
+), vsn AS (
+  SELECT *, list_dot_product(sv, sv) AS sn2 FROM vs
+), scored AS (
+  SELECT vsn.vec_id, vsn.sub, cbn.code,
+    vsn.sn2 - 2.0 * list_dot_product(vsn.sv, cbn.ce) + cbn.cn2 AS d
+  FROM vsn JOIN cbn ON vsn.sub = cbn.sub
+), best AS (
+  SELECT vec_id, sub, code,
+    row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, code) AS rn
+  FROM scored
+)
+SELECT vec_id, list(code ORDER BY sub) AS codes
+FROM best WHERE rn = 1 GROUP BY vec_id"""
+  }
+
   /** Conversion funnel (mirrors the ev_funnel composition): per user, the
     * first purchase within 7 days of its as-of signup. */
   val evFunnel: String = """WITH e AS (

@@ -262,6 +262,7 @@ object SparkEntry {
       ops.Similarity.rpLshMultiProbeTopK(emb(s, dir), col("vec_id") % 100 === 0, k = 3)),
     "ann_lsh_multitable" -> ((s, dir) =>
       ops.Similarity.rpLshMultiTableTopK(emb(s, dir), col("vec_id") % 100 === 0, k = 3)),
+    "emb_pq_codes" -> ((s, dir) => ops.Similarity.pqCodes(emb(s, dir))),
 
     "mm_meta" -> ((s, dir) => ops.Multimodal.meta(s, docs(s, dir))),
     "mm_frame_sample" -> ((s, dir) => ops.Multimodal.frameSample(docs(s, dir)).toDF()),
@@ -334,6 +335,7 @@ object SparkEntry {
     "ann_lsh" -> OracleSqlOps.annLsh,
     "ann_lsh_multiprobe" -> OracleSqlOps.annLshMultiProbe,
     "ann_lsh_multitable" -> OracleSqlOps.annLshMultiTable,
+    "emb_pq_codes" -> OracleSqlOps.pqCodes,
     "mm_meta" -> OracleSqlOps.mmMeta,
     "mm_frame_sample" -> OracleSqlOps.mmFrameSample,
     "mm_resize" -> OracleSqlOps.mmResize,

@@ -379,6 +379,69 @@ object Similarity {
 
   /** Exact all-pairs baseline for [[nearDupPairs]] (small corpora / recall
     * measurement): one nested-loop product, no candidate pruning. */
+  /** Product-quantization parameters: [[PqSubspaces]] subspaces of
+    * dim/PqSubspaces dims each, codebooks of ≤[[PqCodes]] entries sampled
+    * with the IVF stride recipe (deterministic, oracle-reproducible). */
+  val PqSubspaces = 4
+  val PqCodes = 256
+
+  /** Product-quantization encoding: each vector is split into
+    * [[PqSubspaces]] subvectors and every subvector is replaced by the
+    * ordinal of its nearest (squared-L2) codebook entry — 64 dims × 4 bytes
+    * compressed to [[PqSubspaces]] single-byte codes, the memory layout ANN
+    * systems keep in RAM when the raw vectors no longer fit.
+    *
+    * Scale shape: codebooks are bounded (≤ subspaces × [[PqCodes]] rows)
+    * and broadcast; assignment is one scan with a map-side-combining
+    * `min(struct)` per (vector, subspace) — the IVF assignment pattern, no
+    * shuffle of the n×codes scored relation. Squared L2 is composed from
+    * the same sequential-fold dots the cosine oracles reproduce
+    * (`‖x−c‖² = x·x − 2·x·c + c·c`, fixed operation order), so codes are
+    * bit-reproducible by the DuckDB oracle.
+    *
+    * Training note: like [[ivfTopK]]'s default codebook, the sample stands
+    * in for a k-means-trained one; [[lloydStep]]'s per-(cell, dim) mean is
+    * the drop-in refinement if PQ distortion matters. */
+  def pqCodes(embeddings: DataFrame, subspaces: Int = PqSubspaces,
+      codes: Int = PqCodes): DataFrame = {
+    val e = embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val dim = 64 / subspaces * subspaces // fixed 64-dim contract upstream
+    val subDim = dim / subspaces
+    val sample = e
+      .filter(col("vec_id") % IvfCentroidStride === IvfCentroidResidue)
+      .orderBy(col("vec_id")).limit(codes)
+    // per-subspace codebooks with a dense ordinal (the byte code): ordinal
+    // = rank of the sampled vec_id within the subspace's codebook
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("sub")).orderBy(col("cid"))
+    val cb = (0 until subspaces).map { si =>
+      sample.select(lit(si).as("sub"), col("vec_id").as("cid"),
+        slice(col("v"), si * subDim + 1, subDim).as("ce"))
+    }.reduce(_ unionByName _)
+      .withColumn("code", (row_number().over(w) - 1).cast("int"))
+      .withColumn("cn2", dot(col("ce"), col("ce")))
+    val vecSub = (0 until subspaces).map { si =>
+      e.select(col("vec_id"), lit(si).as("sub"),
+        slice(col("v"), si * subDim + 1, subDim).as("sv"))
+    }.reduce(_ unionByName _)
+      .withColumn("sn2", dot(col("sv"), col("sv")))
+    val assigned = vecSub.join(broadcast(cb), "sub")
+      .select(col("vec_id"), col("sub"),
+        struct(
+          (col("sn2") - lit(2.0) * dot(col("sv"), col("ce")) + col("cn2"))
+            .as("d"),
+          col("code")).as("dc"))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min(col("dc")).as("best"))
+    assigned
+      .groupBy(col("vec_id"))
+      .agg(sort_array(collect_list(struct(col("sub"), col("best.code").as("c"))))
+        .as("sc"))
+      .select(col("vec_id"),
+        transform(col("sc"), x => x.getField("c")).as("codes"))
+  }
+
   def nearDupPairsExact(embeddings: DataFrame, threshold: Double): DataFrame = {
     val e = withNorm2(embeddings)
     e.as("l").join(e.as("r"), col("l.vec_id") < col("r.vec_id"))

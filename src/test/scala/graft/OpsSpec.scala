@@ -187,6 +187,22 @@ class OpsSpec extends SparkSpec {
     graft.ops.CacheScope.releaseAll(spark)
   }
 
+  test("pq codes: centroid-equal vectors take the centroid's code") {
+    // ids 7 and 32 are the stride-sampled codebook entries (codes 0 and 1 in
+    // cid order); id 100 copies id 7's vector exactly, id 101 copies id 32's
+    def vec(seed: Int) =
+      Array.tabulate(64)(i => ((seed * 31 + i * 7) % 13 - 6).toFloat)
+    val rows = Seq(7L -> vec(1), 32L -> vec(2), 100L -> vec(1), 101L -> vec(2),
+      3L -> vec(3)).map { case (id, v) => (id, v, 0) }
+    val d = rows.toDF("vec_id", "embedding", "label")
+    val got = Similarity.pqCodes(d).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getSeq[Int](r.fieldIndex("codes"))).toMap
+    assert(got(100L) == got(7L) && got(7L) == Seq(0, 0, 0, 0))
+    assert(got(101L) == got(32L) && got(32L) == Seq(1, 1, 1, 1))
+    assert(got.values.forall(_.length == 4))
+  }
+
   test("lloyd iterations pull IVF centroids to the true cluster means") {
     // ids 0..24 cluster on e1, 25..49 on e3; members carry large alternating
     // jitter on a second axis, so any SINGLE member (like sampled centroid
