@@ -605,10 +605,11 @@ GROUP BY e.event_id, e.user_id, e.ts_us"""
 SELECT a.day, a.active, COALESCE(r.retained, 0) AS retained
 FROM a LEFT JOIN r ON r.day = a.day"""
 
-  /** Product-quantization codes (mirrors graft.ops.Similarity.pqCodes):
-    * same stride-sampled codebooks, same ‖x−c‖² = x·x − 2·x·c + c·c fold
-    * order, same (distance, code) tie-break. */
-  val pqCodes: String = {
+  /** Shared PQ CTE chain (mirrors graft.ops.Similarity.pqCodes): codebooks
+    * from the stride sample, per-(vector, subspace) nearest code by the
+    * ‖x−c‖² = x·x − 2·x·c + c·c fold with the (distance, code) tie-break.
+    * Ends with `best` (one row per vec_id × sub, rn = 1 filter pending). */
+  private val pqCte: String = {
     val (m, codes, stride, residue) =
       (graft.ops.Similarity.PqSubspaces, graft.ops.Similarity.PqCodes,
         graft.ops.Similarity.IvfCentroidStride,
@@ -638,9 +639,43 @@ FROM a LEFT JOIN r ON r.day = a.day"""
   SELECT vec_id, sub, code,
     row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, code) AS rn
   FROM scored
-)
+)"""
+  }
+
+  val pqCodes: String = pqCte + """
 SELECT vec_id, list(code ORDER BY sub) AS codes
 FROM best WHERE rn = 1 GROUP BY vec_id"""
+
+  /** PQ ADC top-k (mirrors graft.ops.Similarity.pqAdcTopK): query-side
+    * distance table over the same codebook, fixed-order 4-column sum. */
+  val pqAdcTopK: String = {
+    val m = graft.ops.Similarity.PqSubspaces
+    val pivots = (0 until m)
+      .map(si => s"max(CASE WHEN c.sub = $si THEN dt.dq END) AS d$si")
+      .mkString(",\n    ")
+    val adcSum = (0 until m).map(si => s"d$si").mkString(" + ")
+    pqCte + s""",
+ccodes AS (
+  SELECT vec_id, sub, code FROM best WHERE rn = 1
+), dtab AS (
+  SELECT vsn.vec_id AS query_id, vsn.sub, cbn.code,
+    vsn.sn2 - 2.0 * list_dot_product(vsn.sv, cbn.ce) + cbn.cn2 AS dq
+  FROM vsn JOIN cbn ON vsn.sub = cbn.sub
+  WHERE vsn.vec_id % 100 = 0
+), pivoted AS (
+  SELECT dt.query_id, c.vec_id,
+    $pivots
+  FROM ccodes c JOIN dtab dt ON dt.sub = c.sub AND dt.code = c.code
+  WHERE c.vec_id <> dt.query_id
+  GROUP BY dt.query_id, c.vec_id
+), ranked AS (
+  SELECT query_id, vec_id AS neighbor_id, $adcSum AS adc,
+    row_number() OVER (PARTITION BY query_id
+      ORDER BY $adcSum, vec_id) AS rank
+  FROM pivoted
+)
+SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, adc
+FROM ranked WHERE rank <= 3"""
   }
 
   /** Conversion funnel (mirrors the ev_funnel composition): per user, the

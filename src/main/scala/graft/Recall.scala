@@ -77,7 +77,9 @@ object Recall {
           topkRecall("ann_lsh_multiprobe_top3",
             ops.Similarity.rpLshMultiProbeTopK(SparkEntry.emb(s, dir), queryPred, k = 3), bf),
           topkRecall("ann_lsh_multitable_top3",
-            ops.Similarity.rpLshMultiTableTopK(SparkEntry.emb(s, dir), queryPred, k = 3), bf))
+            ops.Similarity.rpLshMultiTableTopK(SparkEntry.emb(s, dir), queryPred, k = 3), bf),
+          topkRecall("ann_pq_adc_top3",
+            ops.Similarity.pqAdcTopK(SparkEntry.emb(s, dir), queryPred, k = 3), bf))
       },
       Seq(embeddingMetric(s, dir, 0.45), embeddingMetric(s, dir, 0.8))).flatten
   }

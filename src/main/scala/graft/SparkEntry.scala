@@ -263,6 +263,8 @@ object SparkEntry {
     "ann_lsh_multitable" -> ((s, dir) =>
       ops.Similarity.rpLshMultiTableTopK(emb(s, dir), col("vec_id") % 100 === 0, k = 3)),
     "emb_pq_codes" -> ((s, dir) => ops.Similarity.pqCodes(emb(s, dir))),
+    "ann_pq_adc" -> ((s, dir) =>
+      ops.Similarity.pqAdcTopK(emb(s, dir), col("vec_id") % 100 === 0, k = 3)),
 
     "mm_meta" -> ((s, dir) => ops.Multimodal.meta(s, docs(s, dir))),
     "mm_frame_sample" -> ((s, dir) => ops.Multimodal.frameSample(docs(s, dir)).toDF()),
@@ -336,6 +338,7 @@ object SparkEntry {
     "ann_lsh_multiprobe" -> OracleSqlOps.annLshMultiProbe,
     "ann_lsh_multitable" -> OracleSqlOps.annLshMultiTable,
     "emb_pq_codes" -> OracleSqlOps.pqCodes,
+    "ann_pq_adc" -> OracleSqlOps.pqAdcTopK,
     "mm_meta" -> OracleSqlOps.mmMeta,
     "mm_frame_sample" -> OracleSqlOps.mmFrameSample,
     "mm_resize" -> OracleSqlOps.mmResize,

@@ -442,6 +442,67 @@ object Similarity {
         transform(col("sc"), x => x.getField("c")).as("codes"))
   }
 
+  /** PQ asymmetric-distance (ADC) top-k: queries score the CODEBOOK once
+    * (Q × subspaces × codes rows — a tiny broadcastable distance table) and
+    * every corpus vector's approximate distance is the sum of its codes'
+    * table entries — the scan never touches raw corpus vectors, which is
+    * the point of PQ: the search-side memory traffic is `subspaces` bytes
+    * per vector.
+    *
+    * Determinism: the per-subspace distances are pivoted into FIXED columns
+    * (subspace count is a compile-time constant) and summed in fixed order,
+    * so the ADC total is bit-reproducible by the oracle — no
+    * order-nondeterministic float aggregation.
+    *
+    * Recall note: ADC ranks by quantized distance; like every PQ system the
+    * result is approximate (re-rank the top candidates against raw vectors
+    * when exactness matters — [[bruteForceTopK]] over the shortlist). */
+  def pqAdcTopK(embeddings: DataFrame, queryPred: Column, k: Int = 3,
+      subspaces: Int = PqSubspaces, codes: Int = PqCodes): DataFrame = {
+    val e = embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val subDim = 64 / subspaces
+    val sample = e
+      .filter(col("vec_id") % IvfCentroidStride === IvfCentroidResidue)
+      .orderBy(col("vec_id")).limit(codes)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("sub")).orderBy(col("cid"))
+    val cb = (0 until subspaces).map { si =>
+      sample.select(lit(si).as("sub"), col("vec_id").as("cid"),
+        slice(col("v"), si * subDim + 1, subDim).as("ce"))
+    }.reduce(_ unionByName _)
+      .withColumn("code", (row_number().over(w) - 1).cast("int"))
+      .withColumn("cn2", dot(col("ce"), col("ce")))
+    // query-side distance table: ‖q_sub − c‖² per (query, sub, code)
+    val qSub = (0 until subspaces).map { si =>
+      e.filter(queryPred).select(col("vec_id").as("query_id"),
+        lit(si).as("sub"), slice(col("v"), si * subDim + 1, subDim).as("qv"))
+    }.reduce(_ unionByName _)
+      .withColumn("qn2", dot(col("qv"), col("qv")))
+    val dtab = qSub.join(broadcast(cb), "sub")
+      .select(col("query_id"), col("sub"), col("code"),
+        (col("qn2") - lit(2.0) * dot(col("qv"), col("ce")) + col("cn2"))
+          .as("dq"))
+    // corpus codes → per-subspace lookup → fixed-order 4-column sum
+    val corpusCodes = pqCodes(embeddings, subspaces, codes)
+      .select(col("vec_id"), posexplode(col("codes")).as(Seq("sub", "code")))
+    val perSub = corpusCodes.join(Par.maybeBroadcast(dtab), Seq("sub", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+    val pivotCols = (0 until subspaces).map(si =>
+      max(when(col("sub") === si, col("dq"))).as(s"d$si"))
+    val pivoted = perSub.groupBy(col("query_id"), col("vec_id"))
+      .agg(pivotCols.head, pivotCols.tail: _*)
+    val adc = (0 until subspaces).map(si => col(s"d$si"))
+      .reduce(_ + _)
+    val rw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("adc"), col("neighbor_id"))
+    pivoted.select(col("query_id"), col("vec_id").as("neighbor_id"),
+        adc.as("adc"))
+      .withColumn("rank", row_number().over(rw))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("adc"))
+  }
+
   def nearDupPairsExact(embeddings: DataFrame, threshold: Double): DataFrame = {
     val e = withNorm2(embeddings)
     e.as("l").join(e.as("r"), col("l.vec_id") < col("r.vec_id"))
