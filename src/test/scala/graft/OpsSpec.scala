@@ -229,6 +229,29 @@ class OpsSpec extends SparkSpec {
     graft.ops.CacheScope.releaseAll(spark)
   }
 
+  test("PQ ADC ranks same-cluster vectors above the other cluster") {
+    // two 64-dim clusters on disjoint axis halves with small per-vector
+    // jitter; the stride sample (ids 7, 32) gives one codebook entry per
+    // cluster, so ADC must keep every top-3 neighbor inside the query's
+    // own cluster
+    val vecs = (0L to 49L).map { i =>
+      val v = Array.tabulate(64) { d =>
+        val base = if ((i < 25) == (d < 32)) 1f else 0f
+        base + ((i * 7 + d) % 5) * 0.01f
+      }
+      (i, v, 0)
+    }.toDF("vec_id", "embedding", "label")
+    val top = Similarity.pqAdcTopK(vecs, col("vec_id").isin(0L, 30L), k = 3)
+      .collect()
+    assert(top.length == 6)
+    top.foreach { r =>
+      val q = r.getAs[Long]("query_id")
+      val n = r.getAs[Long]("neighbor_id")
+      assert((q < 25) == (n < 25), s"query $q got cross-cluster neighbor $n")
+    }
+    graft.ops.CacheScope.releaseAll(spark)
+  }
+
   test("pii scrub counts and redacts planted emails, IPs, and phones") {
     val d = Seq(
       (0L, "contact bob.smith+x@example.co.uk or 10.0.0.1 now"),
