@@ -282,6 +282,39 @@ class StreamingSpec extends SparkSpec {
     AnalyzerMain.assertCheckpointLayout(spark, fresh.getAbsolutePath)
   }
 
+  test("watermarked window counts: append emits closed windows, drops too-late rows") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark2.sqlContext
+
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    val stream = MemoryStream[(java.sql.Timestamp, String)]
+    val events = stream.toDF().toDF("ts", "kind")
+    val out = graft.streaming.EventRates.windowedCounts(events, "ts", "kind")
+    val q = out.writeStream
+      .format("memory").queryName("rates").outputMode("append").start()
+    try {
+      // batch 1: two errors + one click in [0, 60); nothing closes yet
+      stream.addData(ts(5) -> "error", ts(20) -> "error", ts(30) -> "click")
+      q.processAllAvailable()
+      assert(spark.table("rates").count() == 0)
+
+      // batch 2: event at t=200 advances the watermark to 200-60=140 > 60,
+      // so the [0, 60) windows close and emit their final counts
+      stream.addData(ts(200) -> "click")
+      q.processAllAvailable()
+      val closed = spark.table("rates").collect()
+        .map(r => r.getAs[String]("kind") -> r.getAs[Long]("n")).toMap
+      assert(closed == Map("error" -> 2L, "click" -> 1L))
+
+      // batch 3: a row at t=10 is behind the watermark — dropped, the
+      // closed [0, 60) error count must NOT change or re-emit
+      stream.addData(ts(10) -> "error")
+      q.processAllAvailable()
+      assert(spark.table("rates").count() == 2)
+    } finally q.stop()
+  }
+
   test("streaming dedup emits first-seen only, within and across batches") {
     val spark2 = spark
     import spark2.implicits._
