@@ -148,6 +148,34 @@ class OpsSpec extends SparkSpec {
     graft.ops.CacheScope.releaseAll(spark)
   }
 
+  test("dedup pipeline: all-unique corpus is all-canonical singletons") {
+    val d = Seq((0L, "alpha bravo"), (1L, "charlie delta"),
+      (2L, "echo foxtrot")).toDF("doc_id", "text")
+    val r = Dedup.dedupPipeline(d).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("cluster_id"), x.getAs[Boolean]("is_canonical"))).toMap
+    assert(r == Map(0L -> ((0L, true)), 1L -> ((1L, true)), 2L -> ((2L, true))))
+    graft.ops.CacheScope.releaseAll(spark)
+  }
+
+  test("pack: a doc longer than the budget spans chunks at the right offset") {
+    // budget 4; shard count 1 puts everything in one stream ordered by lane
+    val d = Seq((0L, "a b c"), (1L, "d e f"), (2L, "g h")).toDF("doc_id", "text")
+    val r = TextAnalysis.pack(d, budget = 4, shards = 1).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Int]("seq"), x.getAs[Int]("tok_offset"), x.getAs[Int]("n_tokens")))
+      .toMap
+    // layout is a pure function of md5 lanes; verify the invariants rather
+    // than the arbitrary order: offsets are cum-sums mod budget, seqs are
+    // cum-sums div budget, and the three docs tile 0..8 tokens contiguously
+    val byStart = r.values.toSeq.sortBy { case (seq, off, _) => seq * 4 + off }
+    assert(byStart.map(_._3).sum == 8)
+    val starts = byStart.map { case (seq, off, _) => seq * 4 + off }
+    val expected = byStart.map(_._3).scanLeft(0)(_ + _).dropRight(1)
+    assert(starts == expected, s"non-contiguous packing: $byStart")
+    graft.ops.CacheScope.releaseAll(spark)
+  }
+
   test("as-of join: inclusive ties, carry-forward, and null before first") {
     val left = Seq((1L, 10L, "e1"), (1L, 20L, "e2"), (1L, 5L, "e0"),
       (2L, 10L, "e3")).toDF("k", "ts", "name")
