@@ -743,6 +743,18 @@ SELECT doc_id, CAST(count(*) AS INT) AS n_tokens,
 FROM t JOIN f USING (tok) CROSS JOIN g
 GROUP BY doc_id"""
 
+  /** TPC-H Q5 shape (local-supplier revenue by nation within a region). */
+  val q5Local: String = """SELECT n_name,
+  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name"""
+
   val q3Join: String = """SELECT o_orderpriority, c_mktsegment,
   CAST(count(*) AS INT) AS n,
   CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue

@@ -135,6 +135,26 @@ object SparkEntry {
             .cast("double").as("revenue"))
     }),
 
+    // TPC-H Q5 shape: five-way join with the local-supplier constraint;
+    // region/nation are broadcast dims, the fact joins shuffle on their keys.
+    "q5_local" -> ((s, dir) => {
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      val su = s.read.parquet(s"$dir/supplier.parquet")
+      val n = s.read.parquet(s"$dir/nation.parquet")
+      val r = s.read.parquet(s"$dir/region.parquet").filter(col("r_name") === "ASIA")
+      c.join(o, col("o_custkey") === col("c_custkey"))
+        .join(li, col("l_orderkey") === col("o_orderkey"))
+        .join(su, col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,4)")).cast("double").as("revenue"))
+    }),
+
     // Window functions: top-3 events per user by value.
     "ev_top3" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
@@ -305,6 +325,7 @@ object SparkEntry {
       count(*) AS count_order
     FROM lineitem GROUP BY l_returnflag, l_linestatus""",
     "q3_join" -> OracleSqlOps.q3Join,
+    "q5_local" -> OracleSqlOps.q5Local,
     "ev_top3" -> OracleSqlOps.evTop3,
     "ev_sessionize" -> OracleSqlOps.evSessionize,
     "ev_asof" -> OracleSqlOps.evAsof,
