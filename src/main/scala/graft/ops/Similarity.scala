@@ -377,8 +377,6 @@ object Similarity {
         cosineWithNorms(col("ea"), col("eb"), col("n2a"), col("n2b")).as("cosine"))
   }
 
-  /** Exact all-pairs baseline for [[nearDupPairs]] (small corpora / recall
-    * measurement): one nested-loop product, no candidate pruning. */
   /** Product-quantization parameters: [[PqSubspaces]] subspaces of
     * dim/PqSubspaces dims each, codebooks of ≤[[PqCodes]] entries sampled
     * with the IVF stride recipe (deterministic, oracle-reproducible). */
@@ -503,6 +501,8 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("adc"))
   }
 
+  /** Exact all-pairs baseline for [[nearDupPairs]] (small corpora / recall
+    * measurement): one nested-loop product, no candidate pruning. */
   def nearDupPairsExact(embeddings: DataFrame, threshold: Double): DataFrame = {
     val e = withNorm2(embeddings)
     e.as("l").join(e.as("r"), col("l.vec_id") < col("r.vec_id"))
