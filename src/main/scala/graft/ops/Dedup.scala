@@ -143,18 +143,37 @@ object Dedup {
   def minhashLsh(docs: DataFrame, k: Int = 32, bands: Int = 8,
       threshold: Double = 0.8,
       tokenizer: Tokenizer = Tokenizer.Whitespace): DataFrame = {
-    // One row per doc: band keys + the sorted hashed-token set, joined once
-    // at build time (an n-row join) and persisted. Carrying the token sets ON
-    // the banded table fuses verification into the candidate joins — each
-    // emitted pair computes its Jaccard in-stage instead of flowing through
-    // two more id->set joins over the (quadratic) candidate stream. The
-    // trade-off is a wider build side / wider fallback shuffle rows; at
-    // sketch sizes (ints, deduped tokens) the per-row set is bounded and the
-    // candidate stream is orders of magnitude larger than the doc table, so
-    // fusing wins on both counts.
+    // One row per doc: band keys + the sorted hashed-token set, produced by
+    // ONE tokenize-explode-aggregate pass and persisted: the 28-bit set-hash
+    // lane IS the minhash h1 lane (same md5 substring), so the K `min`s and
+    // the `collect_set` ride the same groupBy — one scan, one shuffle, no
+    // sig⋈set join (the pre-r4 shape tokenized twice and joined). Carrying
+    // the token sets ON the banded table fuses verification into the
+    // candidate joins — each emitted pair computes its Jaccard in-stage
+    // instead of flowing through two more id->set joins over the (quadratic)
+    // candidate stream. The trade-off is a wider build side / wider fallback
+    // shuffle rows; at sketch sizes (ints, deduped tokens) the per-row set is
+    // bounded and the candidate stream is orders of magnitude larger than the
+    // doc table, so fusing wins on both counts.
+    val d = md5(col("tok").cast("binary"))
+    val minAggs = (0 until k).map { s =>
+      min((col("h1") + lit(s.toLong) * col("h2")) % lit(MinhashPrime)).as(s"mh$s")
+    }
+    val aggs = minAggs :+
+      sort_array(collect_set(col("h1").cast("int"))).as("tks")
+    val sigsWithSets = docTokens(docs, tokenizer)
+      .select(col("doc_id"),
+        conv(substring(d, 1, 7), 16, 10).cast("long").as("h1"),
+        conv(substring(d, 9, 7), 16, 10).cast("long").as("h2"))
+      .groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    val rows = k / bands
+    val bandCols = (0 until bands).map { b =>
+      conv(substring(md5(concat_ws(":",
+        (b * rows until (b + 1) * rows).map(i => col(s"mh$i").cast("string")): _*)
+        .cast("binary")), 1, 15), 16, 10).cast("long").as(s"band$b")
+    }
     val banded = CacheScope.track(
-      lshBands(minhashSignatures(docs, k, tokenizer), k, bands)
-        .join(hashedTokenSets(docs, tokenizer), "doc_id"))
+      sigsWithSets.select(col("doc_id") +: col("tks") +: bandCols: _*))
     val inter = graft.functions.ArrayExprs.sortedIntersectSize(
       col("l.tks"), col("r.tks"))
     (0 until bands).map { b =>
