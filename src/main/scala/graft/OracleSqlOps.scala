@@ -261,6 +261,76 @@ SELECT l.doc_id AS a, r.doc_id AS b,
 FROM fp l JOIN fp r ON l.doc_id < r.doc_id
 WHERE bit_count(xor(l.simhash, r.simhash)) <= 3"""
 
+  /** Edit-distance-verified near-dup (mirrors graft.ops.Dedup
+    * .editDistancePairs: simhash candidates, Levenshtein verify,
+    * ratio <= 0.4). */
+  val dedupEdit: String = simhashCte + """
+, sp AS (
+  SELECT l.doc_id AS a, r.doc_id AS b FROM fp l JOIN fp r ON l.doc_id < r.doc_id
+  WHERE bit_count(xor(l.simhash, r.simhash)) <= 3
+)
+SELECT sp.a, sp.b,
+  CAST(levenshtein(da.text, db.text) AS INT) AS edit_dist,
+  CAST(levenshtein(da.text, db.text) AS DOUBLE)
+    / greatest(length(da.text), length(db.text)) AS edit_ratio
+FROM sp JOIN documents da ON da.doc_id = sp.a
+        JOIN documents db ON db.doc_id = sp.b
+WHERE CAST(levenshtein(da.text, db.text) AS DOUBLE)
+    / greatest(length(da.text), length(db.text)) <= 0.4"""
+
+  /** The minhash banded + token-set CTE family over `src`, all CTE names
+    * prefixed with `p` so two corpora can coexist in one query (the
+    * incremental-dedup oracle builds one family per side). */
+  private def bandedCtes(src: String, p: String): String = s"""${p}dtoks AS (
+  SELECT DISTINCT doc_id, unnest($toks) AS tok FROM $src
+), ${p}th AS (
+  SELECT doc_id, ${hexLane(1)} AS h1, ${hexLane(9)} AS h2 FROM ${p}dtoks
+), ${p}sig AS (
+  SELECT doc_id, $minhashAggs
+  FROM ${p}th GROUP BY doc_id
+), ${p}banded AS (
+  SELECT doc_id, $bandCols FROM ${p}sig
+), ${p}tsets AS (
+  SELECT doc_id,
+    list_sort(list_distinct(list_transform($toks, tok -> ${hexLane(1)}))) AS tks
+  FROM $src
+)"""
+
+  private val incrBandJoins: String = (0 until Bands).map { b =>
+    s"SELECT b.doc_id AS bd, h.doc_id AS hd FROM bbanded b JOIN hbanded h ON b.band$b = h.band$b"
+  }.mkString("\n    UNION ALL\n    ")
+
+  /** Incremental dedup oracle (mirrors graft.ops.Dedup.incremental over the
+    * doc_id % 5 batch/history split): exact digest tier wins over the
+    * minhash near tier; each tier contributes its minimum history doc_id. */
+  val dedupIncremental: String = s"""WITH hist AS (
+  SELECT * FROM documents WHERE doc_id % 5 <> 0
+), bat AS (
+  SELECT * FROM documents WHERE doc_id % 5 = 0
+), ${bandedCtes("hist", "h")},
+${bandedCtes("bat", "b")},
+ex AS (
+  SELECT b.doc_id, min(h.doc_id) AS exact_id
+  FROM bat b JOIN hist h ON md5(h.text) = md5(b.text)
+  GROUP BY b.doc_id
+), cand AS (
+  SELECT DISTINCT bd, hd FROM (
+    $incrBandJoins)
+), nr AS (
+  SELECT c.bd AS doc_id, min(c.hd) AS near_id
+  FROM cand c JOIN btsets sb ON sb.doc_id = c.bd
+              JOIN htsets sh ON sh.doc_id = c.hd
+  WHERE CAST(len(list_intersect(sh.tks, sb.tks)) AS DOUBLE)
+    / (len(sh.tks) + len(sb.tks) - len(list_intersect(sh.tks, sb.tks))) >= 0.8
+  GROUP BY c.bd
+)
+SELECT b.doc_id, coalesce(ex.exact_id, nr.near_id) AS dup_of,
+  CASE WHEN ex.exact_id IS NOT NULL THEN 'exact'
+       WHEN nr.near_id IS NOT NULL THEN 'near' END AS dup_kind,
+  (ex.exact_id IS NULL AND nr.near_id IS NULL) AS is_new
+FROM bat b LEFT JOIN ex ON ex.doc_id = b.doc_id
+           LEFT JOIN nr ON nr.doc_id = b.doc_id"""
+
   val ngramJaccard: String = s"""WITH t AS (
   SELECT doc_id, $toks AS tk FROM documents
 ), sets AS (

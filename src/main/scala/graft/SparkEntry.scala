@@ -264,6 +264,16 @@ object SparkEntry {
       ops.Dedup.clusters(d, ops.Dedup.simhashPairs(d).select(col("a"), col("b")))
     }),
     "dedup_pipeline" -> ((s, dir) => ops.Dedup.dedupPipeline(docs(s, dir))),
+    // edit-distance-verified near-dup: Levenshtein runs only on the
+    // Hamming-bounded simhash survivors, never a quadratic pair stream
+    "dedup_edit" -> ((s, dir) => ops.Dedup.editDistancePairs(docs(s, dir))),
+    // incremental (daily-ingest) dedup: batch = doc_id % 5 == 0 labeled
+    // against history = the rest; exact tier wins over near tier
+    "dedup_incremental" -> ((s, dir) => {
+      val d = docs(s, dir)
+      ops.Dedup.incremental(
+        d.filter(col("doc_id") % 5 =!= 0), d.filter(col("doc_id") % 5 === 0))
+    }),
     // t=0.45 is the stress case (sign-LSH can't prune at θ≈63°, candidates
     // approach all-pairs — the operator's honesty note); t=0.8 is the
     // production near-dup regime where the s-curve actually prunes.
@@ -351,6 +361,8 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> OracleSqlOps.ngramJaccard,
     "dedup_clusters" -> OracleSqlOps.dedupClusters,
     "dedup_pipeline" -> OracleSqlOps.dedupPipeline,
+    "dedup_edit" -> OracleSqlOps.dedupEdit,
+    "dedup_incremental" -> OracleSqlOps.dedupIncremental,
     "dedup_embedding" -> OracleSqlOps.embeddingNearDup(0.45),
     "dedup_embedding_t08" -> OracleSqlOps.embeddingNearDup(0.8),
     "ann_topk" -> OracleSqlOps.annTopK,

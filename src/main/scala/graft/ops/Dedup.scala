@@ -126,6 +126,37 @@ object Dedup {
         .as("jaccard"))
   }
 
+  /** One row per doc carrying the LSH band keys AND the sorted hashed-token
+    * set, from a single tokenize-explode-aggregate pass: the 28-bit set-hash
+    * lane IS the minhash h1 lane (same md5 substring), so the K band `min`s
+    * and the `collect_set` ride the same groupBy — one scan, one shuffle, no
+    * sig⋈set join (the pre-r4 shape tokenized twice and joined on doc_id).
+    * Map-side partial aggregation shrinks the shuffle to one row per doc.
+    * Shared by [[minhashLsh]] (self-join candidates) and [[incremental]]
+    * (cross-corpus candidates); in a production incremental pipeline the
+    * history side of this table is the precomputed index artifact. */
+  private def bandedWithSets(docs: DataFrame, k: Int, bands: Int,
+      tokenizer: Tokenizer): DataFrame = {
+    val d = md5(col("tok").cast("binary"))
+    val minAggs = (0 until k).map { s =>
+      min((col("h1") + lit(s.toLong) * col("h2")) % lit(MinhashPrime)).as(s"mh$s")
+    }
+    val aggs = minAggs :+
+      sort_array(collect_set(col("h1").cast("int"))).as("tks")
+    val sigsWithSets = docTokens(docs, tokenizer)
+      .select(col("doc_id"),
+        conv(substring(d, 1, 7), 16, 10).cast("long").as("h1"),
+        conv(substring(d, 9, 7), 16, 10).cast("long").as("h2"))
+      .groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    val rows = k / bands
+    val bandCols = (0 until bands).map { b =>
+      conv(substring(md5(concat_ws(":",
+        (b * rows until (b + 1) * rows).map(i => col(s"mh$i").cast("string")): _*)
+        .cast("binary")), 1, 15), 16, 10).cast("long").as(s"band$b")
+    }
+    sigsWithSets.select(col("doc_id") +: col("tks") +: bandCols: _*)
+  }
+
   /** MinHash+LSH near-dup pairs: distinct candidate pairs from any shared
     * band bucket, verified by Jaccard >= `threshold` over the hashed token
     * sets.
@@ -144,36 +175,15 @@ object Dedup {
       threshold: Double = 0.8,
       tokenizer: Tokenizer = Tokenizer.Whitespace): DataFrame = {
     // One row per doc: band keys + the sorted hashed-token set, produced by
-    // ONE tokenize-explode-aggregate pass and persisted: the 28-bit set-hash
-    // lane IS the minhash h1 lane (same md5 substring), so the K `min`s and
-    // the `collect_set` ride the same groupBy — one scan, one shuffle, no
-    // sig⋈set join (the pre-r4 shape tokenized twice and joined). Carrying
-    // the token sets ON the banded table fuses verification into the
+    // ONE tokenize-explode-aggregate pass ([[bandedWithSets]]) and persisted.
+    // Carrying the token sets ON the banded table fuses verification into the
     // candidate joins — each emitted pair computes its Jaccard in-stage
     // instead of flowing through two more id->set joins over the (quadratic)
     // candidate stream. The trade-off is a wider build side / wider fallback
     // shuffle rows; at sketch sizes (ints, deduped tokens) the per-row set is
     // bounded and the candidate stream is orders of magnitude larger than the
     // doc table, so fusing wins on both counts.
-    val d = md5(col("tok").cast("binary"))
-    val minAggs = (0 until k).map { s =>
-      min((col("h1") + lit(s.toLong) * col("h2")) % lit(MinhashPrime)).as(s"mh$s")
-    }
-    val aggs = minAggs :+
-      sort_array(collect_set(col("h1").cast("int"))).as("tks")
-    val sigsWithSets = docTokens(docs, tokenizer)
-      .select(col("doc_id"),
-        conv(substring(d, 1, 7), 16, 10).cast("long").as("h1"),
-        conv(substring(d, 9, 7), 16, 10).cast("long").as("h2"))
-      .groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
-    val rows = k / bands
-    val bandCols = (0 until bands).map { b =>
-      conv(substring(md5(concat_ws(":",
-        (b * rows until (b + 1) * rows).map(i => col(s"mh$i").cast("string")): _*)
-        .cast("binary")), 1, 15), 16, 10).cast("long").as(s"band$b")
-    }
-    val banded = CacheScope.track(
-      sigsWithSets.select(col("doc_id") +: col("tks") +: bandCols: _*))
+    val banded = CacheScope.track(bandedWithSets(docs, k, bands, tokenizer))
     val inter = graft.functions.ArrayExprs.sortedIntersectSize(
       col("l.tks"), col("r.tks"))
     (0 until bands).map { b =>
@@ -551,6 +561,92 @@ object Dedup {
       .select(col("doc_id"),
         coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
       .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
+  }
+
+  /** Edit-distance-verified near-dup pairs: candidates from the SimHash
+    * pigeonhole join ([[simhashPairs]]), verified by exact Levenshtein
+    * distance — the verification tier for dedup policies stated in edits
+    * ("drop if within 20% character edits") rather than token-set overlap,
+    * which token-order shuffles can fool.
+    *
+    * Scale shape: Levenshtein is O(|a|·|b|) per pair — far too expensive for
+    * an all-pairs or even an LSH-candidate stream at corpus scale — so it
+    * runs ONLY on the Hamming-bounded sketch survivors (a near-linear pair
+    * set), and the text join uses size-gated broadcasts of the (narrow)
+    * id→text table. Built-in `levenshtein` keeps the stage codegen'd. */
+  def editDistancePairs(docs: DataFrame, maxHamming: Int = 3,
+      maxRatio: Double = 0.4): DataFrame = {
+    val cand = simhashPairs(docs, maxHamming).select(col("a"), col("b"))
+    val texts = docs.select(col("doc_id"), col("text"))
+    cand
+      .join(maybeBroadcast(
+        texts.select(col("doc_id").as("a"), col("text").as("__ta"))), "a")
+      .join(maybeBroadcast(
+        texts.select(col("doc_id").as("b"), col("text").as("__tb"))), "b")
+      .select(col("a"), col("b"),
+        levenshtein(col("__ta"), col("__tb")).as("edit_dist"),
+        greatest(length(col("__ta")), length(col("__tb"))).as("__len"))
+      .select(col("a"), col("b"), col("edit_dist"),
+        (col("edit_dist").cast("double") / col("__len")).as("edit_ratio"))
+      .filter(col("edit_ratio") <= maxRatio)
+  }
+
+  /** Incremental dedup: label every document of a NEW `batch` against an
+    * existing `history` corpus — the daily-ingest shape of a production
+    * dedup pipeline, where re-deduplicating the full corpus per increment
+    * (O(corpus) work for O(batch) new data) is not an option.
+    *
+    * Output, one row per batch doc: `dup_of` = the minimum history doc_id
+    * that is an exact copy (kind `exact`) or, failing that, a near-dup with
+    * Jaccard >= `threshold` (kind `near`); `is_new` marks docs with neither.
+    *
+    * Scale shape — history is scanned, never shuffled against itself:
+    *  - exact tier: the batch's text digests broadcast (size-gated) into a
+    *    semi-filter on history — only history rows COLLIDING with a batch
+    *    digest flow into the min-id aggregation, so the exact tier's shuffle
+    *    is O(collisions), not O(|history|);
+    *  - near tier: both sides build the [[bandedWithSets]] sketch (in
+    *    production the history sketch is the precomputed, partitioned index
+    *    artifact — batch-size work per increment); candidates come from the
+    *    band-key equi-joins with the batch side broadcast while it fits, and
+    *    Jaccard verification is fused in-stage exactly as [[minhashLsh]];
+    *  - both tiers end in one min-aggregation per batch doc — map-side
+    *    combining, O(|batch|) output. */
+  def incremental(history: DataFrame, batch: DataFrame, k: Int = 32,
+      bands: Int = 8, threshold: Double = 0.8,
+      tokenizer: Tokenizer = Tokenizer.Whitespace): DataFrame = {
+    // exact tier: digest-collision min per batch doc
+    val bHash = CacheScope.track(
+      batch.select(col("doc_id"), md5(col("text")).as("__h")))
+    val exact = history.select(col("doc_id").as("hid"), md5(col("text")).as("__h"))
+      .join(maybeBroadcast(bHash.select(col("__h")).distinct()), Seq("__h"),
+        "left_semi")
+      .join(maybeBroadcast(bHash), "__h")
+      .groupBy(col("doc_id")).agg(min(col("hid")).as("exact_id"))
+    // near tier: cross-corpus band-key candidates, Jaccard fused in-stage
+    val bandedH = CacheScope.track(bandedWithSets(history, k, bands, tokenizer))
+    val bandedB = CacheScope.track(bandedWithSets(batch, k, bands, tokenizer))
+    val inter = graft.functions.ArrayExprs.sortedIntersectSize(
+      col("h.tks"), col("b.tks"))
+    val near = (0 until bands).map { bd =>
+      val guard = (0 until bd)
+        .map(p => col(s"h.band$p") =!= col(s"b.band$p"))
+        .foldLeft(col(s"h.band$bd") === col(s"b.band$bd"))(_ && _)
+      bandedH.as("h").join(maybeBroadcast(bandedB.as("b")), guard)
+        .select(col("b.doc_id").as("doc_id"), col("h.doc_id").as("hid"),
+          (inter.cast("double") /
+            (size(col("h.tks")) + size(col("b.tks")) - inter)).as("j"))
+    }.reduce(_ unionByName _)
+      .filter(col("j") >= threshold)
+      .groupBy(col("doc_id")).agg(min(col("hid")).as("near_id"))
+    batch.select(col("doc_id"))
+      .join(exact, Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("exact_id"), col("near_id")).as("dup_of"),
+        when(col("exact_id").isNotNull, lit("exact"))
+          .when(col("near_id").isNotNull, lit("near")).as("dup_kind"),
+        (col("exact_id").isNull && col("near_id").isNull).as("is_new"))
   }
 
   /** Word-bigram Jaccard near-dup pairs. Candidates come from an inverted

@@ -608,6 +608,39 @@ class OpsSpec extends SparkSpec {
     assert(r.forall(_.getAs[Int]("tok_offset") < 128))
   }
 
+  test("edit-distance dedup verifies simhash candidates by Levenshtein") {
+    // docs 0/1 identical (distance 0), doc 2 one word edited ("jumps" ->
+    // "leaps": distance 3), doc 3 unrelated (no simhash candidate at all)
+    val r = Dedup.editDistancePairs(docs).collect()
+      .map(x => (x.getAs[Long]("a"), x.getAs[Long]("b")) ->
+        x.getAs[Int]("edit_dist")).toMap
+    assert(r((0L, 1L)) == 0)
+    assert(r.get((0L, 2L)).contains(3) && r.get((1L, 2L)).contains(3))
+    assert(!r.keySet.exists { case (a, b) => a == 3L || b == 3L })
+    graft.ops.CacheScope.releaseAll(spark)
+  }
+
+  test("incremental dedup: exact beats near, novel docs are new") {
+    val history = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),
+      (11L, "the quick brown fox jumps over the lazy dog"), // dup inside history
+      (12L, "an entirely separate subject matter document")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (20L, "the quick brown fox jumps over the lazy dog"), // exact vs 10 (min)
+      (21L, "a quick brown fox jumps over the lazy dog"),   // near dup of 10
+      (22L, "nothing like anything seen before anywhere")   // new
+    ).toDF("doc_id", "text")
+    val r = Dedup.incremental(history, batch, threshold = 0.5).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((Option(x.get(x.fieldIndex("dup_of"))),
+          x.getAs[String]("dup_kind"), x.getAs[Boolean]("is_new")))).toMap
+    assert(r(20L) == ((Some(10L), "exact", false)))
+    assert(r(21L) == ((Some(10L), "near", false)))
+    assert(r(22L) == ((None, null, true)))
+    graft.ops.CacheScope.releaseAll(spark)
+  }
+
   test("stratified sample honors per-language rates deterministically") {
     val d = (0L until 400L).map(i =>
       (i, "text", if (i % 2 == 0) "en" else "zz")).toDF("doc_id", "text", "lang")
