@@ -150,6 +150,62 @@ FROM c"""
   (CASE lang WHEN 'en' THEN 100 WHEN 'de' THEN 50 WHEN 'es' THEN 50 WHEN 'fr' THEN 25 ELSE 10 END) AS kept
 FROM documents"""
 
+  /** BM25 retrieval oracle (mirrors graft.ops.TextAnalysis.searchBm25 for
+    * terms [table, spark, window], k1=1.2, b=0.75, topK=10). Arithmetic is
+    * written operation-for-operation as the engine computes it (incl.
+    * `(1.2 + 1)` rather than the literal 2.2 — they are different doubles),
+    * so scores are bit-identical. */
+  val searchBm25: String = {
+    val terms = Seq("table", "spark", "window")
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      s"len(list_filter($toks, x -> x = '$t')) AS tf$i"
+    }.mkString(",\n    ")
+    val dfAggs = terms.indices.map(i =>
+      s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i").mkString(",\n    ")
+    val score = terms.indices.map(i =>
+      s"((CAST(n AS DOUBLE) - df$i + 0.5) / (df$i + 0.5)) * " +
+        s"(CAST(tf$i AS DOUBLE) * (1.2 + 1) / " +
+        s"(tf$i + 1.2 * (1.0 - 0.75 + 0.75 * dl / (CAST(sum_dl AS DOUBLE) / n))))")
+      .mkString("\n    + ")
+    s"""WITH base AS (
+  SELECT doc_id, len($toks) AS dl,
+    $tfCols
+  FROM documents
+), stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, sum(dl) AS sum_dl,
+    $dfAggs
+  FROM base
+), scored AS (
+  SELECT doc_id,
+    $score AS score
+  FROM base, stats
+)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank,
+  doc_id, score
+FROM scored WHERE score > 0
+ORDER BY score DESC, doc_id LIMIT 10"""
+  }
+
+  /** Uniform-share data mixing oracle (mirrors graft.ops.TextAnalysis
+    * .mixToShares with no explicit shares). */
+  val textMix: String = s"""WITH perdoc AS (
+  SELECT doc_id, source, CAST(len($toks) AS BIGINT) AS n_tokens FROM documents
+), bysrc AS (
+  SELECT source, sum(n_tokens) AS src_tokens FROM perdoc GROUP BY source
+), tot AS (
+  SELECT sum(src_tokens) AS total_tokens, CAST(count(*) AS BIGINT) AS n_sources
+  FROM bysrc
+), rates AS (
+  SELECT source,
+    least(1.0, (1.0 / n_sources) * CAST(total_tokens AS DOUBLE) / src_tokens)
+      AS rate
+  FROM bysrc, tot
+)
+SELECT p.doc_id, p.source, p.n_tokens, r.rate,
+  ((${hexLaneOf("'mix:' || CAST(doc_id AS VARCHAR)", 1, 7)}) % 1000000)
+    < CAST(floor(r.rate * 1000000) AS BIGINT) AS kept
+FROM perdoc p JOIN rates r USING (source)"""
+
   val dedupExact: String = """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
   CAST(count(*) AS INT) AS n_copies
 FROM documents GROUP BY md5(text)"""

@@ -251,6 +251,12 @@ object SparkEntry {
     "corpus_stats" -> ((s, dir) => ops.TextAnalysis.corpusStats(docs(s, dir))),
     "text_freq_quality" -> ((s, dir) => ops.TextAnalysis.freqQuality(docs(s, dir))),
     "text_pii" -> ((s, dir) => ops.TextAnalysis.pii(docs(s, dir))),
+    // BM25 retrieval (rational-idf variant, see searchBm25 scaladoc) for a
+    // fixed 3-term query over the corpus
+    "search_bm25" -> ((s, dir) =>
+      ops.TextAnalysis.searchBm25(docs(s, dir), Seq("table", "spark", "window"))),
+    // uniform-share data mixing across the `source` column
+    "text_mix" -> ((s, dir) => ops.TextAnalysis.mixToShares(docs(s, dir))),
 
     "dedup_exact" -> ((s, dir) => ops.Dedup.exact(docs(s, dir))),
     "dedup_minhash_lsh" -> ((s, dir) => ops.Dedup.minhashLsh(docs(s, dir))),
@@ -354,6 +360,8 @@ object SparkEntry {
     "corpus_stats" -> OracleSqlOps.corpusStats,
     "text_freq_quality" -> OracleSqlOps.textFreqQuality,
     "text_pii" -> OracleSqlOps.textPii,
+    "search_bm25" -> OracleSqlOps.searchBm25,
+    "text_mix" -> OracleSqlOps.textMix,
     "dedup_exact" -> OracleSqlOps.dedupExact,
     "dedup_minhash_lsh" -> OracleSqlOps.minhashLsh,
     "dedup_simhash" -> OracleSqlOps.simhash,

@@ -481,21 +481,33 @@ object Similarity {
       .select(col("query_id"), col("sub"), col("code"),
         (col("qn2") - lit(2.0) * dot(col("qv"), col("ce")) + col("cn2"))
           .as("dq"))
-    // corpus codes → per-subspace lookup → fixed-order 4-column sum
-    val corpusCodes = pqCodes(embeddings, subspaces, codes)
-      .select(col("vec_id"), posexplode(col("codes")).as(Seq("sub", "code")))
-    val perSub = corpusCodes.join(Par.maybeBroadcast(dtab), Seq("sub", "code"))
-      .filter(col("vec_id") =!= col("query_id"))
-    val pivotCols = (0 until subspaces).map(si =>
-      max(when(col("sub") === si, col("dq"))).as(s"d$si"))
-    val pivoted = perSub.groupBy(col("query_id"), col("vec_id"))
-      .agg(pivotCols.head, pivotCols.tail: _*)
-    val adc = (0 until subspaces).map(si => col(s"d$si"))
-      .reduce(_ + _)
+    // Each query's distance table pivots into ONE nested array row
+    // (sub → code → distance: subspaces × codes doubles, ~8 KB) and
+    // broadcasts; the corpus-code scan then computes every ADC total as a
+    // fixed-order sum of array lookups in a single codegen'd pass — no
+    // shuffle touches the n×Q×subspaces relation (the pre-r4 shape exploded
+    // corpus codes and pivoted them back through a groupBy — a corpus-scale
+    // shuffle for what is arithmetic against a broadcast table). Only the
+    // n×Q scored rows flow into the top-k window, the same volume every ANN
+    // tier ranks.
+    val perSubArr = dtab.groupBy(col("query_id"), col("sub"))
+      .agg(sort_array(collect_list(struct(col("code"), col("dq")))).as("cd"))
+      .select(col("query_id"), col("sub"),
+        transform(col("cd"), x => x.getField("dq")).as("ds"))
+    val qArr = perSubArr.groupBy(col("query_id"))
+      .agg(sort_array(collect_list(struct(col("sub"), col("ds")))).as("sd"))
+      .select(col("query_id"),
+        transform(col("sd"), x => x.getField("ds")).as("dt"))
+    val adc = (0 until subspaces).map { si =>
+      element_at(element_at(col("dt"), si + 1),
+        element_at(col("codes"), si + 1) + 1)
+    }.reduce(_ + _)
+    val scored = pqCodes(embeddings, subspaces, codes)
+      .join(Par.maybeBroadcast(qArr), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), adc.as("adc"))
     val rw = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("adc"), col("neighbor_id"))
-    pivoted.select(col("query_id"), col("vec_id").as("neighbor_id"),
-        adc.as("adc"))
+    scored
       .withColumn("rank", row_number().over(rw))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("adc"))

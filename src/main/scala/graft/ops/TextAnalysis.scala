@@ -373,4 +373,93 @@ object TextAnalysis {
         (col("sum_c").cast("double") / col("n_tokens")).as("mean_tok_count"),
         (col("rare").cast("double") / col("n_tokens")).as("rare_frac"))
   }
+
+  /** BM25 keyword retrieval: top-`topK` documents for a bag of query terms —
+    * the retrieval primitive data pipelines use for relevance filtering and
+    * benchmark-leak hunting (find the training docs that "answer" an eval
+    * query). Standard BM25 term shape (k1, b defaults 1.2 / 0.75) with ONE
+    * stated delta: idf is the RATIONAL Robertson core
+    * `(N - df + 0.5) / (df + 0.5)` without the log — the ranking-relevant
+    * monotonicity is identical and every score stays in +/×/÷ arithmetic, so
+    * the result is bit-reproducible across engines (a transcendental log is
+    * one `ln()` swap away, traded here for oracle exactness).
+    *
+    * Scale shape: per-term tf is an array-filter count (no posting
+    * explosion — the term list is tiny and rides the row scan); the corpus
+    * scalars (N, avgdl, per-term df) aggregate in one map-side-combining
+    * pass into a single broadcast row; scoring is then a pure projection and
+    * the top-K is a distributed TakeOrdered (`orderBy.limit`), never a full
+    * sort. Docs matching no term score 0 and are dropped before ranking. */
+  def searchBm25(docs: DataFrame, terms: Seq[String], topK: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75,
+      tokenizer: Tokenizer = Tokenizer.Whitespace): DataFrame = {
+    require(terms.nonEmpty && terms.distinct == terms, "distinct, non-empty terms")
+    val tf = terms.zipWithIndex.map { case (t, i) =>
+      size(filter(tokenizer.tokens(col("text")), x => x === t)).as(s"tf$i")
+    }
+    val base = docs.select(
+      col("doc_id") +: size(tokenizer.tokens(col("text"))).as("dl") +: tf: _*)
+    val statAggs = count(lit(1)).cast("long").as("n") +:
+      sum(col("dl")).as("sum_dl") +:
+      terms.indices.map(i =>
+        sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
+    val stats = base.agg(statAggs.head, statAggs.tail: _*)
+    val score = terms.indices.map { i =>
+      val idf = (col("n").cast("double") - col(s"df$i") + 0.5) /
+        (col(s"df$i") + lit(0.5))
+      val tfN = col(s"tf$i").cast("double") * (k1 + 1) /
+        (col(s"tf$i") + lit(k1) * (lit(1.0) - b +
+          lit(b) * col("dl") / (col("sum_dl").cast("double") / col("n"))))
+      idf * tfN
+    }.reduce(_ + _)
+    val ranked = base.crossJoin(broadcast(stats))
+      .select(col("doc_id"), score.as("score"))
+      .filter(col("score") > 0)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(topK)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col("doc_id"))
+    ranked.withColumn("rank", row_number().over(w))
+      .select(col("rank"), col("doc_id"), col("score"))
+  }
+
+  /** Data mixing: deterministically downsample each `source` so the kept
+    * corpus approaches the target token SHARES — the composition step that
+    * turns N crawled sources into a training mix (uniform target by
+    * default; pass explicit shares for a Pile/Dolma-style recipe). For each
+    * source, keep rate = min(1, target_share · total_tokens / source_tokens)
+    * — over-represented sources are thinned toward their share,
+    * under-represented ones keep everything (rates are per-million, floored,
+    * so the decision is integer-exact across engines).
+    *
+    * Scale shape: per-source token totals come from one map-side-combining
+    * groupBy (|sources| rows); rates broadcast back over the scan; the keep
+    * decision is a salted per-row hash lane (same determinism contract as
+    * [[stratifiedSample]], different salt — the lanes compose without
+    * correlation). */
+  def mixToShares(docs: DataFrame,
+      targetShares: Map[String, Double] = Map.empty,
+      tokenizer: Tokenizer = Tokenizer.Whitespace): DataFrame = {
+    val perDoc = docs.select(col("doc_id"), col("source"),
+      size(tokenizer.tokens(col("text"))).cast("long").as("n_tokens"))
+    val bySource = perDoc.groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("src_tokens"))
+    val totals = bySource.agg(sum(col("src_tokens")).as("total_tokens"),
+      count(lit(1)).cast("long").as("n_sources"))
+    val share =
+      if (targetShares.isEmpty) lit(1.0) / col("n_sources").cast("double")
+      else targetShares.toSeq.sortBy(_._1).foldRight(lit(0.0): Column) {
+        case ((s, p), acc) => when(col("source") === s, lit(p)).otherwise(acc)
+      }
+    val rates = bySource.crossJoin(broadcast(totals))
+      .select(col("source"),
+        least(lit(1.0),
+          share * col("total_tokens").cast("double") / col("src_tokens"))
+          .as("rate"))
+    val lane = md5Lane(concat(lit("mix:"), col("doc_id").cast("string")))
+    perDoc.join(Par.maybeBroadcast(rates), "source")
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("rate"),
+        (lane % 1000000L < floor(col("rate") * 1000000L).cast("long"))
+          .as("kept"))
+  }
 }

@@ -641,6 +641,37 @@ class OpsSpec extends SparkSpec {
     graft.ops.CacheScope.releaseAll(spark)
   }
 
+  test("bm25 ranks the term-dense short doc above long and partial matches") {
+    val d = Seq(
+      (0L, "spark spark table"),                       // dense, short
+      (1L, "spark " + Seq.fill(50)("filler").mkString(" ")), // one hit, long
+      (2L, "table chairs and other furniture words"),  // one hit
+      (3L, "nothing relevant in here at all")          // no hit -> dropped
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.searchBm25(d, Seq("spark", "table"), topK = 3)
+      .collect().map(x => (x.getAs[Int]("rank"), x.getAs[Long]("doc_id")))
+    assert(r.length == 3)
+    assert(r.head == ((1, 0L)))            // both terms, high tf, short doc
+    assert(!r.exists(_._2 == 3L))          // zero-score doc never ranks
+  }
+
+  test("mix thins over-represented sources toward the uniform token share") {
+    val d = ((0L until 300L).map(i => (i, "tok tok tok tok", "big")) ++
+      (300L until 320L).map(i => (i, "tok tok", "small")))
+      .toDF("doc_id", "text", "source")
+    val r = TextAnalysis.mixToShares(d).collect()
+      .map(x => (x.getAs[Long]("doc_id"), x.getAs[String]("source"),
+        x.getAs[Double]("rate"), x.getAs[Boolean]("kept")))
+    // under-represented source keeps everything (rate clamps to 1)
+    assert(r.filter(_._2 == "small").forall(x => x._3 == 1.0 && x._4))
+    // over-represented source is thinned to ~ half-share/its-share
+    val big = r.filter(_._2 == "big")
+    // share*total/src = 0.5 * 1240 / 1200
+    assert(math.abs(big.head._3 - 0.5 * 1240.0 / 1200.0) < 1e-12)
+    val keptFrac = big.count(_._4).toDouble / big.size
+    assert(keptFrac > 0.3 && keptFrac < 0.75, s"keptFrac=$keptFrac")
+  }
+
   test("stratified sample honors per-language rates deterministically") {
     val d = (0L until 400L).map(i =>
       (i, "text", if (i % 2 == 0) "en" else "zz")).toDF("doc_id", "text", "lang")
