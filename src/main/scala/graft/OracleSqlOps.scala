@@ -150,6 +150,20 @@ FROM c"""
   (CASE lang WHEN 'en' THEN 100 WHEN 'de' THEN 50 WHEN 'es' THEN 50 WHEN 'fr' THEN 25 ELSE 10 END) AS kept
 FROM documents"""
 
+  /** Exact per-language token-count quantiles (mirrors
+    * graft.ops.TextAnalysis.corpusQuantiles; `quantile_cont` and Spark's
+    * `percentile` share the linear-interpolation arithmetic bit-for-bit). */
+  val corpusQuantiles: String = s"""SELECT lang,
+  CAST(count(*) AS INT) AS n_docs,
+  min(n) AS min_tokens,
+  quantile_cont(n, 0.25) AS p25,
+  quantile_cont(n, 0.5) AS p50,
+  quantile_cont(n, 0.75) AS p75,
+  quantile_cont(n, 0.95) AS p95,
+  max(n) AS max_tokens
+FROM (SELECT lang, CAST(len($toks) AS BIGINT) AS n FROM documents)
+GROUP BY lang"""
+
   /** BM25 retrieval oracle (mirrors graft.ops.TextAnalysis.searchBm25 for
     * terms [table, spark, window], k1=1.2, b=0.75, topK=10). Arithmetic is
     * written operation-for-operation as the engine computes it (incl.

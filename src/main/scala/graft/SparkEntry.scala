@@ -249,6 +249,7 @@ object SparkEntry {
     "text_pack" -> ((s, dir) => ops.TextAnalysis.pack(docs(s, dir))),
     "text_sample" -> ((s, dir) => ops.TextAnalysis.stratifiedSample(docs(s, dir))),
     "corpus_stats" -> ((s, dir) => ops.TextAnalysis.corpusStats(docs(s, dir))),
+    "corpus_quantiles" -> ((s, dir) => ops.TextAnalysis.corpusQuantiles(docs(s, dir))),
     "text_freq_quality" -> ((s, dir) => ops.TextAnalysis.freqQuality(docs(s, dir))),
     "text_pii" -> ((s, dir) => ops.TextAnalysis.pii(docs(s, dir))),
     // BM25 retrieval (rational-idf variant, see searchBm25 scaladoc) for a
@@ -358,6 +359,7 @@ object SparkEntry {
     "text_pack" -> OracleSqlOps.textPack,
     "text_sample" -> OracleSqlOps.textSample,
     "corpus_stats" -> OracleSqlOps.corpusStats,
+    "corpus_quantiles" -> OracleSqlOps.corpusQuantiles,
     "text_freq_quality" -> OracleSqlOps.textFreqQuality,
     "text_pii" -> OracleSqlOps.textPii,
     "search_bm25" -> OracleSqlOps.searchBm25,

@@ -374,6 +374,30 @@ object TextAnalysis {
         (col("rare").cast("double") / col("n_tokens")).as("rare_frac"))
   }
 
+  /** Dataset-card length quantiles: EXACT token-count percentiles per
+    * language (p25/p50/p75/p95, plus extremes) — the distribution block of
+    * a dataset card, where approx sketches raise "is the tail real?"
+    * questions exact numbers close.
+    *
+    * Exactness is affordable at corpus scale because `percentile` aggregates
+    * a COUNT PER DISTINCT VALUE, not raw rows: token counts live in a
+    * bounded domain (≤ max doc length), so the aggregation state is a small
+    * histogram per group regardless of row count — the one situation where
+    * exact beats `approx_percentile` at 100 TB. Interpolation arithmetic is
+    * bit-identical to DuckDB's `quantile_cont` (validated, see oracle). */
+  def corpusQuantiles(docs: DataFrame,
+      tokenizer: Tokenizer = Tokenizer.Whitespace): DataFrame =
+    docs.select(col("lang"),
+        size(tokenizer.tokens(col("text"))).cast("long").as("n"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).cast("int").as("n_docs"),
+        min(col("n")).as("min_tokens"),
+        percentile(col("n"), lit(0.25)).as("p25"),
+        percentile(col("n"), lit(0.5)).as("p50"),
+        percentile(col("n"), lit(0.75)).as("p75"),
+        percentile(col("n"), lit(0.95)).as("p95"),
+        max(col("n")).as("max_tokens"))
+
   /** BM25 keyword retrieval: top-`topK` documents for a bag of query terms —
     * the retrieval primitive data pipelines use for relevance filtering and
     * benchmark-leak hunting (find the training docs that "answer" an eval

@@ -641,6 +641,16 @@ class OpsSpec extends SparkSpec {
     graft.ops.CacheScope.releaseAll(spark)
   }
 
+  test("corpus quantiles interpolate exactly on a known distribution") {
+    // n_tokens = 1..5 for lang a: p50 = 3.0, p25 = (5-1)*0.25 -> 2.0 exactly
+    val d = (1 to 5).map(i =>
+      (i.toLong, Seq.fill(i)("t").mkString(" "), "a")).toDF("doc_id", "text", "lang")
+    val r = TextAnalysis.corpusQuantiles(d).collect().head
+    assert(r.getAs[Long]("min_tokens") == 1L && r.getAs[Long]("max_tokens") == 5L)
+    assert(r.getAs[Double]("p25") == 2.0 && r.getAs[Double]("p50") == 3.0)
+    assert(r.getAs[Double]("p95") == 4.8)
+  }
+
   test("bm25 ranks the term-dense short doc above long and partial matches") {
     val d = Seq(
       (0L, "spark spark table"),                       // dense, short
