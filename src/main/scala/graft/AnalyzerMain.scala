@@ -44,28 +44,38 @@ object AnalyzerMain {
       brokers: String, inputPattern: String, outputTopic: String,
       errorTopic: String, statsTopic: String, examplesTopic: String,
       checkpointDir: String, avroSchemaFiles: Map[Int, String] = Map.empty,
+      schemaRegistryUrl: Option[String] = None,
       timestampZone: Option[String] = None) {
     /** Decode configuration: schema files read AND parse-validated once at
       * startup (fail fast on malformed schema JSON instead of at first
       * decode on an executor), wrapped in the static [[graft.functions
-      * .SchemaProvider]] — the submit-time stand-in for the reference's live
-      * registry; a registry-client provider drops in here. */
-    def decodeConfig: graft.functions.DecodeConfig =
-      graft.functions.DecodeConfig(avroSchemaFiles.map { case (id, path) =>
-        val json = new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8)
-        try new org.apache.avro.Schema.Parser().parse(json)
-        catch { case e: Exception => throw new IllegalArgumentException(
-          s"--avro-schema-files $id=$path: not a valid Avro schema: ${e.getMessage}") }
-        id -> json
-      }).copy(timestampZone = timestampZone)
+      * .SchemaProvider]]. With `--schema-registry-url` the live
+      * [[graft.functions.HttpRegistrySchemas]] client resolves ids
+      * registry-first (the reference's chain,
+      * DeadLetterAnalyzerTopology.java:102-105), falling back to the static
+      * files for ids the registry doesn't know. */
+    def decodeConfig: graft.functions.DecodeConfig = {
+      val static = graft.functions.StaticSchemas(
+        avroSchemaFiles.map { case (id, path) =>
+          val json = new String(java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8)
+          try new org.apache.avro.Schema.Parser().parse(json)
+          catch { case e: Exception => throw new IllegalArgumentException(
+            s"--avro-schema-files $id=$path: not a valid Avro schema: ${e.getMessage}") }
+          id -> json
+        })
+      val provider = schemaRegistryUrl
+        .map(u => graft.functions.HttpRegistrySchemas(u, fallback = static))
+        .getOrElse[graft.functions.SchemaProvider](static)
+      graft.functions.DecodeConfig(provider, timestampZone = timestampZone)
+    }
   }
 
   private val Usage =
     "usage: AnalyzerMain --brokers B --input-pattern P --output-topic T " +
       "--error-topic E [--extra-output-topics stats=S,examples=X] " +
       "[--checkpoint-dir DIR] [--avro-schema-files id=path,...] " +
-      "[--timestamp-zone host|ZONE_ID]"
+      "[--schema-registry-url URL] [--timestamp-zone host|ZONE_ID]"
 
   def parseArgs(args: Array[String]): Config = {
     // strict pairwise parse: every token must be a --flag followed by its
@@ -117,6 +127,7 @@ object AnalyzerMain {
       examplesTopic = extra.getOrElse("examples", s"$out-examples"),
       checkpointDir = kv.getOrElse("checkpoint-dir", "/tmp/graft-analyzer-checkpoints"),
       avroSchemaFiles = schemaFiles,
+      schemaRegistryUrl = kv.get("schema-registry-url"),
       timestampZone = tsZone)
   }
 

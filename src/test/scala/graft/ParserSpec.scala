@@ -283,6 +283,62 @@ class ParserSpec extends SparkSpec {
     assert(rows(2).getAs[String]("kind") == "string")
   }
 
+  test("live HTTP registry client resolves, memoizes, and falls through") {
+    val spark2 = spark
+    import spark2.implicits._
+    val trSchema =
+      """{"type":"record","name":"TestRecord","fields":[{"name":"id","type":"int"}]}"""
+    // in-process registry speaking the Confluent REST shape
+    val hits = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/schemas/ids/", { ex =>
+      val id = ex.getRequestURI.getPath.stripPrefix("/schemas/ids/")
+      hits.merge(id, 1, (a, b) => a + b)
+      val resp =
+        if (id == "7")
+          new com.fasterxml.jackson.databind.ObjectMapper().createObjectNode()
+            .put("schema", deadLetterAvroSchema).toString
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        else Array.emptyByteArray
+      ex.sendResponseHeaders(if (id == "7") 200 else 404,
+        if (resp.isEmpty) -1 else resp.length)
+      if (resp.nonEmpty) ex.getResponseBody.write(resp)
+      ex.close()
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val provider = graft.functions.HttpRegistrySchemas(base,
+        fallback = graft.functions.StaticSchemas(Map(9 -> trSchema)))
+      val dlFrame = confluentFrame(deadLetterAvroSchema, 7, { r =>
+        val schema = new org.apache.avro.Schema.Parser().parse(deadLetterAvroSchema)
+        r.put("description", "d")
+        r.put("cause", new org.apache.avro.generic.GenericData.Record(
+          schema.getField("cause").schema()))
+      })
+      val trFrame = confluentFrame(trSchema, 9, _.put("id", 5))
+      val unknownFrame = confluentFrame(trSchema, 13, _.put("id", 6))
+      // many rows in ONE action: the per-id lookup must be memoized per
+      // executor, not re-queried per record
+      val rows = (Seq.fill(50)(Tuple1(dlFrame)) ++
+          Seq(Tuple1(trFrame), Tuple1(unknownFrame)))
+        .toDF("value").coalesce(1)
+        .select(graft.functions.BruteForce
+          .decodedWithAvro(col("value"), provider).as("d"))
+        .select("d.*").collect()
+      assert(rows.take(50).forall(_.getAs[String]("kind") == "dead_letter"))
+      // 404 for id 9 -> static fallback resolves it (registry-first chain)
+      assert(rows(50).getAs[String]("kind") == "avro")
+      assert(rows(50).getAs[String]("text").replaceAll("\\s", "") == """{"id":5}""")
+      // 404 for id 13 and no fallback entry -> non-Avro fall-through
+      assert(rows(51).getAs[String]("kind") != "dead_letter" &&
+        rows(51).getAs[String]("kind") != "avro")
+      assert(hits.get("7") != null && hits.get("7") <= 4,
+        s"expected memoized lookups for id 7, saw ${hits.get("7")}")
+    } finally server.stop(0)
+  }
+
   test("non-dead-letter Avro records render as their JSON toString (ErrorUtil parity)") {
     val spark2 = spark
     import spark2.implicits._

@@ -199,11 +199,15 @@ class StreamingSpec extends SparkSpec {
       "--output-topic", "analyzed",
       "--error-topic", "analyzer-dead-letters",
       "--extra-output-topics", "stats=analyzed-stats,examples=analyzed-examples",
-      "--checkpoint-dir", "/tmp/ckpt"))
+      "--checkpoint-dir", "/tmp/ckpt",
+      "--schema-registry-url", "http://registry:8081"))
     assert(cfg.brokers == "broker:9092")
     assert(cfg.inputPattern == ".*-dead-letters")
     assert(cfg.statsTopic == "analyzed-stats")
     assert(cfg.examplesTopic == "analyzed-examples")
+    // a registry URL yields the registry-first provider (static fallback)
+    assert(cfg.decodeConfig.schemas
+      .isInstanceOf[graft.functions.HttpRegistrySchemas])
     // labeled topics default from the output topic, like the reference labels
     val dflt = AnalyzerMain.parseArgs(Array(
       "--brokers", "b", "--input-pattern", "p",
