@@ -641,6 +641,49 @@ class OpsSpec extends SparkSpec {
     graft.ops.CacheScope.releaseAll(spark)
   }
 
+  test("edit verify excludes the token-order shuffle simhash cannot see") {
+    // same token multiset, reversed order: simhash (multiset-based) gives
+    // hamming 0 — a candidate — but the texts are far apart in edits; the
+    // Levenshtein verify is what excludes it (the operator's raison d'être)
+    // distinct word shapes, so the reversal really is a rewrite (ratio 0.67
+    // — "word1..word12" reversed only measures 0.22: the shared stem aligns)
+    val words = ("alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu").split(" ").toSeq
+    val d = Seq(
+      (0L, words.mkString(" ")),
+      (1L, words.reverse.mkString(" "))).toDF("doc_id", "text")
+    assert(Dedup.simhashPairs(d).count() == 1) // candidate exists...
+    graft.ops.CacheScope.releaseAll(spark)
+    assert(Dedup.editDistancePairs(d).count() == 0) // ...and is rejected
+    graft.ops.CacheScope.releaseAll(spark)
+  }
+
+  test("incremental dedup: empty batch and token-less batch doc") {
+    val history = Seq((1L, "shared text body"), (2L, "")).toDF("doc_id", "text")
+    val empty = Dedup.incremental(history,
+      history.filter(col("doc_id") < 0)).collect()
+    assert(empty.isEmpty)
+    graft.ops.CacheScope.releaseAll(spark)
+    // a token-less batch doc never enters the near-tier banding but must
+    // still be labeled: exact tier matches history's empty text
+    val batch = Seq((10L, ""), (11L, "genuinely novel content")).toDF("doc_id", "text")
+    val r = Dedup.incremental(history, batch).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[String]("dup_kind"), x.getAs[Boolean]("is_new")))).toMap
+    assert(r(10L) == (("exact", false)))
+    assert(r(11L) == ((null, true)))
+    graft.ops.CacheScope.releaseAll(spark)
+  }
+
+  test("mix honors explicit non-uniform target shares") {
+    val d = ((0L until 100L).map(i => (i, "t t t t", "a")) ++
+      (100L until 200L).map(i => (i, "t t t t", "b"))).toDF("doc_id", "text", "source")
+    val r = TextAnalysis.mixToShares(d, Map("a" -> 0.25, "b" -> 0.75)).collect()
+      .map(x => (x.getAs[String]("source"), x.getAs[Double]("rate"))).distinct.toMap
+    // total=800 tokens; a: 0.25*800/400 = 0.5, b: clamp(0.75*800/400) = 1.0
+    assert(r("a") == 0.5 && r("b") == 1.0)
+  }
+
   test("corpus quantiles interpolate exactly on a known distribution") {
     // n_tokens = 1..5 for lang a: p50 = 3.0, p25 = (5-1)*0.25 -> 2.0 exactly
     val d = (1 to 5).map(i =>
