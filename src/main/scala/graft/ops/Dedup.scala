@@ -343,10 +343,17 @@ object Dedup {
     *   small diameter).
     *
     * Contract: edges whose endpoint is absent from `docs` are ignored on
-    * BOTH paths (the graph is the docs-induced subgraph of `pairs`). */
+    * BOTH paths (the graph is the docs-induced subgraph of `pairs`).
+    *
+    * @param pairsInduced set true when the caller GUARANTEES every pair
+    *   endpoint occurs in `docs` (e.g. pairs produced by an LSH self-join
+    *   over `docs` itself, as in [[dedupPipeline]]): the two induced-
+    *   subgraph semi-joins are skipped — at corpus scale that removes two
+    *   passes over the (large) pair stream that would filter nothing. */
   def clusters(docs: DataFrame, pairs: DataFrame, maxIter: Int = 50,
       checkpointDir: Option[String] = None,
-      localEdgeGate: Long = 1000000L): DataFrame = {
+      localEdgeGate: Long = 1000000L,
+      pairsInduced: Boolean = false): DataFrame = {
     // Iterative algorithm: every round MUST truncate lineage (eager
     // checkpoint), or each round's logical plan embeds the whole history
     // plus the pair-generation subtree and Catalyst re-analyzes a plan that
@@ -367,12 +374,15 @@ object Dedup {
     // would cluster foreign-vertex-bridged docs differently). Size-gated
     // broadcast of the id column; partitioned semi-joins at corpus scale.
     val ids = docs.select(col("doc_id"))
-    val p = truncate(pairs.select(col("a"), col("b"))
-      .join(Par.maybeBroadcast(ids.withColumnRenamed("doc_id", "a")),
-        Seq("a"), "left_semi")
-      .join(Par.maybeBroadcast(ids.withColumnRenamed("doc_id", "b")),
-        Seq("b"), "left_semi")
-      .select(col("a"), col("b")))
+    val induced =
+      if (pairsInduced) pairs.select(col("a"), col("b"))
+      else pairs.select(col("a"), col("b"))
+        .join(Par.maybeBroadcast(ids.withColumnRenamed("doc_id", "a")),
+          Seq("a"), "left_semi")
+        .join(Par.maybeBroadcast(ids.withColumnRenamed("doc_id", "b")),
+          Seq("b"), "left_semi")
+        .select(col("a"), col("b"))
+    val p = truncate(induced)
     // p is materialized, so the forest pass and its count scan cached blocks,
     // never the pair-generation subtree. Connectivity (hence the output) is
     // invariant under the contraction; only the edge multiset shrinks.
@@ -448,7 +458,8 @@ object Dedup {
     * `cluster_id` = min doc_id of the merged component. */
   def dedupPipeline(docs: DataFrame, threshold: Double = 0.8,
       tokenizer: Tokenizer = Tokenizer.Whitespace,
-      localEdgeGate: Long = 5000000L): DataFrame = {
+      localEdgeGate: Long = 5000000L,
+      checkpointDir: Option[String] = None): DataFrame = {
     // The gate default is higher than clusters()' own: a rep pair graph is
     // dense (near-dup cliques), and the gate is applied AFTER the spanning-
     // forest contraction, whose output is near-linear in touched vertices —
@@ -467,7 +478,10 @@ object Dedup {
       "doc_id")
     val pairs = minhashLsh(reps, threshold = threshold, tokenizer = tokenizer)
       .select(col("a"), col("b"))
-    val repClusters = clusters(reps, pairs, localEdgeGate = localEdgeGate)
+    // pairsInduced: the pairs come from minhashLsh over reps itself, so the
+    // induced-subgraph semi-joins would filter nothing — skipped
+    val repClusters = clusters(reps, pairs, localEdgeGate = localEdgeGate,
+        checkpointDir = checkpointDir, pairsInduced = true)
       .select(col("doc_id").as("rep_id"), col("cluster_id"))
     withRep.join(repClusters, "rep_id")
       .select(col("doc_id"), col("cluster_id"),
