@@ -80,14 +80,18 @@ object Dedup {
     * s-curve 1-(1-j^4)^8 gives ~98% candidate recall (the r2 default of
     * 2 bands x 16 rows gave ~6% — parameters that silently defeated the
     * operator, judge r2 finding). */
-  def lshBands(sigs: DataFrame, k: Int = 32, bands: Int = 8): DataFrame = {
+  def lshBands(sigs: DataFrame, k: Int = 32, bands: Int = 8): DataFrame =
+    sigs.select(col("doc_id") +: bandKeyCols(k, bands): _*)
+
+  /** The band-key expressions over mh0..mh{k-1} (shared by [[lshBands]] and
+    * [[bandedWithSets]]). */
+  private def bandKeyCols(k: Int, bands: Int): Seq[Column] = {
     val rows = k / bands
-    val bandCols = (0 until bands).map { b =>
+    (0 until bands).map { b =>
       conv(substring(md5(concat_ws(":",
         (b * rows until (b + 1) * rows).map(i => col(s"mh$i").cast("string")): _*)
         .cast("binary")), 1, 15), 16, 10).cast("long").as(s"band$b")
     }
-    sigs.select(col("doc_id") +: bandCols: _*)
   }
 
   /** 28-bit token hash (md5 hex chars 1-7) — shingle hashing. */
@@ -148,13 +152,7 @@ object Dedup {
         conv(substring(d, 1, 7), 16, 10).cast("long").as("h1"),
         conv(substring(d, 9, 7), 16, 10).cast("long").as("h2"))
       .groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
-    val rows = k / bands
-    val bandCols = (0 until bands).map { b =>
-      conv(substring(md5(concat_ws(":",
-        (b * rows until (b + 1) * rows).map(i => col(s"mh$i").cast("string")): _*)
-        .cast("binary")), 1, 15), 16, 10).cast("long").as(s"band$b")
-    }
-    sigsWithSets.select(col("doc_id") +: col("tks") +: bandCols: _*)
+    sigsWithSets.select(col("doc_id") +: col("tks") +: bandKeyCols(k, bands): _*)
   }
 
   /** MinHash+LSH near-dup pairs: distinct candidate pairs from any shared
