@@ -164,6 +164,36 @@ FROM documents"""
 FROM (SELECT lang, CAST(len($toks) AS BIGINT) AS n FROM documents)
 GROUP BY lang"""
 
+  /** Duplicated-span detection oracle (mirrors graft.ops.TextAnalysis
+    * .dupSpans, width=8): positional 8-gram postings, cross-doc duplicated
+    * grams, start positions expanded by the width and de-duplicated. */
+  val textDupSpans: String = s"""WITH t AS (
+  SELECT doc_id, $toks AS tk FROM documents
+), pgl AS (
+  SELECT doc_id, len(tk) AS n,
+    list_transform(range(1, greatest(len(tk) - 7, 0) + 1),
+      i -> struct_pack(p := i,
+             g := array_to_string(array_slice(tk, i, i + 7), ' '))) AS pgs
+  FROM t
+), post AS (
+  SELECT doc_id, unnest(pgs, recursive := true) FROM pgl
+), dupg AS (
+  SELECT g FROM (SELECT DISTINCT doc_id, g FROM post)
+  GROUP BY g HAVING count(*) >= 2
+), starts AS (
+  SELECT post.doc_id, post.p FROM post JOIN dupg USING (g)
+), covered AS (
+  SELECT DISTINCT doc_id, cp FROM (
+    SELECT doc_id, unnest(range(p, p + 8)) AS cp FROM starts)
+), agg AS (
+  SELECT doc_id, CAST(count(*) AS INT) AS n_dup FROM covered GROUP BY doc_id
+)
+SELECT pgl.doc_id, CAST(pgl.n AS INT) AS n_tokens,
+  coalesce(agg.n_dup, 0) AS n_dup_positions,
+  CASE WHEN pgl.n = 0 THEN 0.0
+       ELSE CAST(coalesce(agg.n_dup, 0) AS DOUBLE) / pgl.n END AS dup_frac
+FROM pgl LEFT JOIN agg USING (doc_id)"""
+
   /** BM25 retrieval oracle (mirrors graft.ops.TextAnalysis.searchBm25 for
     * terms [table, spark, window], k1=1.2, b=0.75, topK=10). Arithmetic is
     * written operation-for-operation as the engine computes it (incl.

@@ -252,6 +252,8 @@ object SparkEntry {
     "corpus_quantiles" -> ((s, dir) => ops.TextAnalysis.corpusQuantiles(docs(s, dir))),
     "text_freq_quality" -> ((s, dir) => ops.TextAnalysis.freqQuality(docs(s, dir))),
     "text_pii" -> ((s, dir) => ops.TextAnalysis.pii(docs(s, dir))),
+    // substring-level dedup: positions covered by cross-doc duplicated 8-grams
+    "text_dup_spans" -> ((s, dir) => ops.TextAnalysis.dupSpans(docs(s, dir))),
     // BM25 retrieval (rational-idf variant, see searchBm25 scaladoc) for a
     // fixed 3-term query over the corpus
     "search_bm25" -> ((s, dir) =>
@@ -362,6 +364,7 @@ object SparkEntry {
     "corpus_quantiles" -> OracleSqlOps.corpusQuantiles,
     "text_freq_quality" -> OracleSqlOps.textFreqQuality,
     "text_pii" -> OracleSqlOps.textPii,
+    "text_dup_spans" -> OracleSqlOps.textDupSpans,
     "search_bm25" -> OracleSqlOps.searchBm25,
     "text_mix" -> OracleSqlOps.textMix,
     "dedup_exact" -> OracleSqlOps.dedupExact,

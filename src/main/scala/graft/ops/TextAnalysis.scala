@@ -398,6 +398,51 @@ object TextAnalysis {
         percentile(col("n"), lit(0.95)).as("p95"),
         max(col("n")).as("max_tokens"))
 
+  /** Exact duplicated-SPAN detection — substring-level dedup (the
+    * "dedup inside documents" pass of Lee et al.'s exact-substring method,
+    * re-shaped relationally): for every document, the count and fraction of
+    * token positions covered by at least one `width`-token shingle that also
+    * occurs in ANOTHER document. High `dup_frac` docs are boilerplate-heavy
+    * (headers, licenses, navigation chrome) even when no whole-document
+    * near-dup exists; the positions feed a span-removal rewrite.
+    *
+    * Relational shape (a suffix array is a single-machine construction; this
+    * is the partitionable equivalent): positional shingle postings
+    * (doc, pos, gram) → duplicated grams by distinct-doc df ≥ 2 (count
+    * aggregate then semi-join, constant memory per key) → covered positions
+    * expand each duplicated start by `width` and de-duplicate — every step
+    * an equi-join or map-side-combining aggregation on (doc, pos) / gram
+    * keys. The ×width position expansion is the stated cost; it is bounded
+    * by duplicated starts, not corpus size. */
+  def dupSpans(docs: DataFrame, width: Int = 8,
+      tokenizer: Tokenizer = Tokenizer.Whitespace): DataFrame = {
+    val base = docs.select(col("doc_id"), tokenizer.tokens(col("text")).as("tk"))
+      .withColumn("n", size(col("tk")))
+    // 1-based start positions ride the explode — no separate index join
+    val posts = CacheScope.track(base
+      .select(col("doc_id"),
+        posexplode(grams(col("tk"), col("n"), width)).as(Seq("i", "g")))
+      .select(col("doc_id"), (col("i") + 1).as("p"), col("g")))
+    val dupGrams = posts.select(col("doc_id"), col("g")).distinct()
+      .groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2).select(col("g"))
+    val starts = posts.join(Par.maybeBroadcast(dupGrams), Seq("g"), "left_semi")
+      .select(col("doc_id"), col("p"))
+    val covered = starts
+      .select(col("doc_id"),
+        explode(sequence(col("p"), col("p") + (width - 1))).as("cp"))
+      .distinct()
+    val agg = covered.groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("n_dup_positions"))
+    base.select(col("doc_id"), col("n").cast("int").as("n_tokens"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_dup_positions"), lit(0)).as("n_dup_positions"),
+        when(col("n_tokens") === 0, lit(0.0))
+          .otherwise(coalesce(col("n_dup_positions"), lit(0)).cast("double") /
+            col("n_tokens")).as("dup_frac"))
+  }
+
   /** BM25 keyword retrieval: top-`topK` documents for a bag of query terms —
     * the retrieval primitive data pipelines use for relevance filtering and
     * benchmark-leak hunting (find the training docs that "answer" an eval

@@ -684,6 +684,21 @@ class OpsSpec extends SparkSpec {
     assert(r("a") == 0.5 && r("b") == 1.0)
   }
 
+  test("dup spans cover exactly the cross-doc shared 8-gram run") {
+    val shared = (1 to 8).map(i => s"s$i").mkString(" ")
+    val d = Seq(
+      (0L, s"u1 u2 $shared u3"),   // shared run at positions 3..10
+      (1L, s"v1 $shared v2 v3"),   // shared run at positions 2..9
+      (2L, "entirely unrelated words with no overlap at all here")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.dupSpans(d).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Int]("n_tokens"), x.getAs[Int]("n_dup_positions")))).toMap
+    assert(r(0L) == ((11, 8)) && r(1L) == ((11, 8)))
+    assert(r(2L)._2 == 0)
+    graft.ops.CacheScope.releaseAll(spark)
+  }
+
   test("corpus quantiles interpolate exactly on a known distribution") {
     // n_tokens = 1..5 for lang a: p50 = 3.0, p25 = (5-1)*0.25 -> 2.0 exactly
     val d = (1 to 5).map(i =>
