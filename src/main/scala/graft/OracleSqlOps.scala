@@ -35,7 +35,12 @@ SELECT doc_id, score_en, score_de, score_es, score_fr,
        WHEN score_es >= score_fr THEN 'es' ELSE 'fr' END AS lang_guess
 FROM s"""
 
-  val quality: String = s"""WITH t AS (SELECT doc_id, text, $toks AS tk FROM documents),
+  val quality: String = qualityOver("documents")
+
+  /** Quality-signal SQL over an arbitrary (doc_id, text) relation — reused
+    * by the composed corpus-prep oracle. */
+  private def qualityOver(src: String): String =
+    s"""WITH t AS (SELECT doc_id, text, $toks AS tk FROM $src),
 q AS (SELECT doc_id,
   CAST(length(text) AS INT) AS n_chars,
   CAST(len(tk) AS INT) AS n_tokens,
@@ -74,9 +79,11 @@ SELECT CAST(rank AS INT) AS rank, tok, df FROM ranked WHERE rank <= 1000"""
 
   /** Deterministic hash split (mirrors graft.ops.TextAnalysis.hashSplit,
     * trainPct=90): md5 lane of the stringified doc_id, mod 100. */
-  val textSplit: String = s"""SELECT doc_id,
+  val textSplit: String = textSplitOver("documents")
+
+  private def textSplitOver(src: String): String = s"""SELECT doc_id,
   CASE WHEN (${hexLaneOf("CAST(doc_id AS VARCHAR)", 1, 7)}) % 100 < 90 THEN 'train' ELSE 'val' END AS split
-FROM documents"""
+FROM $src"""
 
   /** DuckDB word n-grams of a token list `tk`, space-joined (mirrors
     * graft.ops.TextAnalysis.grams). */
@@ -126,10 +133,12 @@ FROM s LEFT JOIN c ON s.doc_id = c.doc_id"""
 
   /** Sequence packing (mirrors graft.ops.TextAnalysis.pack, budget=2048,
     * shards=32). */
-  val textPack: String = s"""WITH t AS (
+  val textPack: String = textPackOver("documents")
+
+  private def textPackOver(src: String): String = s"""WITH t AS (
   SELECT doc_id, CAST(len($toks) AS BIGINT) AS n_tokens,
     (${hexLaneOf("CAST(doc_id AS VARCHAR)", 1, 7)}) AS lane
-  FROM documents
+  FROM $src
 ), sh AS (
   SELECT *, CAST(lane % 32 AS INT) AS shard FROM t
 ), c AS (
@@ -232,8 +241,10 @@ ORDER BY score DESC, doc_id LIMIT 10"""
 
   /** Uniform-share data mixing oracle (mirrors graft.ops.TextAnalysis
     * .mixToShares with no explicit shares). */
-  val textMix: String = s"""WITH perdoc AS (
-  SELECT doc_id, source, CAST(len($toks) AS BIGINT) AS n_tokens FROM documents
+  val textMix: String = textMixOver("documents")
+
+  private def textMixOver(src: String): String = s"""WITH perdoc AS (
+  SELECT doc_id, source, CAST(len($toks) AS BIGINT) AS n_tokens FROM $src
 ), bysrc AS (
   SELECT source, sum(n_tokens) AS src_tokens FROM perdoc GROUP BY source
 ), tot AS (
@@ -333,6 +344,31 @@ reach(src, dst) AS (
 )
 SELECT g.doc_id, rcl.cluster_id, (g.doc_id = rcl.cluster_id) AS is_canonical
 FROM grp g JOIN rcl ON rcl.rep_id = g.rep_id"""
+
+  /** Composed corpus-prep oracle (mirrors graft.ops.Prep.prepCorpus):
+    * dedup-canonical → quality ≥ 0.40 → uniform-share mix → split + pack,
+    * each stage's SQL the same fragment as its standalone oracle, re-rooted
+    * on the previous stage's survivors. */
+  val prepCorpus: String = s"""WITH pipe AS (
+  SELECT * FROM ($dedupPipeline)
+), canon AS (
+  SELECT d.* FROM documents d JOIN pipe USING (doc_id) WHERE pipe.is_canonical
+), qual AS (
+  SELECT doc_id FROM (${qualityOver("canon")}) WHERE quality >= 0.40
+), qualified AS (
+  SELECT c.* FROM canon c JOIN qual USING (doc_id)
+), mixk AS (
+  SELECT doc_id FROM (${textMixOver("qualified")}) WHERE kept
+), mixed AS (
+  SELECT q.* FROM qualified q JOIN mixk USING (doc_id)
+), packed AS (
+  SELECT * FROM (${textPackOver("mixed")})
+), sp AS (
+  ${textSplitOver("mixed")}
+)
+SELECT packed.doc_id, sp.split, packed.shard, packed.seq,
+  packed.tok_offset, packed.n_tokens
+FROM packed JOIN sp USING (doc_id)"""
 
   /** 56-bit simhash planes (mirrors graft.ops.Dedup.simhash): bits 0-27 from
     * the h1 lane (md5 hex chars 1-7), bits 28-55 from h2 (chars 9-15). */

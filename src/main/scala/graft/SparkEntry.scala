@@ -273,6 +273,9 @@ object SparkEntry {
       ops.Dedup.clusters(d, ops.Dedup.simhashPairs(d).select(col("a"), col("b")))
     }),
     "dedup_pipeline" -> ((s, dir) => ops.Dedup.dedupPipeline(docs(s, dir))),
+    // the showcase composition: dedup -> quality floor -> mix -> split+pack,
+    // one declarative plan from crawl to training shards
+    "prep_corpus" -> ((s, dir) => ops.Prep.prepCorpus(docs(s, dir))),
     // edit-distance-verified near-dup: Levenshtein runs only on the
     // Hamming-bounded simhash survivors, never a quadratic pair stream
     "dedup_edit" -> ((s, dir) => ops.Dedup.editDistancePairs(docs(s, dir))),
@@ -374,6 +377,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> OracleSqlOps.ngramJaccard,
     "dedup_clusters" -> OracleSqlOps.dedupClusters,
     "dedup_pipeline" -> OracleSqlOps.dedupPipeline,
+    "prep_corpus" -> OracleSqlOps.prepCorpus,
     "dedup_edit" -> OracleSqlOps.dedupEdit,
     "dedup_incremental" -> OracleSqlOps.dedupIncremental,
     "dedup_embedding" -> OracleSqlOps.embeddingNearDup(0.45),

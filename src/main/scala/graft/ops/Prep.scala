@@ -1,0 +1,46 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The end-to-end corpus-preparation job, composed from the operator
+  * library as ONE declarative plan — the "crawl in, training shards out"
+  * query a data team actually runs:
+  *
+  *   1. deduplicate ([[Dedup.dedupPipeline]]: exact-first, near-dup on
+  *      representatives, components) and keep each cluster's canonical doc;
+  *   2. drop low-quality documents ([[TextAnalysis.quality]] score floor);
+  *   3. thin over-represented sources toward uniform token shares
+  *      ([[TextAnalysis.mixToShares]]);
+  *   4. assign the deterministic train/val split ([[TextAnalysis.hashSplit]])
+  *      and the fixed-budget sequence-packing layout ([[TextAnalysis.pack]]).
+  *
+  * Every stage is a pure function of the corpus (hash lanes, no seeds, no
+  * sampling state), so the whole job is reproducible bit-for-bit — the
+  * composed DuckDB oracle proves it end to end. Catalyst sees the entire
+  * composition as one plan: each stage's keep-set is an id projection joined
+  * back (semi-join shaped, broadcast-gated by AQE), so no stage materializes
+  * an intermediate corpus copy.
+  */
+object Prep {
+
+  def prepCorpus(docs: DataFrame, qualityMin: Double = 0.40,
+      budget: Int = 2048, shards: Int = 32,
+      threshold: Double = 0.8): DataFrame = {
+    val canonIds = Dedup.dedupPipeline(docs, threshold = threshold)
+      .filter(col("is_canonical")).select(col("doc_id"))
+    val canon = docs.join(canonIds, "doc_id")
+    val qIds = TextAnalysis.quality(canon)
+      .filter(col("quality") >= qualityMin).select(col("doc_id"))
+    val qualified = canon.join(qIds, "doc_id")
+    // mix rates are computed over the POST-filter corpus: thinning targets
+    // the shares of what survives, not of what was crawled
+    val mixIds = TextAnalysis.mixToShares(qualified)
+      .filter(col("kept")).select(col("doc_id"))
+    val mixed = qualified.join(mixIds, "doc_id")
+    TextAnalysis.pack(mixed, budget, shards)
+      .join(TextAnalysis.hashSplit(mixed), "doc_id")
+      .select(col("doc_id"), col("split"), col("shard"), col("seq"),
+        col("tok_offset"), col("n_tokens"))
+  }
+}

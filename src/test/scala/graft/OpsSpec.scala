@@ -699,6 +699,22 @@ class OpsSpec extends SparkSpec {
     graft.ops.CacheScope.releaseAll(spark)
   }
 
+  test("prep pipeline drops the duplicate and packs only survivors") {
+    val good = "the a of and to in is on for with " * 8 // stopword-dense: high quality
+    val d = Seq(
+      (0L, good, "en", "src0"),
+      (1L, good, "en", "src0"),            // exact dup of 0 -> dropped
+      (2L, good + "unique tail here", "en", "src1"),
+      (3L, "12345 678!!", "en", "src1")    // no alpha, no stopwords -> dropped
+    ).toDF("doc_id", "text", "lang", "source")
+    val r = graft.ops.Prep.prepCorpus(d, qualityMin = 0.3).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[Int]("n_tokens")).toMap
+    assert(r.contains(0L) && !r.contains(1L)) // canonical kept, dup dropped
+    assert(r.contains(2L))
+    assert(!r.contains(3L))                   // quality floor
+    graft.ops.CacheScope.releaseAll(spark)
+  }
+
   test("corpus quantiles interpolate exactly on a known distribution") {
     // n_tokens = 1..5 for lang a: p50 = 3.0, p25 = (5-1)*0.25 -> 2.0 exactly
     val d = (1 to 5).map(i =>
