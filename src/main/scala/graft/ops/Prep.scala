@@ -17,10 +17,11 @@ import org.apache.spark.sql.functions._
   *
   * Every stage is a pure function of the corpus (hash lanes, no seeds, no
   * sampling state), so the whole job is reproducible bit-for-bit — the
-  * composed DuckDB oracle proves it end to end. Catalyst sees the entire
-  * composition as one plan: each stage's keep-set is an id projection joined
-  * back (semi-join shaped, broadcast-gated by AQE), so no stage materializes
-  * an intermediate corpus copy.
+  * composed DuckDB oracle proves it end to end. Each stage's keep-set is a
+  * tiny id projection joined back; the survivor frames feeding 2+ downstream
+  * branches are persisted through [[CacheScope]] (memory/disk on a cluster),
+  * so the corpus is scanned once per STAGE, not once per downstream branch —
+  * the standard multi-pass prep-job I/O shape.
   */
 object Prep {
 
@@ -29,15 +30,15 @@ object Prep {
       threshold: Double = 0.8): DataFrame = {
     val canonIds = Dedup.dedupPipeline(docs, threshold = threshold)
       .filter(col("is_canonical")).select(col("doc_id"))
-    val canon = docs.join(canonIds, "doc_id")
+    val canon = CacheScope.track(docs.join(canonIds, "doc_id"))
     val qIds = TextAnalysis.quality(canon)
       .filter(col("quality") >= qualityMin).select(col("doc_id"))
-    val qualified = canon.join(qIds, "doc_id")
+    val qualified = CacheScope.track(canon.join(qIds, "doc_id"))
     // mix rates are computed over the POST-filter corpus: thinning targets
     // the shares of what survives, not of what was crawled
     val mixIds = TextAnalysis.mixToShares(qualified)
       .filter(col("kept")).select(col("doc_id"))
-    val mixed = qualified.join(mixIds, "doc_id")
+    val mixed = CacheScope.track(qualified.join(mixIds, "doc_id"))
     TextAnalysis.pack(mixed, budget, shards)
       .join(TextAnalysis.hashSplit(mixed), "doc_id")
       .select(col("doc_id"), col("split"), col("shard"), col("seq"),
