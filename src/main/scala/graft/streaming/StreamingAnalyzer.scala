@@ -71,7 +71,9 @@ object StreamingAnalyzer {
 
   /** reference ErrorAggregatingProcessor.process: merge = (count+, min, max);
     * example set only when no prior state. Rows of one group within a
-    * micro-batch are applied in arrival (offset) order. `onRecord` is the
+    * micro-batch are applied in (timestamp, offset) order — the group
+    * iterator itself is unordered, so the sort is what pins which record is
+    * "first" deterministically across retries. `onRecord` is the
     * processor body hook (no-op in production; tests inject a poisoned one) —
     * ANY failure while aggregating a record is captured per the reference's
     * third error channel: the record surfaces as a dead letter with
