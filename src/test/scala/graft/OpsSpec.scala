@@ -699,6 +699,39 @@ class OpsSpec extends SparkSpec {
     graft.ops.CacheScope.releaseAll(spark)
   }
 
+  test("plan shapes: bm25 TakeOrdered, no global sort; quantiles partial agg") {
+    // enough rows that the planner doesn't degenerate to a local collect
+    val d = (0L until 100L).map(i =>
+      (i, s"spark table row$i data", "en")).toDF("doc_id", "text", "lang")
+    val bm25Plan = org.apache.spark.sql.graftbridge.executedPlanString(
+      TextAnalysis.searchBm25(d, Seq("spark", "table")))
+    // top-K must be the distributed TakeOrdered, never a full global sort of
+    // the scored corpus (the rank window runs AFTER the K-row cut)
+    assert(bm25Plan.contains("TakeOrderedAndProject"), bm25Plan)
+    assert(!bm25Plan.linesIterator.exists(l =>
+      l.trim.startsWith("+- Sort") && l.contains("true, 0")), bm25Plan)
+    val qPlan = org.apache.spark.sql.graftbridge.executedPlanString(
+      TextAnalysis.corpusQuantiles(d))
+    // exact percentile aggregates partially: map-side partial_percentile
+    // before the single exchange (the bounded-histogram state claim)
+    assert(qPlan.contains("partial_percentile"), qPlan)
+  }
+
+  test("plan shape: PQ ADC scan has no (sub, code) exchange before scoring") {
+    // the ADC total must come from broadcast-table lookups on the code scan;
+    // a hash exchange keyed on (sub, code) feeding the scored projection
+    // would mean the pre-r4 shape (shuffling the n x Q x subspaces relation
+    // through the pivot groupBy) came back. The codebook window's own tiny
+    // hashpartitioning(sub) exchange (<= 256 rows per subspace) is expected.
+    val vecs = (0L until 60L).map(i =>
+      (i, Array.fill(64)(i.toFloat / 100f + 0.1f))).toDF("vec_id", "embedding")
+    val plan = org.apache.spark.sql.graftbridge.executedPlanString(
+      Similarity.pqAdcTopK(vecs, col("vec_id") % 30 === 0, k = 2))
+    assert(!plan.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning(sub#") && l.contains("code#")), plan)
+    graft.ops.CacheScope.releaseAll(spark)
+  }
+
   test("prep pipeline drops the duplicate and packs only survivors") {
     val good = "the a of and to in is on for with " * 8 // stopword-dense: high quality
     val d = Seq(
