@@ -549,6 +549,45 @@ SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cosine FROM ranked WHER
   /** Real-IVF oracle (mirrors graft.ops.Similarity.ivfTopK): sampled
     * centroids (vec_id % stride = residue), nearest-centroid cell
     * assignment, nprobe=2 probe cells per query. */
+  /** Semantic-dedup oracle (mirrors graft.ops.Similarity.semanticDedup,
+    * threshold 0.45): IVF cell assignment, exact within-cell cosine pairs,
+    * recursive-CTE connected components, canonical = component min. */
+  val dedupSemantic: String = {
+    val (stride, residue) =
+      (graft.ops.Similarity.IvfCentroidStride, graft.ops.Similarity.IvfCentroidResidue)
+    s"""WITH RECURSIVE e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+    list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) AS n2
+  FROM embeddings
+), c AS (
+  SELECT vec_id AS cid, v AS cv, n2 AS cn2 FROM e WHERE vec_id % $stride = $residue
+  ORDER BY vec_id LIMIT ${graft.ops.Similarity.IvfMaxCells}
+), assign AS (
+  SELECT e.vec_id, c.cid,
+    list_dot_product(e.v, c.cv) / sqrt(e.n2 * c.cn2) AS cs
+  FROM e, c
+), cell AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT vec_id, cid,
+      row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+    FROM assign) WHERE rn = 1
+), prs AS (
+  SELECT le.vec_id AS a, re.vec_id AS b
+  FROM e le JOIN cell lc ON le.vec_id = lc.vec_id
+       JOIN cell rc ON lc.cell = rc.cell
+       JOIN e re ON re.vec_id = rc.vec_id AND le.vec_id < re.vec_id
+  WHERE list_dot_product(le.v, re.v) / sqrt(le.n2 * re.n2) >= 0.45
+), edges AS (SELECT a, b FROM prs UNION ALL SELECT b AS a, a AS b FROM prs),
+reach(src, dst) AS (
+  SELECT vec_id, vec_id FROM e
+  UNION
+  SELECT r.src, ed.b FROM reach r JOIN edges ed ON r.dst = ed.a
+), comp AS (
+  SELECT src AS vec_id, min(dst) AS cluster_id FROM reach GROUP BY src
+)
+SELECT vec_id, cluster_id, (vec_id = cluster_id) AS is_canonical FROM comp"""
+  }
+
   val annIvf: String = {
     val (stride, residue) =
       (graft.ops.Similarity.IvfCentroidStride, graft.ops.Similarity.IvfCentroidResidue)

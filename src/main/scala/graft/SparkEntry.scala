@@ -293,6 +293,10 @@ object SparkEntry {
       ops.Similarity.nearDupPairs(emb(s, dir), threshold = 0.45)),
     "dedup_embedding_t08" -> ((s, dir) =>
       ops.Similarity.nearDupPairs(emb(s, dir), threshold = 0.8)),
+    // SemDeDup shape: exact cosine only within coarse-quantizer cells, then
+    // connected components -> canonical per semantic cluster
+    "dedup_semantic" -> ((s, dir) =>
+      ops.Similarity.semanticDedup(emb(s, dir))),
 
     "ann_topk" -> ((s, dir) =>
       ops.Similarity.bruteForceTopK(emb(s, dir), col("vec_id") % 100 === 0, k = 5)),
@@ -382,6 +386,7 @@ object SparkEntry {
     "dedup_incremental" -> OracleSqlOps.dedupIncremental,
     "dedup_embedding" -> OracleSqlOps.embeddingNearDup(0.45),
     "dedup_embedding_t08" -> OracleSqlOps.embeddingNearDup(0.8),
+    "dedup_semantic" -> OracleSqlOps.dedupSemantic,
     "ann_topk" -> OracleSqlOps.annTopK,
     "ann_ivf" -> OracleSqlOps.annIvf,
     "ann_lsh" -> OracleSqlOps.annLsh,

@@ -513,6 +513,40 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("adc"))
   }
 
+  /** Semantic dedup (the SemDeDup shape): cluster the embedding space with
+    * the coarse quantizer, compute exact pairwise cosine ONLY within each
+    * cell, and resolve connected components — every vector labeled with its
+    * component's canonical (minimum) vec_id. Complements [[nearDupPairs]]:
+    * banded sign-LSH candidates are corpus-global but probabilistic; the
+    * cell-local pass is deterministic and exact WITHIN cells, and misses
+    * only cross-cell pairs (the stated SemDeDup trade — recover them by
+    * raising the cell count's probe side or falling back to the LSH tier).
+    *
+    * Scale shape: assignment is the [[ivfTopK]] map-side `min(struct)` scan;
+    * the pairwise stage is an equi-join on `cell` (hash-partitioned, one
+    * cell's quadratic work never leaves its partition group, AQE splits
+    * skewed cells); components resolve through [[Dedup.clusters]]' gated
+    * finish. Per-cell cost is (n/C)² — C tracks corpus size via the bounded
+    * codebook, which is what keeps cells small. */
+  def semanticDedup(embeddings: DataFrame, threshold: Double = 0.45,
+      lloydIters: Int = 0): DataFrame = {
+    val corpus = CacheScope.track(withNorm2(embeddings))
+    val centroids = (1 to lloydIters)
+      .foldLeft(sampleCentroids(corpus))((c, _) => lloydStep(corpus, c))
+    val e = CacheScope.track(
+      corpus.join(assignCells(corpus, centroids), "vec_id"))
+    val pairs = e.as("l").join(Par.maybeBroadcast(e.as("r")),
+        col("l.cell") === col("r.cell") && col("l.vec_id") < col("r.vec_id"))
+      .select(col("l.vec_id").as("a"), col("r.vec_id").as("b"),
+        cosineWithNorms(col("l.embedding"), col("r.embedding"),
+          col("l.n2"), col("r.n2")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .select(col("a"), col("b"))
+    Dedup.clusters(embeddings.select(col("vec_id").as("doc_id")), pairs,
+        pairsInduced = true)
+      .select(col("doc_id").as("vec_id"), col("cluster_id"), col("is_canonical"))
+  }
+
   /** Exact all-pairs baseline for [[nearDupPairs]] (small corpora / recall
     * measurement): one nested-loop product, no candidate pruning. */
   def nearDupPairsExact(embeddings: DataFrame, threshold: Double): DataFrame = {

@@ -425,6 +425,20 @@ class OpsSpec extends SparkSpec {
     graft.ops.CacheScope.releaseAll(spark)
   }
 
+  test("semantic dedup: one canonical per embedding cluster") {
+    // clusteredEmb: ids 0-24 / 25-49 / 50-74 are three tight cosine clusters;
+    // centroid sample (vec_id % 25 == 7) puts one centroid in each
+    val r = Similarity.semanticDedup(clusteredEmb, threshold = 0.9).collect()
+      .map(x => (x.getAs[Long]("vec_id"), x.getAs[Long]("cluster_id"),
+        x.getAs[Boolean]("is_canonical")))
+    assert(r.length == 75)
+    assert(r.count(_._3) == 3) // exactly one canonical per semantic cluster
+    assert(r.filter(_._1 < 25).forall(_._2 == 0L))
+    assert(r.filter(x => x._1 >= 25 && x._1 < 50).forall(_._2 == 25L))
+    assert(r.filter(_._1 >= 50).forall(_._2 == 50L))
+    graft.ops.CacheScope.releaseAll(spark)
+  }
+
   test("multi-table LSH reaches near-exact recall on clustered vectors") {
     val pred = col("vec_id").isin(0L, 30L, 60L)
     def hits(df: org.apache.spark.sql.DataFrame) = df.collect()
