@@ -319,6 +319,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup against a static history labels each micro-batch") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark2.sqlContext
+    val history = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),
+      (11L, "an entirely separate subject matter document")).toDF("doc_id", "text")
+    val stream = MemoryStream[(Long, String)]
+    val seen = scala.collection.mutable.Map[Long, (String, Boolean)]()
+    val q = graft.streaming.StreamingDedup.againstHistory(
+        stream.toDF().toDF("doc_id", "text"), history, threshold = 0.5) {
+      (labeled, _) =>
+        labeled.collect().foreach(r => seen(r.getAs[Long]("doc_id")) =
+          (r.getAs[String]("dup_kind"), r.getAs[Boolean]("is_new")))
+    }.start()
+    try {
+      stream.addData(
+        (20L, "the quick brown fox jumps over the lazy dog"), // exact vs 10
+        (21L, "a quick brown fox jumps over the lazy dog"),   // near vs 10
+        (22L, "never before observed content entirely"))      // new
+      q.processAllAvailable()
+      assert(seen(20L) == (("exact", false)))
+      assert(seen(21L) == (("near", false)))
+      assert(seen(22L) == ((null, true)))
+      // a second batch is labeled independently (stateless on the stream)
+      stream.addData((23L, "an entirely separate subject matter document"))
+      q.processAllAvailable()
+      assert(seen(23L) == (("exact", false)))
+    } finally q.stop()
+  }
+
   test("streaming dedup emits first-seen only, within and across batches") {
     val spark2 = spark
     import spark2.implicits._
