@@ -318,6 +318,23 @@ class OpsSpec extends SparkSpec {
     graft.ops.CacheScope.releaseAll(spark)
   }
 
+  test("cluster resolution: reliable-checkpoint path matches localCheckpoint") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val d = (0L until 40L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+    // chain 0-1-2-...-9 plus singletons; gate forced to 0 so the distributed
+    // loop runs and exercises checkpoint() into the directory
+    val pairs = (0L until 9L).map(i => (i, i + 1)).toDF("a", "b")
+    val viaReliable = Dedup.clusters(d, pairs, checkpointDir = Some(dir),
+        localEdgeGate = 0L).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    val viaLocal = Dedup.clusters(d, pairs, localEdgeGate = 0L).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(viaReliable == viaLocal)
+    assert((0L to 9L).forall(viaReliable(_) == 0L))
+    assert(new java.io.File(dir).exists) // checkpoints were written there
+    graft.ops.CacheScope.releaseAll(spark)
+  }
+
   test("cluster resolution: string ids through the local finish") {
     val d = Seq("x", "y", "z").map(s => (s, s)).toDF("doc_id", "text")
     val pairs = Seq(("y", "z")).toDF("a", "b")
