@@ -81,7 +81,22 @@ object Recall {
           topkRecall("ann_pq_adc_top3",
             ops.Similarity.pqAdcTopK(SparkEntry.emb(s, dir), queryPred, k = 3), bf))
       },
-      Seq(embeddingMetric(s, dir, 0.45), embeddingMetric(s, dir, 0.8))).flatten
+      Seq(embeddingMetric(s, dir, 0.45), embeddingMetric(s, dir, 0.8)),
+      // SemDeDup's stated trade quantified: fraction of exact near-dup pairs
+      // whose endpoints share a quantizer cell — the operator's capture
+      // ceiling (cross-cell pairs are invisible to the within-cell pass;
+      // tunable via cell count / Lloyd refinement, or recovered by the
+      // banded-LSH tier)
+      released {
+        val cells = ops.CacheScope.track(
+          ops.Similarity.cellAssignments(SparkEntry.emb(s, dir)))
+        val exact = ops.Similarity.nearDupPairsExact(SparkEntry.emb(s, dir), 0.45)
+        val sameCell = exact
+          .join(cells.select(col("vec_id").as("a"), col("cell").as("ca")), "a")
+          .join(cells.select(col("vec_id").as("b"), col("cell").as("cb")), "b")
+          .filter(col("ca") === col("cb"))
+        Seq(pairRecall("semantic_cell_capture_t45", sameCell, exact))
+      }).flatten
   }
 
   /** Near-dup recall at a threshold, plus the pruning evidence: candidate
@@ -118,7 +133,11 @@ object Recall {
       "embedding_neardup_* measure banding recall on " +
       "ALL pairs above threshold and are held to the bar, with candidate " +
       "counts evidencing pruning (t80) vs the documented no-prune stress " +
-      "regime (t45)")
+      "regime (t45). semantic_cell_capture_t45 is a capture CEILING, not a " +
+      "recall bar: it reports the fraction of exact near-dup pairs falling " +
+      "within one quantizer cell — the SemDeDup trade semanticDedup states " +
+      "(cross-cell pairs are recovered by the banded-LSH tier or more/" +
+      "refined cells)")
     entries.mkString("{", ",", s""","notes":$notes}""")
   }
 }

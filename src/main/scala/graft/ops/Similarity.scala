@@ -513,6 +513,16 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("adc"))
   }
 
+  /** The coarse-quantizer cell per vector — the [[semanticDedup]]/[[ivfTopK]]
+    * assignment, exposed so harnesses can measure cell-capture rates
+    * (what fraction of true near-dup pairs share a cell). */
+  def cellAssignments(embeddings: DataFrame, lloydIters: Int = 0): DataFrame = {
+    val corpus = CacheScope.track(withNorm2(embeddings))
+    val centroids = (1 to lloydIters)
+      .foldLeft(sampleCentroids(corpus))((c, _) => lloydStep(corpus, c))
+    assignCells(corpus, centroids)
+  }
+
   /** Semantic dedup (the SemDeDup shape): cluster the embedding space with
     * the coarse quantizer, compute exact pairwise cosine ONLY within each
     * cell, and resolve connected components — every vector labeled with its
