@@ -925,6 +925,20 @@ FROM ranked WHERE rank <= 3"""
 
   /** Conversion funnel (mirrors the ev_funnel composition): per user, the
     * first purchase within 7 days of its as-of signup. */
+  /** Tumbling-window counts (mirrors the ev_windowed query; Spark window()
+    * aligns 1-hour tumbling windows to the epoch, so the bucket start is
+    * floor(us / 3600e6) * 3600e6). */
+  val evWindowed: String = """WITH e AS (
+  SELECT event_type, epoch_us(ts) AS us FROM events
+)
+SELECT (us // 3600000000) * 3600000000 AS window_start_us, event_type,
+  CAST(count(*) AS INT) AS n
+FROM e GROUP BY 1, 2"""
+
+  val qAntijoin: String = """SELECT c_custkey, c_mktsegment FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')"""
+
   val evFunnel: String = """WITH e AS (
   SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type FROM events
 ), p AS (

@@ -216,6 +216,18 @@ object SparkEntry {
           coalesce(col("retained"), lit(0)).as("retained"))
     }),
 
+    // Tumbling-window counts (the batch twin of EventRates.windowedCounts):
+    // Spark's window() buckets event time; the oracle mirrors the bucket
+    // arithmetic (floor to the hour) on the raw micros.
+    "ev_windowed" -> ((s, dir) =>
+      DeadLetterSource.events(s, dir)
+        .select(col("event_type"),
+          timestamp_micros(expr("ts div 1000")).as("t"))
+        .groupBy(window(col("t"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).cast("int").as("n"))
+        .select(unix_micros(col("window.start")).as("window_start_us"),
+          col("event_type"), col("n"))),
+
     // Conversion funnel on top of the as-of join: each user's FIRST purchase
     // that follows a signup within 7 days, with the signup it converted from.
     "ev_funnel" -> ((s, dir) => {
@@ -326,7 +338,18 @@ object SparkEntry {
       s.read.parquet(s"$dir/lineitem.parquet")
         .groupBy(col("l_returnflag"))
         .agg(countDistinct(col("l_partkey")).as("n_parts"),
-          countDistinct(col("l_suppkey")).as("n_supps"))))
+          countDistinct(col("l_suppkey")).as("n_supps"))),
+
+    // Anti-join coverage: customers with no finished ('F') order — the
+    // filter rides into the build side before the anti join.
+    "q_antijoin" -> ((s, dir) => {
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      val o = s.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderstatus") === "F")
+      c.join(o.select(col("o_custkey").as("c_custkey")), Seq("c_custkey"),
+          "left_anti")
+        .select(col("c_custkey"), col("c_mktsegment"))
+    }))
 
   // spread: these feed self-joins / per-row sketches whose cost is
   // super-linear in rows-per-partition; see graft.ops.Par.
@@ -357,6 +380,8 @@ object SparkEntry {
     "ev_asof" -> OracleSqlOps.evAsof,
     "ev_retention" -> OracleSqlOps.evRetention,
     "ev_funnel" -> OracleSqlOps.evFunnel,
+    "ev_windowed" -> OracleSqlOps.evWindowed,
+    "q_antijoin" -> OracleSqlOps.qAntijoin,
     "text_tokens" -> OracleSqlOps.textTokens,
     "text_langid" -> OracleSqlOps.langId,
     "text_quality" -> OracleSqlOps.quality,
