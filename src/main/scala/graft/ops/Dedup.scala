@@ -624,19 +624,54 @@ object Dedup {
     *    Jaccard verification is fused in-stage exactly as [[minhashLsh]];
     *  - both tiers end in one min-aggregation per batch doc — map-side
     *    combining, O(|batch|) output. */
+  /** The reusable incremental-dedup index over a history corpus: the digest
+    * relation (exact tier) and the banded minhash sketch (near tier). Build
+    * it ONCE, persist (or write) both frames, and probe every increment
+    * against the same artifact — the index is what makes per-batch work
+    * O(batch), and on a cluster it is the table a daily pipeline keeps
+    * partitioned on disk. Callers own the frames' persistence;
+    * [[incremental]] is the build-and-probe convenience that persists them
+    * for the single call. */
+  final case class IncrementalIndex(digests: DataFrame, banded: DataFrame,
+      k: Int, bands: Int)
+
+  /** Build the [[IncrementalIndex]] for `history` (one digest projection +
+    * one [[bandedWithSets]] aggregation pass). */
+  def buildIndex(history: DataFrame, k: Int = 32, bands: Int = 8,
+      tokenizer: Tokenizer = Tokenizer.Whitespace): IncrementalIndex =
+    IncrementalIndex(
+      history.select(col("doc_id").as("hid"), md5(col("text")).as("__h")),
+      bandedWithSets(history, k, bands, tokenizer), k, bands)
+
   def incremental(history: DataFrame, batch: DataFrame, k: Int = 32,
       bands: Int = 8, threshold: Double = 0.8,
       tokenizer: Tokenizer = Tokenizer.Whitespace): DataFrame = {
+    val idx = buildIndex(history, k, bands, tokenizer)
+    // the banded sketch feeds all `bands` candidate branches — persist for
+    // the duration of this call (callers holding a long-lived index persist
+    // it themselves and use incrementalWithIndex directly)
+    incrementalWithIndex(idx.copy(banded = CacheScope.track(idx.banded)),
+      batch, threshold, tokenizer)
+  }
+
+  /** Probe a NEW `batch` against a prebuilt [[IncrementalIndex]] — the
+    * per-increment path of a production dedup pipeline (and of
+    * [[graft.streaming.StreamingDedup.againstHistory]], which builds the
+    * index once per query, not per micro-batch). */
+  def incrementalWithIndex(index: IncrementalIndex, batch: DataFrame,
+      threshold: Double = 0.8,
+      tokenizer: Tokenizer = Tokenizer.Whitespace): DataFrame = {
+    val k = index.k; val bands = index.bands
     // exact tier: digest-collision min per batch doc
     val bHash = CacheScope.track(
       batch.select(col("doc_id"), md5(col("text")).as("__h")))
-    val exact = history.select(col("doc_id").as("hid"), md5(col("text")).as("__h"))
+    val exact = index.digests
       .join(maybeBroadcast(bHash.select(col("__h")).distinct()), Seq("__h"),
         "left_semi")
       .join(maybeBroadcast(bHash), "__h")
       .groupBy(col("doc_id")).agg(min(col("hid")).as("exact_id"))
     // near tier: cross-corpus band-key candidates, Jaccard fused in-stage
-    val bandedH = CacheScope.track(bandedWithSets(history, k, bands, tokenizer))
+    val bandedH = index.banded
     val bandedB = CacheScope.track(bandedWithSets(batch, k, bands, tokenizer))
     val inter = graft.functions.ArrayExprs.sortedIntersectSize(
       col("h.tks"), col("b.tks"))

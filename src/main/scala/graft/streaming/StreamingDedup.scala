@@ -34,30 +34,37 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamingDedup {
 
-  /** Streaming ingest labeled against a STATIC history corpus: every
-    * micro-batch runs [[graft.ops.Dedup.incremental]] (exact digest tier +
-    * minhash-LSH near tier) against `history`, and `sink` receives the
-    * batch's rows with `dup_of` / `dup_kind` / `is_new` attached — the
-    * "is this crawl item already in the index?" decision at ingest time.
+  /** Streaming ingest labeled against a STATIC history corpus: the
+    * incremental-dedup index ([[graft.ops.Dedup.buildIndex]]: digest
+    * relation + banded minhash sketch) is built and persisted ONCE when the
+    * query starts, and every micro-batch probes it
+    * ([[graft.ops.Dedup.incrementalWithIndex]] — exact tier wins over near
+    * tier); `sink` receives the batch's rows with `dup_of` / `dup_kind` /
+    * `is_new` attached — the "is this crawl item already in the index?"
+    * decision at ingest time, at O(batch) cost per increment.
     *
     * Composition notes: within-stream duplicates are [[firstSeen]]'s job
     * (chain it upstream); this operator is stateless on the stream —
     * duplicates are defined against `history` only, so recovery/replay is
-    * trivially idempotent. The history sketch is re-derived per batch here;
-    * a production deployment materializes `history`'s banded table once
-    * (it is the incremental-dedup index artifact) and passes the same frame
-    * so Spark reuses its persisted blocks across batches. */
+    * trivially idempotent. The persisted index frames live for the query's
+    * lifetime (they are deliberately NOT CacheScope-tracked, so the
+    * per-batch release of probe-side intermediates leaves them cached). */
   def againstHistory(stream: DataFrame, history: DataFrame,
       threshold: Double = 0.8)(
-      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[Row] =
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[Row] = {
+    val index = {
+      val raw = graft.ops.Dedup.buildIndex(history)
+      raw.copy(digests = raw.digests.persist(), banded = raw.banded.persist())
+    }
     stream.writeStream.outputMode(OutputMode.Append).foreachBatch {
       (batch: org.apache.spark.sql.Dataset[Row], id: Long) =>
         val labeled = graft.ops.Dedup
-          .incremental(history, batch, threshold = threshold)
+          .incrementalWithIndex(index, batch, threshold = threshold)
           .join(batch, "doc_id")
         try sink(labeled, id)
         finally graft.ops.CacheScope.releaseAll(batch.sparkSession)
     }
+  }
 
   def firstSeen(df: DataFrame, keyExpr: org.apache.spark.sql.Column,
       stateTtlMs: Option[Long] = None,
