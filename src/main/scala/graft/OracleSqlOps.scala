@@ -77,6 +77,37 @@ FROM t"""
 )
 SELECT CAST(rank AS INT) AS rank, tok, df FROM ranked WHERE rank <= 1000"""
 
+  /** Token-id encoding oracle (mirrors graft.ops.TextAnalysis.encodeIds,
+    * minDf=2, topK=1000): vocab ranks per token position, OOV -> -1. */
+  val textEncode: String = s"""WITH t AS (
+  SELECT doc_id, $toks AS tk FROM documents
+), dtoks AS (
+  SELECT DISTINCT doc_id, unnest($toks) AS tok FROM documents
+), dfs AS (
+  SELECT tok, count(*) AS df FROM dtoks GROUP BY tok HAVING count(*) >= 2
+), vocab AS (
+  SELECT tok, rank FROM (
+    SELECT tok, row_number() OVER (ORDER BY df DESC, tok) AS rank FROM dfs)
+  WHERE rank <= 1000
+), posts AS (
+  SELECT doc_id, unnest(ps, recursive := true) FROM (
+    SELECT doc_id, list_transform(range(1, len(tk) + 1),
+      i -> struct_pack(p := i, tok := tk[i])) AS ps
+    FROM t)
+), j AS (
+  SELECT posts.doc_id, posts.p, coalesce(v.rank, -1) AS id,
+    CASE WHEN v.rank IS NULL THEN 1 ELSE 0 END AS oov
+  FROM posts LEFT JOIN vocab v USING (tok)
+), agg AS (
+  SELECT doc_id, list(id ORDER BY p) AS token_ids,
+    CAST(sum(oov) AS INT) AS n_oov
+  FROM j GROUP BY doc_id
+)
+SELECT t.doc_id,
+  coalesce(agg.token_ids, CAST([] AS BIGINT[])) AS token_ids,
+  coalesce(agg.n_oov, 0) AS n_oov
+FROM t LEFT JOIN agg USING (doc_id)"""
+
   /** Deterministic hash split (mirrors graft.ops.TextAnalysis.hashSplit,
     * trainPct=90): md5 lane of the stringified doc_id, mod 100. */
   val textSplit: String = textSplitOver("documents")

@@ -255,6 +255,7 @@ object SparkEntry {
     "text_quality" -> ((s, dir) => ops.TextAnalysis.quality(docs(s, dir))),
     "text_fingerprint" -> ((s, dir) => ops.TextAnalysis.fingerprint(docs(s, dir))),
     "text_vocab" -> ((s, dir) => ops.TextAnalysis.vocabulary(docs(s, dir))),
+    "text_encode" -> ((s, dir) => ops.TextAnalysis.encodeIds(docs(s, dir))),
     "text_split" -> ((s, dir) => ops.TextAnalysis.hashSplit(docs(s, dir))),
     "text_repetition" -> ((s, dir) => ops.TextAnalysis.repetition(docs(s, dir))),
     "text_decontaminate" -> ((s, dir) => ops.TextAnalysis.decontaminate(docs(s, dir))),
@@ -387,6 +388,7 @@ object SparkEntry {
     "text_quality" -> OracleSqlOps.quality,
     "text_fingerprint" -> OracleSqlOps.fingerprint,
     "text_vocab" -> OracleSqlOps.textVocab,
+    "text_encode" -> OracleSqlOps.textEncode,
     "text_split" -> OracleSqlOps.textSplit,
     "text_repetition" -> OracleSqlOps.textRepetition,
     "text_decontaminate" -> OracleSqlOps.textDecontaminate,

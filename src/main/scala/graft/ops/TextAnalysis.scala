@@ -374,6 +374,36 @@ object TextAnalysis {
         (col("rare").cast("double") / col("n_tokens")).as("rare_frac"))
   }
 
+  /** Token-id encoding — the consumer of [[vocabulary]]: every document's
+    * token sequence mapped to vocabulary RANKS (OOV tokens → -1), plus the
+    * OOV count — the final text→ints step before sequences are packed and
+    * written as training shards (with a real trained tokenizer the rank
+    * table is its vocab file; the plumbing is identical).
+    *
+    * Scale shape: the vocabulary is bounded (topK rows) and broadcast
+    * (size-gated); tokens explode WITH their position, take one equi-join
+    * against the vocab, and reassemble per doc through a sort_array over
+    * (pos, id) structs — one shuffle keyed by doc_id, no per-row vocab scan.
+    * Zero-token docs keep an empty id array. */
+  def encodeIds(docs: DataFrame, minDf: Int = 2, topK: Int = 1000,
+      tokenizer: Tokenizer = Tokenizer.Whitespace): DataFrame = {
+    val vocab = vocabulary(docs, minDf, topK, tokenizer)
+      .select(col("tok"), col("rank"))
+    val posts = docs.select(col("doc_id"),
+        posexplode_outer(tokenizer.tokens(col("text"))).as(Seq("p", "tok")))
+    posts.join(Par.maybeBroadcast(vocab), Seq("tok"), "left")
+      .groupBy(col("doc_id"))
+      // collect_list drops nulls, so the posexplode_outer row of a
+      // zero-token doc yields an EMPTY id array, not [-1]
+      .agg(sort_array(collect_list(when(col("tok").isNotNull,
+          struct(col("p"), coalesce(col("rank"), lit(-1)).as("id"))))).as("pi"),
+        sum(when(col("tok").isNotNull && col("rank").isNull, 1L).otherwise(0L))
+          .cast("int").as("n_oov"))
+      .select(col("doc_id"),
+        transform(col("pi"), x => x.getField("id")).as("token_ids"),
+        col("n_oov"))
+  }
+
   /** Dataset-card length quantiles: EXACT token-count percentiles per
     * language (p25/p50/p75/p95, plus extremes) — the distribution block of
     * a dataset card, where approx sketches raise "is the tail real?"

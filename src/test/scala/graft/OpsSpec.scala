@@ -779,6 +779,19 @@ class OpsSpec extends SparkSpec {
     graft.ops.CacheScope.releaseAll(spark)
   }
 
+  test("token-id encoding maps ranks in order, marks OOV, keeps empty docs") {
+    // "b" in 3 docs, "a" in 2 -> ranks: b=1, a=2; "x"/"y" are hapax (OOV)
+    val d = Seq((0L, "a b x"), (1L, "b a"), (2L, "b y"), (3L, ""))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.encodeIds(d).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getSeq[Int](x.fieldIndex("token_ids")), x.getAs[Int]("n_oov")))).toMap
+    assert(r(0L) == ((Seq(2, 1, -1), 1)))
+    assert(r(1L) == ((Seq(1, 2), 0)))
+    assert(r(2L) == ((Seq(1, -1), 1)))
+    assert(r(3L) == ((Seq(), 0))) // zero-token doc keeps an empty id array
+  }
+
   test("corpus quantiles interpolate exactly on a known distribution") {
     // n_tokens = 1..5 for lang a: p50 = 3.0, p25 = (5-1)*0.25 -> 2.0 exactly
     val d = (1 to 5).map(i =>
