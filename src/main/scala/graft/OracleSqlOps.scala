@@ -104,7 +104,9 @@ SELECT CAST(rank AS INT) AS rank, tok, df FROM ranked WHERE rank <= 1000"""
   FROM j GROUP BY doc_id
 )
 SELECT t.doc_id,
-  coalesce(agg.token_ids, CAST([] AS BIGINT[])) AS token_ids,
+  array_to_string(list_transform(
+    coalesce(agg.token_ids, CAST([] AS BIGINT[])),
+    x -> CAST(x AS VARCHAR)), ':') AS token_ids_str,
   coalesce(agg.n_oov, 0) AS n_oov
 FROM t LEFT JOIN agg USING (doc_id)"""
 
@@ -919,7 +921,8 @@ FROM a LEFT JOIN r ON r.day = a.day"""
   }
 
   val pqCodes: String = pqCte + """
-SELECT vec_id, list(code ORDER BY sub) AS codes
+SELECT vec_id, array_to_string(list_transform(
+    list(code ORDER BY sub), x -> CAST(x AS VARCHAR)), ':') AS codes_str
 FROM best WHERE rn = 1 GROUP BY vec_id"""
 
   /** PQ ADC top-k (mirrors graft.ops.Similarity.pqAdcTopK): query-side

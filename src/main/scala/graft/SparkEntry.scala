@@ -255,7 +255,14 @@ object SparkEntry {
     "text_quality" -> ((s, dir) => ops.TextAnalysis.quality(docs(s, dir))),
     "text_fingerprint" -> ((s, dir) => ops.TextAnalysis.fingerprint(docs(s, dir))),
     "text_vocab" -> ((s, dir) => ops.TextAnalysis.vocabulary(docs(s, dir))),
-    "text_encode" -> ((s, dir) => ops.TextAnalysis.encodeIds(docs(s, dir))),
+    // the operator returns token_ids: array<int>; the gate projection
+    // renders it ":"-joined so the harness can sort/hash the row (the
+    // driver's pandas canonicalizer cannot order array cells)
+    "text_encode" -> ((s, dir) => ops.TextAnalysis.encodeIds(docs(s, dir))
+      .select(col("doc_id"),
+        array_join(col("token_ids").cast("array<string>"), ":")
+          .as("token_ids_str"),
+        col("n_oov"))),
     "text_split" -> ((s, dir) => ops.TextAnalysis.hashSplit(docs(s, dir))),
     "text_repetition" -> ((s, dir) => ops.TextAnalysis.repetition(docs(s, dir))),
     "text_decontaminate" -> ((s, dir) => ops.TextAnalysis.decontaminate(docs(s, dir))),
@@ -321,7 +328,11 @@ object SparkEntry {
       ops.Similarity.rpLshMultiProbeTopK(emb(s, dir), col("vec_id") % 100 === 0, k = 3)),
     "ann_lsh_multitable" -> ((s, dir) =>
       ops.Similarity.rpLshMultiTableTopK(emb(s, dir), col("vec_id") % 100 === 0, k = 3)),
-    "emb_pq_codes" -> ((s, dir) => ops.Similarity.pqCodes(emb(s, dir))),
+    // codes: array<int> rendered ":"-joined for the same harness reason as
+    // text_encode above; the array-shaped operator output stays the API
+    "emb_pq_codes" -> ((s, dir) => ops.Similarity.pqCodes(emb(s, dir))
+      .select(col("vec_id"),
+        array_join(col("codes").cast("array<string>"), ":").as("codes_str"))),
     "ann_pq_adc" -> ((s, dir) =>
       ops.Similarity.pqAdcTopK(emb(s, dir), col("vec_id") % 100 === 0, k = 3)),
 
