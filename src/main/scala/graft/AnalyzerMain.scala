@@ -125,7 +125,17 @@ object AnalyzerMain {
       errorTopic = req("error-topic"),
       statsTopic = extra.getOrElse("stats", s"$out-stats"),
       examplesTopic = extra.getOrElse("examples", s"$out-examples"),
-      checkpointDir = kv.getOrElse("checkpoint-dir", "/tmp/graft-analyzer-checkpoints"),
+      checkpointDir = kv.getOrElse("checkpoint-dir", {
+        // a node-local default silently restarts exactly-once state from
+        // scratch when the driver lands on a different node — acceptable
+        // only for local smoke runs, so make the choice loud
+        System.err.println(
+          "[graft] WARNING: no --checkpoint-dir given; defaulting to " +
+            "/tmp/graft-analyzer-checkpoints (NODE-LOCAL). A restart on " +
+            "another node starts offsets and statistics state from scratch " +
+            "— pass a durable shared path (HDFS/S3) for any real deployment.")
+        "/tmp/graft-analyzer-checkpoints"
+      }),
       avroSchemaFiles = schemaFiles,
       schemaRegistryUrl = kv.get("schema-registry-url"),
       timestampZone = tsZone)

@@ -44,14 +44,17 @@ object Bench {
       try { fn(spark, sfDir).count(); () } catch {
         case e: Throwable =>
           failed += name
-          System.err.println(s"[bench] $name FAILED: $e")
-          e.printStackTrace()
+          println(s"[bench] $name FAILED: $e")
+          e.printStackTrace(System.out)
       }
       val sec = (System.nanoTime() - t0) / 1e9
       // release operator-internal persists so cached blocks don't accumulate
       // across the loop (storage-memory hygiene; see graft.ops.CacheScope)
       ops.CacheScope.releaseAll(spark)
-      System.err.println(f"[bench] $name%-22s ${sec}%8.2f s  gc=${gcMillis - g0}%5d ms")
+      // stdout, not stderr: sbt routes forked stderr through its [error]
+      // logger, which makes healthy per-query progress read as failures in
+      // driver logs. The final JSON line is still the LAST stdout line.
+      println(f"[bench] $name%-22s ${sec}%8.2f s  gc=${gcMillis - g0}%5d ms")
       name -> sec
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -329,9 +329,10 @@ FROM documents GROUP BY md5(text)"""
 
   /** MinHash-LSH pair CTE chain against an arbitrary source relation (used
     * standalone over `documents` and over the exact-dedup representatives in
-    * [[dedupPipeline]]). The final SELECT yields (a, b, jaccard). */
-  private def minhashLshSql(src: String): String = s"""WITH dtoks AS (
-  SELECT DISTINCT doc_id, unnest($toks) AS tok FROM $src
+    * [[dedupPipeline]]), with a pluggable tokenize expression mirroring the
+    * engine's Tokenizer seam. The final SELECT yields (a, b, jaccard). */
+  private def minhashLshSql(src: String, srcToks: String = toks): String = s"""WITH dtoks AS (
+  SELECT DISTINCT doc_id, unnest($srcToks) AS tok FROM $src
 ), th AS (
   SELECT doc_id, ${hexLane(1)} AS h1, ${hexLane(9)} AS h2 FROM dtoks
 ), sig AS (
@@ -344,7 +345,7 @@ FROM documents GROUP BY md5(text)"""
     $bandJoins)
 ), tsets AS (
   SELECT doc_id,
-    list_sort(list_distinct(list_transform($toks, tok -> ${hexLane(1)}))) AS tks
+    list_sort(list_distinct(list_transform($srcToks, tok -> ${hexLane(1)}))) AS tks
   FROM $src
 )
 SELECT c.a, c.b,
@@ -355,6 +356,13 @@ WHERE CAST(len(list_intersect(sa.tks, sb.tks)) AS DOUBLE)
     / (len(sa.tks) + len(sb.tks) - len(list_intersect(sa.tks, sb.tks))) >= 0.8"""
 
   val minhashLsh: String = minhashLshSql("documents")
+
+  /** [[minhashLsh]] under the BPE-ish tokenizer — pins the engine's
+    * pluggable Tokenizer seam at the oracle gate (mirrors
+    * graft.ops.Tokenizer.BpeIsh: alphanumeric runs or single non-space
+    * symbols via regexp_extract_all). */
+  val minhashBpe: String = minhashLshSql("documents",
+    s"regexp_extract_all(text, '${graft.ops.TextAnalysis.BpeRegex}')")
 
   /** End-to-end dedup pipeline (mirrors graft.ops.Dedup.dedupPipeline):
     * exact groups → representatives → minhash-LSH pairs over reps →
@@ -583,28 +591,47 @@ SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cosine FROM ranked WHER
     * centroids (vec_id % stride = residue), nearest-centroid cell
     * assignment, nprobe=2 probe cells per query. */
   /** Semantic-dedup oracle (mirrors graft.ops.Similarity.semanticDedup,
-    * threshold 0.45): IVF cell assignment, exact within-cell cosine pairs,
-    * recursive-CTE connected components, canonical = component min. */
+    * threshold 0.45, lloydIters = 2): stride-sampled codebook, two Lloyd
+    * refinement steps (assignment + per-(cell, dim) mean), final cell
+    * assignment, exact within-cell cosine pairs, recursive-CTE connected
+    * components, canonical = component min. The Lloyd mean mirrors the
+    * engine's FIXED-ORDER fold bit-for-bit: members sorted by vec_id, summed
+    * sequentially from 0.0 (`list_reduce(list_prepend(0.0, ...))` ==
+    * Spark `aggregate(..., lit(0.0), _ + _)`), divided by the member count. */
   val dedupSemantic: String = {
     val (stride, residue) =
       (graft.ops.Similarity.IvfCentroidStride, graft.ops.Similarity.IvfCentroidResidue)
+    // nearest-centroid assignment against codebook `cTab` -> (vec_id, cell)
+    def assignSql(cTab: String, out: String): String = s"""$out AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT e.vec_id, c.cid,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY list_dot_product(e.v, c.cv) / sqrt(e.n2 * c.cn2) DESC, c.cid) AS rn
+    FROM e, $cTab c) WHERE rn = 1
+)"""
+    // one Lloyd mean: assignment `aTab` -> refined codebook `out`
+    def meansSql(aTab: String, out: String): String = s"""${out}_m AS (
+  SELECT a.cell, t.i,
+    list_reduce(list_prepend(0.0, list(e.v[t.i + 1] ORDER BY e.vec_id)),
+      (x, y) -> x + y) / count(*) AS m
+  FROM $aTab a, e, range(64) t(i)
+  WHERE e.vec_id = a.vec_id
+  GROUP BY a.cell, t.i
+), ${out}_v AS (
+  SELECT cell AS cid, list(m ORDER BY i) AS cv FROM ${out}_m GROUP BY cell
+), $out AS (
+  SELECT cid, cv, list_dot_product(cv, cv) AS cn2 FROM ${out}_v
+)"""
     s"""WITH RECURSIVE e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
     list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) AS n2
   FROM embeddings
-), c AS (
+), c0 AS (
   SELECT vec_id AS cid, v AS cv, n2 AS cn2 FROM e WHERE vec_id % $stride = $residue
   ORDER BY vec_id LIMIT ${graft.ops.Similarity.IvfMaxCells}
-), assign AS (
-  SELECT e.vec_id, c.cid,
-    list_dot_product(e.v, c.cv) / sqrt(e.n2 * c.cn2) AS cs
-  FROM e, c
-), cell AS (
-  SELECT vec_id, cid AS cell FROM (
-    SELECT vec_id, cid,
-      row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
-    FROM assign) WHERE rn = 1
-), prs AS (
+), ${assignSql("c0", "a0")}, ${meansSql("a0", "c1")},
+${assignSql("c1", "a1")}, ${meansSql("a1", "c2")},
+${assignSql("c2", "cell")}, prs AS (
   SELECT le.vec_id AS a, re.vec_id AS b
   FROM e le JOIN cell lc ON le.vec_id = lc.vec_id
        JOIN cell rc ON lc.cell = rc.cell

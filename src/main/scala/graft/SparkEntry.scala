@@ -283,6 +283,11 @@ object SparkEntry {
 
     "dedup_exact" -> ((s, dir) => ops.Dedup.exact(docs(s, dir))),
     "dedup_minhash_lsh" -> ((s, dir) => ops.Dedup.minhashLsh(docs(s, dir))),
+    // the same operator through the BPE-ish tokenizer seam: punctuation-glued
+    // words separate, so near-dups differing only in punctuation spacing
+    // stop being invisible (the seam's point; gate-pinned here)
+    "dedup_minhash_bpe" -> ((s, dir) =>
+      ops.Dedup.minhashLsh(docs(s, dir), tokenizer = ops.Tokenizer.BpeIsh)),
     "dedup_simhash" -> ((s, dir) => ops.Dedup.simhash(docs(s, dir))),
     "dedup_simhash_pairs" -> ((s, dir) => ops.Dedup.simhashPairs(docs(s, dir))),
     "dedup_ngram_jaccard" -> ((s, dir) => ops.Dedup.ngramJaccard(docs(s, dir))),
@@ -314,9 +319,12 @@ object SparkEntry {
     "dedup_embedding_t08" -> ((s, dir) =>
       ops.Similarity.nearDupPairs(emb(s, dir), threshold = 0.8)),
     // SemDeDup shape: exact cosine only within coarse-quantizer cells, then
-    // connected components -> canonical per semantic cluster
+    // connected components -> canonical per semantic cluster. Benched at the
+    // designed config: a Lloyd-refined codebook (2 k-means steps), not the
+    // raw stride sample — the refinement is what makes cells track the
+    // corpus's density instead of the sample's
     "dedup_semantic" -> ((s, dir) =>
-      ops.Similarity.semanticDedup(emb(s, dir))),
+      ops.Similarity.semanticDedup(emb(s, dir), lloydIters = 2)),
 
     "ann_topk" -> ((s, dir) =>
       ops.Similarity.bruteForceTopK(emb(s, dir), col("vec_id") % 100 === 0, k = 5)),
@@ -414,6 +422,7 @@ object SparkEntry {
     "text_mix" -> OracleSqlOps.textMix,
     "dedup_exact" -> OracleSqlOps.dedupExact,
     "dedup_minhash_lsh" -> OracleSqlOps.minhashLsh,
+    "dedup_minhash_bpe" -> OracleSqlOps.minhashBpe,
     "dedup_simhash" -> OracleSqlOps.simhash,
     "dedup_simhash_pairs" -> OracleSqlOps.simhashPairs,
     "dedup_ngram_jaccard" -> OracleSqlOps.ngramJaccard,

@@ -79,7 +79,15 @@ final case class HttpRegistrySchemas(baseUrl: String,
             return schema.orElse(fallback.schemaFor(id))
           case 404 => return fallback.schemaFor(id) // definitive: unregistered
           case s if s >= 500 => // transient server side: retry
-          case _ => return fallback.schemaFor(id) // 4xx: definitive
+          case 429 | 408 =>
+            // throttling/timeout are transient too — treating them as a
+            // definitive miss would poison AvroDecode's per-executor memo
+            // with a permanent decode degrade; honor Retry-After if present
+            resp.headers().firstValue("Retry-After").ifPresent { v =>
+              v.toLongOption.foreach(sec =>
+                Thread.sleep(math.min(sec, 5L) * 1000L))
+            }
+          case _ => return fallback.schemaFor(id) // other 4xx: definitive
         }
       } catch {
         case _: java.io.IOException => // transient transport: retry

@@ -381,11 +381,21 @@ object Dedup {
           Seq("b"), "left_semi")
         .select(col("a"), col("b"))
     val p = truncate(induced)
-    // p is materialized, so the forest pass and its count scan cached blocks,
-    // never the pair-generation subtree. Connectivity (hence the output) is
-    // invariant under the contraction; only the edge multiset shrinks.
-    val forest = truncate(spanningForest(p))
-    if (forest.count() <= localEdgeGate) return clustersLocal(docs, forest)
+    // p is materialized, so the counts and the forest pass below scan cached
+    // blocks, never the pair-generation subtree. Gate staging (advisor r4 —
+    // don't pay the contraction scan on inputs it cannot help):
+    //  1. raw pairs already fit the gate -> local finish directly, no forest;
+    //  2. else, the forest is worth computing only if it CAN fit: its size is
+    //     bounded by |V| - 1, so when even the vertex count exceeds the gate
+    //     (the truly large inputs) skip straight to the distributed loop;
+    //  3. else compute the forest (connectivity is invariant under the
+    //     contraction; only the edge multiset shrinks) and gate on its
+    //     actual size.
+    if (p.count() <= localEdgeGate) return clustersLocal(docs, p)
+    if (ids.count() - 1 <= localEdgeGate) {
+      val forest = truncate(spanningForest(p))
+      if (forest.count() <= localEdgeGate) return clustersLocal(docs, forest)
+    }
     val edges = truncate(p
       .unionByName(p.select(col("b").as("a"), col("a").as("b")))
       .repartition(sc.defaultParallelism, col("b")))
@@ -642,6 +652,34 @@ object Dedup {
     IncrementalIndex(
       history.select(col("doc_id").as("hid"), md5(col("text")).as("__h")),
       bandedWithSets(history, k, bands, tokenizer), k, bands)
+
+  /** Persist an [[IncrementalIndex]] as parquet under `dir` (`digests/`,
+    * `banded/`, one-row `meta/` carrying the sketch parameters) — the durable
+    * artifact of the daily-ingest story: build once, write, and every later
+    * RUN (not just every batch of one run) probes the same index via
+    * [[readIndex]]. On a cluster the two tables would additionally be
+    * bucketed on their join keys (`__h` for digests, `band0` for the sketch)
+    * so the probe joins read only colliding buckets; the probe plan in
+    * [[incrementalWithIndex]] is identical either way. */
+  def writeIndex(index: IncrementalIndex, dir: String): Unit = {
+    index.digests.write.mode("overwrite").parquet(s"$dir/digests")
+    index.banded.write.mode("overwrite").parquet(s"$dir/banded")
+    val s = index.digests.sparkSession
+    import s.implicits._
+    Seq((index.k, index.bands)).toDF("k", "bands")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Load an [[IncrementalIndex]] written by [[writeIndex]]. The frames are
+    * plain parquet scans — callers running many probes against one loaded
+    * index persist them (as [[graft.streaming.StreamingDedup.againstHistory]]
+    * does for its per-query index). */
+  def readIndex(s: org.apache.spark.sql.SparkSession, dir: String): IncrementalIndex = {
+    val m = s.read.parquet(s"$dir/meta").head()
+    IncrementalIndex(
+      s.read.parquet(s"$dir/digests"), s.read.parquet(s"$dir/banded"),
+      m.getAs[Int]("k"), m.getAs[Int]("bands"))
+  }
 
   def incremental(history: DataFrame, batch: DataFrame, k: Int = 32,
       bands: Int = 8, threshold: Double = 0.8,

@@ -72,10 +72,15 @@ object Similarity {
   val IvfCentroidResidue = 7
   val IvfMaxCells = 4096
 
-  /** The bounded stride-sample codebook over a [[withNorm2]]'d corpus. */
-  private def sampleCentroids(corpus: DataFrame): DataFrame = corpus
+  /** The bounded stride-sample codebook over a [[withNorm2]]'d corpus.
+    * `maxCells` is the codebook CAPACITY knob: the default keeps the table
+    * broadcastable at any corpus size; a caller who knows the corpus's
+    * cluster count sizes it down (cells ≈ clusters is what makes the
+    * within-cell passes capture whole clusters). */
+  private def sampleCentroids(corpus: DataFrame,
+      maxCells: Int = IvfMaxCells): DataFrame = corpus
     .filter(col("vec_id") % IvfCentroidStride === IvfCentroidResidue)
-    .orderBy(col("vec_id")).limit(IvfMaxCells)
+    .orderBy(col("vec_id")).limit(maxCells)
     .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("n2").as("cn2"))
 
   /** Nearest-centroid assignment (vec_id → cell): min over C of
@@ -94,19 +99,27 @@ object Similarity {
       .select(col("vec_id"), col("best.cid").as("cell"))
 
   /** One Lloyd (k-means) step: re-assign, then replace every centroid with
-    * its cell's per-dimension mean — a (cell, dim) aggregation with map-side
-    * combine, nothing quadratic. The step output is eagerly checkpointed so
-    * iterated codebooks don't grow lineage (same iterative-plan rule as
-    * [[Dedup.clusters]]); cells that lose all members drop out (codebook can
-    * only shrink). */
+    * its cell's per-dimension mean — a (cell, dim) aggregation, nothing
+    * quadratic. The mean is a FIXED-ORDER fold (members sorted by vec_id,
+    * summed sequentially from 0.0): float sums are order-dependent, and a
+    * shuffle-order `sum()` would make the refined codebook differ run-to-run
+    * AND diverge from the DuckDB oracle's mirror in the last ulp. The cost of
+    * determinism is losing map-side combine on this one aggregation; the
+    * group is a single cell's membership (≤ n/C rows — the same per-cell
+    * bound the within-cell pairwise pass already accepts). The step output is
+    * eagerly checkpointed so iterated codebooks don't grow lineage (same
+    * iterative-plan rule as [[Dedup.clusters]]); cells that lose all members
+    * drop out (codebook can only shrink). */
   private def lloydStep(corpus: DataFrame, centroids: DataFrame): DataFrame =
     corpus.join(assignCells(corpus, centroids), "vec_id")
-      .select(col("cell"), posexplode(col("embedding")).as(Seq("i", "x")))
+      .select(col("cell"), col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
       .groupBy(col("cell"), col("i"))
-      .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+      .agg(sort_array(collect_list(struct(col("vec_id"), col("x")))).as("vx"))
+      .select(col("cell"), col("i"),
+        (aggregate(transform(col("vx"), e => e.getField("x")),
+          lit(0.0), (a, x) => a + x) / size(col("vx"))).as("m"))
       .groupBy(col("cell"))
-      .agg(sort_array(collect_list(struct(col("i"), (col("sx") / col("n")).as("m"))))
-        .as("im"))
+      .agg(sort_array(collect_list(struct(col("i"), col("m")))).as("im"))
       .select(col("cell").as("cid"),
         transform(col("im"), e => e.getField("m")).as("ce"))
       .withColumn("cn2", dot(col("ce"), col("ce")))
@@ -115,9 +128,10 @@ object Similarity {
   /** The IVF codebook after `lloydIters` refinement steps (0 = the raw
     * deterministic stride sample the oracle mirrors). Exposed for
     * inspection/tests; [[ivfTopK]] uses the same construction. */
-  def ivfCentroids(embeddings: DataFrame, lloydIters: Int = 0): DataFrame = {
+  def ivfCentroids(embeddings: DataFrame, lloydIters: Int = 0,
+      maxCells: Int = IvfMaxCells): DataFrame = {
     val corpus = CacheScope.track(withNorm2(embeddings))
-    (1 to lloydIters).foldLeft(sampleCentroids(corpus))(
+    (1 to lloydIters).foldLeft(sampleCentroids(corpus, maxCells))(
       (c, _) => lloydStep(corpus, c))
   }
 
@@ -138,13 +152,14 @@ object Similarity {
     * Replaces the r2 version that reused the stored `label` column as the
     * "cell" — IVF plumbing with no quantizer (judge r2 finding). */
   def ivfTopK(embeddings: DataFrame, queryPred: Column, k: Int = 3,
-      nprobe: Int = 2, lloydIters: Int = 0): DataFrame = {
+      nprobe: Int = 2, lloydIters: Int = 0,
+      maxCells: Int = IvfMaxCells): DataFrame = {
     val corpus = CacheScope.track(withNorm2(embeddings))
-    // the codebook is bounded (<= IvfMaxCells rows, ~2 MB at 64 dims), so
+    // the codebook is bounded (<= maxCells rows, ~2 MB at 64 dims), so
     // broadcasting it below is safe at ANY corpus size — unlike the raw
     // stride sample, which grows with n
     val centroids = (1 to lloydIters)
-      .foldLeft(sampleCentroids(corpus))((c, _) => lloydStep(corpus, c))
+      .foldLeft(sampleCentroids(corpus, maxCells))((c, _) => lloydStep(corpus, c))
     val assigned = assignCells(corpus, centroids)
     val celled = corpus.join(assigned, "vec_id")
     val queries = corpus.filter(queryPred)
@@ -516,10 +531,11 @@ object Similarity {
   /** The coarse-quantizer cell per vector — the [[semanticDedup]]/[[ivfTopK]]
     * assignment, exposed so harnesses can measure cell-capture rates
     * (what fraction of true near-dup pairs share a cell). */
-  def cellAssignments(embeddings: DataFrame, lloydIters: Int = 0): DataFrame = {
+  def cellAssignments(embeddings: DataFrame, lloydIters: Int = 0,
+      maxCells: Int = IvfMaxCells): DataFrame = {
     val corpus = CacheScope.track(withNorm2(embeddings))
     val centroids = (1 to lloydIters)
-      .foldLeft(sampleCentroids(corpus))((c, _) => lloydStep(corpus, c))
+      .foldLeft(sampleCentroids(corpus, maxCells))((c, _) => lloydStep(corpus, c))
     assignCells(corpus, centroids)
   }
 
@@ -539,10 +555,10 @@ object Similarity {
     * finish. Per-cell cost is (n/C)² — C tracks corpus size via the bounded
     * codebook, which is what keeps cells small. */
   def semanticDedup(embeddings: DataFrame, threshold: Double = 0.45,
-      lloydIters: Int = 0): DataFrame = {
+      lloydIters: Int = 0, maxCells: Int = IvfMaxCells): DataFrame = {
     val corpus = CacheScope.track(withNorm2(embeddings))
     val centroids = (1 to lloydIters)
-      .foldLeft(sampleCentroids(corpus))((c, _) => lloydStep(corpus, c))
+      .foldLeft(sampleCentroids(corpus, maxCells))((c, _) => lloydStep(corpus, c))
     val e = CacheScope.track(
       corpus.join(assignCells(corpus, centroids), "vec_id"))
     val pairs = e.as("l").join(Par.maybeBroadcast(e.as("r")),

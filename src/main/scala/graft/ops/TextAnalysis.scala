@@ -539,8 +539,24 @@ object TextAnalysis {
   def mixToShares(docs: DataFrame,
       targetShares: Map[String, Double] = Map.empty,
       tokenizer: Tokenizer = Tokenizer.Whitespace): DataFrame = {
+    // a recipe that misses an observed source would silently assign it share
+    // 0 (kept = false for the whole source) — require the explicit decision
+    // instead; shares must be valid probabilities but need not sum to 1
+    // (rates are independently capped at 1, so under-allocating just thins
+    // everything harder)
+    require(targetShares.values.forall(p => p >= 0.0 && p <= 1.0),
+      s"target shares must be in [0, 1]: $targetShares")
     val perDoc = docs.select(col("doc_id"), col("source"),
       size(tokenizer.tokens(col("text"))).cast("long").as("n_tokens"))
+    if (targetShares.nonEmpty) {
+      val observed = docs.select(col("source")).distinct()
+        .collect().map(_.getString(0)).toSet
+      val missing = observed -- targetShares.keySet
+      require(missing.isEmpty,
+        s"targetShares covers no share for observed sources: " +
+          s"${missing.toSeq.sorted.mkString(", ")} — assign them explicitly " +
+          "(a missing source would otherwise be dropped entirely)")
+    }
     val bySource = perDoc.groupBy(col("source"))
       .agg(sum(col("n_tokens")).as("src_tokens"))
     val totals = bySource.agg(sum(col("src_tokens")).as("total_tokens"),

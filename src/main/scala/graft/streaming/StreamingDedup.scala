@@ -51,11 +51,21 @@ object StreamingDedup {
     * per-batch release of probe-side intermediates leaves them cached). */
   def againstHistory(stream: DataFrame, history: DataFrame,
       threshold: Double = 0.8)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[Row] =
+    againstIndex(stream, graft.ops.Dedup.buildIndex(history), threshold)(sink)
+
+  /** [[againstHistory]] with a PREBUILT index — the durable-artifact path:
+    * `graft.ops.Dedup.readIndex(spark, dir)` loads the parquet index a prior
+    * run wrote ([[graft.ops.Dedup.writeIndex]]), so the ingest query starts
+    * probing without re-scanning the history corpus at all. The index frames
+    * are persisted for the query's lifetime here (deliberately NOT
+    * CacheScope-tracked, so the per-batch release of probe-side
+    * intermediates leaves them cached). */
+  def againstIndex(stream: DataFrame, rawIndex: graft.ops.Dedup.IncrementalIndex,
+      threshold: Double = 0.8)(
       sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[Row] = {
-    val index = {
-      val raw = graft.ops.Dedup.buildIndex(history)
-      raw.copy(digests = raw.digests.persist(), banded = raw.banded.persist())
-    }
+    val index = rawIndex.copy(
+      digests = rawIndex.digests.persist(), banded = rawIndex.banded.persist())
     stream.writeStream.outputMode(OutputMode.Append).foreachBatch {
       (batch: org.apache.spark.sql.Dataset[Row], id: Long) =>
         val labeled = graft.ops.Dedup

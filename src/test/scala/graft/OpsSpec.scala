@@ -331,7 +331,9 @@ class OpsSpec extends SparkSpec {
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
     assert(viaReliable == viaLocal)
     assert((0L to 9L).forall(viaReliable(_) == 0L))
-    assert(new java.io.File(dir).exists) // checkpoints were written there
+    // checkpoints were actually WRITTEN there (the dir existing proves
+    // nothing — this test created it)
+    assert(java.nio.file.Files.list(java.nio.file.Paths.get(dir)).count() > 0)
     graft.ops.CacheScope.releaseAll(spark)
   }
 
@@ -670,6 +672,47 @@ class OpsSpec extends SparkSpec {
     assert(r(21L) == ((Some(10L), "near", false)))
     assert(r(22L) == ((None, null, true)))
     graft.ops.CacheScope.releaseAll(spark)
+  }
+
+  test("incremental index: parquet round-trip matches the in-memory path") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-idx").toString
+    val history = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),
+      (12L, "an entirely separate subject matter document")).toDF("doc_id", "text")
+    val batch = Seq(
+      (20L, "the quick brown fox jumps over the lazy dog"),
+      (21L, "a quick brown fox jumps over the lazy dog"),
+      (22L, "nothing like anything seen before anywhere")).toDF("doc_id", "text")
+    val mem = Dedup.buildIndex(history)
+    Dedup.writeIndex(mem, dir)
+    val loaded = Dedup.readIndex(spark, dir)
+    assert(loaded.k == mem.k && loaded.bands == mem.bands)
+    def label(ix: Dedup.IncrementalIndex) =
+      Dedup.incrementalWithIndex(ix, batch, threshold = 0.5).collect()
+        .map(x => x.getAs[Long]("doc_id") ->
+          ((Option(x.get(x.fieldIndex("dup_of"))), x.getAs[String]("dup_kind"),
+            x.getAs[Boolean]("is_new")))).toMap
+    val viaDisk = label(loaded)
+    assert(viaDisk == label(mem))
+    assert(viaDisk(20L) == ((Some(10L), "exact", false)))
+    assert(viaDisk(21L) == ((Some(10L), "near", false)))
+    assert(viaDisk(22L) == ((None, null, true)))
+    graft.ops.CacheScope.releaseAll(spark)
+  }
+
+  test("CacheScope.releaseAll drops tracked frames but not untracked long-lived caches") {
+    // the documented contract (CacheScope scaladoc): release scope is the
+    // session's TRACKED set; frames a harness persists itself (the
+    // long-lived parsed/docs caches) are untouched by between-query releases
+    val longLived = Seq((1L, "keep")).toDF("doc_id", "text").persist()
+    val tracked = graft.ops.CacheScope.track(
+      Seq((2L, "drop")).toDF("doc_id", "text"))
+    longLived.count(); tracked.count()
+    graft.ops.CacheScope.releaseAll(spark)
+    assert(longLived.storageLevel.useMemory) // untracked cache survives
+    assert(!tracked.storageLevel.useMemory)  // tracked frame released
+    assert(graft.ops.CacheScope.trackedCount(spark) == 0)
+    longLived.unpersist()
   }
 
   test("edit verify excludes the token-order shuffle simhash cannot see") {

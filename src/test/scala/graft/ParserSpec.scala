@@ -365,6 +365,36 @@ class ParserSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("registry client retries 429 throttling (honoring Retry-After) and then succeeds") {
+    val trSchema =
+      """{"type":"record","name":"TestRecord","fields":[{"name":"id","type":"int"}]}"""
+    val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/schemas/ids/", { ex =>
+      val n = calls.incrementAndGet()
+      if (n == 1) {
+        // throttled must NOT resolve to a definitive miss (it would poison
+        // the per-executor decode memo); client waits Retry-After and retries
+        ex.getResponseHeaders.add("Retry-After", "0")
+        ex.sendResponseHeaders(429, -1); ex.close()
+      } else {
+        val resp = new com.fasterxml.jackson.databind.ObjectMapper()
+          .createObjectNode().put("schema", trSchema).toString
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        ex.sendResponseHeaders(200, resp.length)
+        ex.getResponseBody.write(resp); ex.close()
+      }
+    })
+    server.start()
+    try {
+      val p = graft.functions.HttpRegistrySchemas(
+        s"http://127.0.0.1:${server.getAddress.getPort}")
+      assert(p.schemaFor(9).contains(trSchema)) // 429, 200
+      assert(calls.get() == 2)
+    } finally server.stop(0)
+  }
+
   test("non-dead-letter Avro records render as their JSON toString (ErrorUtil parity)") {
     val spark2 = spark
     import spark2.implicits._
