@@ -119,7 +119,7 @@ object Dedup {
     // row per doc, so the set side broadcasts while it fits the session
     // threshold; past that, maybeBroadcast leaves both joins hash-partitioned
     // on doc_id (AQE picks the strategy).
-    val sets = CacheScope.track(hashedTokenSets(docs))
+    val sets = CacheScope.trackEager(hashedTokenSets(docs))
     val joined = pairs
       .join(maybeBroadcast(sets.as("sa")), col("a") === col("sa.doc_id"))
       .join(maybeBroadcast(sets.as("sb")), col("b") === col("sb.doc_id"))
@@ -181,7 +181,7 @@ object Dedup {
     // shuffle rows; at sketch sizes (ints, deduped tokens) the per-row set is
     // bounded and the candidate stream is orders of magnitude larger than the
     // doc table, so fusing wins on both counts.
-    val banded = CacheScope.track(bandedWithSets(docs, k, bands, tokenizer))
+    val banded = CacheScope.trackEager(bandedWithSets(docs, k, bands, tokenizer))
     val inter = graft.functions.ArrayExprs.sortedIntersectSize(
       col("l.tks"), col("r.tks"))
     (0 until bands).map { b =>
@@ -249,7 +249,7 @@ object Dedup {
     val chunkCols = (0 until nChunks).map { c =>
       shiftright(col("simhash"), c * bitsPer).bitwiseAND(lit(mask)).as(s"c$c")
     }
-    val fps = CacheScope.track(
+    val fps = CacheScope.trackEager(
       simhash(docs).select(col("doc_id") +: col("simhash") +: chunkCols: _*))
     (0 until nChunks).map { c =>
       val guard = (0 until c)
@@ -701,7 +701,7 @@ object Dedup {
       tokenizer: Tokenizer = Tokenizer.Whitespace): DataFrame = {
     val k = index.k; val bands = index.bands
     // exact tier: digest-collision min per batch doc
-    val bHash = CacheScope.track(
+    val bHash = CacheScope.trackEager(
       batch.select(col("doc_id"), md5(col("text")).as("__h")))
     val exact = index.digests
       .join(maybeBroadcast(bHash.select(col("__h")).distinct()), Seq("__h"),
@@ -710,7 +710,7 @@ object Dedup {
       .groupBy(col("doc_id")).agg(min(col("hid")).as("exact_id"))
     // near tier: cross-corpus band-key candidates, Jaccard fused in-stage
     val bandedH = index.banded
-    val bandedB = CacheScope.track(bandedWithSets(batch, k, bands, tokenizer))
+    val bandedB = CacheScope.trackEager(bandedWithSets(batch, k, bands, tokenizer))
     val inter = graft.functions.ArrayExprs.sortedIntersectSize(
       col("h.tks"), col("b.tks"))
     val near = (0 until bands).map { bd =>
@@ -753,7 +753,7 @@ object Dedup {
       slice(t, lit(1), greatest(n - 1, lit(0))),
       slice(t, lit(2), greatest(n - 1, lit(0))),
       (x, y) => concat(x, lit(" "), y))
-    val sets = CacheScope.track(docs.select(col("doc_id"),
+    val sets = CacheScope.trackEager(docs.select(col("doc_id"),
       array_sort(array_distinct(transform(bigrams, b => tokHash(b)))).as("bgs")))
     val postings = sets.select(col("doc_id"), explode(col("bgs")).as("bg"))
     val rare = postings.groupBy(col("bg"))

@@ -177,8 +177,11 @@ object Similarity {
       .select(col("query_id"), col("qe"), col("qn2"), col("cid").as("cell"))
     // probes carry full query vectors — small by the operator's query-subset
     // contract, but unbounded in principle, so the hint is size-gated with a
-    // partitioned cell-join fallback
-    val scored = celled.join(Par.maybeBroadcast(probes),
+    // partitioned cell-join fallback. Eager-tracked: the window-filtered
+    // cross-join's plan-time estimate is corpus-scale garbage, so the gate
+    // must read the MATERIALIZED probe size or it declines at every scale
+    // and reshuffles the corpus per ANN query.
+    val scored = celled.join(Par.maybeBroadcast(CacheScope.trackEager(probes)),
         celled("cell") === probes("cell") && col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         cosineWithNorms(col("qe"), col("embedding"), col("qn2"), col("n2")).as("cosine"))
@@ -259,7 +262,7 @@ object Similarity {
   def rpLshMultiTableTopK(embeddings: DataFrame, queryPred: Column, k: Int = 3,
       dims: Int = 64, tables: Int = LshTables,
       bitsPerTable: Int = LshBitsPerTable): DataFrame = {
-    val e = CacheScope.track(withNorm2(embeddings)
+    val e = CacheScope.trackEager(withNorm2(embeddings)
       .select(col("vec_id"), col("embedding"), col("n2"),
         graft.functions.VectorExprs.signBandKeys(
           col("embedding"), dims, bitsPerTable, tables).as("keys")))
@@ -267,7 +270,8 @@ object Similarity {
       posexplode(col("keys")).as(Seq("table", "bucket")))
     val qprobes = e.filter(queryPred).select(col("vec_id").as("query_id"),
       posexplode(col("keys")).as(Seq("table", "bucket")))
-    val cand = banded.as("c").join(Par.maybeBroadcast(qprobes.as("q")),
+    val cand = banded.as("c").join(
+        Par.maybeBroadcast(CacheScope.trackEager(qprobes).as("q")),
         col("c.table") === col("q.table") && col("c.bucket") === col("q.bucket") &&
           col("c.vec_id") =!= col("q.query_id"))
       .select(col("q.query_id"), col("c.vec_id").as("neighbor_id"))
@@ -284,7 +288,7 @@ object Similarity {
 
   private def rpLsh(embeddings: DataFrame, queryPred: Column, k: Int,
       dims: Int, multiProbe: Boolean): DataFrame = {
-    val corpus = CacheScope.track(withNorm2(embeddings)
+    val corpus = CacheScope.trackEager(withNorm2(embeddings)
       .withColumn("bucket", lshBucket(col("embedding"), dims)))
     val queries = corpus.filter(queryPred)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
@@ -294,8 +298,9 @@ object Similarity {
         col("qbucket") +: (0 until LshBits).map(h =>
           col("qbucket").bitwiseXOR(lit(1 << h))): _*)
       else array(col("qbucket"))
-    val probes = queries.select(col("query_id"), col("qe"), col("qn2"),
-      explode(probeCols).as("pbucket"))
+    val probes = CacheScope.trackEager(
+      queries.select(col("query_id"), col("qe"), col("qn2"),
+        explode(probeCols).as("pbucket")))
     val scored = corpus.join(Par.maybeBroadcast(probes),
         col("bucket") === col("pbucket") && col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
@@ -372,7 +377,7 @@ object Similarity {
   def nearDupCandidates(embeddings: DataFrame, threshold: Double,
       dims: Int = 64): DataFrame = {
     val (rowsPerBand, bands) = lshParams(threshold)
-    val e = CacheScope.track(withNorm2(embeddings)
+    val e = CacheScope.trackEager(withNorm2(embeddings)
       .select(col("vec_id"), col("embedding"), col("n2"),
         graft.functions.VectorExprs.signBandKeys(
           col("embedding"), dims, rowsPerBand, bands).as("keys")))
@@ -517,8 +522,13 @@ object Similarity {
       element_at(element_at(col("dt"), si + 1),
         element_at(col("codes"), si + 1) + 1)
     }.reduce(_ + _)
+    // eager-tracked: qArr is Q rows of ~8 KB but sits under two collect_list
+    // aggregations whose plan-time estimate is garbage — the gate must read
+    // the materialized size (a decline here degrades the non-equi join to a
+    // cartesian strategy)
     val scored = pqCodes(embeddings, subspaces, codes)
-      .join(Par.maybeBroadcast(qArr), col("vec_id") =!= col("query_id"))
+      .join(Par.maybeBroadcast(CacheScope.trackEager(qArr)),
+        col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"), adc.as("adc"))
     val rw = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("adc"), col("neighbor_id"))
@@ -559,7 +569,7 @@ object Similarity {
     val corpus = CacheScope.track(withNorm2(embeddings))
     val centroids = (1 to lloydIters)
       .foldLeft(sampleCentroids(corpus, maxCells))((c, _) => lloydStep(corpus, c))
-    val e = CacheScope.track(
+    val e = CacheScope.trackEager(
       corpus.join(assignCells(corpus, centroids), "vec_id"))
     val pairs = e.as("l").join(Par.maybeBroadcast(e.as("r")),
         col("l.cell") === col("r.cell") && col("l.vec_id") < col("r.vec_id"))
