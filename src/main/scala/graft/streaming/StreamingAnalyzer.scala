@@ -270,19 +270,65 @@ object StreamingAnalyzer {
     * (production: a batch Kafka write per topic; tests: an in-memory
     * collector). The batch is persisted before the per-sink filters — load
     * bearing: without it each sink's action re-executes the batch plan,
-    * re-running the source scan and re-applying the state updates. */
+    * re-running the source scan and re-applying the state updates.
+    *
+    * Replay idempotence: sink writes and Spark's offset commit are not
+    * atomic, so a crash BETWEEN them replays the batch on restart — the
+    * dominant duplicate-delivery window of any foreachBatch sink. A commit
+    * marker per batch id (written to `$checkpointDir/sink-commits/<id>`
+    * AFTER all four sink writes) closes it: the replayed batch sees its
+    * marker and skips. The remaining window is a crash in the MIDDLE of the
+    * four writes (replay then re-sends the ones that succeeded) — that
+    * narrowing, plus keyed/compacted consumers on the stats topic, is the
+    * documented delivery contract (README Known deltas). */
   def fanOut(unified: DataFrame, checkpointDir: String)(
       write: (String, DataFrame) => Unit): DataStreamWriter[Row] =
     unified.writeStream.outputMode(OutputMode.Append).foreachBatch {
-      (batch: Dataset[Row], _: Long) =>
-        batch.persist()
-        try SinkNames.foreach { name =>
-          write(name, batch.filter(col("sink") === name).select("key", "value"))
-        } finally {
-          batch.unpersist()
-          ()
+      (batch: Dataset[Row], id: Long) => {
+        runBatchOnce(batch.sparkSession, checkpointDir, id) {
+          batch.persist()
+          try SinkNames.foreach { name =>
+            write(name, batch.filter(col("sink") === name).select("key", "value"))
+          } finally {
+            batch.unpersist()
+            ()
+          }
         }
+        ()
+      }
     }.option("checkpointLocation", checkpointDir)
+
+  /** How many sink-commit markers to retain; replay only ever concerns the
+    * most recent uncommitted batch, so this is bounded housekeeping, not a
+    * correctness knob. */
+  private val SinkCommitRetention = 100L
+
+  /** Execute `body` unless batch `id` already committed its sink writes
+    * (marker present). Returns true when the body ran. Markers live with the
+    * checkpoint (same Hadoop FS — HDFS/S3 in production), are written only
+    * after `body` succeeds, and are pruned past [[SinkCommitRetention]]. */
+  private[graft] def runBatchOnce(spark: org.apache.spark.sql.SparkSession,
+      checkpointDir: String, id: Long)(body: => Unit): Boolean = {
+    val commits = new org.apache.hadoop.fs.Path(checkpointDir, "sink-commits")
+    val fs = commits.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(commits, id.toString)
+    if (fs.exists(marker)) {
+      System.err.println(s"[graft] batch $id replayed with sink writes " +
+        "already committed — skipping (crash landed between sink writes " +
+        "and the offset commit)")
+      false
+    } else {
+      body
+      fs.mkdirs(commits)
+      fs.create(marker, true).close()
+      fs.listStatus(commits).foreach { s =>
+        val n = s.getPath.getName
+        if (n.forall(_.isDigit) && n.toLong < id - SinkCommitRetention)
+          fs.delete(s.getPath, false)
+      }
+      true
+    }
+  }
 
   /** Aggregate-stage failures projected to the error-sink shape (key +
     * DeadLetter with the reference's literal description). */

@@ -286,6 +286,31 @@ class StreamingSpec extends SparkSpec {
     AnalyzerMain.assertCheckpointLayout(spark, fresh.getAbsolutePath)
   }
 
+  test("sink-commit markers make batch replay idempotent (and prune old markers)") {
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt-commits").toString
+    var writes = 0
+    // first delivery of batch 7 runs the sink writes and commits a marker
+    assert(StreamingAnalyzer.runBatchOnce(spark, ckpt, 7L) { writes += 1 })
+    assert(writes == 1)
+    // crash-replay of the SAME batch (offsets uncommitted, sinks written):
+    // the marker short-circuits — no duplicate delivery
+    assert(!StreamingAnalyzer.runBatchOnce(spark, ckpt, 7L) { writes += 1 })
+    assert(writes == 1)
+    // a failed body commits no marker, so the retry really retries
+    intercept[RuntimeException] {
+      StreamingAnalyzer.runBatchOnce(spark, ckpt, 8L) {
+        throw new RuntimeException("sink down")
+      }
+    }
+    assert(StreamingAnalyzer.runBatchOnce(spark, ckpt, 8L) { writes += 1 })
+    assert(writes == 2)
+    // markers far behind the current batch are pruned (bounded housekeeping)
+    assert(StreamingAnalyzer.runBatchOnce(spark, ckpt, 500L) { writes += 1 })
+    val remaining = new java.io.File(ckpt, "sink-commits").list()
+      .filterNot(_.startsWith(".")).toSet // drop local-FS checksum sidecars
+    assert(remaining == Set("500")) // 7 and 8 pruned past the retention
+  }
+
   test("watermarked window counts: append emits closed windows, drops too-late rows") {
     val spark2 = spark
     import spark2.implicits._
@@ -347,6 +372,38 @@ class StreamingSpec extends SparkSpec {
       stream.addData((23L, "an entirely separate subject matter document"))
       q.processAllAvailable()
       assert(seen(23L) == (("exact", false)))
+    } finally q.stop()
+  }
+
+  test("streaming dedup probes a durable on-disk index (write -> read -> againstIndex)") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark2.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-idx").toString
+    val history = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),
+      (11L, "an entirely separate subject matter document")).toDF("doc_id", "text")
+    // a prior run builds and writes the index; the ingest query starts from
+    // the parquet artifact alone — history itself is never scanned again
+    graft.ops.Dedup.writeIndex(graft.ops.Dedup.buildIndex(history), dir)
+    val stream = MemoryStream[(Long, String)]
+    val seen = scala.collection.mutable.Map[Long, (String, Boolean)]()
+    val q = graft.streaming.StreamingDedup.againstIndex(
+        stream.toDF().toDF("doc_id", "text"),
+        graft.ops.Dedup.readIndex(spark2, dir), threshold = 0.5) {
+      (labeled, _) =>
+        labeled.collect().foreach(r => seen(r.getAs[Long]("doc_id")) =
+          (r.getAs[String]("dup_kind"), r.getAs[Boolean]("is_new")))
+    }.start()
+    try {
+      stream.addData(
+        (20L, "the quick brown fox jumps over the lazy dog"), // exact vs 10
+        (21L, "a quick brown fox jumps over the lazy dog"),   // near vs 10
+        (22L, "never before observed content entirely"))      // new
+      q.processAllAvailable()
+      assert(seen(20L) == (("exact", false)))
+      assert(seen(21L) == (("near", false)))
+      assert(seen(22L) == ((null, true)))
     } finally q.stop()
   }
 
