@@ -40,10 +40,15 @@ object CacheScope {
     while (it.hasNext) if (it.next().sparkContext.isStopped) it.remove()
   }
 
-  /** Persist `df` and register it for later release via [[releaseAll]]. */
+  /** Persist `df` and register it for later release via [[releaseAll]].
+    * A plan the session already caches (two operators sharing a subtree in
+    * one query) is registered but not re-persisted — double-persisting logs
+    * a CacheManager warning per call and the later double-unpersist is
+    * wasted work. */
   def track(df: DataFrame): DataFrame = {
     evictStopped()
-    df.persist()
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      df.persist()
     tracked
       .computeIfAbsent(df.sparkSession, _ => new ConcurrentLinkedQueue[DataFrame]())
       .add(df)
