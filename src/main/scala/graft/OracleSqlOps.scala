@@ -236,6 +236,38 @@ SELECT pgl.doc_id, CAST(pgl.n AS INT) AS n_tokens,
        ELSE CAST(coalesce(agg.n_dup, 0) AS DOUBLE) / pgl.n END AS dup_frac
 FROM pgl LEFT JOIN agg USING (doc_id)"""
 
+  /** C4-style chunk-removal oracle (mirrors
+    * graft.ops.TextAnalysis.cleanChunks, width 8): 8-token non-overlapping
+    * chunks; every distinct chunk text survives once corpus-wide at its
+    * first (doc_id, chunk-index) occurrence; docs reassembled from
+    * survivors. The oracle states the keep rule as a row_number window —
+    * the engine's min-struct aggregation computes the same first
+    * occurrence, skew-safely. */
+  val textCleanChunks: String = s"""WITH t AS (
+  SELECT doc_id, $toks AS tk FROM documents
+), cl AS (
+  SELECT doc_id, len(tk) AS n,
+    list_transform(range(1, CAST(ceil(len(tk) / 8.0) AS BIGINT) + 1),
+      i -> struct_pack(ci := i - 1,
+             chunk := array_to_string(tk[(i - 1) * 8 + 1 : (i - 1) * 8 + 8], ' '))) AS cs
+  FROM t
+), ch AS (
+  SELECT doc_id, unnest(cs, recursive := true) FROM cl
+), kept AS (
+  SELECT doc_id, ci, chunk FROM (
+    SELECT doc_id, ci, chunk,
+      row_number() OVER (PARTITION BY chunk ORDER BY doc_id, ci) AS rn
+    FROM ch) WHERE rn = 1
+), agg AS (
+  SELECT doc_id, string_agg(chunk, ' ' ORDER BY ci) AS cleaned,
+    CAST(count(*) AS INT) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT cl.doc_id, coalesce(agg.cleaned, '') AS cleaned_text,
+  CAST(ceil(cl.n / 8.0) AS INT) AS n_chunks,
+  coalesce(agg.n_kept, 0) AS n_kept
+FROM cl LEFT JOIN agg USING (doc_id)"""
+
   /** BM25 retrieval oracle (mirrors graft.ops.TextAnalysis.searchBm25 for
     * terms [table, spark, window], k1=1.2, b=0.75, topK=10). Arithmetic is
     * written operation-for-operation as the engine computes it (incl.

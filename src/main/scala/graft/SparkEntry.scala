@@ -274,6 +274,9 @@ object SparkEntry {
     "text_pii" -> ((s, dir) => ops.TextAnalysis.pii(docs(s, dir))),
     // substring-level dedup: positions covered by cross-doc duplicated 8-grams
     "text_dup_spans" -> ((s, dir) => ops.TextAnalysis.dupSpans(docs(s, dir))),
+    // the REWRITE the span signal feeds: C4-style keep-first chunk removal,
+    // docs reassembled from surviving 8-token chunks
+    "text_clean_chunks" -> ((s, dir) => ops.TextAnalysis.cleanChunks(docs(s, dir))),
     // BM25 retrieval (rational-idf variant, see searchBm25 scaladoc) for a
     // fixed 3-term query over the corpus
     "search_bm25" -> ((s, dir) =>
@@ -418,6 +421,7 @@ object SparkEntry {
     "text_freq_quality" -> OracleSqlOps.textFreqQuality,
     "text_pii" -> OracleSqlOps.textPii,
     "text_dup_spans" -> OracleSqlOps.textDupSpans,
+    "text_clean_chunks" -> OracleSqlOps.textCleanChunks,
     "search_bm25" -> OracleSqlOps.searchBm25,
     "text_mix" -> OracleSqlOps.textMix,
     "dedup_exact" -> OracleSqlOps.dedupExact,

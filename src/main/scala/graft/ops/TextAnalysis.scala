@@ -473,6 +473,53 @@ object TextAnalysis {
             col("n_tokens")).as("dup_frac"))
   }
 
+  /** C4-style duplicated-span REMOVAL — the cleaning REWRITE that
+    * [[dupSpans]]' detection signal feeds: the corpus is cut into
+    * `width`-token non-overlapping chunks, every distinct chunk text
+    * survives exactly ONCE corpus-wide (its first occurrence by
+    * (doc_id, chunk index) — C4's "discard all but one of any span
+    * occurring more than once"), and each document is reassembled from its
+    * surviving chunks. Output one row per doc: `cleaned_text`, `n_chunks`,
+    * `n_kept`.
+    *
+    * Scale shape: chunking is a pure projection; the keep decision is a
+    * `min(struct(doc_id, ci))` aggregation per chunk text — map-side
+    * combining with constant state per key, deliberately NOT a
+    * `row_number` window (a boilerplate chunk with millions of occurrences
+    * would sort inside one window partition; the min-struct agg reduces it
+    * map-side) — followed by an equi-join back on (chunk, first
+    * occurrence); reassembly is one `collect_list` per doc, bounded by the
+    * doc's own chunk count. */
+  def cleanChunks(docs: DataFrame, width: Int = 8,
+      tokenizer: Tokenizer = Tokenizer.Whitespace): DataFrame = {
+    val t = tokenizer.tokens(col("text"))
+    val nChunks = ceil(size(t) / lit(width.toDouble)).cast("int")
+    val chunkArr = when(size(t) === 0, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), nChunks - 1),
+        i => array_join(slice(t, i * width + 1, lit(width)), " ")))
+    val chunks = docs.select(col("doc_id"),
+      posexplode(chunkArr).as(Seq("ci", "chunk")))
+    val firsts = chunks.groupBy(col("chunk"))
+      .agg(min(struct(col("doc_id"), col("ci"))).as("f"))
+      .select(col("chunk"), col("f.doc_id").as("fd"), col("f.ci").as("fc"))
+    val kept = chunks.as("c").join(firsts.as("fr"),
+        col("c.chunk") === col("fr.chunk") &&
+          col("c.doc_id") === col("fr.fd") && col("c.ci") === col("fr.fc"))
+      .select(col("c.doc_id").as("doc_id"), col("c.ci").as("ci"),
+        col("c.chunk").as("chunk"))
+    val byDoc = kept.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("ci"), col("chunk")))).as("kc"))
+      .select(col("doc_id"),
+        array_join(transform(col("kc"), x => x.getField("chunk")), " ")
+          .as("cleaned"),
+        size(col("kc")).cast("int").as("n_kept"))
+    docs.select(col("doc_id"), nChunks.as("n_chunks"))
+      .join(byDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cleaned"), lit("")).as("cleaned_text"),
+        col("n_chunks"), coalesce(col("n_kept"), lit(0)).as("n_kept"))
+  }
+
   /** BM25 keyword retrieval: top-`topK` documents for a bag of query terms —
     * the retrieval primitive data pipelines use for relevance filtering and
     * benchmark-leak hunting (find the training docs that "answer" an eval

@@ -700,6 +700,23 @@ class OpsSpec extends SparkSpec {
     graft.ops.CacheScope.releaseAll(spark)
   }
 
+  test("cleanChunks keeps each chunk text once corpus-wide, at its first occurrence") {
+    // width 2: doc 0 = [a b][c d][a b] (within-doc repeat), doc 1 = [c d][x y]
+    // (cross-doc repeat), doc 2 empty
+    val d = Seq(
+      (0L, "a b c d a b"),
+      (1L, "c d x y"),
+      (2L, "")).toDF("doc_id", "text")
+    val r = ops.TextAnalysis.cleanChunks(d, width = 2).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[String]("cleaned_text"), x.getAs[Int]("n_chunks"),
+          x.getAs[Int]("n_kept")))).toMap
+    assert(r(0L) == (("a b c d", 3, 2)))  // second "a b" removed
+    assert(r(1L) == (("x y", 2, 1)))      // "c d" first seen in doc 0
+    assert(r(2L) == (("", 0, 0)))
+    graft.ops.CacheScope.releaseAll(spark)
+  }
+
   test("CacheScope.releaseAll drops tracked frames but not untracked long-lived caches") {
     // the documented contract (CacheScope scaladoc): release scope is the
     // session's TRACKED set; frames a harness persists itself (the
