@@ -75,6 +75,21 @@ class OpsSpec extends SparkSpec {
     graft.ops.CacheScope.releaseAll(spark)
   }
 
+  test("small sketch tables broadcast: the gate reads materialized size, not the estimate") {
+    // Catalyst's estimate for the banded aggregation is orders of magnitude
+    // high; trackEager materializes the cache first so the size gate sees
+    // the actual bytes — at this scale the band-branch joins must all be
+    // broadcast-hash, not shuffle joins (the r5 perf fix this test pins)
+    graft.ops.CacheScope.releaseAll(spark)
+    val plan = org.apache.spark.sql.graftbridge.executedPlanString(
+      Dedup.minhashLsh(docs))
+    assert(plan.contains("BroadcastHashJoin"),
+      "expected the banded self-joins to broadcast at unit scale")
+    assert(!plan.contains("SortMergeJoin"),
+      "a sort-merge band branch means the gate read the pessimistic estimate")
+    graft.ops.CacheScope.releaseAll(spark)
+  }
+
   test("BPE-ish tokenizer finds the punctuation-glued near-dup whitespace misses") {
     import graft.ops.Tokenizer
     // same 20 words; doc 1 glues every word pair with a comma — under
