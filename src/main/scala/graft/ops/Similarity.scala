@@ -106,22 +106,25 @@ object Similarity {
     * AND diverge from the DuckDB oracle's mirror in the last ulp. The cost of
     * determinism is losing map-side combine on this one aggregation; the
     * group is a single cell's membership (≤ n/C rows — the same per-cell
-    * bound the within-cell pairwise pass already accepts). The step output is
+    * bound the within-cell pairwise pass already accepts). ONE groupBy per
+    * cell collects the members; all `dims` per-dimension folds then run over
+    * that one collected array (a per-(cell, dim) posexplode shape measured
+    * ~2× slower: it shuffles n×dims rows to reach the same sums in the same
+    * order). The step output is
     * eagerly checkpointed so iterated codebooks don't grow lineage (same
     * iterative-plan rule as [[Dedup.clusters]]); cells that lose all members
     * drop out (codebook can only shrink). */
   private def lloydStep(corpus: DataFrame, centroids: DataFrame): DataFrame =
     corpus.join(assignCells(corpus, centroids), "vec_id")
-      .select(col("cell"), col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
-      .groupBy(col("cell"), col("i"))
-      .agg(sort_array(collect_list(struct(col("vec_id"), col("x")))).as("vx"))
-      .select(col("cell"), col("i"),
-        (aggregate(transform(col("vx"), e => e.getField("x")),
-          lit(0.0), (a, x) => a + x) / size(col("vx"))).as("m"))
       .groupBy(col("cell"))
-      .agg(sort_array(collect_list(struct(col("i"), col("m")))).as("im"))
+      .agg(sort_array(collect_list(struct(col("vec_id"), col("embedding").as("e"))))
+        .as("vs"))
       .select(col("cell").as("cid"),
-        transform(col("im"), e => e.getField("m")).as("ce"))
+        transform(
+          sequence(lit(0), size(element_at(col("vs"), 1).getField("e")) - 1),
+          i => aggregate(col("vs"), lit(0.0),
+            (a, v) => a + element_at(v.getField("e"), i + 1)) / size(col("vs")))
+          .as("ce"))
       .withColumn("cn2", dot(col("ce"), col("ce")))
       .localCheckpoint()
 
