@@ -236,6 +236,37 @@ SELECT pgl.doc_id, CAST(pgl.n AS INT) AS n_tokens,
        ELSE CAST(coalesce(agg.n_dup, 0) AS DOUBLE) / pgl.n END AS dup_frac
 FROM pgl LEFT JOIN agg USING (doc_id)"""
 
+  /** Bigram-LM quality-score oracle (mirrors
+    * graft.ops.TextAnalysis.lmScore): corpus bigram / first-token counts,
+    * per-occurrence P(w2|w1) = c(bigram)/c(w1-as-first), per-doc mean as
+    * the engine's fixed-order fold (bigrams ordered by position, summed
+    * sequentially from 0.0, divided by the count). */
+  val textLmScore: String = s"""WITH t AS (
+  SELECT doc_id, $toks AS tk FROM documents
+), bg AS (
+  SELECT doc_id, unnest(ps, recursive := true) FROM (
+    SELECT doc_id, list_transform(range(1, greatest(len(tk) - 1, 0) + 1),
+      i -> struct_pack(p := i, bg := tk[i] || ' ' || tk[i + 1])) AS ps
+    FROM t)
+), cb AS (
+  SELECT bg, count(*) AS cbg FROM bg GROUP BY bg
+), cw AS (
+  SELECT split_part(bg, ' ', 1) AS w1, count(*) AS cw1 FROM bg GROUP BY 1
+), pr AS (
+  SELECT b.doc_id, b.p, CAST(cb.cbg AS DOUBLE) / cw.cw1 AS pr
+  FROM bg b JOIN cb USING (bg)
+  JOIN cw ON split_part(b.bg, ' ', 1) = cw.w1
+), agg AS (
+  SELECT doc_id,
+    list_reduce(list_prepend(0.0, list(pr ORDER BY p)), (a, b) -> a + b)
+      / count(*) AS lm,
+    CAST(count(*) AS INT) AS nb
+  FROM pr GROUP BY doc_id
+)
+SELECT t.doc_id, coalesce(agg.lm, 0.0) AS lm_score,
+  coalesce(agg.nb, 0) AS n_bigrams
+FROM t LEFT JOIN agg USING (doc_id)"""
+
   /** C4-style chunk-removal oracle (mirrors
     * graft.ops.TextAnalysis.cleanChunks, width 8): 8-token non-overlapping
     * chunks; every distinct chunk text survives once corpus-wide at its

@@ -277,6 +277,9 @@ object SparkEntry {
     // the REWRITE the span signal feeds: C4-style keep-first chunk removal,
     // docs reassembled from surviving 8-token chunks
     "text_clean_chunks" -> ((s, dir) => ops.TextAnalysis.cleanChunks(docs(s, dir))),
+    // CCNet-style model-based quality: the corpus's own bigram stats score
+    // each doc's mean conditional probability (rational perplexity proxy)
+    "text_lm_score" -> ((s, dir) => ops.TextAnalysis.lmScore(docs(s, dir))),
     // BM25 retrieval (rational-idf variant, see searchBm25 scaladoc) for a
     // fixed 3-term query over the corpus
     "search_bm25" -> ((s, dir) =>
@@ -422,6 +425,7 @@ object SparkEntry {
     "text_pii" -> OracleSqlOps.textPii,
     "text_dup_spans" -> OracleSqlOps.textDupSpans,
     "text_clean_chunks" -> OracleSqlOps.textCleanChunks,
+    "text_lm_score" -> OracleSqlOps.textLmScore,
     "search_bm25" -> OracleSqlOps.searchBm25,
     "text_mix" -> OracleSqlOps.textMix,
     "dedup_exact" -> OracleSqlOps.dedupExact,

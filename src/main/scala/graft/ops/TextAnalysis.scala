@@ -473,6 +473,57 @@ object TextAnalysis {
             col("n_tokens")).as("dup_frac"))
   }
 
+  /** Bigram language-model quality score — the model-based quality-filter
+    * family (CCNet/KenLM perplexity filtering) re-expressed relationally:
+    * the corpus's own bigram statistics are the model, and each document
+    * scores the mean conditional probability of its bigram sequence,
+    * P(w2|w1) = c(w1 w2) / c(w1 ·). Fluent/common text scores high;
+    * gibberish and token-soup scores near the uniform floor. Complements
+    * [[freqQuality]] (unigram corpus-frequency signals) with sequence-level
+    * evidence. Stated delta from perplexity: the score is the MEAN
+    * PROBABILITY, not exp(-mean log p) — the ranking-relevant monotone is
+    * preserved and every value stays in +/÷ arithmetic (a log swap away),
+    * so engine and oracle are bit-identical.
+    *
+    * Scale shape: bigram and first-token count tables are one
+    * map-side-combining groupBy each (vocabulary-sized, hash-partitioned —
+    * NOT broadcast: at corpus scale the model tables are themselves large);
+    * scoring is two equi-joins on the bigram/first-token keys; the per-doc
+    * mean is a FIXED-ORDER fold over the doc's own bigrams (sorted by
+    * position, summed sequentially — float-sum order would otherwise vary
+    * run-to-run), with the collected buffer bounded by the doc's length. */
+  def lmScore(docs: DataFrame,
+      tokenizer: Tokenizer = Tokenizer.Whitespace): DataFrame = {
+    val t = tokenizer.tokens(col("text"))
+    val n = size(t)
+    val bigrams = zip_with(
+      slice(t, lit(1), greatest(n - 1, lit(0))),
+      slice(t, lit(2), greatest(n - 1, lit(0))),
+      (x, y) => concat(x, lit(" "), y))
+    val occ = CacheScope.track(
+      docs.select(col("doc_id"), posexplode(bigrams).as(Seq("p", "bg"))))
+    val bgCounts = occ.groupBy(col("bg")).agg(count(lit(1)).as("cbg"))
+    val w1Counts = occ
+      .select(substring_index(col("bg"), " ", 1).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("cw1"))
+    val scored = occ
+      .join(bgCounts, "bg")
+      .join(w1Counts, substring_index(col("bg"), " ", 1) === col("w1"))
+      .select(col("doc_id"), col("p"),
+        (col("cbg").cast("double") / col("cw1")).as("pr"))
+    val agg = scored.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("p"), col("pr")))).as("ps"))
+      .select(col("doc_id"),
+        (aggregate(transform(col("ps"), x => x.getField("pr")),
+          lit(0.0), (a, x) => a + x) / size(col("ps"))).as("lm"),
+        size(col("ps")).cast("int").as("nb"))
+    docs.select(col("doc_id"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("lm"), lit(0.0)).as("lm_score"),
+        coalesce(col("nb"), lit(0)).as("n_bigrams"))
+  }
+
   /** C4-style duplicated-span REMOVAL — the cleaning REWRITE that
     * [[dupSpans]]' detection signal feeds: the corpus is cut into
     * `width`-token non-overlapping chunks, every distinct chunk text

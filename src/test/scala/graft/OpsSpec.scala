@@ -715,6 +715,30 @@ class OpsSpec extends SparkSpec {
     graft.ops.CacheScope.releaseAll(spark)
   }
 
+  test("lmScore: repeated fluent sequences outscore token soup") {
+    // "a b" appears 3x corpus-wide and "a" is always followed by "b", so
+    // P(b|a) = 1 in doc 0/1; doc 2's bigrams are all singletons over a
+    // shared first token -> P = 1/3 each; doc 3 has no bigrams
+    val d = Seq(
+      (0L, "a b a b"),   // bigrams: (a b)=1, (b a)=1/2... see below
+      (1L, "a b"),
+      (2L, "z q z r z s"),
+      (3L, "solo")).toDF("doc_id", "text")
+    val r = ops.TextAnalysis.lmScore(d).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Double]("lm_score"), x.getAs[Int]("n_bigrams")))).toMap
+    // corpus counts: c(a b)=3, c(b a)=1, c(a .)=3, c(b .)=1 -> doc 0 mean =
+    // (1 + 1 + 1) / 3 = 1.0; doc 1 = 1.0
+    assert(r(0L) == ((1.0, 3)) && r(1L) == ((1.0, 1)))
+    // doc 2: c(z q)=c(q z)=c(z r)=c(r z)=c(z s)=1; c(z .)=3, c(q .)=c(r .)=1
+    // -> mean = (1/3 + 1 + 1/3 + 1 + 1/3) / 5 = 0.6
+    assert(math.abs(r(2L)._1 - 0.6) < 1e-12 && r(2L)._2 == 5)
+    assert(r(3L) == ((0.0, 0)))
+    // the fluent docs outrank the soup
+    assert(r(0L)._1 > r(2L)._1)
+    graft.ops.CacheScope.releaseAll(spark)
+  }
+
   test("cleanChunks keeps each chunk text once corpus-wide, at its first occurrence") {
     // width 2: doc 0 = [a b][c d][a b] (within-doc repeat), doc 1 = [c d][x y]
     // (cross-doc repeat), doc 2 empty
