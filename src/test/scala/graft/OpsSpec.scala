@@ -756,6 +756,46 @@ class OpsSpec extends SparkSpec {
     graft.ops.CacheScope.releaseAll(spark)
   }
 
+  test("cleanChunks: width past doc length keeps the whole doc as one chunk") {
+    val d = Seq((0L, "a b c"), (1L, "a b c")).toDF("doc_id", "text")
+    val r = ops.TextAnalysis.cleanChunks(d, width = 10).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[String]("cleaned_text"), x.getAs[Int]("n_chunks"),
+          x.getAs[Int]("n_kept")))).toMap
+    assert(r(0L) == (("a b c", 1, 1))) // first occurrence survives intact
+    assert(r(1L) == (("", 1, 0)))      // whole-doc duplicate removed entirely
+    graft.ops.CacheScope.releaseAll(spark)
+  }
+
+  test("cleanChunks under the BPE-ish tokenizer separates punctuation-glued chunks") {
+    import graft.ops.Tokenizer
+    // whitespace: "a,b" is ONE token so the docs share no 2-token chunk;
+    // BPE-ish: both docs chunk to [a , b] prefix -> doc 1's copy is removed
+    val d = Seq((0L, "a,b c"), (1L, "a,b d")).toDF("doc_id", "text")
+    val ws = ops.TextAnalysis.cleanChunks(d, width = 3).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[Int]("n_kept")).toMap
+    assert(ws == Map(0L -> 1, 1L -> 1)) // distinct under whitespace
+    val bpe = ops.TextAnalysis.cleanChunks(d, width = 3,
+        tokenizer = Tokenizer.BpeIsh).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[String]("cleaned_text"), x.getAs[Int]("n_kept")))).toMap
+    assert(bpe(0L) == (("a , b c", 2)))
+    assert(bpe(1L) == (("d", 1))) // shared "a , b" chunk removed
+    graft.ops.CacheScope.releaseAll(spark)
+  }
+
+  test("incremental index: writeIndex overwrites a prior artifact in place") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-idx-ow").toString
+    val h1 = Seq((1L, "first corpus text")).toDF("doc_id", "text")
+    val h2 = Seq((2L, "second corpus text"), (3L, "more text")).toDF("doc_id", "text")
+    Dedup.writeIndex(Dedup.buildIndex(h1), dir)
+    Dedup.writeIndex(Dedup.buildIndex(h2, k = 16, bands = 4), dir)
+    val loaded = Dedup.readIndex(spark, dir)
+    assert(loaded.k == 16 && loaded.bands == 4) // second write wins
+    assert(loaded.digests.count() == 2)
+    graft.ops.CacheScope.releaseAll(spark)
+  }
+
   test("CacheScope.releaseAll drops tracked frames but not untracked long-lived caches") {
     // the documented contract (CacheScope scaladoc): release scope is the
     // session's TRACKED set; frames a harness persists itself (the
