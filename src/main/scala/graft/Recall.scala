@@ -116,7 +116,7 @@ object Recall {
     * its first 12 rows, so maxCells = 12 yields one initial centroid per
     * cluster — the cells ~= clusters capacity a user sizes from a corpus
     * profile. */
-  private def clusteredFixtureMetrics(s: SparkSession): Seq[Metric] = {
+  private[graft] def clusteredFixtureMetrics(s: SparkSession): Seq[Metric] = {
     val fix = clusteredFixture(s)
     val queryPred = col("vec_id") % 25 === 3 // 24 queries, none a centroid
     val fixtureSeq =

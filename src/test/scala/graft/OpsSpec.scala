@@ -715,6 +715,18 @@ class OpsSpec extends SparkSpec {
     graft.ops.CacheScope.releaseAll(spark)
   }
 
+  test("clustered-fixture recall bars hold: multitable LSH >= 0.9, cell capture >= 0.8") {
+    // the driver-visible recall.json fixture metrics, pinned in the suite so
+    // a parameter regression (band width, codebook capacity, Lloyd wiring)
+    // fails tests instead of just degrading a report
+    val m = Recall.clusteredFixtureMetrics(spark)
+      .map(x => x.name -> x.recall).toMap
+    assert(m("fixture_ann_lsh_multitable_top3") >= 0.9, m.toString)
+    assert(m("fixture_semantic_cell_capture_t45") >= 0.8, m.toString)
+    assert(m("fixture_ann_ivf_top3") >= 0.9, m.toString)
+    graft.ops.CacheScope.releaseAll(spark)
+  }
+
   test("lmScore: repeated fluent sequences outscore token soup") {
     // "a b" appears 3x corpus-wide and "a" is always followed by "b", so
     // P(b|a) = 1 in doc 0/1; doc 2's bigrams are all singletons over a
