@@ -361,6 +361,18 @@ FROM perdoc p JOIN rates r USING (source)"""
   CAST(count(*) AS INT) AS n_copies
 FROM documents GROUP BY md5(text)"""
 
+  /** Normalized-exact oracle (mirrors graft.ops.Dedup.exactNormalized):
+    * lower → non-alphanumerics to spaces → collapse runs → trim → md5. */
+  val dedupExactNorm: String = """WITH n AS (
+  SELECT doc_id,
+    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+      ' +', ' ', 'g')) AS nt
+  FROM documents
+)
+SELECT md5(nt) AS norm_hash, min(doc_id) AS keep_id,
+  CAST(count(*) AS INT) AS n_copies
+FROM n GROUP BY md5(nt)"""
+
   private val K = 32
   private val Bands = 8
 

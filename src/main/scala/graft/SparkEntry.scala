@@ -288,6 +288,9 @@ object SparkEntry {
     "text_mix" -> ((s, dir) => ops.TextAnalysis.mixToShares(docs(s, dir))),
 
     "dedup_exact" -> ((s, dir) => ops.Dedup.exact(docs(s, dir))),
+    // the normalized tier: case/punctuation/spacing variants collapse at
+    // exact-dedup cost (one hash shuffle)
+    "dedup_exact_norm" -> ((s, dir) => ops.Dedup.exactNormalized(docs(s, dir))),
     "dedup_minhash_lsh" -> ((s, dir) => ops.Dedup.minhashLsh(docs(s, dir))),
     // the same operator through the BPE-ish tokenizer seam: punctuation-glued
     // words separate, so near-dups differing only in punctuation spacing
@@ -429,6 +432,7 @@ object SparkEntry {
     "search_bm25" -> OracleSqlOps.searchBm25,
     "text_mix" -> OracleSqlOps.textMix,
     "dedup_exact" -> OracleSqlOps.dedupExact,
+    "dedup_exact_norm" -> OracleSqlOps.dedupExactNorm,
     "dedup_minhash_lsh" -> OracleSqlOps.minhashLsh,
     "dedup_minhash_bpe" -> OracleSqlOps.minhashBpe,
     "dedup_simhash" -> OracleSqlOps.simhash,

@@ -40,6 +40,20 @@ object Dedup {
     docs.groupBy(md5(col("text").cast("binary")).as("text_hash"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).cast("int").as("n_copies"))
 
+  /** NORMALIZED exact dedup — the standard cleaning tier between byte-exact
+    * and sketch-based: lowercase, non-alphanumerics to spaces, whitespace
+    * collapsed, then the same digest-groupBy as [[exact]]. Catches the
+    * case/punctuation/spacing variants a crawl produces at exact-dedup cost
+    * (one hash shuffle), where the MinHash tier would spend a full sketch
+    * pass. Normalization stays in the Java∩RE2 regex dialect (same rule as
+    * [[TextAnalysis.pii]]) so the oracle reproduces it literally. */
+  def exactNormalized(docs: DataFrame): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+    docs.groupBy(md5(norm.cast("binary")).as("norm_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).cast("int").as("n_copies"))
+  }
+
   /** (doc_id, tok) with distinct tokens per doc — the token-set relation. */
   private def docTokens(docs: DataFrame, tokenizer: Tokenizer): DataFrame =
     docs.select(col("doc_id"),

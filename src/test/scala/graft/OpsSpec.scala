@@ -715,6 +715,20 @@ class OpsSpec extends SparkSpec {
     graft.ops.CacheScope.releaseAll(spark)
   }
 
+  test("normalized exact dedup collapses case/punctuation/spacing variants") {
+    val d = Seq(
+      (5L, "Hello, World!"),
+      (3L, "hello   world"),   // same after normalization; min id wins
+      (7L, "hello world."),
+      (9L, "different text")).toDF("doc_id", "text")
+    val r = ops.Dedup.exactNormalized(d).collect()
+      .map(x => x.getAs[Long]("keep_id") -> x.getAs[Int]("n_copies")).toMap
+    assert(r == Map(3L -> 3, 9L -> 1))
+    // byte-exact dedup sees four distinct texts
+    assert(ops.Dedup.exact(d).count() == 4)
+    graft.ops.CacheScope.releaseAll(spark)
+  }
+
   test("clustered-fixture recall bars hold: multitable LSH >= 0.9, cell capture >= 0.8") {
     // the driver-visible recall.json fixture metrics, pinned in the suite so
     // a parameter regression (band width, codebook capacity, Lloyd wiring)
