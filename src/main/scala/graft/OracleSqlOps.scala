@@ -357,6 +357,32 @@ SELECT p.doc_id, p.source, p.n_tokens, r.rate,
     < CAST(floor(r.rate * 1000000) AS BIGINT) AS kept
 FROM perdoc p JOIN rates r USING (source)"""
 
+  /** Explicit-recipe mixing oracle (mirrors the text_mix_recipe query:
+    * share of srcN = (N%4 + 1)/50, written as the same CAST-to-double
+    * division the engine computes so the rate doubles are bit-identical). */
+  val textMixRecipe: String = {
+    val shareCase = (0 until 20).map(i =>
+      s"WHEN source = 'src$i' THEN CAST(${i % 4 + 1} AS DOUBLE) / CAST(50 AS DOUBLE)")
+      .mkString("\n      ")
+    s"""WITH perdoc AS (
+  SELECT doc_id, source, CAST(len($toks) AS BIGINT) AS n_tokens FROM documents
+), bysrc AS (
+  SELECT source, sum(n_tokens) AS src_tokens FROM perdoc GROUP BY source
+), tot AS (
+  SELECT sum(src_tokens) AS total_tokens FROM bysrc
+), rates AS (
+  SELECT source,
+    least(1.0, (CASE
+      $shareCase
+      ELSE 0.0 END) * CAST(total_tokens AS DOUBLE) / src_tokens) AS rate
+  FROM bysrc, tot
+)
+SELECT p.doc_id, p.source, p.n_tokens, r.rate,
+  ((${hexLaneOf("'mix:' || CAST(doc_id AS VARCHAR)", 1, 7)}) % 1000000)
+    < CAST(floor(r.rate * 1000000) AS BIGINT) AS kept
+FROM perdoc p JOIN rates r USING (source)"""
+  }
+
   val dedupExact: String = """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
   CAST(count(*) AS INT) AS n_copies
 FROM documents GROUP BY md5(text)"""
@@ -583,6 +609,64 @@ SELECT b.doc_id, coalesce(ex.exact_id, nr.near_id) AS dup_of,
 FROM bat b LEFT JOIN ex ON ex.doc_id = b.doc_id
            LEFT JOIN nr ON nr.doc_id = b.doc_id"""
 
+  /** Three-tier incremental oracle (mirrors the dedup_incremental_emb
+    * query: exact digest > minhash near > sign-LSH embedding near at
+    * t=0.45, over the doc_id % 5 batch/history split; embeddings keyed by
+    * vec_id = doc_id). */
+  val dedupIncrementalEmb: String = {
+    val (r, b) = graft.ops.Similarity.lshParams(0.45)
+    s"""WITH ${hyperplaneCte(r * b)}, hist AS (
+  SELECT * FROM documents WHERE doc_id % 5 <> 0
+), bat AS (
+  SELECT * FROM documents WHERE doc_id % 5 = 0
+), ${bandedCtes("hist", "h")},
+${bandedCtes("bat", "b")},
+ex AS (
+  SELECT b.doc_id, min(h.doc_id) AS exact_id
+  FROM bat b JOIN hist h ON md5(h.text) = md5(b.text)
+  GROUP BY b.doc_id
+), cand AS (
+  SELECT DISTINCT bd, hd FROM (
+    $incrBandJoins)
+), nr AS (
+  SELECT c.bd AS doc_id, min(c.hd) AS near_id
+  FROM cand c JOIN btsets sb ON sb.doc_id = c.bd
+              JOIN htsets sh ON sh.doc_id = c.hd
+  WHERE CAST(len(list_intersect(sh.tks, sb.tks)) AS DOUBLE)
+    / (len(sh.tks) + len(sb.tks) - len(list_intersect(sh.tks, sb.tks))) >= 0.8
+  GROUP BY c.bd
+), ee AS (
+  SELECT vec_id AS doc_id, CAST(embedding AS DOUBLE[]) AS v,
+    list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) AS n2
+  FROM embeddings
+), edots AS (
+  SELECT ee.doc_id, hp.h, sum(hp.v * ee.v[hp.d + 1]) AS dp
+  FROM ee, hp GROUP BY ee.doc_id, hp.h
+), esigs AS (
+  SELECT doc_id, h // $r AS band,
+    sum(CASE WHEN dp >= 0 THEN 1::BIGINT << (h % $r) ELSE 0 END) AS key
+  FROM edots GROUP BY doc_id, h // $r
+), ecand AS (
+  SELECT DISTINCT bb.doc_id AS bd, hh.doc_id AS hd
+  FROM esigs bb JOIN esigs hh ON bb.band = hh.band AND bb.key = hh.key
+  WHERE bb.doc_id % 5 = 0 AND hh.doc_id % 5 <> 0
+), em AS (
+  SELECT c.bd AS doc_id, min(c.hd) AS emb_id
+  FROM ecand c JOIN ee be ON be.doc_id = c.bd
+               JOIN ee he ON he.doc_id = c.hd
+  WHERE list_dot_product(be.v, he.v) / sqrt(be.n2 * he.n2) >= 0.45
+  GROUP BY c.bd
+)
+SELECT b.doc_id, coalesce(ex.exact_id, nr.near_id, em.emb_id) AS dup_of,
+  CASE WHEN ex.exact_id IS NOT NULL THEN 'exact'
+       WHEN nr.near_id IS NOT NULL THEN 'near'
+       WHEN em.emb_id IS NOT NULL THEN 'emb' END AS dup_kind,
+  (ex.exact_id IS NULL AND nr.near_id IS NULL AND em.emb_id IS NULL) AS is_new
+FROM bat b LEFT JOIN ex ON ex.doc_id = b.doc_id
+           LEFT JOIN nr ON nr.doc_id = b.doc_id
+           LEFT JOIN em ON em.doc_id = b.doc_id"""
+  }
+
   val ngramJaccard: String = s"""WITH t AS (
   SELECT doc_id, $toks AS tk FROM documents
 ), sets AS (
@@ -670,49 +754,73 @@ SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cosine FROM ranked WHER
     * refinement steps (assignment + per-(cell, dim) mean), final cell
     * assignment, exact within-cell cosine pairs, recursive-CTE connected
     * components, canonical = component min. The Lloyd mean mirrors the
-    * engine's FIXED-ORDER fold bit-for-bit: members sorted by vec_id, summed
-    * sequentially from 0.0 (`list_reduce(list_prepend(0.0, ...))` ==
-    * Spark `aggregate(..., lit(0.0), _ + _)`), divided by the member count. */
-  val dedupSemantic: String = {
-    val (stride, residue) =
-      (graft.ops.Similarity.IvfCentroidStride, graft.ops.Similarity.IvfCentroidResidue)
-    // nearest-centroid assignment against codebook `cTab` -> (vec_id, cell)
-    def assignSql(cTab: String, out: String): String = s"""$out AS (
+    * engine's TWO-LEVEL fixed-order fold bit-for-bit (the bounded-buffer
+    * shape of graft.ops.Similarity.lloydStep): members sorted by vec_id are
+    * split into LloydChunk-row chunks, each chunk folds sequentially from
+    * 0.0 (`list_reduce(list_prepend(0.0, ...))` == Spark
+    * `aggregate(..., lit(0.0), _ + _)`), chunk partials fold in chunk order,
+    * divided by the member count. */
+  /** Nearest-centroid assignment against codebook `cTab` -> (vec_id, cell)
+    * — shared by the semantic-dedup oracle family. */
+  private def assignSql(cTab: String, out: String): String = s"""$out AS (
   SELECT vec_id, cid AS cell FROM (
     SELECT e.vec_id, c.cid,
       row_number() OVER (PARTITION BY e.vec_id
         ORDER BY list_dot_product(e.v, c.cv) / sqrt(e.n2 * c.cn2) DESC, c.cid) AS rn
     FROM e, $cTab c) WHERE rn = 1
 )"""
-    // one Lloyd mean: assignment `aTab` -> refined codebook `out`
-    def meansSql(aTab: String, out: String): String = s"""${out}_m AS (
-  SELECT a.cell, t.i,
-    list_reduce(list_prepend(0.0, list(e.v[t.i + 1] ORDER BY e.vec_id)),
-      (x, y) -> x + y) / count(*) AS m
-  FROM $aTab a, e, range(64) t(i)
-  WHERE e.vec_id = a.vec_id
-  GROUP BY a.cell, t.i
+
+  /** One Lloyd mean: assignment `aTab` -> refined codebook `out`, via the
+    * engine's two-level chunked fold (chunk = LloydChunk members by vec_id
+    * rank; inner fold per chunk, outer fold over chunk partials). */
+  private def meansSql(aTab: String, out: String): String = {
+    val chunk = graft.ops.Similarity.LloydChunk
+    s"""${out}_r AS (
+  SELECT a.cell, e.vec_id, e.v,
+    CAST((row_number() OVER (PARTITION BY a.cell ORDER BY e.vec_id) - 1)
+      // $chunk AS INT) AS ck
+  FROM $aTab a JOIN e ON e.vec_id = a.vec_id
+), ${out}_p AS (
+  SELECT cell, ck, t.i,
+    list_reduce(list_prepend(0.0, list(v[t.i + 1] ORDER BY vec_id)),
+      (x, y) -> x + y) AS ps,
+    count(*) AS cnt
+  FROM ${out}_r, range(64) t(i)
+  GROUP BY cell, ck, t.i
+), ${out}_m AS (
+  SELECT cell, i,
+    list_reduce(list_prepend(0.0, list(ps ORDER BY ck)), (x, y) -> x + y)
+      / CAST(sum(cnt) AS BIGINT) AS m
+  FROM ${out}_p GROUP BY cell, i
 ), ${out}_v AS (
   SELECT cell AS cid, list(m ORDER BY i) AS cv FROM ${out}_m GROUP BY cell
 ), $out AS (
   SELECT cid, cv, list_dot_product(cv, cv) AS cn2 FROM ${out}_v
 )"""
-    s"""WITH RECURSIVE e AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-    list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) AS n2
-  FROM embeddings
-), c0 AS (
+  }
+
+  /** The Lloyd-2 cell chain of the semantic oracles: stride-sampled
+    * codebook, two refinement steps, final assignment into `cell`. */
+  private def semanticCellChain: String = {
+    val (stride, residue) =
+      (graft.ops.Similarity.IvfCentroidStride, graft.ops.Similarity.IvfCentroidResidue)
+    s"""c0 AS (
   SELECT vec_id AS cid, v AS cv, n2 AS cn2 FROM e WHERE vec_id % $stride = $residue
   ORDER BY vec_id LIMIT ${graft.ops.Similarity.IvfMaxCells}
 ), ${assignSql("c0", "a0")}, ${meansSql("a0", "c1")},
 ${assignSql("c1", "a1")}, ${meansSql("a1", "c2")},
-${assignSql("c2", "cell")}, prs AS (
-  SELECT le.vec_id AS a, re.vec_id AS b
+${assignSql("c2", "cell")}"""
+  }
+
+  /** Within-cell exact-cosine pairs over the `cell` assignment (>= 0.45),
+    * the quadratic SemDeDup stage. */
+  private val withinCellPairsSql: String = """SELECT le.vec_id AS a, re.vec_id AS b
   FROM e le JOIN cell lc ON le.vec_id = lc.vec_id
        JOIN cell rc ON lc.cell = rc.cell
        JOIN e re ON re.vec_id = rc.vec_id AND le.vec_id < re.vec_id
-  WHERE list_dot_product(le.v, re.v) / sqrt(le.n2 * re.n2) >= 0.45
-), edges AS (SELECT a, b FROM prs UNION ALL SELECT b AS a, a AS b FROM prs),
+  WHERE list_dot_product(le.v, re.v) / sqrt(le.n2 * re.n2) >= 0.45"""
+
+  private val componentsSql: String = """edges AS (SELECT a, b FROM prs UNION ALL SELECT b AS a, a AS b FROM prs),
 reach(src, dst) AS (
   SELECT vec_id, vec_id FROM e
   UNION
@@ -721,6 +829,47 @@ reach(src, dst) AS (
   SELECT src AS vec_id, min(dst) AS cluster_id FROM reach GROUP BY src
 )
 SELECT vec_id, cluster_id, (vec_id = cluster_id) AS is_canonical FROM comp"""
+
+  val dedupSemantic: String = s"""WITH RECURSIVE e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+    list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) AS n2
+  FROM embeddings
+), $semanticCellChain, prs AS (
+  $withinCellPairsSql
+), $componentsSql"""
+
+  /** Semantic dedup COMPOSED with the banded-LSH tier (mirrors
+    * graft.ops.Similarity.semanticDedupFull, threshold 0.45, lloydIters=2):
+    * pair graph = within-cell exact pairs UNION banded sign-LSH candidates
+    * verified at the same threshold (the cross-cell recovery), components
+    * over the merged graph. */
+  val dedupSemanticFull: String = {
+    val (r, b) = graft.ops.Similarity.lshParams(0.45)
+    s"""WITH RECURSIVE ${hyperplaneCte(r * b)}, e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+    list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) AS n2
+  FROM embeddings
+), $semanticCellChain, ldots AS (
+  SELECT e.vec_id, hp.h, sum(hp.v * e.v[hp.d + 1]) AS dp
+  FROM e, hp GROUP BY e.vec_id, hp.h
+), lsigs AS (
+  SELECT vec_id, h // $r AS band,
+    sum(CASE WHEN dp >= 0 THEN 1::BIGINT << (h % $r) ELSE 0 END) AS key
+  FROM ldots GROUP BY vec_id, h // $r
+), lcand AS (
+  SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+  FROM lsigs l JOIN lsigs r
+    ON l.band = r.band AND l.key = r.key AND l.vec_id < r.vec_id
+), lshp AS (
+  SELECT c.a, c.b FROM lcand c
+  JOIN e le ON le.vec_id = c.a
+  JOIN e re ON re.vec_id = c.b
+  WHERE list_dot_product(le.v, re.v) / sqrt(le.n2 * re.n2) >= 0.45
+), prs AS (
+  $withinCellPairsSql
+  UNION
+  SELECT a, b FROM lshp
+), $componentsSql"""
   }
 
   val annIvf: String = {
@@ -1049,6 +1198,110 @@ ccodes AS (
   FROM ccodes c JOIN dtab dt ON dt.sub = c.sub AND dt.code = c.code
   WHERE c.vec_id <> dt.query_id
   GROUP BY dt.query_id, c.vec_id
+), ranked AS (
+  SELECT query_id, vec_id AS neighbor_id, $adcSum AS adc,
+    row_number() OVER (PARTITION BY query_id
+      ORDER BY $adcSum, vec_id) AS rank
+  FROM pivoted
+)
+SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, adc
+FROM ranked WHERE rank <= 3"""
+  }
+
+  /** Shared IVF-PQ CTE chain (mirrors graft.ops.Similarity.ivfPqCodes at
+    * lloydIters = 0): stride-sampled coarse centroids, nearest-cell
+    * assignment by cosine, residual v − centroid(cell) elementwise,
+    * residual-sample PQ codebooks, nearest squared-L2 code per
+    * (vector, subspace). Ends with `ccodes` (vec_id, cell, sub, code). */
+  private val ivfPqCte: String = {
+    val (m, codes, stride, residue) =
+      (graft.ops.Similarity.IvfPqSubspaces, graft.ops.Similarity.PqCodes,
+        graft.ops.Similarity.IvfCentroidStride,
+        graft.ops.Similarity.IvfCentroidResidue)
+    val (se, sr) =
+      (graft.ops.Similarity.PqSampleEvery, graft.ops.Similarity.PqSampleResidue)
+    val sd = 64 / m
+    s"""WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+    list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) AS n2
+  FROM embeddings
+), c AS (
+  SELECT vec_id AS cid, v AS cv, n2 AS cn2 FROM e WHERE vec_id % $stride = $residue
+  ORDER BY vec_id LIMIT ${graft.ops.Similarity.IvfMaxCells}
+), ${assignSql("c", "asg")}, resid AS (
+  SELECT e.vec_id, a.cell,
+    list_transform(range(64), i -> e.v[i + 1] - c.cv[i + 1]) AS rv
+  FROM e JOIN asg a ON a.vec_id = e.vec_id JOIN c ON c.cid = a.cell
+), rsamp AS (
+  SELECT vec_id, rv FROM resid WHERE vec_id % $se = $sr
+  ORDER BY vec_id LIMIT $codes
+), rcb AS (
+  SELECT sub, vec_id AS cid, rv[sub * $sd + 1 : sub * $sd + $sd] AS ce,
+    CAST(row_number() OVER (PARTITION BY sub ORDER BY vec_id) - 1 AS INT) AS code
+  FROM rsamp, range($m) t(sub)
+), rcbn AS (
+  SELECT *, list_dot_product(ce, ce) AS cn2 FROM rcb
+), rvs AS (
+  SELECT vec_id, cell, sub, rv[sub * $sd + 1 : sub * $sd + $sd] AS sv
+  FROM resid, range($m) t(sub)
+), rvsn AS (
+  SELECT *, list_dot_product(sv, sv) AS sn2 FROM rvs
+), rscored AS (
+  SELECT rvsn.vec_id, rvsn.cell, rvsn.sub, rcbn.code,
+    rvsn.sn2 - 2.0 * list_dot_product(rvsn.sv, rcbn.ce) + rcbn.cn2 AS d
+  FROM rvsn JOIN rcbn ON rvsn.sub = rcbn.sub
+), rbest AS (
+  SELECT vec_id, cell, sub, code,
+    row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, code) AS rn
+  FROM rscored
+), ccodes AS (
+  SELECT vec_id, cell, sub, code FROM rbest WHERE rn = 1
+)"""
+  }
+
+  val ivfPqCodes: String = ivfPqCte + """
+SELECT vec_id, cell, array_to_string(list_transform(
+    list(code ORDER BY sub), x -> CAST(x AS VARCHAR)), ':') AS codes_str
+FROM ccodes GROUP BY vec_id, cell"""
+
+  /** IVF-PQ ADC top-k (mirrors graft.ops.Similarity.ivfPqAdcTopK,
+    * lloydIters=0, nprobe=2): per probed cell the query RESIDUAL scores the
+    * residual codebook; only corpus codes of probed cells are scanned
+    * (equi-join on cell); fixed-order 4-column ADC sum. */
+  val ivfPqAdcTopK: String = {
+    val m = graft.ops.Similarity.IvfPqSubspaces
+    val sd = 64 / m
+    val pivots = (0 until m)
+      .map(si => s"max(CASE WHEN cc.sub = $si THEN dt.dq END) AS d$si")
+      .mkString(",\n    ")
+    val adcSum = (0 until m).map(si => s"d$si").mkString(" + ")
+    ivfPqCte + s""",
+q AS (
+  SELECT vec_id AS qid, v AS qv, n2 AS qn2 FROM e WHERE vec_id % 100 = 0
+), probes AS (
+  SELECT qid, cid AS cell,
+    list_transform(range(64), i -> qv[i + 1] - cv[i + 1]) AS qrv
+  FROM (
+    SELECT q.qid, q.qv, c.cid, c.cv,
+      row_number() OVER (PARTITION BY q.qid
+        ORDER BY list_dot_product(q.qv, c.cv) / sqrt(q.qn2 * c.cn2) DESC, c.cid) AS pr
+    FROM q, c) WHERE pr <= 2
+), qsub AS (
+  SELECT qid, cell, sub, qrv[sub * $sd + 1 : sub * $sd + $sd] AS qsv
+  FROM probes, range($m) t(sub)
+), qsubn AS (
+  SELECT *, list_dot_product(qsv, qsv) AS qn2 FROM qsub
+), dtab AS (
+  SELECT qsubn.qid, qsubn.cell, qsubn.sub, rcbn.code,
+    qsubn.qn2 - 2.0 * list_dot_product(qsubn.qsv, rcbn.ce) + rcbn.cn2 AS dq
+  FROM qsubn JOIN rcbn ON qsubn.sub = rcbn.sub
+), pivoted AS (
+  SELECT dt.qid AS query_id, cc.vec_id,
+    $pivots
+  FROM ccodes cc JOIN dtab dt
+    ON dt.cell = cc.cell AND dt.sub = cc.sub AND dt.code = cc.code
+  WHERE cc.vec_id <> dt.qid
+  GROUP BY dt.qid, cc.vec_id
 ), ranked AS (
   SELECT query_id, vec_id AS neighbor_id, $adcSum AS adc,
     row_number() OVER (PARTITION BY query_id

@@ -84,8 +84,11 @@ final case class HttpRegistrySchemas(baseUrl: String,
             // definitive miss would poison AvroDecode's per-executor memo
             // with a permanent decode degrade; honor Retry-After if present
             resp.headers().firstValue("Retry-After").ifPresent { v =>
+              // clamp both ends: a malformed negative Retry-After (e.g. "-1")
+              // would make Thread.sleep throw IllegalArgumentException, which
+              // is not an IOException and would crash the decode path
               v.toLongOption.foreach(sec =>
-                Thread.sleep(math.min(sec, 5L) * 1000L))
+                Thread.sleep(math.min(math.max(sec, 0L), 5L) * 1000L))
             }
           case _ => return fallback.schemaFor(id) // other 4xx: definitive
         }

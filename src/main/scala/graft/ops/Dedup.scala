@@ -400,13 +400,21 @@ object Dedup {
     // don't pay the contraction scan on inputs it cannot help):
     //  1. raw pairs already fit the gate -> local finish directly, no forest;
     //  2. else, the forest is worth computing only if it CAN fit: its size is
-    //     bounded by |V| - 1, so when even the vertex count exceeds the gate
-    //     (the truly large inputs) skip straight to the distributed loop;
+    //     bounded by edge-TOUCHED vertices - 1 (NOT total doc count — a huge
+    //     corpus whose duplication concentrates in a small subset still has a
+    //     tiny forest, advisor r5), estimated with one map-side-combining
+    //     approx_count_distinct over the pair endpoints; only when even that
+    //     bound exceeds the gate (with slack for the ~5 % rsd) skip straight
+    //     to the distributed loop;
     //  3. else compute the forest (connectivity is invariant under the
     //     contraction; only the edge multiset shrinks) and gate on its
-    //     actual size.
+    //     ACTUAL size — the approximate bound only decides whether the
+    //     contraction scan is worth paying, never what is collected.
     if (p.count() <= localEdgeGate) return clustersLocal(docs, p)
-    if (ids.count() - 1 <= localEdgeGate) {
+    val touchedEst = p
+      .select(explode(array(col("a"), col("b"))).as("v"))
+      .agg(approx_count_distinct(col("v")).as("n")).head().getLong(0)
+    if (touchedEst <= localEdgeGate * 2) {
       val forest = truncate(spanningForest(p))
       if (forest.count() <= localEdgeGate) return clustersLocal(docs, forest)
     }
@@ -657,15 +665,44 @@ object Dedup {
     * [[incremental]] is the build-and-probe convenience that persists them
     * for the single call. */
   final case class IncrementalIndex(digests: DataFrame, banded: DataFrame,
-      k: Int, bands: Int)
+      k: Int, bands: Int,
+      emb: Option[DataFrame] = None,
+      embRowsPerBand: Int = 0, embBands: Int = 0)
+
+  /** The banded sign-LSH sketch of an embedding relation (`idCol`,
+    * embedding) — one [[graft.functions.VectorExprs.SignBandKeys]] pass per
+    * row: (id, ev double[], n2, keys). The embedding tier's index table;
+    * kept as one row per vector (keys as an array) so the parquet artifact
+    * is narrow — probes posexplode it. */
+  private def embSketch(emb: DataFrame, idCol: String,
+      rowsPerBand: Int, bands: Int): DataFrame =
+    emb.select(col(idCol),
+        col("embedding").cast("array<double>").as("ev"))
+      .withColumn("n2",
+        graft.functions.VectorExprs.dotProduct(col("ev"), col("ev")))
+      .withColumn("keys", graft.functions.VectorExprs.signBandKeys(
+        col("ev"), 64, rowsPerBand, bands))
 
   /** Build the [[IncrementalIndex]] for `history` (one digest projection +
-    * one [[bandedWithSets]] aggregation pass). */
+    * one [[bandedWithSets]] aggregation pass). Pass the history's
+    * `embeddings` (doc_id, embedding) to ALSO index the sign-LSH banded
+    * embedding sketch — the third tier a daily-ingest pipeline probes for
+    * semantic near-dups ([[Similarity.nearDupPairs]]' banding, (r, b) sized
+    * from `embThreshold` by [[Similarity.lshParams]]); without it an
+    * increment could only be deduplicated lexically. */
   def buildIndex(history: DataFrame, k: Int = 32, bands: Int = 8,
-      tokenizer: Tokenizer = Tokenizer.Whitespace): IncrementalIndex =
+      tokenizer: Tokenizer = Tokenizer.Whitespace,
+      embeddings: Option[DataFrame] = None,
+      embThreshold: Double = 0.8): IncrementalIndex = {
+    val (er, eb) =
+      if (embeddings.isDefined) Similarity.lshParams(embThreshold) else (0, 0)
     IncrementalIndex(
       history.select(col("doc_id").as("hid"), md5(col("text")).as("__h")),
-      bandedWithSets(history, k, bands, tokenizer), k, bands)
+      bandedWithSets(history, k, bands, tokenizer), k, bands,
+      embeddings.map(e =>
+        embSketch(e, "doc_id", er, eb).withColumnRenamed("doc_id", "hid")),
+      er, eb)
+  }
 
   /** Persist an [[IncrementalIndex]] as parquet under `dir` (`digests/`,
     * `banded/`, one-row `meta/` carrying the sketch parameters) — the durable
@@ -678,21 +715,28 @@ object Dedup {
   def writeIndex(index: IncrementalIndex, dir: String): Unit = {
     index.digests.write.mode("overwrite").parquet(s"$dir/digests")
     index.banded.write.mode("overwrite").parquet(s"$dir/banded")
+    index.emb.foreach(_.write.mode("overwrite").parquet(s"$dir/emb"))
     val s = index.digests.sparkSession
     import s.implicits._
-    Seq((index.k, index.bands)).toDF("k", "bands")
+    Seq((index.k, index.bands, index.embRowsPerBand, index.embBands))
+      .toDF("k", "bands", "emb_rows", "emb_bands")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
   }
 
-  /** Load an [[IncrementalIndex]] written by [[writeIndex]]. The frames are
-    * plain parquet scans — callers running many probes against one loaded
-    * index persist them (as [[graft.streaming.StreamingDedup.againstHistory]]
-    * does for its per-query index). */
+  /** Load an [[IncrementalIndex]] written by [[writeIndex]] (the embedding
+    * tier loads iff it was written — `emb_rows > 0` in the meta row). The
+    * frames are plain parquet scans — callers running many probes against
+    * one loaded index persist them (as
+    * [[graft.streaming.StreamingDedup.againstHistory]] does for its
+    * per-query index). */
   def readIndex(s: org.apache.spark.sql.SparkSession, dir: String): IncrementalIndex = {
     val m = s.read.parquet(s"$dir/meta").head()
+    val er = m.getAs[Int]("emb_rows")
     IncrementalIndex(
       s.read.parquet(s"$dir/digests"), s.read.parquet(s"$dir/banded"),
-      m.getAs[Int]("k"), m.getAs[Int]("bands"))
+      m.getAs[Int]("k"), m.getAs[Int]("bands"),
+      if (er > 0) Some(s.read.parquet(s"$dir/emb")) else None,
+      er, m.getAs[Int]("emb_bands"))
   }
 
   def incremental(history: DataFrame, batch: DataFrame, k: Int = 32,
@@ -712,7 +756,9 @@ object Dedup {
     * index once per query, not per micro-batch). */
   def incrementalWithIndex(index: IncrementalIndex, batch: DataFrame,
       threshold: Double = 0.8,
-      tokenizer: Tokenizer = Tokenizer.Whitespace): DataFrame = {
+      tokenizer: Tokenizer = Tokenizer.Whitespace,
+      batchEmb: Option[DataFrame] = None,
+      embThreshold: Double = 0.8): DataFrame = {
     val k = index.k; val bands = index.bands
     // exact tier: digest-collision min per batch doc
     val bHash = CacheScope.trackEager(
@@ -738,14 +784,47 @@ object Dedup {
     }.reduce(_ unionByName _)
       .filter(col("j") >= threshold)
       .groupBy(col("doc_id")).agg(min(col("hid")).as("near_id"))
-    batch.select(col("doc_id"))
+    // embedding tier (present iff the index carries the sign-LSH sketch AND
+    // the caller supplies the batch's embeddings): cross-corpus candidates
+    // from the (band, key) equi-join — the [[Similarity.nearDupCandidates]]
+    // shape — verified by exact cosine, min history id per batch doc. The
+    // history sketch is scanned, never self-joined; candidate volume is the
+    // banding's, O(colliding pairs).
+    val embTier = for { he <- index.emb; be <- batchEmb } yield {
+      val bSk = CacheScope.trackEager(
+        embSketch(be, "doc_id", index.embRowsPerBand, index.embBands))
+      val hband = he.select(col("hid"), posexplode(col("keys")).as(Seq("band", "key")))
+      val bband = bSk.select(col("doc_id"), posexplode(col("keys")).as(Seq("band", "key")))
+      val cand = hband.join(maybeBroadcast(bband), Seq("band", "key"))
+        .select(col("doc_id"), col("hid")).distinct()
+      cand
+        .join(maybeBroadcast(
+          bSk.select(col("doc_id"), col("ev").as("bev"), col("n2").as("bn2"))),
+          "doc_id")
+        .join(he.select(col("hid"), col("ev").as("hev"), col("n2").as("hn2")),
+          "hid")
+        .filter(graft.functions.VectorExprs.dotProduct(col("bev"), col("hev"))
+          / sqrt(col("bn2") * col("hn2")) >= embThreshold)
+        .groupBy(col("doc_id")).agg(min(col("hid")).as("emb_id"))
+    }
+    val base = batch.select(col("doc_id"))
       .join(exact, Seq("doc_id"), "left")
       .join(near, Seq("doc_id"), "left")
-      .select(col("doc_id"),
+    embTier match {
+      case None => base.select(col("doc_id"),
         coalesce(col("exact_id"), col("near_id")).as("dup_of"),
         when(col("exact_id").isNotNull, lit("exact"))
           .when(col("near_id").isNotNull, lit("near")).as("dup_kind"),
         (col("exact_id").isNull && col("near_id").isNull).as("is_new"))
+      case Some(e) => base.join(e, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("exact_id"), col("near_id"), col("emb_id")).as("dup_of"),
+          when(col("exact_id").isNotNull, lit("exact"))
+            .when(col("near_id").isNotNull, lit("near"))
+            .when(col("emb_id").isNotNull, lit("emb")).as("dup_kind"),
+          (col("exact_id").isNull && col("near_id").isNull &&
+            col("emb_id").isNull).as("is_new"))
+    }
   }
 
   /** Word-bigram Jaccard near-dup pairs. Candidates come from an inverted

@@ -538,23 +538,30 @@ object TextAnalysis {
     * combining with constant state per key, deliberately NOT a
     * `row_number` window (a boilerplate chunk with millions of occurrences
     * would sort inside one window partition; the min-struct agg reduces it
-    * map-side) — followed by an equi-join back on (chunk, first
-    * occurrence); reassembly is one `collect_list` per doc, bounded by the
+    * map-side) — followed by an equi-join back on (chunk DIGEST, first
+    * occurrence): the group/join key is the 16-byte md5 of the chunk (the
+    * exact-dedup convention — collision-safe at 128 bits), not the raw
+    * `width`-token string, so the keep-decision shuffle and the join probe
+    * move digests, not text; the chunk text rides only the reassembly
+    * projection. Reassembly is one `collect_list` per doc, bounded by the
     * doc's own chunk count. */
   def cleanChunks(docs: DataFrame, width: Int = 8,
       tokenizer: Tokenizer = Tokenizer.Whitespace): DataFrame = {
     val t = tokenizer.tokens(col("text"))
     val nChunks = ceil(size(t) / lit(width.toDouble)).cast("int")
-    val chunkArr = when(size(t) === 0, array().cast("array<string>"))
+    // coalesce(-, 0): a NULL text must take the empty-array branch (size of
+    // a null array is null), or nChunks flows null into sequence()
+    val chunkArr = when(coalesce(size(t), lit(0)) <= 0, array().cast("array<string>"))
       .otherwise(transform(sequence(lit(0), nChunks - 1),
         i => array_join(slice(t, i * width + 1, lit(width)), " ")))
     val chunks = docs.select(col("doc_id"),
       posexplode(chunkArr).as(Seq("ci", "chunk")))
-    val firsts = chunks.groupBy(col("chunk"))
+      .withColumn("ch", md5(col("chunk").cast("binary")))
+    val firsts = chunks.groupBy(col("ch"))
       .agg(min(struct(col("doc_id"), col("ci"))).as("f"))
-      .select(col("chunk"), col("f.doc_id").as("fd"), col("f.ci").as("fc"))
+      .select(col("ch"), col("f.doc_id").as("fd"), col("f.ci").as("fc"))
     val kept = chunks.as("c").join(firsts.as("fr"),
-        col("c.chunk") === col("fr.chunk") &&
+        col("c.ch") === col("fr.ch") &&
           col("c.doc_id") === col("fr.fd") && col("c.ci") === col("fr.fc"))
       .select(col("c.doc_id").as("doc_id"), col("c.ci").as("ci"),
         col("c.chunk").as("chunk"))
@@ -564,7 +571,9 @@ object TextAnalysis {
         array_join(transform(col("kc"), x => x.getField("chunk")), " ")
           .as("cleaned"),
         size(col("kc")).cast("int").as("n_kept"))
-    docs.select(col("doc_id"), nChunks.as("n_chunks"))
+    // n_chunks coalesced: a NULL text yields null nChunks but took the
+    // empty-array branch above — report 0, consistent with empty string
+    docs.select(col("doc_id"), coalesce(nChunks, lit(0)).as("n_chunks"))
       .join(byDoc, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("cleaned"), lit("")).as("cleaned_text"),

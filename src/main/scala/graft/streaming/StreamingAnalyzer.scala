@@ -47,7 +47,7 @@ object StreamingAnalyzer {
     * build its dead letter. */
   final case class AggError(
       errorClass: String, message: String, recordKey: String,
-      inputValue: String, timestampUs: Long)
+      inputValue: String, timestampUs: Long, offset: Long, partition: Int)
 
   /** Per-record emission: statistics after this record, plus the example
     * payload only when this record is the first EVER for its key; OR an
@@ -116,7 +116,7 @@ object StreamingAnalyzer {
           StatResult(key._1, key._2, 0, 0L, 0L, None, None, None, None, None,
             Some(AggError(e.getClass.getName,
               Option(e.getMessage).getOrElse(""), r.key, renderEnriched(r),
-              r.timestampUs)))
+              r.timestampUs, r.offset, r.partition)))
       }
     }
   }
@@ -183,7 +183,9 @@ object StreamingAnalyzer {
   val SinkNames: Seq[String] = Seq("all", "stats", "examples", "errors")
 
   /** The WHOLE topology as ONE streaming frame: every output record tagged
-    * with its sink name, shaped `(sink string, key string, value binary)`.
+    * with its sink name, shaped
+    * `(sink string, key string, value binary, dedup_id string)` — `dedup_id`
+    * is the record-level idempotence handle (see [[fanOut]]).
     * Combined with [[fanOut]] this runs the four sinks as a single streaming
     * query — one source read, one statistics state, one checkpoint — the way
     * the reference computes once and branches
@@ -207,8 +209,16 @@ object StreamingAnalyzer {
     val dl = col("parsed").getField("dead_letter")
     val stackTrace = dl.getField("cause").getField("stack_trace")
     val keyString = coalesce(BruteForce.stringified(col("key")), lit("null"))
-    def row(sink: String, key: Column, value: Column): Column =
-      struct(lit(sink).as("sink"), key.as("key"), value.cast("binary").as("value"))
+    // dedup_id: a DETERMINISTIC per-record identity, identical on replay —
+    // source-derived rows use the elastic id of the input record; stateful
+    // rows derive from the (deterministically recovered + sorted) state
+    // epoch. A sink that upserts by (sink, dedup_id) — a log-compacted topic
+    // keyed by it, or a consumer-side keyed store — observes EXACTLY-ONCE
+    // effect even when a crash in the middle of the four per-topic writes
+    // replays the batch (the window the per-batch commit markers leave).
+    def row(sink: String, key: Column, value: Column, dedupId: Column): Column =
+      struct(lit(sink).as("sink"), key.as("key"),
+        value.cast("binary").as("value"), dedupId.as("dedup_id"))
 
     // Stateless pass — the SAME dead-letter builders as Analyzer.errorsOf
     // (one definition; parity drift between batch and streaming would
@@ -222,12 +232,12 @@ object StreamingAnalyzer {
       Analyzer.formatTimestamp(col("timestamp")).as("timestamp"),
       dl.as("dead_letter"), col("topic"),
       Classify.classify(stackTrace).as("type")))
+    val sourceId = Analyzer.elasticId(col("topic"), col("partition"), col("offset"))
     val stateless = p.select(
-      when(err.isNotNull, row("errors", keyString, to_json(parseDl)))
-        .when(stackTrace.isNull, row("errors", keyString, to_json(analyzeDl)))
-        .otherwise(row("all",
-          Analyzer.elasticId(col("topic"), col("partition"), col("offset")),
-          allValue))
+      when(err.isNotNull, row("errors", keyString, to_json(parseDl), sourceId))
+        .when(stackTrace.isNull,
+          row("errors", keyString, to_json(analyzeDl), sourceId))
+        .otherwise(row("all", sourceId, allValue, sourceId))
         .as("r"))
 
     // Stateful pass — referenced once; per-result-row 1→N expansion.
@@ -252,16 +262,22 @@ object StreamingAnalyzer {
           statsAvroEncode(col("count"),
             Analyzer.formatTimestamp(timestamp_micros(col("createdUs"))),
             Analyzer.formatTimestamp(timestamp_micros(col("updatedUs"))),
-            col("topic"), col("errorType")))),
+            col("topic"), col("errorType")),
+          // state recovery restores the batch-start counts and rows apply
+          // in sorted order, so a replayed batch re-emits the SAME
+          // (key, count) sequence — the count makes the id per-record
+          concat(statsKey, lit(":"), col("count").cast("string")))),
         when(col("aggError").isNull && col("exampleKey").isNotNull,
-          row("examples", statsKey, examplesValue)),
+          row("examples", statsKey, examplesValue, statsKey)),
         when(col("aggError").isNotNull,
-          row("errors", col("aggError.recordKey"), to_json(aggErrDl))))))
+          row("errors", col("aggError.recordKey"), to_json(aggErrDl),
+            Analyzer.elasticId(col("topic"), col("aggError.partition"),
+              col("aggError.offset")))))))
         .as("r"))
 
     stateless.unionByName(fromResults)
       .select(col("r.sink").as("sink"), col("r.key").as("key"),
-        col("r.value").as("value"))
+        col("r.value").as("value"), col("r.dedup_id").as("dedup_id"))
   }
 
   /** Run the [[unified]] topology as ONE streaming query, fanning each
@@ -277,10 +293,16 @@ object StreamingAnalyzer {
     * dominant duplicate-delivery window of any foreachBatch sink. A commit
     * marker per batch id (written to `$checkpointDir/sink-commits/<id>`
     * AFTER all four sink writes) closes it: the replayed batch sees its
-    * marker and skips. The remaining window is a crash in the MIDDLE of the
-    * four writes (replay then re-sends the ones that succeeded) — that
-    * narrowing, plus keyed/compacted consumers on the stats topic, is the
-    * documented delivery contract (README Known deltas). */
+    * marker and skips. The remaining window — a crash in the MIDDLE of the
+    * four writes — is closed at the RECORD level: every sink frame carries a
+    * deterministic `dedup_id` column (identical on replay, see [[unified]]),
+    * so a sink that upserts by it (log-compacted topic keyed by dedup_id, or
+    * a consumer-side keyed store) observes exactly-once EFFECT; a replayed
+    * partial batch re-sends the same ids and the duplicates collapse
+    * (StreamingSpec pins this with a crash-mid-batch replay). Sinks that
+    * ignore `dedup_id` (plain appends, as the reference-parity Kafka keys
+    * must stay the record keys) remain at-least-once inside that narrowed
+    * window — the documented delivery contract (README Known deltas). */
   def fanOut(unified: DataFrame, checkpointDir: String)(
       write: (String, DataFrame) => Unit): DataStreamWriter[Row] =
     unified.writeStream.outputMode(OutputMode.Append).foreachBatch {
@@ -288,7 +310,8 @@ object StreamingAnalyzer {
         runBatchOnce(batch.sparkSession, checkpointDir, id) {
           batch.persist()
           try SinkNames.foreach { name =>
-            write(name, batch.filter(col("sink") === name).select("key", "value"))
+            write(name, batch.filter(col("sink") === name)
+              .select("key", "value", "dedup_id"))
           } finally {
             batch.unpersist()
             ()

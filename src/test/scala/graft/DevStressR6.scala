@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev-only stress validation (r6): the judge-named operators against the
+  * 100x corpus (/tmp/stress100 — 500k docs with 100-way duplication, 40k
+  * vectors, 1M events), checking ≤ ~linear growth vs the 10x measurements
+  * in COVERAGE.md. Not part of the driver contract. */
+object DevStressR6 {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/tmp/stress100")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def time(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"[stress] $label%-26s ${(System.nanoTime() - t0) / 1e9}%7.2f s  rows=$n")
+      ops.CacheScope.releaseAll(spark)
+    }
+    val docs = SparkEntry.docs(spark, dir)
+    val emb = SparkEntry.emb(spark, dir)
+    docs.count(); emb.count() // warm scans
+    time("dedup_exact")(ops.Dedup.exact(docs).count())
+    time("dedup_pipeline")(ops.Dedup.dedupPipeline(docs).count())
+    time("prep_corpus")(ops.Prep.prepCorpus(docs).count())
+    time("dedup_incremental") {
+      ops.Dedup.incremental(
+        docs.filter(col("doc_id") % 5 =!= 0),
+        docs.filter(col("doc_id") % 5 === 0)).count()
+    }
+    time("dedup_incremental_emb") {
+      val e = emb.select(col("vec_id").as("doc_id"), col("embedding"))
+      val idx0 = ops.Dedup.buildIndex(docs.filter(col("doc_id") % 5 =!= 0),
+        embeddings = Some(e.filter(col("doc_id") % 5 =!= 0)),
+        embThreshold = 0.8)
+      val idx = idx0.copy(banded = ops.CacheScope.track(idx0.banded),
+        emb = idx0.emb.map(ops.CacheScope.track))
+      ops.Dedup.incrementalWithIndex(idx, docs.filter(col("doc_id") % 5 === 0),
+        batchEmb = Some(e.filter(col("doc_id") % 5 === 0)),
+        embThreshold = 0.8).count()
+    }
+    time("dedup_semantic_lloyd2")(
+      ops.Similarity.semanticDedup(emb, lloydIters = 2).count())
+    time("dedup_semantic_full")(
+      ops.Similarity.semanticDedupFull(emb).count())
+    time("dedup_embedding_t08")(
+      ops.Similarity.nearDupPairs(emb, threshold = 0.8).count())
+    time("ann_ivfpq")(
+      ops.Similarity.ivfPqAdcTopK(emb, col("vec_id") % 1000 === 0, k = 3).count())
+    time("ev_asof_1M") {
+      val ev = sources.DeadLetterSource.events(spark, dir)
+      SparkEntry.queries("ev_asof")(spark, dir).count()
+    }
+    spark.stop()
+  }
+}

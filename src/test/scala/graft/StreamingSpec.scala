@@ -172,6 +172,53 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("crash mid-batch: replayed writes collapse by dedup_id (exactly-once effect)") {
+    // the residual window the per-batch commit markers leave: a crash in the
+    // MIDDLE of the four sink writes replays the whole batch. Every sink row
+    // carries a deterministic dedup_id, so an upsert-by-id consumer (the
+    // keyed/compacted model) must observe no duplicate effect.
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark2.sqlContext
+    val stream = MemoryStream[KafkaRecord]
+    val unified = StreamingAnalyzer.unified(stream.toDF())
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt-replay").toString
+    val store = scala.collection.concurrent.TrieMap[(String, String), Array[Byte]]()
+    val raw = new java.util.concurrent.atomic.AtomicInteger
+    val crashOnce = new java.util.concurrent.atomic.AtomicBoolean(true)
+    def writer() = StreamingAnalyzer.fanOut(unified, ckpt) { (name, frame) =>
+      frame.collect().foreach { r =>
+        raw.incrementAndGet()
+        store((name, r.getAs[String]("dedup_id"))) = r.getAs[Array[Byte]]("value")
+      }
+      // crash AFTER all/stats/examples landed, BEFORE the errors write
+      // completes the batch — so no sink-commit marker is written
+      if (name == "errors" && crashOnce.getAndSet(false))
+        throw new RuntimeException("simulated sink crash mid-batch")
+    }
+    val q1 = writer().queryName("replay_topo").start()
+    stream.addData(
+      record(0, 1000, "k0", Fixtures.StackTrace),
+      record(1, 2000, "k1", Fixtures.StackTrace),
+      record(2, 3000, "bad", null)) // analyze error -> errors sink
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.processAllAvailable()
+    }
+    q1.stop()
+    val afterCrash = raw.get()
+    assert(afterCrash > 0) // partial writes really landed before the crash
+    // restart from the same checkpoint: the uncommitted batch replays
+    val q2 = writer().queryName("replay_topo_resumed").start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(raw.get() > afterCrash) // the replay re-sent rows...
+    // ...but the keyed store shows exactly-once EFFECT per sink:
+    val bySink = store.keys.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(bySink("all") == 2, bySink.toString)      // k0, k1
+    assert(bySink("stats") == 2, bySink.toString)    // count 1, count 2
+    assert(bySink("examples") == 1, bySink.toString) // first-example once EVER
+    assert(bySink("errors") == 1, bySink.toString)   // the one analyze error
+  }
+
   test("stats sink values are Confluent-framed Avro (serde distinction)") {
     val spark2 = spark
     import spark2.implicits._
