@@ -797,10 +797,15 @@ object Dedup {
       val bband = bSk.select(col("doc_id"), posexplode(col("keys")).as(Seq("band", "key")))
       val cand = hband.join(maybeBroadcast(bband), Seq("band", "key"))
         .select(col("doc_id"), col("hid")).distinct()
-      cand
+      // the verify join streams the HISTORY side (the corpus-scale table):
+      // the candidate set — bounded by the banding's collisions — is the
+      // gated build side, so history is never sorted (the same
+      // declined-broadcast lesson as Par.maybeBroadcast's shuffle_hash
+      // fallback; an unhinted join here would sort-merge the history sketch)
+      maybeBroadcast(cand
         .join(maybeBroadcast(
           bSk.select(col("doc_id"), col("ev").as("bev"), col("n2").as("bn2"))),
-          "doc_id")
+          "doc_id"))
         .join(he.select(col("hid"), col("ev").as("hev"), col("n2").as("hn2")),
           "hid")
         .filter(graft.functions.VectorExprs.dotProduct(col("bev"), col("hev"))
