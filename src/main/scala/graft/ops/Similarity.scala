@@ -468,10 +468,13 @@ object Similarity {
     }.reduce(_ unionByName _)
       .withColumn("code", (row_number().over(w) - 1).cast("int"))
       .withColumn("cn2", dot(col("ce"), col("ce")))
-    val vecSub = (0 until subspaces).map { si =>
-      e.select(col("vec_id"), lit(si).as("sub"),
-        slice(col("v"), si * subDim + 1, subDim).as("sv"))
-    }.reduce(_ unionByName _)
+    // ONE corpus pass: posexplode over the built slice array — a union of
+    // per-subspace branches would scan the corpus `subspaces` times and
+    // multiply the shuffle-map task count by the same factor
+    val vecSub = e.select(col("vec_id"),
+        posexplode(transform(sequence(lit(0), lit(subspaces - 1)),
+          si => slice(col("v"), si * subDim + 1, lit(subDim))))
+          .as(Seq("sub", "sv")))
       .withColumn("sn2", dot(col("sv"), col("sv")))
     val assigned = vecSub.join(broadcast(cb), "sub")
       .select(col("vec_id"), col("sub"),
@@ -520,11 +523,12 @@ object Similarity {
     }.reduce(_ unionByName _)
       .withColumn("code", (row_number().over(w) - 1).cast("int"))
       .withColumn("cn2", dot(col("ce"), col("ce")))
-    // query-side distance table: ‖q_sub − c‖² per (query, sub, code)
-    val qSub = (0 until subspaces).map { si =>
-      e.filter(queryPred).select(col("vec_id").as("query_id"),
-        lit(si).as("sub"), slice(col("v"), si * subDim + 1, subDim).as("qv"))
-    }.reduce(_ unionByName _)
+    // query-side distance table: ‖q_sub − c‖² per (query, sub, code) —
+    // one pass over the query subset (posexplode, not a subspace union)
+    val qSub = e.filter(queryPred).select(col("vec_id").as("query_id"),
+        posexplode(transform(sequence(lit(0), lit(subspaces - 1)),
+          si => slice(col("v"), si * subDim + 1, lit(subDim))))
+          .as(Seq("sub", "qv")))
       .withColumn("qn2", dot(col("qv"), col("qv")))
     val dtab = qSub.join(broadcast(cb), "sub")
       .select(col("query_id"), col("sub"), col("code"),
@@ -618,10 +622,13 @@ object Similarity {
   private def encodeResiduals(resid: DataFrame, cb: DataFrame,
       subspaces: Int): DataFrame = {
     val subDim = 64 / subspaces
-    val vecSub = (0 until subspaces).map { si =>
-      resid.select(col("vec_id"), col("cell"), lit(si).as("sub"),
-        slice(col("rv"), si * subDim + 1, subDim).as("sv"))
-    }.reduce(_ unionByName _)
+    // one residual-relation pass (posexplode of the slice array) — the
+    // per-subspace union shape scans it `subspaces` times and multiplies
+    // map tasks by the same factor
+    val vecSub = resid.select(col("vec_id"), col("cell"),
+        posexplode(transform(sequence(lit(0), lit(subspaces - 1)),
+          si => slice(col("rv"), si * subDim + 1, lit(subDim))))
+          .as(Seq("sub", "sv")))
       .withColumn("sn2", dot(col("sv"), col("sv")))
     vecSub.join(broadcast(cb), "sub")
       .select(col("vec_id"), col("cell"),
@@ -653,8 +660,8 @@ object Similarity {
       codes: Int = PqCodes, lloydIters: Int = 0,
       maxCells: Int = IvfMaxCells): DataFrame = {
     val corpus = CacheScope.track(withNorm2(embeddings))
-    val centroids = (1 to lloydIters)
-      .foldLeft(sampleCentroids(corpus, maxCells))((c, _) => lloydStep(corpus, c))
+    val centroids = CacheScope.track((1 to lloydIters)
+      .foldLeft(sampleCentroids(corpus, maxCells))((c, _) => lloydStep(corpus, c)))
     val resid = CacheScope.trackEager(residualized(corpus, centroids))
     encodeResiduals(resid, residualCodebook(resid, subspaces, codes), subspaces)
   }
@@ -678,10 +685,15 @@ object Similarity {
       lloydIters: Int = 0, maxCells: Int = IvfMaxCells): DataFrame = {
     val subDim = 64 / subspaces
     val corpus = CacheScope.track(withNorm2(embeddings))
-    val centroids = (1 to lloydIters)
-      .foldLeft(sampleCentroids(corpus, maxCells))((c, _) => lloydStep(corpus, c))
+    // centroids and the residual codebook are each referenced by several
+    // joins below (residualize + probe ranking; corpus encode + query
+    // distance tables) — both are bounded (≤ maxCells / subspaces×codes
+    // rows) but their subtrees carry a sort-limit + window, so cache them
+    // once instead of re-deriving per join
+    val centroids = CacheScope.track((1 to lloydIters)
+      .foldLeft(sampleCentroids(corpus, maxCells))((c, _) => lloydStep(corpus, c)))
     val resid = CacheScope.trackEager(residualized(corpus, centroids))
-    val cb = residualCodebook(resid, subspaces, codes)
+    val cb = CacheScope.track(residualCodebook(resid, subspaces, codes))
     val ccodes = encodeResiduals(resid, cb, subspaces)
     // nprobe nearest cells per query, with the query's residual per cell
     val queries = corpus.filter(queryPred)
@@ -697,10 +709,10 @@ object Similarity {
       .filter(col("prank") <= nprobe)
       .select(col("query_id"), col("cid").as("cell"),
         zip_with(col("qe"), col("ce"), (x, c) => x - c).as("qrv"))
-    val qSub = (0 until subspaces).map { si =>
-      probes.select(col("query_id"), col("cell"), lit(si).as("sub"),
-        slice(col("qrv"), si * subDim + 1, subDim).as("qv"))
-    }.reduce(_ unionByName _)
+    val qSub = probes.select(col("query_id"), col("cell"),
+        posexplode(transform(sequence(lit(0), lit(subspaces - 1)),
+          si => slice(col("qrv"), si * subDim + 1, lit(subDim))))
+          .as(Seq("sub", "qv")))
       .withColumn("qn2", dot(col("qv"), col("qv")))
     val dtab = qSub.join(broadcast(cb), "sub")
       .select(col("query_id"), col("cell"), col("sub"), col("code"),
