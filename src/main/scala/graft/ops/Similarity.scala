@@ -702,11 +702,20 @@ object Similarity {
     val probeW = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("pcos").desc, col("cid"))
-    val probes = queries.crossJoin(broadcast(centroids))
-      .select(col("query_id"), col("qe"), col("cid"), col("ce"),
+    // rank cells on NARROW rows (query_id, cid, pcos) — the ranking window
+    // shuffles Q×C rows, and carrying the full query/centroid vectors
+    // through that sort multiplies its width ~200×; the chosen Q×nprobe
+    // rows re-attach both vectors via one small join + the centroid
+    // broadcast before the residual projection
+    val ranked = queries.crossJoin(broadcast(centroids))
+      .select(col("query_id"), col("cid"),
         cosineWithNorms(col("qe"), col("ce"), col("qn2"), col("cn2")).as("pcos"))
       .withColumn("prank", row_number().over(probeW))
       .filter(col("prank") <= nprobe)
+      .select(col("query_id"), col("cid"))
+    val probes = ranked
+      .join(queries.select(col("query_id"), col("qe")), "query_id")
+      .join(broadcast(centroids.select(col("cid"), col("ce"))), "cid")
       .select(col("query_id"), col("cid").as("cell"),
         zip_with(col("qe"), col("ce"), (x, c) => x - c).as("qrv"))
     val qSub = probes.select(col("query_id"), col("cell"),
