@@ -615,9 +615,13 @@ object Similarity {
   }
 
   /** PQ-encode a residual relation against a codebook: nearest squared-L2
-    * code per (vector, subspace) via the map-side-combining `min(struct)`
-    * scan, then one groupBy pivoting the codes into sub order. Carries the
-    * coarse `cell` through — the (cell, codes) pair IS the IVF-PQ index
+    * code per (vector, subspace) via a map-side-combining conditional
+    * `min(struct)` PER SUBSPACE in ONE aggregation — `subspaces` is a plan
+    * constant, so the per-sub mins are fixed columns and the codes array is
+    * assembled in the same projection. (A (vec_id, cell, sub) groupBy
+    * followed by a (vec_id, cell) pivot re-shuffles the whole corpus: the
+    * first grouping's hash partitioning can't serve the second's.) Carries
+    * the coarse `cell` through — the (cell, codes) pair IS the IVF-PQ index
     * entry. */
   private def encodeResiduals(resid: DataFrame, cb: DataFrame,
       subspaces: Int): DataFrame = {
@@ -636,13 +640,12 @@ object Similarity {
           (col("sn2") - lit(2.0) * dot(col("sv"), col("ce")) + col("cn2"))
             .as("d"),
           col("code")).as("dc"), col("sub"))
-      .groupBy(col("vec_id"), col("cell"), col("sub"))
-      .agg(min(col("dc")).as("best"))
       .groupBy(col("vec_id"), col("cell"))
-      .agg(sort_array(collect_list(struct(col("sub"), col("best.code").as("c"))))
-        .as("sc"))
+      .agg(min(when(col("sub") === 0, col("dc"))).as("b0"),
+        (1 until subspaces).map(si =>
+          min(when(col("sub") === si, col("dc"))).as(s"b$si")): _*)
       .select(col("vec_id"), col("cell"),
-        transform(col("sc"), x => x.getField("c")).as("codes"))
+        array((0 until subspaces).map(si => col(s"b$si.code")): _*).as("codes"))
   }
 
   /** IVF-PQ encoding: every vector is assigned a coarse cell
