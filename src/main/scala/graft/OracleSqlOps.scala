@@ -458,6 +458,18 @@ WHERE CAST(len(list_intersect(sa.tks, sb.tks)) AS DOUBLE)
 
   val minhashLsh: String = minhashLshSql("documents")
 
+  /** Cross-source overlap matrix (mirrors graft.ops.Dedup.sourceOverlap):
+    * verified minhash-LSH pairs enriched with each side's source, source
+    * pair canonicalized least/greatest, counted. */
+  val corpusOverlap: String = s"""SELECT
+  least(da.source, db.source) AS source_a,
+  greatest(da.source, db.source) AS source_b,
+  count(*) AS n_pairs
+FROM ( ${minhashLshSql("documents")} ) p
+JOIN documents da ON da.doc_id = p.a
+JOIN documents db ON db.doc_id = p.b
+GROUP BY 1, 2"""
+
   /** [[minhashLsh]] under the BPE-ish tokenizer — pins the engine's
     * pluggable Tokenizer seam at the oracle gate (mirrors
     * graft.ops.Tokenizer.BpeIsh: alphanumeric runs or single non-space
@@ -730,6 +742,38 @@ JOIN e re ON re.vec_id = c.b
 WHERE list_dot_product(le.v, re.v) / sqrt(le.n2 * re.n2) >= $threshold"""
   }
 
+  /** Radius-search oracle (mirrors graft.ops.Similarity.rangeSearch at the
+    * given threshold): corpus band signatures exactly as
+    * [[embeddingNearDup]], candidates = DISTINCT (query, neighbor) sharing
+    * any (band, key) with a query vector (vec_id % 100 = 0, self excluded),
+    * exact-cosine verified at the threshold. */
+  def annRange(threshold: Double): String = {
+    val (r, b) = graft.ops.Similarity.lshParams(threshold)
+    s"""WITH ${hyperplaneCte(r * b)}, e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+    list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) AS n2
+  FROM embeddings
+), dots AS (
+  SELECT e.vec_id, hp.h, sum(hp.v * e.v[hp.d + 1]) AS dp
+  FROM e, hp GROUP BY e.vec_id, hp.h
+), sigs AS (
+  SELECT vec_id, h // $r AS band,
+    sum(CASE WHEN dp >= 0 THEN 1::BIGINT << (h % $r) ELSE 0 END) AS key
+  FROM dots GROUP BY vec_id, h // $r
+), cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM sigs c JOIN sigs q
+    ON c.band = q.band AND c.key = q.key
+    AND q.vec_id % 100 = 0 AND c.vec_id <> q.vec_id
+)
+SELECT cd.query_id, cd.neighbor_id,
+  list_dot_product(qe.v, ne.v) / sqrt(qe.n2 * ne.n2) AS cosine
+FROM cand cd
+JOIN e qe ON qe.vec_id = cd.query_id
+JOIN e ne ON ne.vec_id = cd.neighbor_id
+WHERE list_dot_product(qe.v, ne.v) / sqrt(qe.n2 * ne.n2) >= $threshold"""
+  }
+
   val annTopK: String = s"""WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
     list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) AS n2
@@ -870,6 +914,38 @@ SELECT vec_id, cluster_id, (vec_id = cluster_id) AS is_canonical FROM comp"""
   UNION
   SELECT a, b FROM lshp
 ), $componentsSql"""
+  }
+
+  /** K-means summary oracle (mirrors graft.ops.Similarity.kmeansSummary,
+    * lloydIters = 2): the semantic Lloyd-2 cell chain, then per-cell member
+    * count and inertia. ‖x−c‖² composes as `n2 − 2·x·c + cn2` (the engine's
+    * operation order) and the per-cell sum mirrors the engine's TWO-LEVEL
+    * chunked fixed-order fold exactly as [[dedupSemantic]]'s Lloyd mean
+    * (LloydChunk members by vec_id rank; inner fold per chunk, outer fold
+    * over chunk partials in chunk order). */
+  val embKmeans: String = {
+    val chunk = graft.ops.Similarity.LloydChunk
+    s"""WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+    list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) AS n2
+  FROM embeddings
+), $semanticCellChain, k_r AS (
+  SELECT a.cell, e.vec_id,
+    e.n2 - 2.0 * list_dot_product(e.v, c.cv) + c.cn2 AS d2,
+    CAST((row_number() OVER (PARTITION BY a.cell ORDER BY e.vec_id) - 1)
+      // $chunk AS INT) AS ck
+  FROM cell a JOIN e ON e.vec_id = a.vec_id JOIN c2 c ON c.cid = a.cell
+), k_p AS (
+  SELECT cell, ck,
+    list_reduce(list_prepend(0.0, list(d2 ORDER BY vec_id)), (x, y) -> x + y)
+      AS ps,
+    count(*) AS cnt
+  FROM k_r GROUP BY cell, ck
+)
+SELECT cell, CAST(sum(cnt) AS BIGINT) AS n_members,
+  list_reduce(list_prepend(0.0, list(ps ORDER BY ck)), (x, y) -> x + y)
+    AS inertia
+FROM k_p GROUP BY cell"""
   }
 
   val annIvf: String = {

@@ -387,6 +387,16 @@ object SparkEntry {
         array_join(col("codes").cast("array<string>"), ":").as("codes_str"))),
     "ann_ivfpq" -> ((s, dir) =>
       ops.Similarity.ivfPqAdcTopK(emb(s, dir), col("vec_id") % 100 === 0, k = 3)),
+    // radius search: every neighbor above the threshold, not a fixed k —
+    // t=0.3 is the regime where this synthetic corpus HAS range neighbors
+    "ann_range" -> ((s, dir) =>
+      ops.Similarity.rangeSearch(emb(s, dir), col("vec_id") % 100 === 0,
+        threshold = 0.3)),
+    // cluster-quality scan over the same Lloyd-2 codebook dedup_semantic uses
+    "emb_kmeans" -> ((s, dir) =>
+      ops.Similarity.kmeansSummary(emb(s, dir), lloydIters = 2)),
+    // source×source near-dup contamination matrix over the minhash pairs
+    "corpus_overlap" -> ((s, dir) => ops.Dedup.sourceOverlap(docs(s, dir))),
 
     "mm_meta" -> ((s, dir) => ops.Multimodal.meta(s, docs(s, dir))),
     "mm_frame_sample" -> ((s, dir) => ops.Multimodal.frameSample(docs(s, dir)).toDF()),
@@ -493,6 +503,9 @@ object SparkEntry {
     "ann_pq_adc" -> OracleSqlOps.pqAdcTopK,
     "emb_ivfpq_codes" -> OracleSqlOps.ivfPqCodes,
     "ann_ivfpq" -> OracleSqlOps.ivfPqAdcTopK,
+    "ann_range" -> OracleSqlOps.annRange(0.3),
+    "emb_kmeans" -> OracleSqlOps.embKmeans,
+    "corpus_overlap" -> OracleSqlOps.corpusOverlap,
     "dedup_semantic_full" -> OracleSqlOps.dedupSemanticFull,
     "mm_meta" -> OracleSqlOps.mmMeta,
     "mm_frame_sample" -> OracleSqlOps.mmFrameSample,

@@ -218,6 +218,33 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Cross-source near-duplicate overlap matrix: how many verified
+    * [[minhashLsh]] pairs connect each (source, source) combination —
+    * the contamination/provenance scan a corpus curator runs before mixing
+    * sources (how much of CommonCrawl is already in Wikipedia, which source
+    * pairs share boilerplate). Source pairs are canonicalized
+    * (`least`/`greatest`), so within-source duplication lands on the
+    * diagonal.
+    *
+    * Scale shape: the pair stream is orders of magnitude smaller than the
+    * corpus after the Jaccard verify; the two doc→source enrichment joins
+    * hash-partition on doc id (the 2-column projection broadcasts while it
+    * fits), and the final groupBy is |sources|² rows — map-side combine
+    * collapses it before the shuffle. */
+  def sourceOverlap(docs: DataFrame, threshold: Double = 0.8,
+      tokenizer: Tokenizer = Tokenizer.Whitespace): DataFrame = {
+    val src = docs.select(col("doc_id"), col("source"))
+    minhashLsh(docs, threshold = threshold, tokenizer = tokenizer)
+      .join(maybeBroadcast(
+        src.select(col("doc_id").as("a"), col("source").as("sa"))), "a")
+      .join(maybeBroadcast(
+        src.select(col("doc_id").as("b"), col("source").as("sb"))), "b")
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** Fingerprint width of [[simhash]]: 56 bits = two 28-bit md5 hex lanes. */
   val SimhashBits = 56
 

@@ -426,6 +426,43 @@ object Similarity {
         cosineWithNorms(col("ea"), col("eb"), col("n2a"), col("n2b")).as("cosine"))
   }
 
+  /** Radius (range) similarity search: ALL corpus neighbors with
+    * cosine >= `threshold` for each query vector — the retrieval complement
+    * of [[bruteForceTopK]]'s fixed-k ranking (RAG filters, "everything this
+    * similar" audits). Candidates come from the same banded sign-LSH sketch
+    * as [[nearDupPairs]] (>=99% recall at the threshold via [[lshParams]]),
+    * but the join is ASYMMETRIC: the query set's band keys broadcast into
+    * the corpus band stream, so the corpus is scanned once and never
+    * self-joins — candidate volume is |Q|-proportional, not n². The distinct
+    * and the verify joins partition by (query, neighbor) / neighbor id; the
+    * corpus vector side broadcasts only while it fits
+    * ([[Par.maybeBroadcast]]). */
+  def rangeSearch(embeddings: DataFrame, queryPred: Column, threshold: Double,
+      dims: Int = 64): DataFrame = {
+    val (rowsPerBand, bands) = lshParams(threshold)
+    val e = CacheScope.trackEager(withNorm2(embeddings)
+      .select(col("vec_id"), col("embedding"), col("n2"),
+        graft.functions.VectorExprs.signBandKeys(
+          col("embedding"), dims, rowsPerBand, bands).as("keys")))
+    val banded = e.select(col("vec_id"),
+      posexplode(col("keys")).as(Seq("band", "key")))
+    val qBanded = e.filter(queryPred).select(col("vec_id").as("query_id"),
+      posexplode(col("keys")).as(Seq("band", "key")))
+    val cand = banded.join(broadcast(qBanded), Seq("band", "key"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+      .distinct()
+    val queries = e.filter(queryPred).select(col("vec_id").as("query_id"),
+      col("embedding").as("qe"), col("n2").as("qn2"))
+    cand
+      .join(broadcast(queries), "query_id")
+      .join(Par.maybeBroadcast(e.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("ne"), col("n2").as("nn2"))), "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        cosineWithNorms(col("qe"), col("ne"), col("qn2"), col("nn2")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
   /** Product-quantization parameters: [[PqSubspaces]] subspaces of
     * dim/PqSubspaces dims each, codebooks of ≤[[PqCodes]] entries sampled
     * with the IVF stride recipe (deterministic, oracle-reproducible). */
@@ -766,6 +803,48 @@ object Similarity {
     val centroids = (1 to lloydIters)
       .foldLeft(sampleCentroids(corpus, maxCells))((c, _) => lloydStep(corpus, c))
     assignCells(corpus, centroids)
+  }
+
+  /** K-means clustering summary over the embedding corpus: per-cell member
+    * count and inertia (sum of squared L2 distance to the cell centroid) for
+    * the Lloyd-refined coarse codebook — the cluster-quality scan corpus
+    * curation runs before trusting a quantizer (SemDeDup cell sizing, IVF
+    * codebook health, topic-bucket balance).
+    *
+    * Scale shape: the codebook is bounded (≤ `maxCells` rows) and broadcast;
+    * assignment is the [[ivfTopK]] map-side `min(struct)` scan; the per-cell
+    * inertia is the same bounded TWO-LEVEL fixed-order fold as
+    * [[lloydStep]]'s mean (members sort by vec_id, [[LloydChunk]]-row chunk
+    * partials fold in chunk order) — per-group state stays bounded on any
+    * cell size, and the double sum is bit-reproducible by the DuckDB
+    * oracle's mirrored fold. ‖x−c‖² composes from the precomputed norms
+    * (`n2 − 2·x·c + cn2`, fixed operation order), so no member-side vector
+    * arithmetic beyond one dot per row. */
+  def kmeansSummary(embeddings: DataFrame, lloydIters: Int = 2,
+      maxCells: Int = IvfMaxCells): DataFrame = {
+    val corpus = CacheScope.track(withNorm2(embeddings))
+    val centroids = (1 to lloydIters)
+      .foldLeft(sampleCentroids(corpus, maxCells))((c, _) => lloydStep(corpus, c))
+    val byCell = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cell")).orderBy(col("vec_id"))
+    val member = corpus.join(assignCells(corpus, centroids), "vec_id")
+      .join(broadcast(centroids), col("cell") === col("cid"))
+      .select(col("cell"), col("vec_id"),
+        (col("n2") - lit(2.0) * dot(col("embedding"), col("ce")) + col("cn2"))
+          .as("d2"))
+      .withColumn("ck", ((row_number().over(byCell) - 1) / lit(LloydChunk))
+        .cast("int"))
+    val partials = member.groupBy(col("cell"), col("ck"))
+      .agg(sort_array(collect_list(struct(col("vec_id"), col("d2")))).as("vs"))
+      .select(col("cell"), col("ck"),
+        aggregate(col("vs"), lit(0.0), (a, v) => a + v.getField("d2")).as("ps"),
+        size(col("vs")).cast("long").as("cnt"))
+    partials.groupBy(col("cell"))
+      .agg(sort_array(collect_list(struct(col("ck"), col("ps")))).as("cs"),
+        sum(col("cnt")).as("n_members"))
+      .select(col("cell"), col("n_members"),
+        aggregate(col("cs"), lit(0.0), (a, c) => a + c.getField("ps"))
+          .as("inertia"))
   }
 
   /** Semantic dedup (the SemDeDup shape): cluster the embedding space with

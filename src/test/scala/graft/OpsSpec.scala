@@ -1086,4 +1086,43 @@ class OpsSpec extends SparkSpec {
     val zzKept = (1L until 400L by 2).count(byLang(_))
     assert(zzKept > 0 && zzKept < 60)
   }
+
+  test("range search returns exactly the within-cluster neighbors") {
+    // query 0 lives in cluster x (ids 0-24): within-cluster cosine > 0.99,
+    // cross-cluster ~0.01 — at t=0.9 the radius IS the cluster minus self
+    val r = Similarity.rangeSearch(clusteredEmb, col("vec_id") % 100 === 0,
+        threshold = 0.9, dims = 4).collect()
+    assert(r.map(_.getAs[Long]("query_id")).forall(_ == 0L))
+    assert(r.map(_.getAs[Long]("neighbor_id")).sorted.sameElements(1L to 24L))
+    assert(r.forall(_.getAs[Double]("cosine") >= 0.9))
+    graft.ops.CacheScope.releaseAll(spark)
+  }
+
+  test("kmeans summary: one cell per cluster, membership exact, inertia sane") {
+    // centroid sample (vec_id % 25 == 7) seeds one centroid per cluster;
+    // Lloyd refinement keeps the 25/25/25 split on this well-separated corpus
+    for (iters <- Seq(0, 2)) {
+      val r = Similarity.kmeansSummary(clusteredEmb, lloydIters = iters)
+        .collect()
+      assert(r.length == 3, s"iters=$iters")
+      assert(r.map(_.getAs[Long]("n_members")).forall(_ == 25L))
+      assert(r.map(_.getAs[Double]("inertia"))
+        .forall(x => x > 0.0 && !x.isNaN && !x.isInfinite))
+    }
+    graft.ops.CacheScope.releaseAll(spark)
+  }
+
+  test("source overlap counts only verified cross/within-source pairs") {
+    val d = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog", "web"),
+      (1L, "the quick brown fox jumps over the lazy dog", "wiki"), // dup of 0
+      (2L, "the quick brown fox leaps over the lazy dog", "web"), // j=7/9 < 0.8
+      (3L, "completely different content here entirely now", "wiki")
+    ).toDF("doc_id", "text", "source")
+    val r = Dedup.sourceOverlap(d).collect()
+      .map(x => (x.getAs[String]("source_a"), x.getAs[String]("source_b"),
+        x.getAs[Long]("n_pairs")))
+    assert(r.toSeq == Seq(("web", "wiki", 1L)))
+    graft.ops.CacheScope.releaseAll(spark)
+  }
 }
