@@ -1,0 +1,109 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Large-message resolution — the engine's re-expression of the reference's
+ * external-payload serde (SURVEY §2.2 T19): values on the input/all/examples
+ * topics may be POINTERS to blob-store-backed payloads rather than the
+ * payload itself (`DeadLetterAnalyzerApplication.java:56-66`, `README.md:50`;
+ * the stats topic is exempt). The wrapped wire format has two public
+ * protocol variants:
+ *
+ *  - **Byte-flag**: the first value byte is the flag — 0 = the rest IS the
+ *    payload, 1 = the rest is the UTF-8 URI of the backed payload.
+ *  - **Header-flag**: the flag byte moves into a record header and the value
+ *    carries no prefix (the reference test builds exactly this shape:
+ *    `DeadLetterAnalyzerTopologyTest.java:118-129` adds
+ *    `getHeaderName(false)` with `FlagHelper.IS_NOT_BACKED`). The header
+ *    NAME is resolved by the serde library at runtime, so it is a
+ *    constructor parameter here rather than a hard-coded literal.
+ *
+ * Spark-first resolution: fetching one blob per row inside a UDF would be a
+ * driver-style anti-pattern at corpus scale. Instead the blob store is
+ * scanned ONCE as a `binaryFile` DataFrame (every executor reads its
+ * partition of blobs) and backed rows are resolved by an equi-JOIN on the
+ * store-relative key — distributed, retryable, and usable as a
+ * stream-static join from the streaming topology (Structured Streaming
+ * supports static sides in micro-batch joins). Inline rows never touch the
+ * join. Backed rows whose blob is missing keep a NULL value and are flagged
+ * `lm_missing` so the caller can route them to the error channel — the
+ * reference's fetch failure surfaces as a deserialization error the same
+ * way.
+ */
+object LargeMessage {
+
+  /** Public flag values of the wrapped protocol (0 = inline, 1 = backed). */
+  val IsNotBacked: Byte = 0
+  val IsBacked: Byte = 1
+
+  /** Stand-in for the serde library's value-side flag-header name (the
+    * library derives it at runtime; only the protocol SHAPE is pinned by the
+    * reference's tests). Override per deployment. */
+  val DefaultFlagHeader = "__large_message_flags"
+
+  private def hdrEntry(headers: Column, name: String): Column =
+    filter(coalesce(headers, array()), h => h.getField("key") === lit(name))
+
+  /** True when the row's value is a backed URI reference: the flag header's
+    * byte when present, else the leading value byte. */
+  def isBacked(value: Column, headers: Column,
+      flagHeader: String = DefaultFlagHeader): Column = {
+    val hdr = hdrEntry(headers, flagHeader)
+    when(size(hdr) > 0,
+      element_at(hdr, 1).getField("value") === lit(Array(IsBacked)))
+      .otherwise(substring(value, 1, 1) === lit(Array(IsBacked)))
+  }
+
+  /** The unwrapped payload under either protocol: header-protocol values are
+    * already bare; byte-protocol values lose the flag byte. For backed rows
+    * this is the URI's UTF-8 bytes. */
+  def unwrapped(value: Column, headers: Column,
+      flagHeader: String = DefaultFlagHeader): Column =
+    when(size(hdrEntry(headers, flagHeader)) > 0, value)
+      .otherwise(substring(value, 2, Int.MaxValue))
+
+  /** The blob-store key of a URI, relative to the store root: scheme and
+    * authority-less leading slashes stripped (`s3://bucket/a/b` and
+    * `file:///root/a/b` both key on their path remainder below the
+    * configured root). */
+  private def storeKey(uri: Column, rootPrefix: String): Column = {
+    val bare = regexp_replace(uri, "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "")
+    // the root itself, normalized the same way, is a prefix of every key
+    val root = rootPrefix.replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "")
+      .stripPrefix("/").stripSuffix("/")
+    if (root.isEmpty) bare else substring(bare, root.length + 2, Int.MaxValue)
+  }
+
+  /** Resolves large-message-wrapped values in `frame` (columns `value:
+    * binary`, `headers: array<struct<key,value>>`, others carried through):
+    * inline payloads are unwrapped in place; backed URIs are joined against
+    * one `binaryFile` scan of `blobRoot`. Adds `lm_backed` (the row was a
+    * reference) and `lm_missing` (the reference did not resolve — value is
+    * NULL; route to the error channel). */
+  def resolve(frame: DataFrame, blobRoot: String,
+      flagHeader: String = DefaultFlagHeader): DataFrame = {
+    val spark = frame.sparkSession
+    // null values (tombstones) are inline passthrough, not backed
+    val backed = coalesce(isBacked(col("value"), col("headers"), flagHeader),
+      lit(false))
+    val payload = unwrapped(col("value"), col("headers"), flagHeader)
+    val rootAbs = new java.io.File(blobRoot).getAbsolutePath
+    val blobs = spark.read.format("binaryFile")
+      .option("recursiveFileLookup", "true").load(blobRoot)
+      .select(storeKey(col("path"), rootAbs).as("lm_key"),
+        col("content").as("lm_content"))
+    val passthrough = frame.columns.filterNot(_ == "value").map(col)
+    val inline = frame.filter(!backed)
+      .select(passthrough :+ payload.as("value"): _*)
+      .withColumn("lm_backed", lit(false)).withColumn("lm_missing", lit(false))
+    val resolved = frame.filter(backed)
+      .select(passthrough :+ storeKey(decode(payload, "UTF-8"), rootAbs).as("lm_key"): _*)
+      .join(blobs, Seq("lm_key"), "left")
+      .select(passthrough :+ col("lm_content").as("value"): _*)
+      .withColumn("lm_backed", lit(true))
+      .withColumn("lm_missing", col("value").isNull)
+    inline.unionByName(resolved)
+  }
+}

@@ -141,4 +141,50 @@ class AnalyzerSpec extends SparkSpec {
     val keys = out.stats.collect().map(_.getAs[String]("type")).sorted
     assert(keys.sameElements(Array("java.lang.NullPointerException", StackTraceType).sorted))
   }
+
+  /** T19 large-message serde (reference DeadLetterAnalyzerApplication
+    * .java:56-66, DeadLetterAnalyzerTopologyTest.java:118-129): wrapped
+    * values resolve under BOTH public protocols (leading flag byte /
+    * flag header), backed URIs fetch from the blob store, missing blobs
+    * flag for the error channel, tombstones pass through — and the
+    * resolved stream analyzes identically to inline values. */
+  test("large-message values resolve under both protocols and analyze alike") {
+    import graft.functions.LargeMessage
+    val root = java.nio.file.Files.createTempDirectory("graft-lm")
+    val payload = utf8(deadLetterJson(StackTrace))
+    java.nio.file.Files.write(root.resolve("k1"), payload)
+    val uri = utf8("file://" + root.toAbsolutePath + "/k1")
+    val missingUri = utf8("file://" + root.toAbsolutePath + "/absent")
+    val flagHdr = (b: Byte) =>
+      Seq(Row(LargeMessage.DefaultFlagHeader, Array(b)))
+    def r(offset: Long, key: String, value: Array[Byte], headers: Seq[Row]) =
+      Row(topic, 0, offset, new java.sql.Timestamp(0L), utf8(key), value, headers)
+    val frame = envelopeDf(Seq(
+      r(0, "byte-inline", LargeMessage.IsNotBacked +: payload, Seq()),
+      r(1, "byte-backed", LargeMessage.IsBacked +: uri, Seq()),
+      r(2, "hdr-inline", payload, flagHdr(LargeMessage.IsNotBacked)),
+      r(3, "hdr-backed", uri, flagHdr(LargeMessage.IsBacked)),
+      r(4, "byte-missing", LargeMessage.IsBacked +: missingUri, Seq()),
+      r(5, "tombstone", null, Seq())))
+    val resolved = LargeMessage.resolve(frame, root.toString)
+      .collect().map { x =>
+        (new String(x.getAs[Array[Byte]]("key"), "UTF-8"),
+          Option(x.getAs[Array[Byte]]("value")),
+          x.getAs[Boolean]("lm_backed"), x.getAs[Boolean]("lm_missing"))
+      }.sortBy(_._1)
+    val byKey = resolved.map(x => x._1 -> x).toMap
+    for (k <- Seq("byte-inline", "byte-backed", "hdr-inline", "hdr-backed"))
+      assert(byKey(k)._2.get.sameElements(payload), k)
+    assert(!byKey("byte-inline")._3 && byKey("byte-backed")._3)
+    assert(byKey("byte-missing")._2.isEmpty && byKey("byte-missing")._4)
+    assert(byKey("tombstone")._2.isEmpty && !byKey("tombstone")._4)
+    // the resolved stream is a drop-in input for the analyzer: all four
+    // payload-bearing rows classify exactly like inline dead letters
+    val out = Analyzer.analyze(LargeMessage.resolve(frame, root.toString)
+      .filter(!col("lm_missing") && col("value").isNotNull)
+      .drop("lm_backed", "lm_missing"))
+    val all = out.all.collect()
+    assert(all.length == 4)
+    assert(all.forall(_.getAs[String]("type") == StackTraceType))
+  }
 }
