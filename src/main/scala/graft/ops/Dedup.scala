@@ -226,23 +226,56 @@ object Dedup {
     * (`least`/`greatest`), so within-source duplication lands on the
     * diagonal.
     *
-    * Scale shape: the pair stream is orders of magnitude smaller than the
-    * corpus after the Jaccard verify; the two doc→source enrichment joins
-    * hash-partition on doc id (the 2-column projection broadcasts while it
-    * fits), and the final groupBy is |sources|² rows — map-side combine
-    * collapses it before the shuffle. */
+    * Scale shape — the count is derived WITHOUT listing member pairs, yet is
+    * bit-identical to running [[minhashLsh]] over the whole corpus and
+    * counting (the DuckDB oracle does exactly that): signatures, band keys
+    * and Jaccard are pure functions of the text, so every member of an
+    * exact-duplicate group behaves identically in the sketch. Therefore
+    *  (a) within-group pairs (Jaccard 1.0, always ≥ threshold) count in
+    *      closed form from per-(digest, source) group sizes — C(n,2) on the
+    *      diagonal, nₐ·n_b off it — a narrow aggregation, no pair ever
+    *      materialized (a 100-way-duplicated corpus would otherwise pay a
+    *      ~5,000-pair clique expansion PER duplicated text);
+    *  (b) cross-group pairs run the sketch on one REPRESENTATIVE per digest
+    *      (the [[dedupPipeline]] exact-first trick) and each surviving rep
+    *      pair expands by the member-count PRODUCT per source combination —
+    *      again counts, not pairs.
+    * Token-less docs (no minhash signature, hence never candidates in the
+    * naive listing) are excluded up front to preserve the equivalence. */
   def sourceOverlap(docs: DataFrame, threshold: Double = 0.8,
       tokenizer: Tokenizer = Tokenizer.Whitespace): DataFrame = {
-    val src = docs.select(col("doc_id"), col("source"))
-    minhashLsh(docs, threshold = threshold, tokenizer = tokenizer)
-      .join(maybeBroadcast(
-        src.select(col("doc_id").as("a"), col("source").as("sa"))), "a")
-      .join(maybeBroadcast(
-        src.select(col("doc_id").as("b"), col("source").as("sb"))), "b")
+    val keyed = docs
+      .filter(size(tokenizer.tokens(col("text"))) > 0)
+      .select(col("doc_id"), col("source"),
+        md5(col("text").cast("binary")).as("dig"))
+    val grpSrc = CacheScope.trackEager(keyed
+      .groupBy(col("dig"), col("source")).agg(count(lit(1)).as("cnt")))
+    // (a) within-digest pairs, closed form on the bounded (dig, source) table
+    val sameSrc = grpSrc.filter(col("cnt") > 1)
+      .select(col("source").as("source_a"), col("source").as("source_b"),
+        shiftright(col("cnt") * (col("cnt") - 1), 1).as("n"))
+    val crossSrc = grpSrc.as("l")
+      .join(grpSrc.as("r"),
+        col("l.dig") === col("r.dig") && col("l.source") < col("r.source"))
+      .select(col("l.source").as("source_a"), col("r.source").as("source_b"),
+        (col("l.cnt") * col("r.cnt")).as("n"))
+    // (b) sketch on one representative per digest; expand by count products
+    val reps = keyed.groupBy(col("dig")).agg(min(col("doc_id")).as("doc_id"))
+    val repDocs = CacheScope.trackEager(reps
+      .join(docs.select(col("doc_id"), col("text")), "doc_id"))
+    val repDig = repDocs.select(col("doc_id"), col("dig"))
+    val expanded = minhashLsh(repDocs.select(col("doc_id"), col("text")),
+        threshold = threshold, tokenizer = tokenizer)
+      .join(maybeBroadcast(repDig.toDF("a", "dig_a")), "a")
+      .join(maybeBroadcast(repDig.toDF("b", "dig_b")), "b")
+      .join(maybeBroadcast(grpSrc.toDF("dig_a", "sa", "ca")), "dig_a")
+      .join(maybeBroadcast(grpSrc.toDF("dig_b", "sb", "cb")), "dig_b")
       .select(least(col("sa"), col("sb")).as("source_a"),
-        greatest(col("sa"), col("sb")).as("source_b"))
+        greatest(col("sa"), col("sb")).as("source_b"),
+        (col("ca") * col("cb")).as("n"))
+    sameSrc.unionByName(crossSrc).unionByName(expanded)
       .groupBy(col("source_a"), col("source_b"))
-      .agg(count(lit(1)).as("n_pairs"))
+      .agg(sum(col("n")).as("n_pairs"))
   }
 
   /** Fingerprint width of [[simhash]]: 56 bits = two 28-bit md5 hex lanes. */

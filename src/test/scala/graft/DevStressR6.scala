@@ -27,6 +27,17 @@ object DevStressR6 {
     val docs = SparkEntry.docs(spark, dir)
     val emb = SparkEntry.emb(spark, dir)
     docs.count(); emb.count() // warm scans
+    // `new` as a second arg: only the late-round curation operators
+    if (args.contains("new")) {
+      time("ann_range_t03")(
+        ops.Similarity.rangeSearch(emb, col("vec_id") % 1000 === 0,
+          threshold = 0.3).count())
+      time("emb_kmeans_lloyd2")(
+        ops.Similarity.kmeansSummary(emb, lloydIters = 2).count())
+      time("corpus_overlap")(ops.Dedup.sourceOverlap(docs).count())
+      spark.stop()
+      return
+    }
     time("dedup_exact")(ops.Dedup.exact(docs).count())
     time("dedup_pipeline")(ops.Dedup.dedupPipeline(docs).count())
     time("prep_corpus")(ops.Prep.prepCorpus(docs).count())
