@@ -157,6 +157,21 @@ object Recall {
           topkRecall("fixture_ann_ivfpq_top3",
             ops.Similarity.ivfPqAdcTopK(f, queryPred, k = 3,
               lloydIters = 2, maxCells = 12), bf))
+        // radius search in its designed regime: t=0.8 sits between the
+        // within-cluster cosine (~0.9) and cross-cluster (~0.1), so the
+        // exact radius IS the query's clustermates; held to the bar
+        val rangeExact = {
+          val q = f.filter(queryPred).select(col("vec_id").as("query_id"),
+            col("embedding").cast("array<double>").as("qe"))
+          f.select(col("vec_id").as("neighbor_id"),
+              col("embedding").cast("array<double>").as("ne"))
+            .crossJoin(broadcast(q))
+            .filter(col("neighbor_id") =!= col("query_id") &&
+              ops.Similarity.cosine(col("qe"), col("ne")) >= 0.8)
+            .select(col("query_id"), col("neighbor_id"))
+        }
+        val annRange = topkRecall("fixture_ann_range_t08",
+          ops.Similarity.rangeSearch(f, queryPred, threshold = 0.8), rangeExact)
         val cells = ops.CacheScope.track(
           ops.Similarity.cellAssignments(f, lloydIters = 2, maxCells = 12))
         val exact = ops.Similarity.nearDupPairsExact(f, 0.45)
@@ -164,7 +179,8 @@ object Recall {
           .join(cells.select(col("vec_id").as("a"), col("cell").as("ca")), "a")
           .join(cells.select(col("vec_id").as("b"), col("cell").as("cb")), "b")
           .filter(col("ca") === col("cb"))
-        ann :+ pairRecall("fixture_semantic_cell_capture_t45", sameCell, exact)
+        (ann :+ annRange) :+
+          pairRecall("fixture_semantic_cell_capture_t45", sameCell, exact)
       } finally ops.CacheScope.releaseAll(s)
     fixtureSeq
   }
