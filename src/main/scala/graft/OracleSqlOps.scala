@@ -1404,6 +1404,27 @@ FROM e GROUP BY 1, 2"""
 WHERE NOT EXISTS (SELECT 1 FROM orders o
   WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')"""
 
+  /** Trailing-spike oracle (mirrors graft.ops.Relational.trailingSpikes,
+    * 1-hour buckets, lookback 24, factor 3): integer bucketing
+    * (ts − ts mod width), ROWS frame over observed buckets, the
+    * integer-exact `cnt · n_prev > 3 · sum_prev` flag. */
+  val evSpikes: String = """WITH e AS (
+  SELECT event_type, epoch_us(ts) AS ts_us FROM events
+), c AS (
+  SELECT event_type, ts_us - (ts_us % 3600000000) AS bucket_us,
+    count(*) AS cnt
+  FROM e GROUP BY 1, 2
+)
+SELECT event_type, bucket_us, cnt,
+  count(cnt) OVER w AS prev_buckets,
+  CAST(coalesce(sum(cnt) OVER w, 0) AS BIGINT) AS prev_total,
+  (count(cnt) OVER w > 0 AND
+   cnt * count(cnt) OVER w > 3 * CAST(coalesce(sum(cnt) OVER w, 0) AS BIGINT))
+    AS is_spike
+FROM c
+WINDOW w AS (PARTITION BY event_type ORDER BY bucket_us
+  ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)"""
+
   val evFunnel: String = """WITH e AS (
   SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type FROM events
 ), p AS (

@@ -228,6 +228,14 @@ object SparkEntry {
         .select(unix_micros(col("window.start")).as("window_start_us"),
           col("event_type"), col("n"))),
 
+    // rate-anomaly monitor: hourly per-type counts flagged against the
+    // trailing-24-observed-hours mean, integer-exact comparison
+    "ev_spikes" -> ((s, dir) =>
+      ops.Relational.trailingSpikes(
+        DeadLetterSource.events(s, dir)
+          .select(col("event_type"), expr("ts div 1000").as("ts_us")),
+        key = "event_type", tsUs = "ts_us")),
+
     // Conversion funnel on top of the as-of join: each user's FIRST purchase
     // that follows a signup within 7 days, with the signup it converted from.
     "ev_funnel" -> ((s, dir) => {
@@ -455,6 +463,7 @@ object SparkEntry {
     "ev_retention" -> OracleSqlOps.evRetention,
     "ev_funnel" -> OracleSqlOps.evFunnel,
     "ev_windowed" -> OracleSqlOps.evWindowed,
+    "ev_spikes" -> OracleSqlOps.evSpikes,
     "q_antijoin" -> OracleSqlOps.qAntijoin,
     "text_tokens" -> OracleSqlOps.textTokens,
     "text_langid" -> OracleSqlOps.langId,

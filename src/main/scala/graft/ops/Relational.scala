@@ -62,4 +62,41 @@ object Relational {
     filled.filter(col("__side") === 1).drop("__side")
       .withColumnRenamed("__ts", leftTs)
   }
+
+  /** Trailing-window spike detection over a keyed event stream: bucket
+    * events into fixed windows per key, then flag buckets whose count
+    * exceeds `factor`× the mean of the previous `lookback` OBSERVED buckets
+    * — the rate-anomaly monitor a pipeline runs over its ingest/error
+    * streams. The comparison is INTEGER-exact (`cnt · n_prev >
+    * factor · sum_prev` — no float mean, no stddev whose shuffle-order sum
+    * would diverge between engines), so the flag is bit-reproducible.
+    *
+    * Scale shape: one map-side-combining groupBy to the per-(key, bucket)
+    * counts — the shuffled relation is buckets, not events — then one
+    * window per key over those bounded rows. The trailing frame is ROWS
+    * over observed buckets (empty buckets don't exist as rows; a gap
+    * therefore compresses, which is the right semantics for sparse keys
+    * and keeps the frame a pure rows-frame both engines sort identically).
+    *
+    * @param tsUs    event-time column in epoch MICROSECONDS (long)
+    * @param bucketUs window width in microseconds (default 1 hour)
+    */
+  def trailingSpikes(events: DataFrame, key: String, tsUs: String,
+      bucketUs: Long = 3600000000L, lookback: Int = 24,
+      factor: Int = 3): DataFrame = {
+    // ts − (ts mod width): pure integer bucketing (a double division could
+    // truncate the wrong way at exact multiples)
+    val counts = events
+      .select(col(key), (col(tsUs) - pmod(col(tsUs), lit(bucketUs)))
+        .as("bucket_us"))
+      .groupBy(col(key), col("bucket_us")).agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col(key)).orderBy(col("bucket_us"))
+      .rowsBetween(-lookback, -1)
+    counts
+      .withColumn("prev_buckets", count(col("cnt")).over(w))
+      .withColumn("prev_total", coalesce(sum(col("cnt")).over(w), lit(0L)))
+      .withColumn("is_spike",
+        col("prev_buckets") > 0 &&
+          col("cnt") * col("prev_buckets") > lit(factor) * col("prev_total"))
+  }
 }

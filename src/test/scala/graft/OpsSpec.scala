@@ -1114,6 +1114,24 @@ class OpsSpec extends SparkSpec {
     graft.ops.CacheScope.releaseAll(spark)
   }
 
+  test("trailing spikes flag the burst hour, never the first bucket") {
+    val h = 3600000000L
+    // key "a": hours 0-2 at one event each, hour 3 bursts to 4 events
+    // (4·3 = 12 > 3·3 = 9 → spike); key "b": steady, never flagged
+    val ev = (Seq(0L, 1L, 2L).map(i => ("a", i * h + 7L)) ++
+      Seq.fill(4)(("a", 3L * h + 7L)) ++
+      Seq(0L, 1L, 2L, 3L).map(i => ("b", i * h + 7L)))
+      .toDF("k", "ts_us")
+    val r = ops.Relational.trailingSpikes(ev, key = "k", tsUs = "ts_us")
+      .collect().map(x => ((x.getAs[String]("k"), x.getAs[Long]("bucket_us")),
+        (x.getAs[Long]("cnt"), x.getAs[Long]("prev_buckets"),
+          x.getAs[Boolean]("is_spike")))).toMap
+    assert(r(("a", 0L)) == ((1L, 0L, false))) // no history -> never a spike
+    assert(r(("a", 3L * h)) == ((4L, 3L, true)))
+    assert(r.view.filterKeys(_._1 == "b").values.forall(!_._3))
+    assert(r(("a", 1L * h))._3 == false) // 1*1 > 3*1 is false
+  }
+
   test("source overlap counts only verified cross/within-source pairs") {
     val d = Seq(
       (0L, "the quick brown fox jumps over the lazy dog", "web"),
