@@ -446,16 +446,19 @@ object Similarity {
           col("embedding"), dims, rowsPerBand, bands).as("keys")))
     val banded = e.select(col("vec_id"),
       posexplode(col("keys")).as(Seq("band", "key")))
+    // the query side is usually tiny, but it is caller-controlled — gate the
+    // broadcasts on size ([[Par.maybeBroadcast]]); past the threshold the
+    // joins stay hash-partitioned (shuffle-hash build on the query side)
     val qBanded = e.filter(queryPred).select(col("vec_id").as("query_id"),
       posexplode(col("keys")).as(Seq("band", "key")))
-    val cand = banded.join(broadcast(qBanded), Seq("band", "key"))
+    val cand = banded.join(Par.maybeBroadcast(qBanded), Seq("band", "key"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"))
       .distinct()
     val queries = e.filter(queryPred).select(col("vec_id").as("query_id"),
       col("embedding").as("qe"), col("n2").as("qn2"))
     cand
-      .join(broadcast(queries), "query_id")
+      .join(Par.maybeBroadcast(queries), "query_id")
       .join(Par.maybeBroadcast(e.select(col("vec_id").as("neighbor_id"),
         col("embedding").as("ne"), col("n2").as("nn2"))), "neighbor_id")
       .select(col("query_id"), col("neighbor_id"),
