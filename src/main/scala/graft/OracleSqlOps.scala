@@ -383,6 +383,96 @@ SELECT p.doc_id, p.source, p.n_tokens, r.rate,
 FROM perdoc p JOIN rates r USING (source)"""
   }
 
+  /** Temperature-based source sampling oracle (mirrors
+    * graft.ops.TextAnalysis.mixTemperature, α=0.5): √-token weights summed in
+    * a FIXED order (sources sorted by name — the engine's sorted-struct fold),
+    * rate = min(1, (√tokensₛ / Σ√) · total / tokensₛ); sqrt is correctly
+    * rounded in both engines so the per-million floor stays integer-exact. */
+  val textMixTemperature: String = s"""WITH perdoc AS (
+  SELECT doc_id, source, CAST(len($toks) AS BIGINT) AS n_tokens FROM documents
+), bysrc AS (
+  SELECT source, sum(n_tokens) AS src_tokens FROM perdoc GROUP BY source
+), tot AS (
+  SELECT
+    list_reduce(list_prepend(0.0,
+      list(sqrt(CAST(src_tokens AS DOUBLE)) ORDER BY source)),
+      (x, y) -> x + y) AS sum_w,
+    CAST(sum(src_tokens) AS BIGINT) AS total_tokens
+  FROM bysrc
+), rates AS (
+  SELECT source,
+    least(1.0, sqrt(CAST(src_tokens AS DOUBLE)) / sum_w
+      * CAST(total_tokens AS DOUBLE) / src_tokens) AS rate
+  FROM bysrc, tot
+)
+SELECT p.doc_id, p.source, p.n_tokens, r.rate,
+  ((${hexLaneOf("'tmix:' || CAST(doc_id AS VARCHAR)", 1, 7)}) % 1000000)
+    < CAST(floor(r.rate * 1000000) AS BIGINT) AS kept
+FROM perdoc p JOIN rates r USING (source)"""
+
+  /** Per-doc (doc_id, source, quality) chain shared by the top-frac oracle —
+    * the [[quality]] arithmetic with `source` carried through. */
+  private def qualityScoreOver(src: String): String =
+    s"""qt AS (SELECT doc_id, source, text, $toks AS tk FROM $src),
+qq AS (SELECT doc_id, source,
+  CAST(length(text) AS INT) AS n_chars,
+  CAST(len(tk) AS INT) AS n_tokens,
+  CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS INT) AS alpha,
+  CAST(len(list_filter(tk, x -> list_contains(${stopList("en")}, x))) AS INT) AS stops,
+  CAST(list_sum(list_transform(tk, x -> length(x))) AS INT) AS tok_chars
+FROM qt),
+qs AS (SELECT doc_id, source,
+  (CAST(stops AS DOUBLE) / n_tokens) * 0.4 + least((CAST(tok_chars AS DOUBLE) / n_tokens) / 10.0, 1.0) * 0.3 + (CAST(alpha AS DOUBLE) / n_chars) * 0.3 AS quality
+FROM qq)"""
+
+  /** Per-source top-fraction quality selection oracle (mirrors
+    * graft.ops.TextAnalysis.qualityTopFrac, keepFrac=0.3, buckets=10⁶):
+    * quantized score histogram per source, keep every bucket whose
+    * cumulative-from-top count starts below ⌊0.3·nₛ⌋. */
+  val textQualityTopFrac: String = s"""WITH ${qualityScoreOver("documents")},
+scored AS (
+  SELECT doc_id, source, quality,
+    coalesce(CAST(floor(quality * 1000000) AS BIGINT), -1) AS qb
+  FROM qs
+), hist AS (
+  SELECT source, qb, count(*) AS cnt FROM scored GROUP BY source, qb
+), nsrc AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_src FROM scored GROUP BY source
+), cum AS (
+  SELECT source, qb,
+    coalesce(sum(cnt) OVER (PARTITION BY source ORDER BY qb DESC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_prev
+  FROM hist
+), thr AS (
+  SELECT c.source, min(c.qb) AS thr_qb
+  FROM cum c JOIN nsrc n ON c.source = n.source
+  WHERE c.cum_prev < CAST(floor(0.3 * CAST(n.n_src AS DOUBLE)) AS BIGINT)
+  GROUP BY c.source
+)
+SELECT s.doc_id, s.source, s.quality,
+  s.qb >= coalesce(t.thr_qb, 9223372036854775807) AS kept
+FROM scored s LEFT JOIN thr t ON s.source = t.source"""
+
+  /** Top-K bigram statistics oracle (mirrors
+    * graft.ops.TextAnalysis.topNgrams, width=2, topK=200, minCount=2). */
+  val textNgrams: String = s"""WITH t AS (
+  SELECT doc_id, $toks AS tk FROM documents
+), g AS (
+  SELECT doc_id, unnest(${gramsExpr(2)}) AS gram FROM t
+), pd AS (
+  SELECT doc_id, gram, count(*) AS c FROM g GROUP BY doc_id, gram
+), cnt AS (
+  SELECT gram, CAST(sum(c) AS BIGINT) AS n_occurrences,
+    CAST(count(*) AS BIGINT) AS df
+  FROM pd GROUP BY gram HAVING CAST(sum(c) AS BIGINT) >= 2
+), ranked AS (
+  SELECT gram, n_occurrences, df,
+    row_number() OVER (ORDER BY n_occurrences DESC, gram) AS rank
+  FROM cnt
+)
+SELECT CAST(rank AS INT) AS rank, gram, n_occurrences, df FROM ranked
+WHERE rank <= 200"""
+
   val dedupExact: String = """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
   CAST(count(*) AS INT) AS n_copies
 FROM documents GROUP BY md5(text)"""

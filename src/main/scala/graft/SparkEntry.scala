@@ -302,6 +302,18 @@ object SparkEntry {
       ops.TextAnalysis.mixToShares(docs(s, dir),
         targetShares = (0 until 20).map(i =>
           s"src$i" -> ((i % 4) + 1) / 50.0).toMap)),
+    // α=0.5 temperature sampling (the multilingual up-weighting trick):
+    // keep rates from √-token shares; sqrt is correctly rounded in both
+    // engines so the per-million keep decision stays integer-exact
+    "text_mix_temperature" -> ((s, dir) =>
+      ops.TextAnalysis.mixTemperature(docs(s, dir))),
+    // FineWeb-style per-source top-30% quality retention, exact at
+    // 1e-6 bucket granularity (no per-source full-partition sort)
+    "text_quality_topfrac" -> ((s, dir) =>
+      ops.TextAnalysis.qualityTopFrac(docs(s, dir))),
+    // top-200 word bigrams by occurrence count — the pair-frequency input
+    // to BPE/tokenizer training (text_vocab is the unigram df case)
+    "text_ngrams" -> ((s, dir) => ops.TextAnalysis.topNgrams(docs(s, dir))),
 
     "dedup_exact" -> ((s, dir) => ops.Dedup.exact(docs(s, dir))),
     // the normalized tier: case/punctuation/spacing variants collapse at
@@ -486,6 +498,9 @@ object SparkEntry {
     "search_bm25" -> OracleSqlOps.searchBm25,
     "text_mix" -> OracleSqlOps.textMix,
     "text_mix_recipe" -> OracleSqlOps.textMixRecipe,
+    "text_mix_temperature" -> OracleSqlOps.textMixTemperature,
+    "text_quality_topfrac" -> OracleSqlOps.textQualityTopFrac,
+    "text_ngrams" -> OracleSqlOps.textNgrams,
     "dedup_exact" -> OracleSqlOps.dedupExact,
     "dedup_exact_norm" -> OracleSqlOps.dedupExactNorm,
     "dedup_minhash_lsh" -> OracleSqlOps.minhashLsh,

@@ -81,7 +81,12 @@ object TextAnalysis {
   /** Quality scoring: length/alpha/stopword/token-shape signals combined into
     * one [0,1] score. Division order is fixed so the oracle reproduces the
     * exact doubles. */
-  def quality(docs: DataFrame): DataFrame = {
+  def quality(docs: DataFrame): DataFrame = qualityWith(docs, Nil)
+
+  /** [[quality]] with extra pass-through columns (e.g. `source`) on the same
+    * projection — consumers that need score + metadata stay one scan, no
+    * doc_id self-join. */
+  private def qualityWith(docs: DataFrame, extra: Seq[Column]): DataFrame = {
     val t = tokens(col("text"))
     val nChars = length(col("text"))
     val nToks = size(t)
@@ -94,9 +99,9 @@ object TextAnalysis {
     val score = stopRatio * 0.4 + least(avgTokLen / 10.0, lit(1.0)) * 0.3 +
       alphaRatio * 0.3
     docs.select(
-      col("doc_id"), nChars.as("n_chars"), nToks.as("n_tokens"),
-      avgTokLen.as("avg_token_len"), alphaRatio.as("alpha_ratio"),
-      stopRatio.as("stopword_ratio"), score.as("quality"))
+      (col("doc_id") +: extra) ++ Seq(nChars.as("n_chars"), nToks.as("n_tokens"),
+        avgTokLen.as("avg_token_len"), alphaRatio.as("alpha_ratio"),
+        stopRatio.as("stopword_ratio"), score.as("quality")): _*)
   }
 
   /** Document fingerprints: md5 of the lowercased text (exact identity), plus
@@ -683,5 +688,130 @@ object TextAnalysis {
       .select(col("doc_id"), col("source"), col("n_tokens"), col("rate"),
         (lane % 1000000L < floor(col("rate") * 1000000L).cast("long"))
           .as("kept"))
+  }
+
+  /** Temperature-based source sampling at α = 0.5 (the multilingual-LM
+    * practice: sample source s with probability ∝ pₛ^α, α < 1 flattening the
+    * source distribution so low-resource sources are up-weighted relative to
+    * their raw share — the exponent trick of multilingual BERT/XLM-R/mC4).
+    * Since pₛ = tokensₛ/total, the normalized α=0.5 weight reduces to
+    * √tokensₛ / Σₜ √tokensₜ (the total cancels), and each source's keep rate
+    * is min(1, weightₛ · total / tokensₛ).
+    *
+    * α is fixed at 0.5 because IEEE-754 `sqrt` is CORRECTLY ROUNDED in both
+    * the JVM and DuckDB — the rate doubles are bit-identical across engines,
+    * so the floored per-million keep decision stays integer-exact (the same
+    * portability reasoning as the rational BM25 idf). An arbitrary-α `pow`
+    * is only ~1-ulp accurate and platform-dependent, which would make the
+    * keep decision engine-dependent at the rate boundary. α = 0.25 etc.
+    * compose as repeated sqrt if ever needed.
+    *
+    * Scale shape: identical to [[mixToShares]] — one map-side-combining
+    * groupBy to |sources| rows; the √-weight normalizer is a FIXED-ORDER fold
+    * over the (tiny) per-source table sorted by source name (a shuffle-order
+    * float sum would diverge in the last ulp); rates broadcast back over the
+    * scan; keep decision is a salted per-row hash lane (salt "tmix:" —
+    * decorrelated from the mix/split/sample lanes). */
+  def mixTemperature(docs: DataFrame,
+      tokenizer: Tokenizer = Tokenizer.Whitespace): DataFrame = {
+    val perDoc = docs.select(col("doc_id"), col("source"),
+      size(tokenizer.tokens(col("text"))).cast("long").as("n_tokens"))
+    val bySource = perDoc.groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("src_tokens"))
+    val totals = bySource
+      .agg(sort_array(collect_list(struct(col("source"),
+          sqrt(col("src_tokens").cast("double")).as("w")))).as("ws"),
+        sum(col("src_tokens")).as("total_tokens"))
+      .select(
+        aggregate(col("ws"), lit(0.0), (a, v) => a + v.getField("w"))
+          .as("sum_w"),
+        col("total_tokens"))
+    val rates = bySource.crossJoin(broadcast(totals))
+      .select(col("source"),
+        least(lit(1.0),
+          sqrt(col("src_tokens").cast("double")) / col("sum_w") *
+            col("total_tokens").cast("double") / col("src_tokens"))
+          .as("rate"))
+    val lane = md5Lane(concat(lit("tmix:"), col("doc_id").cast("string")))
+    perDoc.join(Par.maybeBroadcast(rates), "source")
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("rate"),
+        (lane % 1000000L < floor(col("rate") * 1000000L).cast("long"))
+          .as("kept"))
+  }
+
+  /** Per-source top-fraction quality selection (the FineWeb-Edu shape: score
+    * every document, keep each source's best `keepFrac` by score). The
+    * selection is EXACT AT BUCKET GRANULARITY: scores quantize to
+    * `buckets` integer buckets (quality ∈ [0,1] → bucket = ⌊q·buckets⌋), a
+    * per-(source, bucket) count histogram finds the highest bucket whose
+    * cumulative-from-top count reaches ⌊keepFrac·nₛ⌋, and every doc at or
+    * above that bucket is kept — so the kept count overshoots the target by
+    * at most one bucket's population (≤ n/buckets in expectation at the
+    * default 10⁻⁶ granularity).
+    *
+    * Why not exact rank? A per-source row_number window sorts each source's
+    * FULL partition (a source is billions of docs at corpus scale), and an
+    * exact `percentile` over effectively-distinct doubles holds per-value
+    * histogram state O(nₛ) ([[corpusQuantiles]]' bounded-domain argument
+    * dies on doubles). The quantized histogram caps both: aggregation is
+    * map-side-combining on (source, bucket) with ≤ |sources|·buckets rows
+    * ever shuffled, and the threshold scan is a window over those BOUNDED
+    * rows only. The keep decision (bucket ≥ threshold) is integer-exact
+    * across engines; ⌊q·buckets⌋ is one correctly-rounded multiply + floor,
+    * so the bucketing itself is also bit-portable. */
+  def qualityTopFrac(docs: DataFrame, keepFrac: Double = 0.3,
+      buckets: Int = 1000000): DataFrame = {
+    require(keepFrac >= 0.0 && keepFrac <= 1.0, s"keepFrac in [0,1]: $keepFrac")
+    val scored = CacheScope.track(
+      qualityWith(docs, Seq(col("source")))
+        .select(col("doc_id"), col("source"), col("quality"),
+          coalesce(floor(col("quality") * buckets).cast("long"), lit(-1L))
+            .as("qb")))
+    val hist = scored.groupBy(col("source"), col("qb"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("qb").desc)
+    val cum = hist.withColumn("cum_prev",
+      coalesce(sum(col("cnt")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+        lit(0L)))
+    val nSrc = scored.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_src"))
+    val thr = cum.join(nSrc, "source")
+      .filter(col("cum_prev") <
+        floor(lit(keepFrac) * col("n_src").cast("double")).cast("long"))
+      .groupBy(col("source")).agg(min(col("qb")).as("thr_qb"))
+    scored.join(Par.maybeBroadcast(thr), Seq("source"), "left")
+      .select(col("doc_id"), col("source"), col("quality"),
+        (col("qb") >= coalesce(col("thr_qb"), lit(Long.MaxValue))).as("kept"))
+  }
+
+  /** Corpus n-gram statistics: the top-K word n-grams by total occurrence
+    * count (ties on the gram), with document frequency alongside — the
+    * pair-frequency input to BPE/tokenizer training and collocation
+    * analysis ([[vocabulary]] is the unigram case; this is the n-gram
+    * generalization by OCCURRENCE count rather than df).
+    *
+    * Scale shape: grams explode per doc, then TWO map-side-combining
+    * aggregations — per-(doc, gram) counts first (bounds the second
+    * shuffle's row count by distinct grams per doc), then per-gram totals +
+    * df; the top-K is a distributed TakeOrdered (`orderBy.limit`), never a
+    * global window sort — only K rows reach one place, and the rank window
+    * runs over just those K. */
+  def topNgrams(docs: DataFrame, width: Int = 2, topK: Int = 200,
+      minCount: Int = 2, tokenizer: Tokenizer = Tokenizer.Whitespace): DataFrame = {
+    val tk = tokenizer.tokens(col("text"))
+    val g = docs.select(col("doc_id"),
+      explode(grams(tk, size(tk), width)).as("gram"))
+    val perDoc = g.groupBy(col("doc_id"), col("gram"))
+      .agg(count(lit(1)).as("c"))
+    val counts = perDoc.groupBy(col("gram"))
+      .agg(sum(col("c")).as("n_occurrences"), count(lit(1)).as("df"))
+      .filter(col("n_occurrences") >= minCount)
+    val top = counts.orderBy(col("n_occurrences").desc, col("gram")).limit(topK)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_occurrences").desc, col("gram"))
+    top.withColumn("rank", row_number().over(w))
+      .select(col("rank"), col("gram"), col("n_occurrences"), col("df"))
   }
 }

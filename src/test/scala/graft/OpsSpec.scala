@@ -955,6 +955,51 @@ class OpsSpec extends SparkSpec {
     assert(r("a") == 0.5 && r("b") == 1.0)
   }
 
+  test("temperature mix up-weights low-resource sources at alpha=0.5") {
+    val d = ((0L until 300L).map(i => (i, "tok tok tok tok", "big")) ++
+      (300L until 320L).map(i => (i, "tok tok", "small")))
+      .toDF("doc_id", "text", "source")
+    val r = TextAnalysis.mixTemperature(d).collect()
+      .map(x => (x.getAs[String]("source"), x.getAs[Double]("rate"))).distinct.toMap
+    // low-resource source keeps everything (sqrt-share exceeds raw share)
+    assert(r("small") == 1.0)
+    // high-resource rate reproduces the fixed-order fold exactly:
+    // sources sorted by name -> 0.0 + w(big) + w(small)
+    val sumW = 0.0 + math.sqrt(1200.0) + math.sqrt(40.0)
+    assert(r("big") == math.sqrt(1200.0) / sumW * 1240.0 / 1200.0)
+    assert(r("big") < 1.0)
+  }
+
+  test("qualityTopFrac keeps exactly each source's best-score tier") {
+    // 10 docs, distinct quality scores (stopword ratio rises with i)
+    val d = (0 until 10).map { i =>
+      val stops = Seq.fill(i)("the")
+      val rest = Seq.fill(10 - i)(s"zz$i")
+      (i.toLong, (stops ++ rest).mkString(" "), "s")
+    }.toDF("doc_id", "text", "source")
+    val r = TextAnalysis.qualityTopFrac(d, keepFrac = 0.3).collect()
+      .map(x => (x.getAs[Long]("doc_id"), x.getAs[Double]("quality"),
+        x.getAs[Boolean]("kept")))
+    // floor(0.3*10)=3 kept, and they are the 3 highest-quality docs
+    val kept = r.filter(_._3)
+    assert(kept.length == 3)
+    val top3 = r.sortBy(-_._2).take(3).map(_._1).toSet
+    assert(kept.map(_._1).toSet == top3)
+  }
+
+  test("topNgrams counts occurrences vs df and breaks ties on the gram") {
+    val d = Seq(
+      (0L, "a b a b c d"),   // "a b" x2, "b a" x1, "b c" x1, "c d" x1
+      (1L, "a b x y"),       // "a b" x1
+      (2L, "c d only here")  // "c d" x1
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.topNgrams(d, width = 2, topK = 5, minCount = 2)
+      .collect().map(x => (x.getAs[Int]("rank"), x.getAs[String]("gram"),
+        x.getAs[Long]("n_occurrences"), x.getAs[Long]("df")))
+    // only "a b" (3 occ, df 2) and "c d" (2 occ, df 2) survive minCount=2
+    assert(r.toSeq == Seq((1, "a b", 3L, 2L), (2, "c d", 2L, 2L)))
+  }
+
   test("dup spans cover exactly the cross-doc shared 8-gram run") {
     val shared = (1 to 8).map(i => s"s$i").mkString(" ")
     val d = Seq(
