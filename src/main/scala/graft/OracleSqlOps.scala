@@ -864,7 +864,7 @@ JOIN e ne ON ne.vec_id = cd.neighbor_id
 WHERE list_dot_product(qe.v, ne.v) / sqrt(qe.n2 * ne.n2) >= $threshold"""
   }
 
-  val annTopK: String = s"""WITH e AS (
+  val annTopK: String = s"""WITH e AS MATERIALIZED (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
     list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) AS n2
   FROM embeddings
@@ -896,24 +896,26 @@ SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cosine FROM ranked WHER
     * divided by the member count. */
   /** Nearest-centroid assignment against codebook `cTab` -> (vec_id, cell)
     * — shared by the semantic-dedup oracle family. */
-  private def assignSql(cTab: String, out: String): String = s"""$out AS (
+  private def assignSql(cTab: String, out: String,
+      eTab: String = "e"): String = s"""$out AS MATERIALIZED (
   SELECT vec_id, cid AS cell FROM (
     SELECT e.vec_id, c.cid,
       row_number() OVER (PARTITION BY e.vec_id
         ORDER BY list_dot_product(e.v, c.cv) / sqrt(e.n2 * c.cn2) DESC, c.cid) AS rn
-    FROM e, $cTab c) WHERE rn = 1
+    FROM $eTab e, $cTab c) WHERE rn = 1
 )"""
 
   /** One Lloyd mean: assignment `aTab` -> refined codebook `out`, via the
     * engine's two-level chunked fold (chunk = LloydChunk members by vec_id
     * rank; inner fold per chunk, outer fold over chunk partials). */
-  private def meansSql(aTab: String, out: String): String = {
+  private def meansSql(aTab: String, out: String,
+      eTab: String = "e"): String = {
     val chunk = graft.ops.Similarity.LloydChunk
     s"""${out}_r AS (
   SELECT a.cell, e.vec_id, e.v,
     CAST((row_number() OVER (PARTITION BY a.cell ORDER BY e.vec_id) - 1)
       // $chunk AS INT) AS ck
-  FROM $aTab a JOIN e ON e.vec_id = a.vec_id
+  FROM $aTab a JOIN $eTab e ON e.vec_id = a.vec_id
 ), ${out}_p AS (
   SELECT cell, ck, t.i,
     list_reduce(list_prepend(0.0, list(v[t.i + 1] ORDER BY vec_id)),
@@ -928,22 +930,23 @@ SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cosine FROM ranked WHER
   FROM ${out}_p GROUP BY cell, i
 ), ${out}_v AS (
   SELECT cell AS cid, list(m ORDER BY i) AS cv FROM ${out}_m GROUP BY cell
-), $out AS (
+), $out AS MATERIALIZED (
   SELECT cid, cv, list_dot_product(cv, cv) AS cn2 FROM ${out}_v
 )"""
   }
 
   /** The Lloyd-2 cell chain of the semantic oracles: stride-sampled
     * codebook, two refinement steps, final assignment into `cell`. */
-  private def semanticCellChain: String = {
+  private def semanticCellChain(eTab: String = "e",
+      sfx: String = ""): String = {
     val (stride, residue) =
       (graft.ops.Similarity.IvfCentroidStride, graft.ops.Similarity.IvfCentroidResidue)
-    s"""c0 AS (
-  SELECT vec_id AS cid, v AS cv, n2 AS cn2 FROM e WHERE vec_id % $stride = $residue
+    s"""c0$sfx AS MATERIALIZED (
+  SELECT vec_id AS cid, v AS cv, n2 AS cn2 FROM $eTab WHERE vec_id % $stride = $residue
   ORDER BY vec_id LIMIT ${graft.ops.Similarity.IvfMaxCells}
-), ${assignSql("c0", "a0")}, ${meansSql("a0", "c1")},
-${assignSql("c1", "a1")}, ${meansSql("a1", "c2")},
-${assignSql("c2", "cell")}"""
+), ${assignSql(s"c0$sfx", s"a0$sfx", eTab)}, ${meansSql(s"a0$sfx", s"c1$sfx", eTab)},
+${assignSql(s"c1$sfx", s"a1$sfx", eTab)}, ${meansSql(s"a1$sfx", s"c2$sfx", eTab)},
+${assignSql(s"c2$sfx", s"cell$sfx", eTab)}"""
   }
 
   /** Within-cell exact-cosine pairs over the `cell` assignment (>= 0.45),
@@ -954,21 +957,23 @@ ${assignSql("c2", "cell")}"""
        JOIN e re ON re.vec_id = rc.vec_id AND le.vec_id < re.vec_id
   WHERE list_dot_product(le.v, re.v) / sqrt(le.n2 * re.n2) >= 0.45"""
 
-  private val componentsSql: String = """edges AS (SELECT a, b FROM prs UNION ALL SELECT b AS a, a AS b FROM prs),
+  private val componentsCte: String = """edges AS MATERIALIZED (SELECT a, b FROM prs UNION ALL SELECT b AS a, a AS b FROM prs),
 reach(src, dst) AS (
   SELECT vec_id, vec_id FROM e
   UNION
   SELECT r.src, ed.b FROM reach r JOIN edges ed ON r.dst = ed.a
-), comp AS (
+), comp AS MATERIALIZED (
   SELECT src AS vec_id, min(dst) AS cluster_id FROM reach GROUP BY src
-)
-SELECT vec_id, cluster_id, (vec_id = cluster_id) AS is_canonical FROM comp"""
+)"""
 
-  val dedupSemantic: String = s"""WITH RECURSIVE e AS (
+  private val componentsSql: String = componentsCte +
+    "\nSELECT vec_id, cluster_id, (vec_id = cluster_id) AS is_canonical FROM comp"
+
+  val dedupSemantic: String = s"""WITH RECURSIVE e AS MATERIALIZED (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
     list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) AS n2
   FROM embeddings
-), $semanticCellChain, prs AS (
+), ${semanticCellChain()}, prs AS MATERIALIZED (
   $withinCellPairsSql
 ), $componentsSql"""
 
@@ -979,11 +984,11 @@ SELECT vec_id, cluster_id, (vec_id = cluster_id) AS is_canonical FROM comp"""
     * over the merged graph. */
   val dedupSemanticFull: String = {
     val (r, b) = graft.ops.Similarity.lshParams(0.45)
-    s"""WITH RECURSIVE ${hyperplaneCte(r * b)}, e AS (
+    s"""WITH RECURSIVE ${hyperplaneCte(r * b)}, e AS MATERIALIZED (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
     list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) AS n2
   FROM embeddings
-), $semanticCellChain, ldots AS (
+), ${semanticCellChain()}, ldots AS (
   SELECT e.vec_id, hp.h, sum(hp.v * e.v[hp.d + 1]) AS dp
   FROM e, hp GROUP BY e.vec_id, hp.h
 ), lsigs AS (
@@ -1015,11 +1020,11 @@ SELECT vec_id, cluster_id, (vec_id = cluster_id) AS is_canonical FROM comp"""
     * over chunk partials in chunk order). */
   val embKmeans: String = {
     val chunk = graft.ops.Similarity.LloydChunk
-    s"""WITH e AS (
+    s"""WITH e AS MATERIALIZED (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
     list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) AS n2
   FROM embeddings
-), $semanticCellChain, k_r AS (
+), ${semanticCellChain()}, k_r AS (
   SELECT a.cell, e.vec_id,
     e.n2 - 2.0 * list_dot_product(e.v, c.cv) + c.cn2 AS d2,
     CAST((row_number() OVER (PARTITION BY a.cell ORDER BY e.vec_id) - 1)
@@ -1038,10 +1043,95 @@ SELECT cell, CAST(sum(cnt) AS BIGINT) AS n_members,
 FROM k_p GROUP BY cell"""
   }
 
+  /** Per-cell prototypicality score + top-`dropFrac` histogram cut, shared
+    * by the diversity oracles (mirrors the bucket-granularity tier of
+    * graft.ops.Similarity.diversityPrune: proto = cosine to the Lloyd-2
+    * centroid, qb = floor(proto·10⁶), drop every bucket whose
+    * cumulative-from-top count starts below ⌊0.3·n_cell⌋). */
+  private def protoCutSql(sfx: String, eTab: String): String =
+    s"""pr$sfx AS (
+  SELECT a.vec_id, a.cell,
+    list_dot_product(e.v, c.cv) / sqrt(e.n2 * c.cn2) AS proto
+  FROM cell$sfx a JOIN $eTab e ON e.vec_id = a.vec_id
+    JOIN c2$sfx c ON c.cid = a.cell
+), scored$sfx AS MATERIALIZED (
+  SELECT vec_id, cell, proto,
+    CAST(floor(proto * 1000000) AS BIGINT) AS qb
+  FROM pr$sfx
+), hist$sfx AS (
+  SELECT cell, qb, count(*) AS cnt FROM scored$sfx GROUP BY cell, qb
+), ncell$sfx AS (
+  SELECT cell, CAST(count(*) AS BIGINT) AS n_cell FROM scored$sfx GROUP BY cell
+), cum$sfx AS (
+  SELECT cell, qb,
+    coalesce(sum(cnt) OVER (PARTITION BY cell ORDER BY qb DESC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_prev
+  FROM hist$sfx
+), thr$sfx AS (
+  SELECT c.cell, min(c.qb) AS thr_qb
+  FROM cum$sfx c JOIN ncell$sfx n ON c.cell = n.cell
+  WHERE c.cum_prev < CAST(floor(0.3 * CAST(n.n_cell AS DOUBLE)) AS BIGINT)
+  GROUP BY c.cell
+)"""
+
+  /** Diversity-pruning oracle (mirrors graft.ops.Similarity.diversityPrune,
+    * dropFrac=0.3, lloydIters=2): the semantic Lloyd-2 cell chain, cosine
+    * to the own-cell centroid, per-cell quantized-histogram cut. */
+  val embDiversity: String = s"""WITH e AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+    list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) AS n2
+  FROM embeddings
+), ${semanticCellChain()}, ${protoCutSql("", "e")}
+SELECT s.vec_id, s.cell, s.proto,
+  s.qb < coalesce(t.thr_qb, 9223372036854775807) AS kept
+FROM scored s LEFT JOIN thr t ON s.cell = t.cell"""
+
+  /** Composed D4-pipeline oracle (mirrors graft.ops.Similarity.prepD4,
+    * threshold 0.45, dropFrac 0.3, lloydIters 2): the full
+    * [[dedupSemanticFull]] component chain, then a SECOND Lloyd-2 cell
+    * chain over the canonical survivors (suffix `b`) feeding the
+    * prototypicality cut; non-canonicals carry null proto / kept=false. */
+  val prepD4: String = {
+    val (r, b) = graft.ops.Similarity.lshParams(0.45)
+    s"""WITH RECURSIVE ${hyperplaneCte(r * b)}, e AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+    list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) AS n2
+  FROM embeddings
+), ${semanticCellChain()}, ldots AS (
+  SELECT e.vec_id, hp.h, sum(hp.v * e.v[hp.d + 1]) AS dp
+  FROM e, hp GROUP BY e.vec_id, hp.h
+), lsigs AS (
+  SELECT vec_id, h // $r AS band,
+    sum(CASE WHEN dp >= 0 THEN 1::BIGINT << (h % $r) ELSE 0 END) AS key
+  FROM ldots GROUP BY vec_id, h // $r
+), lcand AS (
+  SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+  FROM lsigs l JOIN lsigs r
+    ON l.band = r.band AND l.key = r.key AND l.vec_id < r.vec_id
+), lshp AS (
+  SELECT c.a, c.b FROM lcand c
+  JOIN e le ON le.vec_id = c.a
+  JOIN e re ON re.vec_id = c.b
+  WHERE list_dot_product(le.v, re.v) / sqrt(le.n2 * re.n2) >= 0.45
+), prs AS MATERIALIZED (
+  $withinCellPairsSql
+  UNION
+  SELECT a, b FROM lshp
+), $componentsCte, e2 AS MATERIALIZED (
+  SELECT e.vec_id, e.v, e.n2 FROM e
+  JOIN comp ON e.vec_id = comp.vec_id AND comp.vec_id = comp.cluster_id
+), ${semanticCellChain("e2", "b")}, ${protoCutSql("b", "e2")}
+SELECT comp.vec_id, comp.cluster_id,
+  (comp.vec_id = comp.cluster_id) AS is_canonical, s.proto,
+  coalesce(s.qb < coalesce(t.thr_qb, 9223372036854775807), false) AS kept
+FROM comp LEFT JOIN scoredb s ON comp.vec_id = s.vec_id
+LEFT JOIN thrb t ON s.cell = t.cell"""
+  }
+
   val annIvf: String = {
     val (stride, residue) =
       (graft.ops.Similarity.IvfCentroidStride, graft.ops.Similarity.IvfCentroidResidue)
-    s"""WITH e AS (
+    s"""WITH e AS MATERIALIZED (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
     list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) AS n2
   FROM embeddings
@@ -1387,7 +1477,7 @@ FROM ranked WHERE rank <= 3"""
     val (se, sr) =
       (graft.ops.Similarity.PqSampleEvery, graft.ops.Similarity.PqSampleResidue)
     val sd = 64 / m
-    s"""WITH e AS (
+    s"""WITH e AS MATERIALIZED (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
     list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) AS n2
   FROM embeddings

@@ -415,6 +415,13 @@ object SparkEntry {
     // cluster-quality scan over the same Lloyd-2 codebook dedup_semantic uses
     "emb_kmeans" -> ((s, dir) =>
       ops.Similarity.kmeansSummary(emb(s, dir), lloydIters = 2)),
+    // SSL-prototypes diversity pruning: drop each cell's top-30% most
+    // prototypical (closest-to-centroid) members at bucket granularity
+    "emb_diversity" -> ((s, dir) =>
+      ops.Similarity.diversityPrune(emb(s, dir))),
+    // the composed D4 pipeline: semantic dedup -> recluster survivors ->
+    // prototypicality cut; non-canonicals emerge kept=false
+    "prep_d4" -> ((s, dir) => ops.Similarity.prepD4(emb(s, dir))),
     // source×source near-dup contamination matrix over the minhash pairs
     "corpus_overlap" -> ((s, dir) => ops.Dedup.sourceOverlap(docs(s, dir))),
 
@@ -529,6 +536,8 @@ object SparkEntry {
     "ann_ivfpq" -> OracleSqlOps.ivfPqAdcTopK,
     "ann_range" -> OracleSqlOps.annRange(0.3),
     "emb_kmeans" -> OracleSqlOps.embKmeans,
+    "emb_diversity" -> OracleSqlOps.embDiversity,
+    "prep_d4" -> OracleSqlOps.prepD4,
     "corpus_overlap" -> OracleSqlOps.corpusOverlap,
     "dedup_semantic_full" -> OracleSqlOps.dedupSemanticFull,
     "mm_meta" -> OracleSqlOps.mmMeta,

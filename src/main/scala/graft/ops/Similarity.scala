@@ -916,6 +916,93 @@ object Similarity {
       .select(col("doc_id").as("vec_id"), col("cluster_id"), col("is_canonical"))
   }
 
+  /** SSL-prototypes diversity pruning (the second stage of the D4 recipe —
+    * public SemDeDup/SSL-prototypes/D4 line of work): score every vector's
+    * PROTOTYPICALITY as the cosine to its coarse cell's Lloyd-refined
+    * centroid, and drop each cell's top `dropFrac` most prototypical members
+    * — the near-centroid mass is the semantically redundant "easy" core of a
+    * cluster, while the far-from-centroid tail carries the diversity an LM
+    * corpus wants kept. Emits every vector with its cell, score, and keep
+    * decision (callers filter on `kept`).
+    *
+    * The per-cell cut is EXACT AT BUCKET GRANULARITY, the same shape as
+    * [[TextAnalysis.qualityTopFrac]]: scores quantize to `buckets` integer
+    * buckets, a per-(cell, bucket) count histogram finds the lowest bucket
+    * whose cumulative-from-top count stays under ⌊dropFrac·n_cell⌋, and the
+    * whole tier at or above that bucket drops. A per-cell rank window would
+    * sort full cell partitions (a hot cell is millions of members at corpus
+    * scale); the histogram caps the shuffled state at |cells|·occupied
+    * buckets rows and keeps the keep decision integer-exact across engines
+    * (one correctly-rounded multiply + floor).
+    *
+    * Scale shape: the codebook is bounded and broadcast; assignment is the
+    * [[ivfTopK]] map-side `min(struct)` scan; one dot per row scores the
+    * member against its own centroid; the histogram aggregation is
+    * map-side-combining on (cell, bucket); thresholds are a bounded table
+    * broadcast back over the scan. */
+  def diversityPrune(embeddings: DataFrame, dropFrac: Double = 0.3,
+      lloydIters: Int = 2, maxCells: Int = IvfMaxCells,
+      buckets: Int = 1000000): DataFrame = {
+    require(dropFrac >= 0.0 && dropFrac <= 1.0, s"dropFrac in [0,1]: $dropFrac")
+    val corpus = CacheScope.track(withNorm2(embeddings))
+    val centroids = (1 to lloydIters)
+      .foldLeft(sampleCentroids(corpus, maxCells))((c, _) => lloydStep(corpus, c))
+    val scored = CacheScope.track(
+      corpus.join(assignCells(corpus, centroids), "vec_id")
+        .join(broadcast(centroids), col("cell") === col("cid"))
+        .select(col("vec_id"), col("cell"),
+          cosineWithNorms(col("embedding"), col("ce"), col("n2"), col("cn2"))
+            .as("proto"))
+        .withColumn("qb", floor(col("proto") * buckets).cast("long")))
+    val hist = scored.groupBy(col("cell"), col("qb"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cell")).orderBy(col("qb").desc)
+    val cum = hist.withColumn("cum_prev",
+      coalesce(sum(col("cnt")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+        lit(0L)))
+    val nCell = scored.groupBy(col("cell")).agg(count(lit(1)).as("n_cell"))
+    val thr = cum.join(nCell, "cell")
+      .filter(col("cum_prev") <
+        floor(lit(dropFrac) * col("n_cell").cast("double")).cast("long"))
+      .groupBy(col("cell")).agg(min(col("qb")).as("thr_qb"))
+    // thr is codebook-bounded (<= |cells| rows) but sits under a window +
+    // two aggregations, where the plan-time size estimate is garbage —
+    // eager-track so the broadcast gate reads the materialized size
+    scored.join(Par.maybeBroadcast(CacheScope.trackEager(thr)), Seq("cell"), "left")
+      .select(col("vec_id"), col("cell"), col("proto"),
+        (col("qb") < coalesce(col("thr_qb"), lit(Long.MaxValue))).as("kept"))
+  }
+
+  /** The composed D4 pipeline: [[semanticDedupFull]] collapses near-dup
+    * components to canonicals, then [[diversityPrune]] RECLUSTERS the
+    * surviving corpus and drops each cell's most-prototypical tier. The
+    * recluster (rather than reusing the dedup quantizer's cells) is the
+    * faithful pipeline shape: removing duplicate mass shifts every cluster's
+    * centroid, and prototypicality is only meaningful against the deduped
+    * distribution. Output is one row per input vector: its dedup component,
+    * canonical flag, and — for canonicals — the diversity score and final
+    * keep decision (non-canonicals carry `kept = false`, null score).
+    *
+    * Scale shape: the composition adds nothing beyond its parts — two
+    * bounded Lloyd chains, the union pair graph, and the histogram cut; the
+    * survivor projection is an id semi-join (no embedding shuffle beyond the
+    * recluster's own scan). */
+  def prepD4(embeddings: DataFrame, threshold: Double = 0.45,
+      dropFrac: Double = 0.3, lloydIters: Int = 2,
+      maxCells: Int = IvfMaxCells): DataFrame = {
+    val sem = CacheScope.track(
+      semanticDedupFull(embeddings, threshold, lloydIters, maxCells))
+    val survivors = embeddings.join(
+      sem.filter(col("is_canonical")).select(col("vec_id")), "vec_id")
+    val div = diversityPrune(survivors, dropFrac, lloydIters, maxCells)
+    sem.join(div.select(col("vec_id"), col("proto"), col("kept")),
+        Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster_id"), col("is_canonical"),
+        col("proto"), coalesce(col("kept"), lit(false)).as("kept"))
+  }
+
   /** Exact all-pairs baseline for [[nearDupPairs]] (small corpora / recall
     * measurement): one nested-loop product, no candidate pruning. */
   def nearDupPairsExact(embeddings: DataFrame, threshold: Double): DataFrame = {

@@ -1000,6 +1000,85 @@ class OpsSpec extends SparkSpec {
     assert(r.toSeq == Seq((1, "a b", 3L, 2L), (2, "c d", 2L, 2L)))
   }
 
+  /** Local reference of the bucket-granularity cut: per cell, the min qb
+    * among descending buckets whose cumulative-from-top count starts below
+    * ⌊dropFrac·n⌋ (members at or above it drop). */
+  private def bucketThr(qbs: Seq[Long], dropFrac: Double): Long = {
+    val target = math.floor(dropFrac * qbs.length).toLong
+    val byQb = qbs.groupBy(identity)
+    var cum = 0L; var thr = Long.MaxValue
+    byQb.keys.toSeq.sorted.reverse.foreach { qb =>
+      if (cum < target) thr = qb
+      cum += byQb(qb).length
+    }
+    thr
+  }
+
+  test("diversityPrune drops each cell's most-prototypical tier") {
+    // two well-separated clusters; distance to the cluster core varies per
+    // member so the prototypicality ranking is non-trivial
+    val vecs = (0L until 100L).map { i =>
+      val j = ((i % 50) + 1).toFloat / 100f
+      val e = if (i < 50) Array(1f, j, 0f, 0f) else Array(0f, 0f, 1f, j)
+      (i, e)
+    }.toDF("vec_id", "embedding")
+    val r = Similarity.diversityPrune(vecs, dropFrac = 0.3).collect()
+      .map(x => (x.getAs[Long]("vec_id"), x.getAs[Long]("cell"),
+        x.getAs[Double]("proto"), x.getAs[Boolean]("kept")))
+    assert(r.length == 100)
+    assert(r.exists(_._4) && r.exists(!_._4))
+    r.groupBy(_._2).foreach { case (_, members) =>
+      def qb(p: Double): Long = math.floor(p * 1000000).toLong
+      val thr = bucketThr(members.map(m => qb(m._3)), 0.3)
+      members.foreach { case (id, _, proto, kept) =>
+        assert(kept == (qb(proto) < thr), s"vec $id kept=$kept")
+      }
+      // the cut lands within one bucket of the 30% target
+      val dropped = members.count(!_._4)
+      assert(dropped >= math.floor(0.3 * members.length).toLong)
+    }
+    graft.ops.CacheScope.releaseAll(spark)
+  }
+
+  test("diversityPrune keeps everything at dropFrac=0") {
+    val vecs = (0L until 60L).map(i =>
+      (i, Array(1f, (i % 7).toFloat / 10f, 0f, 0f))).toDF("vec_id", "embedding")
+    val r = Similarity.diversityPrune(vecs, dropFrac = 0.0).collect()
+    assert(r.length == 60 && r.forall(_.getAs[Boolean]("kept")))
+    graft.ops.CacheScope.releaseAll(spark)
+  }
+
+  test("prepD4 collapses duplicates then diversity-prunes only canonicals") {
+    // 64-dim (the LSH tier's hyperplane width): ids 0/1 and 2/3 are exact
+    // duplicate pairs; fillers 4..59 are mutually orthogonal one-hots, so
+    // nothing else merges at threshold 0.95
+    def pad(active: Map[Int, Float]): Seq[Float] =
+      (0 until 64).map(d => active.getOrElse(d, 0f))
+    val vecs = (0L until 60L).map { i =>
+      val e =
+        if (i <= 1) pad(Map(0 -> 1f, 1 -> 0.5f))
+        else if (i <= 3) pad(Map(2 -> 1f, 3 -> 0.5f))
+        else pad(Map((i.toInt - 4) -> 1f))
+      (i, e)
+    }.toDF("vec_id", "embedding")
+    val r = Similarity.prepD4(vecs, threshold = 0.95).collect()
+      .map(x => x.getAs[Long]("vec_id") ->
+        ((x.getAs[Long]("cluster_id"), x.getAs[Boolean]("is_canonical"),
+          x.getAs[Boolean]("kept")))).toMap
+    assert(r.size == 60)
+    // duplicate components resolve to the min id; the shadowed copy can
+    // never be kept and carries no diversity score
+    assert(r(1L)._1 == 0L && !r(1L)._2 && !r(1L)._3)
+    assert(r(3L)._1 == 2L && !r(3L)._2 && !r(3L)._3)
+    // every kept vector is a canonical survivor
+    r.foreach { case (id, (_, canonical, kept)) =>
+      assert(!kept || canonical, s"vec $id kept but not canonical") }
+    // the cut is non-trivial: some canonicals kept, some dropped
+    assert(r.exists { case (_, (_, c, k)) => c && k })
+    assert(r.exists { case (_, (_, c, k)) => c && !k })
+    graft.ops.CacheScope.releaseAll(spark)
+  }
+
   test("dup spans cover exactly the cross-doc shared 8-gram run") {
     val shared = (1 to 8).map(i => s"s$i").mkString(" ")
     val d = Seq(
