@@ -453,6 +453,48 @@ SELECT s.doc_id, s.source, s.quality,
   s.qb >= coalesce(t.thr_qb, 9223372036854775807) AS kept
 FROM scored s LEFT JOIN thr t ON s.source = t.source"""
 
+  /** DSIR importance-weight oracle (mirrors
+    * graft.ops.TextAnalysis.dsirWeights, target = source 'src0', m = 4096,
+    * minWeight 1.0): unigram+bigram features hashed to md5-lane buckets,
+    * Laplace-smoothed target/raw bucket counts from one conditional pass,
+    * per-doc weight = position-ordered PRODUCT of bucket ratios (the
+    * multiply/divide-only arithmetic that stays bit-identical across
+    * engines; ln would not). */
+  val corpusDsir: String = s"""WITH t AS (
+  SELECT doc_id, (source = 'src0') AS is_t, $toks AS tk FROM documents
+), fl AS (
+  SELECT doc_id, is_t, list_concat(tk, ${gramsExpr(2)}) AS fs FROM t
+), f AS (
+  SELECT doc_id, is_t, unnest(ps, recursive := true) FROM (
+    SELECT doc_id, is_t,
+      list_transform(range(1, len(fs) + 1),
+        i -> struct_pack(p := i, g := fs[i])) AS ps
+    FROM fl)
+), fb AS (
+  SELECT doc_id, is_t, p, (${hexLaneOf("g", 1, 7)}) % 4096 AS b FROM f
+), bc AS (
+  SELECT b,
+    sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS tb,
+    sum(CASE WHEN is_t THEN 0 ELSE 1 END) AS rb
+  FROM fb GROUP BY b
+), tot AS (
+  SELECT sum(tb) AS tt, sum(rb) AS rt FROM bc
+), ratio AS (
+  SELECT b,
+    CAST(tb + 1 AS DOUBLE) * CAST(rt + 4096 AS DOUBLE)
+      / (CAST(rb + 1 AS DOUBLE) * CAST(tt + 4096 AS DOUBLE)) AS r
+  FROM bc, tot
+), agg AS (
+  SELECT doc_id,
+    list_reduce(list_prepend(1.0, list(r ORDER BY p)), (a, x) -> a * x) AS w,
+    CAST(count(*) AS INT) AS nf
+  FROM fb JOIN ratio USING (b) GROUP BY doc_id
+)
+SELECT t.doc_id, coalesce(agg.w, 1.0) AS weight,
+  coalesce(agg.nf, 0) AS n_features,
+  coalesce(agg.w, 1.0) >= 1.0 AS kept
+FROM t LEFT JOIN agg USING (doc_id)"""
+
   /** Top-K bigram statistics oracle (mirrors
     * graft.ops.TextAnalysis.topNgrams, width=2, topK=200, minCount=2). */
   val textNgrams: String = s"""WITH t AS (

@@ -314,6 +314,10 @@ object SparkEntry {
     // top-200 word bigrams by occurrence count — the pair-frequency input
     // to BPE/tokenizer training (text_vocab is the unigram df case)
     "text_ngrams" -> ((s, dir) => ops.TextAnalysis.topNgrams(docs(s, dir))),
+    // DSIR-style importance weights vs the src0 reference corpus: hashed
+    // ngram bucket-ratio products (multiply-only arithmetic — engine-exact)
+    "corpus_dsir" -> ((s, dir) =>
+      ops.TextAnalysis.dsirWeights(docs(s, dir), col("source") === "src0")),
 
     "dedup_exact" -> ((s, dir) => ops.Dedup.exact(docs(s, dir))),
     // the normalized tier: case/punctuation/spacing variants collapse at
@@ -508,6 +512,7 @@ object SparkEntry {
     "text_mix_temperature" -> OracleSqlOps.textMixTemperature,
     "text_quality_topfrac" -> OracleSqlOps.textQualityTopFrac,
     "text_ngrams" -> OracleSqlOps.textNgrams,
+    "corpus_dsir" -> OracleSqlOps.corpusDsir,
     "dedup_exact" -> OracleSqlOps.dedupExact,
     "dedup_exact_norm" -> OracleSqlOps.dedupExactNorm,
     "dedup_minhash_lsh" -> OracleSqlOps.minhashLsh,

@@ -786,6 +786,72 @@ object TextAnalysis {
         (col("qb") >= coalesce(col("thr_qb"), lit(Long.MaxValue))).as("kept"))
   }
 
+  /** DSIR-style importance weighting (the hashed-ngram importance
+    * estimation of the public data-selection-with-importance-resampling
+    * line of work): featurize every doc as its unigrams + word bigrams
+    * hashed into `m` buckets, estimate Laplace-smoothed per-bucket
+    * occurrence probabilities for the TARGET subset (`targetPred` — the
+    * high-quality reference corpus) and for the rest, and score each doc
+    * with the PRODUCT of its features' probability ratios. weight > 1 means
+    * the doc's hashed-ngram profile looks more target-like than raw-like;
+    * `kept` applies the `minWeight` boundary (default 1.0).
+    *
+    * The score is a position-ordered product, not a log sum: `ln` is not
+    * correctly rounded (libm-dependent last ulps would break oracle
+    * hash-parity), while `*` and `/` are — identical doubles folded in an
+    * identical order are bit-identical across engines (the rational-BM25 /
+    * sqrt-temperature portability argument). Extremely target-like long
+    * docs saturate to +Infinity (and raw-like ones underflow toward 0.0)
+    * DETERMINISTICALLY in both engines, and the keep decision survives
+    * saturation; a log-space weight is the production knob if finite
+    * weights matter more than oracle parity.
+    *
+    * Per-bucket ratio with +1 smoothing over m buckets:
+    * ((t_b+1)·(R+m)) / ((r_b+1)·(T+m)), T/R = total target/raw feature
+    * occurrences. The factors are combined in DOUBLE (one multiply per
+    * side, then one divide, fixed order): at corpus scale the integer
+    * products overflow int64, and the double rounding is identical across
+    * engines for identical integer inputs.
+    *
+    * Scale shape: this is why DSIR hashes — the model is a BOUNDED m-row
+    * bucket table regardless of corpus size: one map-side-combining groupBy
+    * with conditional sums builds target and raw counts in a single pass
+    * (no per-subset scan or self-join), the ratio table is eager-tracked
+    * and broadcast back over the feature stream, and the per-doc product
+    * is the [[lmScore]] fixed-order fold, buffer bounded by doc length. */
+  def dsirWeights(docs: DataFrame, targetPred: Column, m: Int = 4096,
+      minWeight: Double = 1.0,
+      tokenizer: Tokenizer = Tokenizer.Whitespace): DataFrame = {
+    val t = tokenizer.tokens(col("text"))
+    val feats = concat(t, grams(t, size(t), 2))
+    val occ = CacheScope.track(
+      docs.select(col("doc_id"), targetPred.as("is_t"),
+          posexplode(feats).as(Seq("p", "g")))
+        .withColumn("b", md5Lane(col("g")) % m))
+    val bc = occ.groupBy(col("b")).agg(
+      sum(when(col("is_t"), 1L).otherwise(0L)).as("tb"),
+      sum(when(col("is_t"), 0L).otherwise(1L)).as("rb"))
+    val tot = bc.agg(sum(col("tb")).as("tt"), sum(col("rb")).as("rt"))
+    val ratios = bc.crossJoin(broadcast(tot))
+      .select(col("b"),
+        ((col("tb") + 1L).cast("double") * (col("rt") + m).cast("double") /
+          ((col("rb") + 1L).cast("double") * (col("tt") + m).cast("double")))
+          .as("r"))
+    val agg = occ.join(Par.maybeBroadcast(CacheScope.trackEager(ratios)), "b")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("p"), col("r")))).as("ps"))
+      .select(col("doc_id"),
+        aggregate(transform(col("ps"), x => x.getField("r")),
+          lit(1.0), (a, x) => a * x).as("w"),
+        size(col("ps")).cast("int").as("nf"))
+    docs.select(col("doc_id"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("w"), lit(1.0)).as("weight"),
+        coalesce(col("nf"), lit(0)).as("n_features"),
+        (coalesce(col("w"), lit(1.0)) >= minWeight).as("kept"))
+  }
+
   /** Corpus n-gram statistics: the top-K word n-grams by total occurrence
     * count (ties on the gram), with document frequency alongside — the
     * pair-frequency input to BPE/tokenizer training and collocation

@@ -1000,6 +1000,28 @@ class OpsSpec extends SparkSpec {
     assert(r.toSeq == Seq((1, "a b", 3L, 2L), (2, "c d", 2L, 2L)))
   }
 
+  test("dsirWeights up-weights docs whose ngrams match the target corpus") {
+    val d = (
+      (0L until 20L).map(i => (i, "alpha beta alpha beta", "tgt")) ++
+      (20L until 60L).map(i => (i, "gamma delta gamma epsilon", "raw")) ++
+      Seq((60L, "alpha beta alpha", "raw"),   // target-like raw doc
+          (61L, "", "raw"))                    // empty: weight 1, kept
+    ).toDF("doc_id", "text", "source")
+    val r = TextAnalysis.dsirWeights(d, col("source") === "tgt").collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Double]("weight"), x.getAs[Int]("n_features"),
+          x.getAs[Boolean]("kept")))).toMap
+    assert(r.size == 62)
+    // the target-like raw doc scores above the boundary, raw-like ones below
+    assert(r(60L)._1 > 1.0 && r(60L)._3)
+    assert(r(25L)._1 < 1.0 && !r(25L)._3)
+    // featurization counts unigrams + bigrams
+    assert(r(60L)._2 == 3 + 2)
+    // empty doc: empty product = 1.0, kept at the default boundary
+    assert(r(61L) == ((1.0, 0, true)))
+    graft.ops.CacheScope.releaseAll(spark)
+  }
+
   /** Local reference of the bucket-granularity cut: per cell, the min qb
     * among descending buckets whose cumulative-from-top count starts below
     * ⌊dropFrac·n⌋ (members at or above it drop). */
