@@ -27,6 +27,25 @@ object DevStressR6 {
     val docs = SparkEntry.docs(spark, dir)
     val emb = SparkEntry.emb(spark, dir)
     docs.count(); emb.count() // warm scans
+    // `r6b` as a second arg: the end-of-round curation operators
+    if (args.contains("r6b")) {
+      time("emb_diversity")(
+        ops.Similarity.diversityPrune(emb).count())
+      // t=0.8 is the pruning regime on this near-orthogonal corpus (the
+      // t=0.45 wall is documented at dedup_semantic_full); the composed
+      // pipeline inherits the same tier economics
+      time("prep_d4_t08")(
+        ops.Similarity.prepD4(emb, threshold = 0.8).count())
+      time("corpus_dsir")(
+        ops.TextAnalysis.dsirWeights(docs, col("source") === "src0").count())
+      time("text_quality_topfrac")(
+        ops.TextAnalysis.qualityTopFrac(docs).count())
+      time("text_mix_temperature")(
+        ops.TextAnalysis.mixTemperature(docs).count())
+      time("text_ngrams")(ops.TextAnalysis.topNgrams(docs).count())
+      spark.stop()
+      return
+    }
     // `new` as a second arg: only the late-round curation operators
     if (args.contains("new")) {
       time("ann_range_t03")(
