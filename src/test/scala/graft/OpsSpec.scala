@@ -1000,6 +1000,30 @@ class OpsSpec extends SparkSpec {
     assert(r.toSeq == Seq((1, "a b", 3L, 2L), (2, "c d", 2L, 2L)))
   }
 
+  test("plan shapes: diversity threshold and dsir ratio tables broadcast") {
+    // the histogram-threshold / bucket-ratio tables are bounded but sit
+    // under windows + aggregations where Catalyst's size estimate is
+    // garbage — the eager-track must let the gate read the MATERIALIZED
+    // size and broadcast (a silent shuffle-join downgrade here re-shuffles
+    // the whole corpus stream on the join key)
+    val vecs = (0L until 100L).map(i =>
+      (i, Array(1f, ((i % 50) + 1).toFloat / 100f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val divPlan = org.apache.spark.sql.graftbridge.executedPlanString(
+      Similarity.diversityPrune(vecs))
+    assert(divPlan.contains("BroadcastHashJoin"),
+      "thr must broadcast-join back over the scored corpus")
+    graft.ops.CacheScope.releaseAll(spark)
+    val d = (0L until 100L).map(i =>
+      (i, "alpha beta gamma", if (i < 20) "tgt" else "raw"))
+      .toDF("doc_id", "text", "source")
+    val dsirPlan = org.apache.spark.sql.graftbridge.executedPlanString(
+      TextAnalysis.dsirWeights(d, col("source") === "tgt"))
+    assert(dsirPlan.contains("BroadcastHashJoin"),
+      "bucket ratios must broadcast-join into the feature stream")
+    graft.ops.CacheScope.releaseAll(spark)
+  }
+
   test("dsirWeights up-weights docs whose ngrams match the target corpus") {
     val d = (
       (0L until 20L).map(i => (i, "alpha beta alpha beta", "tgt")) ++
