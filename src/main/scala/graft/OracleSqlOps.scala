@@ -495,6 +495,51 @@ SELECT t.doc_id, coalesce(agg.w, 1.0) AS weight,
   coalesce(agg.w, 1.0) >= 1.0 AS kept
 FROM t LEFT JOIN agg USING (doc_id)"""
 
+  /** BPE merge-training oracle (mirrors graft.ops.TextAnalysis.bpeMerges,
+    * merges = 10): 10 UNROLLED rounds, each a materialized
+    * pair-count → argmax (count DESC, pair ASC — the engine's negated-count
+    * min-struct) → leftmost-greedy rewrite; the rewrite fold runs on a
+    * STRING accumulator because DuckDB's list_reduce pins the accumulator
+    * to the element type, and mirrors the engine's substr-boundary
+    * arithmetic character for character. */
+  val textBpeMerges: String = {
+    val k = 10
+    val rounds = (1 to k).map { r =>
+      s"""pc$r AS MATERIALIZED (
+  SELECT pr, CAST(sum(cnt) AS BIGINT) AS c FROM (
+    SELECT unnest(list_transform(range(1, greatest(len(sl) - 1, 0) + 1),
+      j -> sl[j] || ' ' || sl[j + 1])) AS pr, cnt
+    FROM (SELECT string_split(s, ' ') AS sl, cnt FROM vs$r))
+  GROUP BY pr
+), b$r AS MATERIALIZED (
+  SELECT pr, c, split_part(pr, ' ', 1) AS pa, split_part(pr, ' ', 2) AS pb
+  FROM pc$r ORDER BY c DESC, pr LIMIT 1
+), vs${r + 1} AS MATERIALIZED (
+  SELECT cnt, list_reduce(list_prepend('', string_split(s, ' ')),
+    (acc, x) -> CASE
+      WHEN acc = '' THEN x
+      WHEN x = b.pb AND acc = b.pa THEN b.pa || b.pb
+      WHEN x = b.pb AND length(acc) > length(b.pa)
+        AND substr(acc, length(acc) - length(b.pa), length(b.pa) + 1)
+          = ' ' || b.pa
+        THEN substr(acc, 1, length(acc) - length(b.pa)) || b.pa || b.pb
+      ELSE acc || ' ' || x END) AS s
+  FROM vs$r, b$r b
+)"""
+    }.mkString(", ")
+    val out = (1 to k)
+      .map(r => s"SELECT $r AS merge_rank, pr AS pair, c AS n_occurrences FROM b$r")
+      .mkString("\n  UNION ALL ")
+    s"""WITH vs1 AS MATERIALIZED (
+  SELECT CAST(count(*) AS BIGINT) AS cnt,
+    array_to_string(list_append(list_transform(range(1, length(w) + 1),
+      i -> w[i]), '</w>'), ' ') AS s
+  FROM (SELECT unnest($toks) AS w FROM documents) GROUP BY w
+), $rounds
+SELECT CAST(merge_rank AS INT) AS merge_rank, pair, n_occurrences FROM (
+  $out)"""
+  }
+
   /** Top-K bigram statistics oracle (mirrors
     * graft.ops.TextAnalysis.topNgrams, width=2, topK=200, minCount=2). */
   val textNgrams: String = s"""WITH t AS (

@@ -318,6 +318,9 @@ object SparkEntry {
     // ngram bucket-ratio products (multiply-only arithmetic — engine-exact)
     "corpus_dsir" -> ((s, dir) =>
       ops.TextAnalysis.dsirWeights(docs(s, dir), col("source") === "src0")),
+    // BPE subword trainer: 10 learned merges over the word-frequency table
+    // (one corpus pass; every round touches only the bounded vocab)
+    "text_bpe_merges" -> ((s, dir) => ops.TextAnalysis.bpeMerges(docs(s, dir))),
 
     "dedup_exact" -> ((s, dir) => ops.Dedup.exact(docs(s, dir))),
     // the normalized tier: case/punctuation/spacing variants collapse at
@@ -513,6 +516,7 @@ object SparkEntry {
     "text_quality_topfrac" -> OracleSqlOps.textQualityTopFrac,
     "text_ngrams" -> OracleSqlOps.textNgrams,
     "corpus_dsir" -> OracleSqlOps.corpusDsir,
+    "text_bpe_merges" -> OracleSqlOps.textBpeMerges,
     "dedup_exact" -> OracleSqlOps.dedupExact,
     "dedup_exact_norm" -> OracleSqlOps.dedupExactNorm,
     "dedup_minhash_lsh" -> OracleSqlOps.minhashLsh,

@@ -852,6 +852,86 @@ object TextAnalysis {
         (coalesce(col("w"), lit(1.0)) >= minWeight).as("kept"))
   }
 
+  /** BPE merge training (the public byte-pair-encoding subword algorithm:
+    * iteratively merge the most frequent adjacent symbol pair): each word
+    * starts as its character sequence plus an end-of-word marker, and each
+    * of `merges` rounds (a) counts adjacent symbol pairs across the
+    * word-frequency table weighted by word count, (b) picks the most
+    * frequent pair (ties break on the lexicographically smaller pair), and
+    * (c) rewrites every word's symbol sequence with the leftmost-greedy,
+    * non-overlapping merge of that pair. Output: one row per learned merge
+    * — `(merge_rank, pair, n_occurrences)` — the merge table a BPE
+    * tokenizer ships ([[topNgrams]] is the one-shot word-level pair count;
+    * this is the iterated subword trainer).
+    *
+    * Scale shape: the ONLY corpus-scale pass is the word-count groupBy
+    * (map-side combining); every round then touches the BOUNDED distinct-
+    * word table — the classic trainer economics. Per round: one weighted
+    * pair aggregation (map-side combining), one global `min(struct)` argmax
+    * (ties integer-exact via the negated count), and one symbol rewrite as
+    * a per-word FOLD (buffer bounded by word length) against the broadcast
+    * 1-row winner. Each round's vocab is eagerly localCheckpoint'ed (the
+    * [[Similarity]] Lloyd-iteration rule) so lineage stays k-deep-free.
+    *
+    * Symbols are space-joined strings and the merge fold runs on a STRING
+    * accumulator (DuckDB's `list_reduce` constrains the accumulator to the
+    * element type, so the oracle cannot fold a growing list — a string with
+    * token boundaries expresses the same greedy scan in both engines):
+    * a merged symbol is strictly longer than its left part, so it can never
+    * re-merge within its own round — leftmost-greedy falls out of the scan
+    * order. Words are assumed not to contain the `</w>` marker or spaces
+    * (the tokenizers guarantee the latter). */
+  def bpeMerges(docs: DataFrame, merges: Int = 10,
+      tokenizer: Tokenizer = Tokenizer.Whitespace): DataFrame = {
+    val words = docs
+      .select(explode(tokenizer.tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    val chars = transform(sequence(lit(1), length(col("w"))),
+      i => col("w").substr(i, lit(1)))
+    var vocab = words.select(col("cnt"),
+      concat_ws(" ", concat(chars, array(lit("</w>")))).as("s"))
+      .localCheckpoint()
+    val rounds = (1 to merges).map { r =>
+      val sl = split(col("s"), " ")
+      val prs = zip_with(
+        slice(sl, lit(1), greatest(size(sl) - 1, lit(0))),
+        slice(sl, lit(2), greatest(size(sl) - 1, lit(0))),
+        (x, y) => concat(x, lit(" "), y))
+      val best = vocab
+        .select(explode(prs).as("pr"), col("cnt"))
+        .groupBy(col("pr")).agg(sum(col("cnt")).as("c"))
+        .agg(min(struct((-col("c")).as("nc"), col("pr").as("pr"))).as("b"))
+        // a pair-exhausted round yields a null global min: emit nothing and
+        // let the empty cross join retire the remaining rounds (the oracle's
+        // LIMIT 1 over an empty count table does the same)
+        .filter(col("b").isNotNull)
+        .select(col("b.pr").as("bp"), (-col("b.nc")).as("bc"),
+          element_at(split(col("b.pr"), " "), 1).as("pa"),
+          element_at(split(col("b.pr"), " "), 2).as("pb"))
+        .localCheckpoint()
+      val acc0 = lit("")
+      vocab = vocab.crossJoin(broadcast(best))
+        .select(col("cnt"),
+          aggregate(split(col("s"), " "), acc0, (acc, x) => {
+            val la = length(col("pa"))
+            val tailIsPa = length(acc) > la &&
+              acc.substr(length(acc) - la, la + lit(1)) ===
+                concat(lit(" "), col("pa"))
+            when(acc === "", x)
+              .when(x === col("pb") && acc === col("pa"),
+                concat(col("pa"), col("pb")))
+              .when(x === col("pb") && tailIsPa,
+                concat(acc.substr(lit(1), length(acc) - la),
+                  col("pa"), col("pb")))
+              .otherwise(concat(acc, lit(" "), x))
+          }).as("s"))
+        .localCheckpoint()
+      best.select(lit(r).as("merge_rank"), col("bp").as("pair"),
+        col("bc").as("n_occurrences"))
+    }
+    rounds.reduce(_.unionByName(_))
+  }
+
   /** Corpus n-gram statistics: the top-K word n-grams by total occurrence
     * count (ties on the gram), with document frequency alongside — the
     * pair-frequency input to BPE/tokenizer training and collocation

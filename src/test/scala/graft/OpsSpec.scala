@@ -1000,6 +1000,34 @@ class OpsSpec extends SparkSpec {
     assert(r.toSeq == Seq((1, "a b", 3L, 2L), (2, "c d", 2L, 2L)))
   }
 
+  test("bpeMerges learns the hand-computed merge sequence and stops dry") {
+    // one word "aaab" x3: symbols a a a b </w>
+    // r1: "a a" weighted 6 (two adjacent occurrences per word) beats
+    //     "a b"/"b </w>" at 3 -> [aa, a, b, </w>] (leftmost-greedy)
+    // r2: three pairs tie at 3; lexicographic min "a b" -> [aa, ab, </w>]
+    // r3: tie "aa ab" vs "ab </w>" -> "aa ab" -> [aaab, </w>]
+    // r4: "aaab </w>" -> single symbol; r5..r10 have no pairs -> no rows
+    val d = Seq((0L, "aaab aaab aaab")).toDF("doc_id", "text")
+    val r = TextAnalysis.bpeMerges(d, merges = 10).orderBy("merge_rank")
+      .collect().map(x => (x.getAs[Int]("merge_rank"), x.getAs[String]("pair"),
+        x.getAs[Long]("n_occurrences")))
+    assert(r.toSeq == Seq(
+      (1, "a a", 6L), (2, "a b", 3L), (3, "aa ab", 3L), (4, "aaab </w>", 3L)))
+  }
+
+  test("bpeMerges on the classic corpus merges the frequent suffix first") {
+    // the standard BPE illustration: est-family suffixes dominate
+    val d = Seq((0L, Seq.fill(5)("low").mkString(" ")),
+      (1L, Seq.fill(2)("lower").mkString(" ")),
+      (2L, Seq.fill(6)("newest").mkString(" ")),
+      (3L, Seq.fill(3)("widest").mkString(" "))).toDF("doc_id", "text")
+    val r = TextAnalysis.bpeMerges(d, merges = 3).orderBy("merge_rank")
+      .collect().map(x => (x.getAs[String]("pair"), x.getAs[Long]("n_occurrences")))
+    // "e s" occurs in newest(6) + widest(3) = 9 -> first merge; then
+    // "es t" (9), then "est </w>" (9)
+    assert(r.toSeq == Seq(("e s", 9L), ("es t", 9L), ("est </w>", 9L)))
+  }
+
   test("plan shapes: diversity threshold and dsir ratio tables broadcast") {
     // the histogram-threshold / bucket-ratio tables are bounded but sit
     // under windows + aggregations where Catalyst's size estimate is
