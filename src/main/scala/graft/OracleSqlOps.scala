@@ -504,6 +504,17 @@ FROM t LEFT JOIN agg USING (doc_id)"""
     * arithmetic character for character. */
   val textBpeMerges: String = {
     val k = 10
+    val out = (1 to k)
+      .map(r => s"SELECT $r AS merge_rank, pr AS pair, c AS n_occurrences FROM b$r")
+      .mkString("\n  UNION ALL ")
+    s"""WITH ${bpeChain(k)}
+SELECT CAST(merge_rank AS INT) AS merge_rank, pair, n_occurrences FROM (
+  $out)"""
+  }
+
+  /** The trainer's shared CTE chain (vs1 + 10 rounds) without a final
+    * select, reused by [[textBpeMerges]] and [[textBpeEncode]]. */
+  private def bpeChain(k: Int): String = {
     val rounds = (1 to k).map { r =>
       s"""pc$r AS MATERIALIZED (
   SELECT pr, CAST(sum(cnt) AS BIGINT) AS c FROM (
@@ -527,17 +538,58 @@ FROM t LEFT JOIN agg USING (doc_id)"""
   FROM vs$r, b$r b
 )"""
     }.mkString(", ")
-    val out = (1 to k)
-      .map(r => s"SELECT $r AS merge_rank, pr AS pair, c AS n_occurrences FROM b$r")
-      .mkString("\n  UNION ALL ")
-    s"""WITH vs1 AS MATERIALIZED (
+    s"""vs1 AS MATERIALIZED (
   SELECT CAST(count(*) AS BIGINT) AS cnt,
     array_to_string(list_append(list_transform(range(1, length(w) + 1),
       i -> w[i]), '</w>'), ' ') AS s
   FROM (SELECT unnest($toks) AS w FROM documents) GROUP BY w
-), $rounds
-SELECT CAST(merge_rank AS INT) AS merge_rank, pair, n_occurrences FROM (
-  $out)"""
+), $rounds"""
+  }
+
+  /** BPE-encode oracle (mirrors graft.ops.TextAnalysis.bpeEncode over a
+    * fresh 10-merge training: the text_bpe_merges chain, the rank-ordered
+    * merge list collapsed to one row, then a nested list_reduce replays the
+    * merges per token — inner fold identical to the trainer's rewrite. */
+  val textBpeEncode: String = {
+    val k = 10
+    val out = (1 to k)
+      .map(r => s"SELECT $r AS merge_rank, pr FROM b$r")
+      .mkString("\n  UNION ALL ")
+    s"""WITH ${bpeChain(k)}, ml AS MATERIALIZED (
+  SELECT list(pr ORDER BY merge_rank) AS ms FROM (
+  $out)
+), tokd AS (
+  SELECT doc_id, unnest(ps, recursive := true) FROM (
+    SELECT doc_id, list_transform(range(1, len(tk) + 1),
+      i -> struct_pack(p := i, w := tk[i])) AS ps
+    FROM (SELECT doc_id, $toks AS tk FROM documents))
+), enc AS (
+  SELECT doc_id, p,
+    list_reduce(list_prepend(
+      array_to_string(list_append(list_transform(range(1, length(w) + 1),
+        i -> w[i]), '</w>'), ' '), ml.ms),
+      (acc, m) -> list_reduce(list_prepend('', string_split(acc, ' ')),
+        (a, x) -> CASE
+          WHEN a = '' THEN x
+          WHEN x = split_part(m, ' ', 2) AND a = split_part(m, ' ', 1)
+            THEN split_part(m, ' ', 1) || split_part(m, ' ', 2)
+          WHEN x = split_part(m, ' ', 2)
+            AND length(a) > length(split_part(m, ' ', 1))
+            AND substr(a, length(a) - length(split_part(m, ' ', 1)),
+                  length(split_part(m, ' ', 1)) + 1)
+              = ' ' || split_part(m, ' ', 1)
+            THEN substr(a, 1, length(a) - length(split_part(m, ' ', 1)))
+              || split_part(m, ' ', 1) || split_part(m, ' ', 2)
+          ELSE a || ' ' || x END)) AS sub
+  FROM tokd, ml
+), agg AS (
+  SELECT doc_id, string_agg(sub, ' ' ORDER BY p) AS bpe_text,
+    CAST(sum(len(string_split(sub, ' '))) AS INT) AS n_subwords
+  FROM enc GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(agg.bpe_text, '') AS bpe_text,
+  coalesce(agg.n_subwords, 0) AS n_subwords
+FROM documents d LEFT JOIN agg USING (doc_id)"""
   }
 
   /** Top-K bigram statistics oracle (mirrors

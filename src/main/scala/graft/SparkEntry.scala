@@ -321,6 +321,12 @@ object SparkEntry {
     // BPE subword trainer: 10 learned merges over the word-frequency table
     // (one corpus pass; every round touches only the bounded vocab)
     "text_bpe_merges" -> ((s, dir) => ops.TextAnalysis.bpeMerges(docs(s, dir))),
+    // apply the trained merges back over the corpus: the subword encoding
+    // and TRUE sequence-length signal (vs the whitespace token proxy)
+    "text_bpe_encode" -> ((s, dir) => {
+      val d = docs(s, dir)
+      ops.TextAnalysis.bpeEncode(d, ops.TextAnalysis.bpeMerges(d))
+    }),
 
     "dedup_exact" -> ((s, dir) => ops.Dedup.exact(docs(s, dir))),
     // the normalized tier: case/punctuation/spacing variants collapse at
@@ -517,6 +523,7 @@ object SparkEntry {
     "text_ngrams" -> OracleSqlOps.textNgrams,
     "corpus_dsir" -> OracleSqlOps.corpusDsir,
     "text_bpe_merges" -> OracleSqlOps.textBpeMerges,
+    "text_bpe_encode" -> OracleSqlOps.textBpeEncode,
     "dedup_exact" -> OracleSqlOps.dedupExact,
     "dedup_exact_norm" -> OracleSqlOps.dedupExactNorm,
     "dedup_minhash_lsh" -> OracleSqlOps.minhashLsh,

@@ -932,6 +932,62 @@ object TextAnalysis {
     rounds.reduce(_.unionByName(_))
   }
 
+  /** Apply a learned [[bpeMerges]] table: subword-tokenize every document
+    * by replaying the merges IN RANK ORDER over each word's character
+    * sequence (the reference BPE encode semantics — merges apply in the
+    * order they were learned, each as the same leftmost-greedy scan the
+    * trainer used). Output per doc: the space-joined subword string and the
+    * subword count — the sequence-length signal token-budget planning needs
+    * from the actual tokenizer rather than the whitespace proxy.
+    *
+    * Scale shape: the merge table is the BOUNDED trained artifact — it
+    * collapses to ONE rank-ordered array row and broadcasts; encoding is a
+    * pure per-token expression (a rank-ordered fold of merge scans, each
+    * bounded by word length — no joins, no state), and the only shuffle is
+    * the per-doc reassembly groupBy. The nested fold runs on the same
+    * string accumulator as the trainer, so the DuckDB oracle mirrors it
+    * with nested `list_reduce` bit-for-bit. */
+  def bpeEncode(docs: DataFrame, mergeTable: DataFrame,
+      tokenizer: Tokenizer = Tokenizer.Whitespace): DataFrame = {
+    val ms = mergeTable
+      .agg(sort_array(collect_list(struct(col("merge_rank").as("r"),
+        col("pair").as("m")))).as("rm"))
+      .select(transform(col("rm"), x => x.getField("m")).as("ms"))
+    val occ = docs.select(col("doc_id"),
+      posexplode(tokenizer.tokens(col("text"))).as(Seq("p", "w")))
+    val chars = transform(sequence(lit(1), length(col("w"))),
+      i => col("w").substr(i, lit(1)))
+    val s0 = concat_ws(" ", concat(chars, array(lit("</w>"))))
+    def pa(m: Column) = element_at(split(m, " "), 1)
+    def pb(m: Column) = element_at(split(m, " "), 2)
+    val enc = occ.crossJoin(broadcast(ms))
+      .select(col("doc_id"), col("p"),
+        aggregate(col("ms"), s0, (acc, m) => {
+          val la = length(pa(m))
+          aggregate(split(acc, " "), lit(""), (a, x) =>
+            when(a === "", x)
+              .when(x === pb(m) && a === pa(m), concat(pa(m), pb(m)))
+              .when(x === pb(m) && length(a) > la &&
+                  a.substr(length(a) - la, la + lit(1)) ===
+                    concat(lit(" "), pa(m)),
+                concat(a.substr(lit(1), length(a) - la), pa(m), pb(m)))
+              .otherwise(concat(a, lit(" "), x)))
+        }).as("sub"))
+    val agg = enc.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("p"), col("sub")))).as("ss"))
+      .select(col("doc_id"),
+        concat_ws(" ", transform(col("ss"), x => x.getField("sub")))
+          .as("bpe_text"),
+        aggregate(transform(col("ss"),
+            x => size(split(x.getField("sub"), " "))),
+          lit(0), (a, x) => a + x).as("n_subwords"))
+    docs.select(col("doc_id"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("bpe_text"), lit("")).as("bpe_text"),
+        coalesce(col("n_subwords"), lit(0)).as("n_subwords"))
+  }
+
   /** Corpus n-gram statistics: the top-K word n-grams by total occurrence
     * count (ties on the gram), with document frequency alongside — the
     * pair-frequency input to BPE/tokenizer training and collocation

