@@ -1663,7 +1663,9 @@ FROM ccodes GROUP BY vec_id, cell"""
     * lloydIters=0, nprobe=2): per probed cell the query RESIDUAL scores the
     * residual codebook; only corpus codes of probed cells are scanned
     * (equi-join on cell); fixed-order 4-column ADC sum. */
-  val ivfPqAdcTopK: String = {
+  /** The IVF-PQ probe/ADC chain through the `ranked` CTE, shared by
+    * [[ivfPqAdcTopK]] and [[ivfPqRerank]]. */
+  private def ivfPqRankedChain: String = {
     val m = graft.ops.Similarity.IvfPqSubspaces
     val sd = 64 / m
     val pivots = (0 until m)
@@ -1702,10 +1704,28 @@ q AS (
     row_number() OVER (PARTITION BY query_id
       ORDER BY $adcSum, vec_id) AS rank
   FROM pivoted
-)
+)"""
+  }
+
+  val ivfPqAdcTopK: String = ivfPqRankedChain + """
 SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, adc
 FROM ranked WHERE rank <= 3"""
-  }
+
+  /** Two-stage rerank oracle (mirrors graft.ops.Similarity.ivfPqRerankTopK,
+    * shortlist 30, k 3): the ADC chain's top-30, exact-cosine rescored. */
+  val ivfPqRerank: String = ivfPqRankedChain + """, sl AS (
+  SELECT query_id, neighbor_id FROM ranked WHERE rank <= 30
+), rr AS (
+  SELECT sl.query_id, sl.neighbor_id,
+    list_dot_product(qe.v, ne.v) / sqrt(qe.n2 * ne.n2) AS cosine,
+    row_number() OVER (PARTITION BY sl.query_id
+      ORDER BY list_dot_product(qe.v, ne.v) / sqrt(qe.n2 * ne.n2) DESC,
+        sl.neighbor_id) AS rank
+  FROM sl JOIN e qe ON qe.vec_id = sl.query_id
+       JOIN e ne ON ne.vec_id = sl.neighbor_id
+)
+SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cosine
+FROM rr WHERE rank <= 3"""
 
   /** Conversion funnel (mirrors the ev_funnel composition): per user, the
     * first purchase within 7 days of its as-of signup. */

@@ -156,6 +156,11 @@ object Recall {
             ops.Similarity.pqAdcTopK(f, queryPred, k = 30), bf),
           topkRecall("fixture_ann_ivfpq_top3",
             ops.Similarity.ivfPqAdcTopK(f, queryPred, k = 3,
+              lloydIters = 2, maxCells = 12), bf),
+          // the composed two-stage operator (ADC top-30 -> exact rerank):
+          // the end-to-end number the rerank30 shortlist ceiling promises
+          topkRecall("fixture_ann_pq_rerank_top3",
+            ops.Similarity.ivfPqRerankTopK(f, queryPred, k = 3,
               lloydIters = 2, maxCells = 12), bf))
         // radius search in its designed regime: t=0.8 sits between the
         // within-cluster cosine (~0.9) and cross-cluster (~0.1), so the

@@ -420,6 +420,10 @@ object SparkEntry {
         array_join(col("codes").cast("array<string>"), ":").as("codes_str"))),
     "ann_ivfpq" -> ((s, dir) =>
       ops.Similarity.ivfPqAdcTopK(emb(s, dir), col("vec_id") % 100 === 0, k = 3)),
+    // the production two-stage shape: ADC top-30 shortlist, exact-cosine
+    // rerank to top-3 (the composition the rerank-30 recall metric rates)
+    "ann_pq_rerank" -> ((s, dir) =>
+      ops.Similarity.ivfPqRerankTopK(emb(s, dir), col("vec_id") % 100 === 0)),
     // radius search: every neighbor above the threshold, not a fixed k —
     // t=0.3 is the regime where this synthetic corpus HAS range neighbors
     "ann_range" -> ((s, dir) =>
@@ -550,6 +554,7 @@ object SparkEntry {
     "ann_pq_adc" -> OracleSqlOps.pqAdcTopK,
     "emb_ivfpq_codes" -> OracleSqlOps.ivfPqCodes,
     "ann_ivfpq" -> OracleSqlOps.ivfPqAdcTopK,
+    "ann_pq_rerank" -> OracleSqlOps.ivfPqRerank,
     "ann_range" -> OracleSqlOps.annRange(0.3),
     "emb_kmeans" -> OracleSqlOps.embKmeans,
     "emb_diversity" -> OracleSqlOps.embDiversity,

@@ -797,6 +797,46 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("adc"))
   }
 
+  /** Two-stage retrieval: the [[ivfPqAdcTopK]] ADC SHORTLIST reranked by
+    * EXACT cosine — the standard production ANN shape (PQ is the candidate
+    * generator, full-precision vectors score only the shortlist). The
+    * recall harness's rerank-30 metric measures exactly this composition's
+    * ceiling; this operator is that composition as a query.
+    *
+    * Scale shape: the shortlist is |Q|·`shortlist` rows — it joins the
+    * query vectors (|Q|-bounded) and is then eager-tracked and broadcast
+    * into ONE id equi-join against the corpus (the only corpus-scale touch;
+    * at |Q| beyond the broadcast gate it degrades to a partitioned
+    * shuffle-hash join on vec_id, still linear); the final top-k window
+    * sorts |Q|·`shortlist` rows, never the corpus. */
+  def ivfPqRerankTopK(embeddings: DataFrame, queryPred: Column, k: Int = 3,
+      shortlist: Int = 30, nprobe: Int = 2, subspaces: Int = IvfPqSubspaces,
+      codes: Int = PqCodes, lloydIters: Int = 0,
+      maxCells: Int = IvfMaxCells): DataFrame = {
+    val sl = ivfPqAdcTopK(embeddings, queryPred, shortlist, nprobe,
+      subspaces, codes, lloydIters, maxCells)
+    val e = CacheScope.track(withNorm2(embeddings))
+    val q = e.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("n2").as("qn2"))
+    // shortlist + query vectors: bounded by |Q|·shortlist, but under a
+    // window + joins where the size estimate is garbage — eager-track so
+    // the broadcast gate reads the materialized size
+    val slq = CacheScope.trackEager(
+      sl.select(col("query_id"), col("neighbor_id")).join(q, "query_id"))
+    val n = e.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("ne"), col("n2").as("nn2"))
+    val cos = cosineWithNorms(col("qe"), col("ne"), col("qn2"), col("nn2"))
+    val rw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    n.join(Par.maybeBroadcast(slq), "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"), cos.as("cosine"))
+      .withColumn("rank", row_number().over(rw))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
   /** The coarse-quantizer cell per vector — the [[semanticDedup]]/[[ivfTopK]]
     * assignment, exposed so harnesses can measure cell-capture rates
     * (what fraction of true near-dup pairs share a cell). */

@@ -43,6 +43,10 @@ object DevStressR6 {
       time("text_mix_temperature")(
         ops.TextAnalysis.mixTemperature(docs).count())
       time("text_ngrams")(ops.TextAnalysis.topNgrams(docs).count())
+      time("text_bpe_merges")(ops.TextAnalysis.bpeMerges(docs).count())
+      time("text_bpe_encode")(
+        ops.TextAnalysis.bpeEncode(docs, ops.TextAnalysis.bpeMerges(docs))
+          .count())
       spark.stop()
       return
     }

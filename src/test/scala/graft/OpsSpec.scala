@@ -811,6 +811,7 @@ class OpsSpec extends SparkSpec {
     // the r6 bar: IVF-PQ residual encoding must lift the ADC shortlist
     // capture over plain PQ's 0.79 to at least 0.9 (judge r5 #1)
     assert(m("fixture_ann_pq_adc_rerank30") >= 0.9, m.toString)
+    assert(m("fixture_ann_pq_rerank_top3") >= 0.9, m.toString)
     // radius search at its designed threshold captures the clustermates
     assert(m("fixture_ann_range_t08") >= 0.95, m.toString)
     graft.ops.CacheScope.releaseAll(spark)
