@@ -43,6 +43,9 @@ object DevStressR6 {
       time("text_mix_temperature")(
         ops.TextAnalysis.mixTemperature(docs).count())
       time("text_ngrams")(ops.TextAnalysis.topNgrams(docs).count())
+      time("ann_pq_rerank")(
+        ops.Similarity.ivfPqRerankTopK(emb, col("vec_id") % 1000 === 0)
+          .count())
       time("text_bpe_merges")(ops.TextAnalysis.bpeMerges(docs).count())
       time("text_bpe_encode")(
         ops.TextAnalysis.bpeEncode(docs, ops.TextAnalysis.bpeMerges(docs))
