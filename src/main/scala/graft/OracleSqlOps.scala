@@ -550,12 +550,13 @@ SELECT CAST(merge_rank AS INT) AS merge_rank, pair, n_occurrences FROM (
     * fresh 10-merge training: the text_bpe_merges chain, the rank-ordered
     * merge list collapsed to one row, then a nested list_reduce replays the
     * merges per token — inner fold identical to the trainer's rewrite. */
-  val textBpeEncode: String = {
-    val k = 10
+  /** The per-token replay CTEs (`ml`, `tokd`, `enc`) shared by
+    * [[textBpeEncode]] and [[textPackBpe]]. */
+  private def bpeEncodeCte(k: Int): String = {
     val out = (1 to k)
       .map(r => s"SELECT $r AS merge_rank, pr FROM b$r")
       .mkString("\n  UNION ALL ")
-    s"""WITH ${bpeChain(k)}, ml AS MATERIALIZED (
+    s"""ml AS MATERIALIZED (
   SELECT list(pr ORDER BY merge_rank) AS ms FROM (
   $out)
 ), tokd AS (
@@ -582,7 +583,15 @@ SELECT CAST(merge_rank AS INT) AS merge_rank, pair, n_occurrences FROM (
               || split_part(m, ' ', 1) || split_part(m, ' ', 2)
           ELSE a || ' ' || x END)) AS sub
   FROM tokd, ml
-), agg AS (
+)"""
+  }
+
+  /** BPE-encode oracle (mirrors graft.ops.TextAnalysis.bpeEncode over a
+    * fresh 10-merge training): the trainer chain, then the per-token
+    * nested-list_reduce replay and per-doc reassembly. */
+  val textBpeEncode: String = {
+    val k = 10
+    s"""WITH ${bpeChain(k)}, ${bpeEncodeCte(k)}, agg AS (
   SELECT doc_id, string_agg(sub, ' ' ORDER BY p) AS bpe_text,
     CAST(sum(len(string_split(sub, ' '))) AS INT) AS n_subwords
   FROM enc GROUP BY doc_id
@@ -590,6 +599,32 @@ SELECT CAST(merge_rank AS INT) AS merge_rank, pair, n_occurrences FROM (
 SELECT d.doc_id, coalesce(agg.bpe_text, '') AS bpe_text,
   coalesce(agg.n_subwords, 0) AS n_subwords
 FROM documents d LEFT JOIN agg USING (doc_id)"""
+  }
+
+  /** Pack-by-subword-counts oracle (mirrors
+    * graft.ops.TextAnalysis.packByCounts over bpeEncode's n_subwords):
+    * the BPE replay chain feeding the [[textPack]] layout with the TRUE
+    * sequence lengths. */
+  val textPackBpe: String = {
+    val k = 10
+    s"""WITH ${bpeChain(k)}, ${bpeEncodeCte(k)}, aggd AS (
+  SELECT doc_id, CAST(sum(len(string_split(sub, ' '))) AS BIGINT) AS n_sub
+  FROM enc GROUP BY doc_id
+), t AS (
+  SELECT d.doc_id, coalesce(aggd.n_sub, 0) AS n_tokens,
+    (${hexLaneOf("CAST(d.doc_id AS VARCHAR)", 1, 7)}) AS lane
+  FROM documents d LEFT JOIN aggd USING (doc_id)
+), sh AS (
+  SELECT *, CAST(lane % 32 AS INT) AS shard FROM t
+), c AS (
+  SELECT *, coalesce(sum(n_tokens) OVER (
+      PARTITION BY shard ORDER BY lane, doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM sh
+)
+SELECT doc_id, shard, CAST(cum_before // 2048 AS INT) AS seq,
+  CAST(cum_before % 2048 AS INT) AS tok_offset, CAST(n_tokens AS INT) AS n_tokens
+FROM c"""
   }
 
   /** Top-K bigram statistics oracle (mirrors

@@ -327,6 +327,14 @@ object SparkEntry {
       val d = docs(s, dir)
       ops.TextAnalysis.bpeEncode(d, ops.TextAnalysis.bpeMerges(d))
     }),
+    // packing by the TRUE subword lengths: the context budget is spent in
+    // the model's tokens, not whitespace words
+    "text_pack_bpe" -> ((s, dir) => {
+      val d = docs(s, dir)
+      ops.TextAnalysis.packByCounts(
+        ops.TextAnalysis.bpeEncode(d, ops.TextAnalysis.bpeMerges(d))
+          .select(col("doc_id"), col("n_subwords").cast("long").as("n_tokens")))
+    }),
 
     "dedup_exact" -> ((s, dir) => ops.Dedup.exact(docs(s, dir))),
     // the normalized tier: case/punctuation/spacing variants collapse at
@@ -528,6 +536,7 @@ object SparkEntry {
     "corpus_dsir" -> OracleSqlOps.corpusDsir,
     "text_bpe_merges" -> OracleSqlOps.textBpeMerges,
     "text_bpe_encode" -> OracleSqlOps.textBpeEncode,
+    "text_pack_bpe" -> OracleSqlOps.textPackBpe,
     "dedup_exact" -> OracleSqlOps.dedupExact,
     "dedup_exact_norm" -> OracleSqlOps.dedupExactNorm,
     "dedup_minhash_lsh" -> OracleSqlOps.minhashLsh,

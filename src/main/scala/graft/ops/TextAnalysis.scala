@@ -253,9 +253,20 @@ object TextAnalysis {
     * token counts: stable across runs and cluster layouts.
     */
   def pack(docs: DataFrame, budget: Int = 2048, shards: Int = 32,
-      tokenizer: Tokenizer = Tokenizer.Whitespace): DataFrame = {
-    val base = docs.select(col("doc_id"),
-      size(tokenizer.tokens(col("text"))).cast("long").as("n_tokens"),
+      tokenizer: Tokenizer = Tokenizer.Whitespace): DataFrame =
+    packByCounts(docs.select(col("doc_id"),
+      size(tokenizer.tokens(col("text"))).cast("long").as("n_tokens")),
+      budget, shards)
+
+  /** [[pack]] over PRE-COMPUTED per-doc token counts `(doc_id, n_tokens)` —
+    * the seam that lets packing consume the TRUE tokenizer's sequence
+    * lengths (e.g. [[bpeEncode]]'s `n_subwords`) instead of the whitespace
+    * proxy; a context budget is spent in the model's tokens, not in
+    * whitespace words. Same layout function and scale shape as [[pack]]
+    * (per-shard window cumsum, no one-reducer global window). */
+  def packByCounts(counted: DataFrame, budget: Int = 2048,
+      shards: Int = 32): DataFrame = {
+    val base = counted.select(col("doc_id"), col("n_tokens"),
       md5Lane(col("doc_id").cast("string")).as("lane"))
       .withColumn("shard", (col("lane") % shards).cast("int"))
     val w = org.apache.spark.sql.expressions.Window

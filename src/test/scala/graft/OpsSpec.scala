@@ -1029,6 +1029,17 @@ class OpsSpec extends SparkSpec {
     assert(r.toSeq == Seq(("e s", 9L), ("es t", 9L), ("est </w>", 9L)))
   }
 
+  test("packByCounts with whitespace counts reproduces pack exactly") {
+    val d = (0L until 200L).map(i =>
+      (i, Seq.fill((i % 17 + 1).toInt)("tok").mkString(" ")))
+      .toDF("doc_id", "text")
+    val viaCounts = TextAnalysis.packByCounts(d.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens")))
+      .collect().map(_.toSeq).toSet
+    val direct = TextAnalysis.pack(d).collect().map(_.toSeq).toSet
+    assert(viaCounts == direct)
+  }
+
   test("bpeEncode replays learned merges in rank order per token") {
     val d = Seq((0L, "aaab aaab aaab"), (1L, "ab ba"), (2L, ""))
       .toDF("doc_id", "text")
