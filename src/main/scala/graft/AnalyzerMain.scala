@@ -45,7 +45,8 @@ object AnalyzerMain {
       errorTopic: String, statsTopic: String, examplesTopic: String,
       checkpointDir: String, avroSchemaFiles: Map[Int, String] = Map.empty,
       schemaRegistryUrl: Option[String] = None,
-      timestampZone: Option[String] = None) {
+      timestampZone: Option[String] = None,
+      stateStore: String = "rocksdb") {
     /** Decode configuration: schema files read AND parse-validated once at
       * startup (fail fast on malformed schema JSON instead of at first
       * decode on an executor), wrapped in the static [[graft.functions
@@ -75,7 +76,8 @@ object AnalyzerMain {
     "usage: AnalyzerMain --brokers B --input-pattern P --output-topic T " +
       "--error-topic E [--extra-output-topics stats=S,examples=X] " +
       "[--checkpoint-dir DIR] [--avro-schema-files id=path,...] " +
-      "[--schema-registry-url URL] [--timestamp-zone host|ZONE_ID]"
+      "[--schema-registry-url URL] [--timestamp-zone host|ZONE_ID] " +
+      "[--state-store rocksdb|hdfs]"
 
   def parseArgs(args: Array[String]): Config = {
     // strict pairwise parse: every token must be a --flag followed by its
@@ -118,6 +120,16 @@ object AnalyzerMain {
       case "host" => java.time.ZoneId.systemDefault().getId
       case z => java.time.ZoneId.of(z).getId // validates, fails fast
     }
+    // state-store backend: RocksDB by default — the statistics state is keyed
+    // by (topic, type) but at 100 TB-scale topic cardinality (plus the
+    // streaming-dedup stores keyed by digest) the default HDFS-backed
+    // provider holds every key on the executor HEAP; RocksDB (in Spark core
+    // since 3.2, no extra dependency) spills to local disk and bounds memory.
+    // "hdfs" restores the heap provider for tiny-state deployments.
+    val stateStore = kv.getOrElse("state-store", "rocksdb")
+    if (!Set("rocksdb", "hdfs").contains(stateStore))
+      throw new IllegalArgumentException(
+        s"unknown --state-store '$stateStore' (want rocksdb|hdfs)\n$Usage")
     Config(
       brokers = req("brokers"),
       inputPattern = req("input-pattern"),
@@ -138,8 +150,17 @@ object AnalyzerMain {
       }),
       avroSchemaFiles = schemaFiles,
       schemaRegistryUrl = kv.get("schema-registry-url"),
-      timestampZone = tsZone)
+      timestampZone = tsZone,
+      stateStore = stateStore)
   }
+
+  /** The provider class behind a `--state-store` choice. */
+  def stateStoreProviderClass(stateStore: String): Option[String] =
+    stateStore match {
+      case "rocksdb" => Some(
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      case _ => None // "hdfs": Spark's default heap-backed provider
+    }
 
   /** Build the full production topology as ONE streaming query: a single
     * Kafka source read, a single statistics state, one checkpoint; each
@@ -187,9 +208,12 @@ object AnalyzerMain {
 
   def main(args: Array[String]): Unit = {
     val cfg = parseArgs(args)
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .appName(s"dead-letter-analyzer-${cfg.outputTopic}")
       .config("spark.sql.session.timeZone", "UTC")
+    val spark = stateStoreProviderClass(cfg.stateStore)
+      .map(builder.config("spark.sql.streaming.stateStore.providerClass", _))
+      .getOrElse(builder)
       .getOrCreate()
     assertCheckpointLayout(spark, cfg.checkpointDir)
     topology(spark, cfg).queryName("dead-letter-analyzer").start()

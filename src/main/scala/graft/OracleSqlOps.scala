@@ -49,10 +49,10 @@ q AS (SELECT doc_id,
   CAST(list_sum(list_transform(tk, x -> length(x))) AS INT) AS tok_chars
 FROM t)
 SELECT doc_id, n_chars, n_tokens,
-  CAST(tok_chars AS DOUBLE) / n_tokens AS avg_token_len,
-  CAST(alpha AS DOUBLE) / n_chars AS alpha_ratio,
-  CAST(stops AS DOUBLE) / n_tokens AS stopword_ratio,
-  (CAST(stops AS DOUBLE) / n_tokens) * 0.4 + least((CAST(tok_chars AS DOUBLE) / n_tokens) / 10.0, 1.0) * 0.3 + (CAST(alpha AS DOUBLE) / n_chars) * 0.3 AS quality
+  CASE WHEN n_tokens = 0 THEN 0.0 ELSE CAST(tok_chars AS DOUBLE) / n_tokens END AS avg_token_len,
+  CASE WHEN n_chars = 0 THEN 0.0 ELSE CAST(alpha AS DOUBLE) / n_chars END AS alpha_ratio,
+  CASE WHEN n_tokens = 0 THEN 0.0 ELSE CAST(stops AS DOUBLE) / n_tokens END AS stopword_ratio,
+  (CASE WHEN n_tokens = 0 THEN 0.0 ELSE CAST(stops AS DOUBLE) / n_tokens END) * 0.4 + least((CASE WHEN n_tokens = 0 THEN 0.0 ELSE CAST(tok_chars AS DOUBLE) / n_tokens END) / 10.0, 1.0) * 0.3 + (CASE WHEN n_chars = 0 THEN 0.0 ELSE CAST(alpha AS DOUBLE) / n_chars END) * 0.3 AS quality
 FROM q"""
 
   /** word bigrams of a token list `tk` (empty for <2 tokens). */
@@ -348,8 +348,9 @@ ORDER BY score DESC, doc_id LIMIT 10"""
   FROM bysrc
 ), rates AS (
   SELECT source,
-    least(1.0, (1.0 / n_sources) * CAST(total_tokens AS DOUBLE) / src_tokens)
-      AS rate
+    CASE WHEN src_tokens = 0 THEN 0.0 ELSE
+      least(1.0, (1.0 / n_sources) * CAST(total_tokens AS DOUBLE) / src_tokens)
+    END AS rate
   FROM bysrc, tot
 )
 SELECT p.doc_id, p.source, p.n_tokens, r.rate,
@@ -372,9 +373,11 @@ FROM perdoc p JOIN rates r USING (source)"""
   SELECT sum(src_tokens) AS total_tokens FROM bysrc
 ), rates AS (
   SELECT source,
-    least(1.0, (CASE
-      $shareCase
-      ELSE 0.0 END) * CAST(total_tokens AS DOUBLE) / src_tokens) AS rate
+    CASE WHEN src_tokens = 0 THEN 0.0 ELSE
+      least(1.0, (CASE
+        $shareCase
+        ELSE 0.0 END) * CAST(total_tokens AS DOUBLE) / src_tokens)
+    END AS rate
   FROM bysrc, tot
 )
 SELECT p.doc_id, p.source, p.n_tokens, r.rate,
@@ -401,8 +404,10 @@ FROM perdoc p JOIN rates r USING (source)"""
   FROM bysrc
 ), rates AS (
   SELECT source,
-    least(1.0, sqrt(CAST(src_tokens AS DOUBLE)) / sum_w
-      * CAST(total_tokens AS DOUBLE) / src_tokens) AS rate
+    CASE WHEN src_tokens = 0 THEN 0.0 ELSE
+      least(1.0, sqrt(CAST(src_tokens AS DOUBLE)) / sum_w
+        * CAST(total_tokens AS DOUBLE) / src_tokens)
+    END AS rate
   FROM bysrc, tot
 )
 SELECT p.doc_id, p.source, p.n_tokens, r.rate,
@@ -422,7 +427,7 @@ qq AS (SELECT doc_id, source,
   CAST(list_sum(list_transform(tk, x -> length(x))) AS INT) AS tok_chars
 FROM qt),
 qs AS (SELECT doc_id, source,
-  (CAST(stops AS DOUBLE) / n_tokens) * 0.4 + least((CAST(tok_chars AS DOUBLE) / n_tokens) / 10.0, 1.0) * 0.3 + (CAST(alpha AS DOUBLE) / n_chars) * 0.3 AS quality
+  (CASE WHEN n_tokens = 0 THEN 0.0 ELSE CAST(stops AS DOUBLE) / n_tokens END) * 0.4 + least((CASE WHEN n_tokens = 0 THEN 0.0 ELSE CAST(tok_chars AS DOUBLE) / n_tokens END) / 10.0, 1.0) * 0.3 + (CASE WHEN n_chars = 0 THEN 0.0 ELSE CAST(alpha AS DOUBLE) / n_chars END) * 0.3 AS quality
 FROM qq)"""
 
   /** Per-source top-fraction quality selection oracle (mirrors
@@ -1225,7 +1230,8 @@ FROM k_p GROUP BY cell"""
   private def protoCutSql(sfx: String, eTab: String): String =
     s"""pr$sfx AS (
   SELECT a.vec_id, a.cell,
-    list_dot_product(e.v, c.cv) / sqrt(e.n2 * c.cn2) AS proto
+    CASE WHEN e.n2 * c.cn2 = 0 THEN 0.0
+      ELSE list_dot_product(e.v, c.cv) / sqrt(e.n2 * c.cn2) END AS proto
   FROM cell$sfx a JOIN $eTab e ON e.vec_id = a.vec_id
     JOIN c2$sfx c ON c.cid = a.cell
 ), scored$sfx AS MATERIALIZED (

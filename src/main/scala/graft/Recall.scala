@@ -253,7 +253,16 @@ object Recall {
       "cells~=clusters codebook, 16-table LSH, PQ-ADC (designed form since " +
       "r6: IVF-PQ residual encoding; the plain-PQ rerank-30 number stays " +
       "reported as fixture_ann_pq_adc_plain_rerank30 for the A/B), and the " +
-      "semantic cell-capture ceiling, all against the same exact baselines")
+      "semantic cell-capture ceiling, all against the same exact baselines. " +
+      "fixture_ann_ivfpq_top3 is a SHORTLIST-STAGE metric, not a retrieval " +
+      "bar: ADC distances over 8 subspace codes cannot order ~50 " +
+      "near-identical clustermates in the exact top-3 (quantization noise " +
+      "exceeds the cosine gaps), and no nprobe/bits setting within the " +
+      "bounded-codebook design changes that regime — the RETRIEVAL entry " +
+      "point is the composed two-stage operator (ivfPqRerankTopK), held to " +
+      "the bar as fixture_ann_pq_rerank_top3, with its shortlist ceiling " +
+      "held >= 0.9 as fixture_ann_pq_adc_rerank30; OpsSpec pins all three " +
+      "(the ADC-only number to a 0.4 wiring-regression floor)")
     entries.mkString("{", ",", s""","notes":$notes}""")
   }
 }

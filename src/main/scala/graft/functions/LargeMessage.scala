@@ -76,24 +76,89 @@ object LargeMessage {
     if (root.isEmpty) bare else substring(bare, root.length + 2, Int.MaxValue)
   }
 
+  /** Keys that are safe to turn into literal load paths: no parent-directory
+    * escape out of the blob root, no leading slash (absolute-path override),
+    * and none of Hadoop's glob metacharacters (a key with `*`/`{`/`[`/`?`
+    * would be INTERPRETED by the path resolver rather than matched
+    * literally). An unsafe key forces the full-scan path, where keys are
+    * only ever compared by equality. */
+  private def safeLoadKey(k: String): Boolean =
+    k != null && k.nonEmpty && !k.startsWith("/") &&
+      !k.split("/", -1).contains("..") &&
+      !k.exists(c => "*?{}[]\\".contains(c))
+
+  /** The bounded referenced-key set of `frame`'s backed rows, or None when
+    * the selective path doesn't apply: streaming input (no driver-side
+    * action possible), more than `maxKeys` distinct keys (the bulk
+    * re-resolution regime, where the full store scan IS the right shape),
+    * or a key unsafe to use as a literal path. Driver cost is one bounded
+    * distinct aggregation — ≤ maxKeys + 1 short strings. */
+  private[graft] def referencedKeys(frame: DataFrame, rootAbs: String,
+      backed: Column, payload: Column, maxKeys: Int): Option[Array[String]] = {
+    if (frame.isStreaming) return None
+    val keys = frame.filter(backed)
+      .select(storeKey(decode(payload, "UTF-8"), rootAbs).as("lm_key"))
+      .distinct().limit(maxKeys + 1)
+      .collect().map(_.getString(0))
+    if (keys.length > maxKeys || !keys.forall(safeLoadKey)) None
+    else Some(keys)
+  }
+
   /** Resolves large-message-wrapped values in `frame` (columns `value:
     * binary`, `headers: array<struct<key,value>>`, others carried through):
     * inline payloads are unwrapped in place; backed URIs are joined against
-    * one `binaryFile` scan of `blobRoot`. Adds `lm_backed` (the row was a
+    * a `binaryFile` read of `blobRoot`. Adds `lm_backed` (the row was a
     * reference) and `lm_missing` (the reference did not resolve — value is
-    * NULL; route to the error channel). */
+    * NULL; route to the error channel).
+    *
+    * Scale shape: when the referenced key set is bounded (≤
+    * `maxSelectiveKeys` distinct keys, batch input), ONLY the referenced
+    * blobs are loaded — the key set is derived first (one bounded distinct
+    * aggregation), filtered to files that exist (≤ |keys| driver-side
+    * metadata probes), and read as an explicit file list. A 100 TB blob
+    * store backing a few referenced rows costs |keys| opens, not a store
+    * scan. The full recursive scan remains the fallback for the regimes
+    * where it is the right shape: streaming input (stream-static join
+    * against one static scan), bulk re-resolution (key set past the gate —
+    * scanning beats millions of point reads), or keys that cannot be used
+    * as literal paths. */
   def resolve(frame: DataFrame, blobRoot: String,
-      flagHeader: String = DefaultFlagHeader): DataFrame = {
+      flagHeader: String = DefaultFlagHeader,
+      maxSelectiveKeys: Int = 100000): DataFrame = {
     val spark = frame.sparkSession
     // null values (tombstones) are inline passthrough, not backed
     val backed = coalesce(isBacked(col("value"), col("headers"), flagHeader),
       lit(false))
     val payload = unwrapped(col("value"), col("headers"), flagHeader)
     val rootAbs = new java.io.File(blobRoot).getAbsolutePath
-    val blobs = spark.read.format("binaryFile")
-      .option("recursiveFileLookup", "true").load(blobRoot)
-      .select(storeKey(col("path"), rootAbs).as("lm_key"),
-        col("content").as("lm_content"))
+    val blobs = referencedKeys(frame, rootAbs, backed, payload,
+        maxSelectiveKeys) match {
+      case Some(keys) =>
+        // existence-filter on the driver: binaryFile errors on missing
+        // paths, and a missing blob must surface as lm_missing, not a
+        // planning failure; ≤ |keys| metadata RPCs, bounded by the gate
+        val rootPath = new org.apache.hadoop.fs.Path(rootAbs)
+        val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+        val existing = keys
+          .map(k => new org.apache.hadoop.fs.Path(rootPath, k))
+          .filter(fs.exists).map(_.toString)
+        if (existing.isEmpty)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("lm_key",
+                org.apache.spark.sql.types.StringType),
+              org.apache.spark.sql.types.StructField("lm_content",
+                org.apache.spark.sql.types.BinaryType))))
+        else spark.read.format("binaryFile").load(existing: _*)
+          .select(storeKey(col("path"), rootAbs).as("lm_key"),
+            col("content").as("lm_content"))
+      case None =>
+        spark.read.format("binaryFile")
+          .option("recursiveFileLookup", "true").load(blobRoot)
+          .select(storeKey(col("path"), rootAbs).as("lm_key"),
+            col("content").as("lm_content"))
+    }
     val passthrough = frame.columns.filterNot(_ == "value").map(col)
     val inline = frame.filter(!backed)
       .select(passthrough :+ payload.as("value"): _*)

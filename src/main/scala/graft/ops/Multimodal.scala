@@ -13,12 +13,26 @@ import org.apache.spark.sql.functions._
  * amortized across rows; the exact shape a JNI image/audio codec binding
  * needs).
  *
- * The decoders themselves are DETERMINISTIC STUBS (this container has no media
- * libraries): `decodeMeta` derives width/height/duration from payload bytes.
- * The Spark-side plumbing — schema, binary columns, partition-batched typed
- * mapping, checksum — is real and oracle-checked.
+ * IMAGE decode is REAL: payloads that are decodable images (PNG/JPEG/BMP/GIF
+ * via the JDK's `ImageIO` — zero external dependencies) yield their true
+ * width/height and a true nearest-neighbor resample. Non-image bytes (and the
+ * audio/video verbs — the JDK ships no audio/video codec) fall back to the
+ * documented DETERMINISTIC STUBS, which keeps the synthetic text-payload
+ * fixtures oracle-reproducible in DuckDB. The Spark-side plumbing — schema,
+ * binary columns, partition-batched typed mapping, checksum — is identical on
+ * both paths.
  */
 object Multimodal {
+
+  /** Real image decode via the JDK (per-row; the ImageIO temp-file cache is
+    * disabled so executor partitions never touch disk). None when the bytes
+    * are not a decodable image — magic-byte sniffing makes the miss cheap,
+    * so probing text payloads costs near nothing. */
+  private def tryDecodeImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    try {
+      javax.imageio.ImageIO.setUseCache(false)
+      Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+    } catch { case _: Exception => None }
 
   /** A media row: opaque payload + source id. */
   final case class MediaRow(doc_id: Long, media_type: String, payload: Array[Byte])
@@ -41,8 +55,10 @@ object Multimodal {
   private def hex(bytes: Array[Byte]): String =
     bytes.map(b => f"$b%02x").mkString
 
-  /** The stub decoder: one per partition (the expensive-codec-init shape),
-    * deterministic so the oracle can reproduce it. */
+  /** The decoder: one per partition (the expensive-codec-init shape). Image
+    * payloads that ImageIO can decode report their TRUE width/height (and
+    * duration 0 — stills have none); everything else takes the deterministic
+    * stub derivation so the synthetic fixtures stay oracle-reproducible. */
   def decodeMeta(media: Dataset[MediaRow]): Dataset[MediaMeta] =
     media.mapPartitions { rows =>
       // per-partition init: a real decoder (libjpeg/ffmpeg binding) would be
@@ -51,14 +67,22 @@ object Multimodal {
       rows.map { r =>
         digest.reset()
         val sum = hex(digest.digest(r.payload))
-        MediaMeta(
-          doc_id = r.doc_id,
-          media_type = r.media_type,
-          n_bytes = r.payload.length.toLong,
-          width = (r.payload.length % 640).toInt,
-          height = ((r.doc_id * 7) % 480).toInt,
-          duration_s = r.payload.length / 1000.0,
-          checksum = sum)
+        val real =
+          if (r.media_type == "image") tryDecodeImage(r.payload) else None
+        real match {
+          case Some(img) =>
+            MediaMeta(r.doc_id, r.media_type, r.payload.length.toLong,
+              img.getWidth, img.getHeight, 0.0, sum)
+          case None =>
+            MediaMeta(
+              doc_id = r.doc_id,
+              media_type = r.media_type,
+              n_bytes = r.payload.length.toLong,
+              width = (r.payload.length % 640).toInt,
+              height = ((r.doc_id * 7) % 480).toInt,
+              duration_s = r.payload.length / 1000.0,
+              checksum = sum)
+        }
       }
     }(Encoders.product[MediaMeta])
 
@@ -71,24 +95,56 @@ object Multimodal {
       doc_id: Long, width: Int, height: Int, n_bytes: Int, checksum: String)
 
   /** Image resize: per-partition decoder init, 1-to-1 typed map — the shape
-    * of a real libjpeg/opencv resize. The stub "resample" gathers `target`
-    * evenly-spaced payload bytes (floor(i*n/target)), deterministic so the
-    * oracle reproduces the checksum; payloads already at or under the target
-    * pass through. */
-  def resizeImages(docs: DataFrame, target: Int = 224): Dataset[ResizedImage] = {
-    val images = mediaTable(docs).filter(_.media_type == "image")
+    * of a real libjpeg/opencv resize. Decodable images take the REAL path: a
+    * nearest-neighbor resample of the decoded raster to target×target RGB
+    * (source index floor(i·src/target) per axis — implemented directly on
+    * the pixel grid rather than through Graphics2D, so the output bytes are
+    * deterministic across JVMs), n_bytes = target²·3, checksum over the RGB
+    * buffer. Non-image bytes keep the stub "resample" (gather `target`
+    * evenly-spaced payload bytes, floor(i·n/target)), deterministic so the
+    * oracle reproduces the checksum; payloads at or under the target pass
+    * through. */
+  def resizeImages(docs: DataFrame, target: Int = 224): Dataset[ResizedImage] =
+    resizeMedia(mediaTable(docs).filter(_.media_type == "image"), target)
+
+  /** The resize kernel over an explicit media table ([[resizeImages]] is the
+    * documents-backed wrapper; tests feed real PNG payloads here). */
+  def resizeMedia(images: Dataset[MediaRow], target: Int): Dataset[ResizedImage] =
     images.mapPartitions { rows =>
       val digest = MessageDigest.getInstance("MD5")
       rows.map { r =>
-        val n = r.payload.length
-        val out =
-          if (n <= target) r.payload
-          else Array.tabulate(target)(i => r.payload((i.toLong * n / target).toInt))
         digest.reset()
-        ResizedImage(r.doc_id, target, target, out.length, hex(digest.digest(out)))
+        tryDecodeImage(r.payload) match {
+          case Some(img) =>
+            val (w, h) = (img.getWidth, img.getHeight)
+            val rgb = new Array[Byte](target * target * 3)
+            var y = 0
+            while (y < target) {
+              val sy = (y.toLong * h / target).toInt
+              var x = 0
+              while (x < target) {
+                val sx = (x.toLong * w / target).toInt
+                val px = img.getRGB(sx, sy)
+                val o = (y * target + x) * 3
+                rgb(o) = ((px >> 16) & 0xff).toByte
+                rgb(o + 1) = ((px >> 8) & 0xff).toByte
+                rgb(o + 2) = (px & 0xff).toByte
+                x += 1
+              }
+              y += 1
+            }
+            ResizedImage(r.doc_id, target, target, rgb.length,
+              hex(digest.digest(rgb)))
+          case None =>
+            val n = r.payload.length
+            val out =
+              if (n <= target) r.payload
+              else Array.tabulate(target)(i => r.payload((i.toLong * n / target).toInt))
+            ResizedImage(r.doc_id, target, target, out.length,
+              hex(digest.digest(out)))
+        }
       }
     }(Encoders.product[ResizedImage])
-  }
 
   /** Stub audio feature vector: 8 payload-normalized banded byte sums
     * (f_j = sum of bytes at positions ≡ j mod 8, over payload length) — the

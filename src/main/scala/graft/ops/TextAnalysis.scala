@@ -92,10 +92,16 @@ object TextAnalysis {
     val nToks = size(t)
     val alpha = length(regexp_replace(col("text"), "[^a-z]", ""))
     val stops = stopCount(t, Stopwords("en"))
-    val avgTokLen =
-      aggregate(t, lit(0), (acc, x) => acc + length(x)).cast("double") / nToks
-    val alphaRatio = alpha.cast("double") / nChars
-    val stopRatio = stops.cast("double") / nToks
+    // zero-token / zero-char docs would divide by zero, and the engines
+    // disagree on the result (Spark Divide → NULL, DuckDB IEEE → NaN/inf) —
+    // pin the degenerate rows to 0.0 on BOTH sides so parity doesn't depend
+    // on fixture cleanliness (null text still propagates null consistently)
+    val avgTokLen = when(nToks === 0, lit(0.0)).otherwise(
+      aggregate(t, lit(0), (acc, x) => acc + length(x)).cast("double") / nToks)
+    val alphaRatio = when(nChars === 0, lit(0.0))
+      .otherwise(alpha.cast("double") / nChars)
+    val stopRatio = when(nToks === 0, lit(0.0))
+      .otherwise(stops.cast("double") / nToks)
     val score = stopRatio * 0.4 + least(avgTokLen / 10.0, lit(1.0)) * 0.3 +
       alphaRatio * 0.3
     docs.select(
@@ -689,13 +695,22 @@ object TextAnalysis {
       else targetShares.toSeq.sortBy(_._1).foldRight(lit(0.0): Column) {
         case ((s, p), acc) => when(col("source") === s, lit(p)).otherwise(acc)
       }
+    // a source whose docs are all empty has src_tokens = 0: Spark's Divide
+    // yields NULL (and least() skips nulls → rate 1.0) while DuckDB yields
+    // NaN/inf — pin the degenerate source to rate 0.0 in both engines (zero
+    // tokens contribute nothing to the mix either way)
     val rates = bySource.crossJoin(broadcast(totals))
       .select(col("source"),
-        least(lit(1.0),
-          share * col("total_tokens").cast("double") / col("src_tokens"))
+        when(col("src_tokens") === 0L, lit(0.0)).otherwise(
+          least(lit(1.0),
+            share * col("total_tokens").cast("double") / col("src_tokens")))
           .as("rate"))
     val lane = md5Lane(concat(lit("mix:"), col("doc_id").cast("string")))
-    perDoc.join(Par.maybeBroadcast(rates), "source")
+    // rates is |sources|-bounded but sits under an aggregation + cross join
+    // where the plan-time size estimate is garbage — eager-track so the
+    // broadcast gate reads the materialized size (a declined broadcast here
+    // shuffles the corpus stream into ≤ |sources| partitions)
+    perDoc.join(Par.maybeBroadcast(CacheScope.trackEager(rates)), "source")
       .select(col("doc_id"), col("source"), col("n_tokens"), col("rate"),
         (lane % 1000000L < floor(col("rate") * 1000000L).cast("long"))
           .as("kept"))
@@ -737,14 +752,20 @@ object TextAnalysis {
         aggregate(col("ws"), lit(0.0), (a, v) => a + v.getField("w"))
           .as("sum_w"),
         col("total_tokens"))
+    // same degenerate-source guard as [[mixToShares]]: src_tokens = 0 would
+    // divide by zero with engine-dependent results — pin to rate 0.0 (this
+    // also covers the all-sources-empty sum_w = 0 edge, since every such
+    // source hits the src_tokens guard first)
     val rates = bySource.crossJoin(broadcast(totals))
       .select(col("source"),
-        least(lit(1.0),
-          sqrt(col("src_tokens").cast("double")) / col("sum_w") *
-            col("total_tokens").cast("double") / col("src_tokens"))
+        when(col("src_tokens") === 0L, lit(0.0)).otherwise(
+          least(lit(1.0),
+            sqrt(col("src_tokens").cast("double")) / col("sum_w") *
+              col("total_tokens").cast("double") / col("src_tokens")))
           .as("rate"))
     val lane = md5Lane(concat(lit("tmix:"), col("doc_id").cast("string")))
-    perDoc.join(Par.maybeBroadcast(rates), "source")
+    // same |sources|-bounded-rates eager-track as [[mixToShares]]
+    perDoc.join(Par.maybeBroadcast(CacheScope.trackEager(rates)), "source")
       .select(col("doc_id"), col("source"), col("n_tokens"), col("rate"),
         (lane % 1000000L < floor(col("rate") * 1000000L).cast("long"))
           .as("kept"))
@@ -792,7 +813,13 @@ object TextAnalysis {
       .filter(col("cum_prev") <
         floor(lit(keepFrac) * col("n_src").cast("double")).cast("long"))
       .groupBy(col("source")).agg(min(col("qb")).as("thr_qb"))
-    scored.join(Par.maybeBroadcast(thr), Seq("source"), "left")
+    // thr sits under a window + two aggregations, where Catalyst's size
+    // estimate is garbage (see CacheScope.trackEager) — without the eager
+    // materialization the broadcast gate silently declines and the join
+    // falls back to a shuffle keyed on low-cardinality `source`, i.e. the
+    // corpus-scale scored stream collapses into ≤ |sources| partitions.
+    scored.join(Par.maybeBroadcast(CacheScope.trackEager(thr)),
+        Seq("source"), "left")
       .select(col("doc_id"), col("source"), col("quality"),
         (col("qb") >= coalesce(col("thr_qb"), lit(Long.MaxValue))).as("kept"))
   }
@@ -867,80 +894,148 @@ object TextAnalysis {
     * iteratively merge the most frequent adjacent symbol pair): each word
     * starts as its character sequence plus an end-of-word marker, and each
     * of `merges` rounds (a) counts adjacent symbol pairs across the
-    * word-frequency table weighted by word count, (b) picks the most
-    * frequent pair (ties break on the lexicographically smaller pair), and
-    * (c) rewrites every word's symbol sequence with the leftmost-greedy,
-    * non-overlapping merge of that pair. Output: one row per learned merge
-    * — `(merge_rank, pair, n_occurrences)` — the merge table a BPE
-    * tokenizer ships ([[topNgrams]] is the one-shot word-level pair count;
-    * this is the iterated subword trainer).
+    * word-frequency table weighted by word count — EVERY adjacent position,
+    * overlaps included, (b) picks the most frequent pair (ties break on the
+    * lexicographically smaller `"pa pb"` string, compared as UTF-8 bytes —
+    * the engine-portable string order), and (c) rewrites every word's
+    * symbol sequence with the leftmost-greedy, non-overlapping merge of
+    * that pair. Output: one row per learned merge —
+    * `(merge_rank, pair, n_occurrences)` — the merge table a BPE tokenizer
+    * ships ([[topNgrams]] is the one-shot word-level pair count; this is
+    * the iterated subword trainer).
     *
-    * Scale shape: the ONLY corpus-scale pass is the word-count groupBy
-    * (map-side combining); every round then touches the BOUNDED distinct-
-    * word table — the classic trainer economics. Per round: one weighted
-    * pair aggregation (map-side combining), one global `min(struct)` argmax
-    * (ties integer-exact via the negated count), and one symbol rewrite as
-    * a per-word FOLD (buffer bounded by word length) against the broadcast
-    * 1-row winner. Each round's vocab is eagerly localCheckpoint'ed (the
-    * [[Similarity]] Lloyd-iteration rule) so lineage stays k-deep-free.
+    * Scale shape — the classic trainer economics, with the merge loop OFF
+    * the cluster: the ONLY corpus-scale pass is the word-count groupBy
+    * (map-side combining), whose output is the BOUNDED distinct-word table
+    * (natural-language vocabulary — already broadcast-sized at any corpus
+    * scale). That table is collected ONCE and the merge rounds run as a
+    * local loop with an incremental pair index (pair counts plus a
+    * pair→word posting map, so a round touches only the words containing
+    * the merged pair, never re-scans the vocabulary). A real 32k-merge
+    * vocab is 32k in-memory iterations — not 32k sequential Spark jobs,
+    * which is what the previous one-aggregation-per-round formulation cost
+    * (per-round job overhead dominated past toy vocab sizes). The
+    * `maxDistinctWords` gate bounds the collect explicitly: a corpus of
+    * effectively-random tokens (distinct words ∝ corpus size) fails fast
+    * with instructions instead of silently OOM-ing the driver.
     *
-    * Symbols are space-joined strings and the merge fold runs on a STRING
-    * accumulator (DuckDB's `list_reduce` constrains the accumulator to the
-    * element type, so the oracle cannot fold a growing list — a string with
-    * token boundaries expresses the same greedy scan in both engines):
-    * a merged symbol is strictly longer than its left part, so it can never
+    * Symbols are space-joined strings (words are assumed not to contain the
+    * `</w>` marker or spaces — the tokenizers guarantee the latter); a
+    * merged symbol is strictly longer than its left part, so it can never
     * re-merge within its own round — leftmost-greedy falls out of the scan
-    * order. Words are assumed not to contain the `</w>` marker or spaces
-    * (the tokenizers guarantee the latter). */
+    * order. The DuckDB oracle replays the identical rounds, so the merge
+    * table is bit-identical across engines. */
   def bpeMerges(docs: DataFrame, merges: Int = 10,
-      tokenizer: Tokenizer = Tokenizer.Whitespace): DataFrame = {
-    val words = docs
+      tokenizer: Tokenizer = Tokenizer.Whitespace,
+      maxDistinctWords: Long = 50L * 1000 * 1000): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // the one corpus-scale pass; trackEager materializes it so the
+    // distinct-word gate below reads a cached count, not a second scan
+    val words = CacheScope.trackEager(docs
       .select(explode(tokenizer.tokens(col("text"))).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-    val chars = transform(sequence(lit(1), length(col("w"))),
-      i => col("w").substr(i, lit(1)))
-    var vocab = words.select(col("cnt"),
-      concat_ws(" ", concat(chars, array(lit("</w>")))).as("s"))
-      .localCheckpoint()
-    val rounds = (1 to merges).map { r =>
-      val sl = split(col("s"), " ")
-      val prs = zip_with(
-        slice(sl, lit(1), greatest(size(sl) - 1, lit(0))),
-        slice(sl, lit(2), greatest(size(sl) - 1, lit(0))),
-        (x, y) => concat(x, lit(" "), y))
-      val best = vocab
-        .select(explode(prs).as("pr"), col("cnt"))
-        .groupBy(col("pr")).agg(sum(col("cnt")).as("c"))
-        .agg(min(struct((-col("c")).as("nc"), col("pr").as("pr"))).as("b"))
-        // a pair-exhausted round yields a null global min: emit nothing and
-        // let the empty cross join retire the remaining rounds (the oracle's
-        // LIMIT 1 over an empty count table does the same)
-        .filter(col("b").isNotNull)
-        .select(col("b.pr").as("bp"), (-col("b.nc")).as("bc"),
-          element_at(split(col("b.pr"), " "), 1).as("pa"),
-          element_at(split(col("b.pr"), " "), 2).as("pb"))
-        .localCheckpoint()
-      val acc0 = lit("")
-      vocab = vocab.crossJoin(broadcast(best))
-        .select(col("cnt"),
-          aggregate(split(col("s"), " "), acc0, (acc, x) => {
-            val la = length(col("pa"))
-            val tailIsPa = length(acc) > la &&
-              acc.substr(length(acc) - la, la + lit(1)) ===
-                concat(lit(" "), col("pa"))
-            when(acc === "", x)
-              .when(x === col("pb") && acc === col("pa"),
-                concat(col("pa"), col("pb")))
-              .when(x === col("pb") && tailIsPa,
-                concat(acc.substr(lit(1), length(acc) - la),
-                  col("pa"), col("pb")))
-              .otherwise(concat(acc, lit(" "), x))
-          }).as("s"))
-        .localCheckpoint()
-      best.select(lit(r).as("merge_rank"), col("bp").as("pair"),
-        col("bc").as("n_occurrences"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt")))
+    val nWords = words.count()
+    require(nWords <= maxDistinctWords,
+      s"bpeMerges: $nWords distinct words exceeds maxDistinctWords " +
+        s"($maxDistinctWords) — the merge loop collects the word table; " +
+        "pre-filter the corpus (minimum word frequency) or raise the gate")
+    val table = words.collect().map(r => (r.getString(0), r.getLong(1)))
+    spark.createDataset(localBpeMerges(table, merges))
+      .toDF("merge_rank", "pair", "n_occurrences")
+  }
+
+  /** The in-memory BPE merge loop over a collected (word, count) table —
+    * the classic trainer with an incremental pair index: `pairCounts` holds
+    * every adjacent pair's weighted positional count, `postings` maps each
+    * pair to the word ids containing it, and a round (a) scans the bounded
+    * pair-count map for the argmax, (b) rewrites ONLY the posted words,
+    * subtracting their old pairs and adding their new ones. Per-round cost
+    * is O(|pairs| + Σ rewritten word lengths) — flat in the corpus and
+    * near-flat in the round number — vs the former one-Spark-job-per-round.
+    * Tie-break matches the distributed `min(struct(-c, pr))` it replaces:
+    * highest count, then smallest `"pa pb"` in UTF-8 byte order (Spark
+    * compares UTF8String bytes; Java String order diverges above the BMP). */
+  private[graft] def localBpeMerges(table: Array[(String, Long)],
+      merges: Int): Seq[(Int, String, Long)] = {
+    // symbol sequences: the word's code points plus the end-of-word marker
+    val syms: Array[Array[String]] = table.map { case (w, _) =>
+      val cps = w.codePoints().toArray
+        .map(cp => new String(Character.toChars(cp)))
+      cps :+ "</w>"
     }
-    rounds.reduce(_.unionByName(_))
+    val cnts: Array[Long] = table.map(_._2)
+    val pairCounts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    val postings =
+      scala.collection.mutable.HashMap.empty[(String, String),
+        scala.collection.mutable.HashSet[Int]]
+    def addWord(i: Int, sign: Long): Unit = {
+      val s = syms(i); val c = cnts(i) * sign
+      var j = 0
+      while (j < s.length - 1) {
+        val p = (s(j), s(j + 1))
+        val nc = pairCounts.getOrElse(p, 0L) + c
+        if (nc == 0L) pairCounts.remove(p) else pairCounts.update(p, nc)
+        if (sign > 0)
+          postings.getOrElseUpdate(p,
+            scala.collection.mutable.HashSet.empty[Int]).add(i)
+        j += 1
+      }
+    }
+    var i = 0
+    while (i < syms.length) { addWord(i, 1L); i += 1 }
+    def utf8Lt(a: String, b: String): Boolean = {
+      val ab = a.getBytes("UTF-8"); val bb = b.getBytes("UTF-8")
+      var k = 0
+      val n = math.min(ab.length, bb.length)
+      while (k < n) {
+        val d = (ab(k) & 0xff) - (bb(k) & 0xff)
+        if (d != 0) return d < 0
+        k += 1
+      }
+      ab.length < bb.length
+    }
+    val out = Seq.newBuilder[(Int, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= merges && !exhausted) {
+      if (pairCounts.isEmpty) exhausted = true
+      else {
+        var best: (String, String) = null
+        var bestC = Long.MinValue
+        var bestS: String = null
+        pairCounts.foreach { case (p, c) =>
+          val ps = p._1 + " " + p._2
+          if (c > bestC || (c == bestC && utf8Lt(ps, bestS))) {
+            best = p; bestC = c; bestS = ps
+          }
+        }
+        out += ((r, bestS, bestC))
+        val merged = best._1 + best._2
+        // rewrite only the words that contain the winning pair; drain the
+        // posting set (stale entries — words rewritten since posting — are
+        // harmless: their re-add below reposts whatever pairs they still have)
+        val touched = postings.remove(best).map(_.toArray).getOrElse(Array.empty)
+        var t = 0
+        while (t < touched.length) {
+          val w = touched(t)
+          addWord(w, -1L)
+          val s = syms(w)
+          val nb = Array.newBuilder[String]
+          var j = 0
+          while (j < s.length) {
+            if (j < s.length - 1 && s(j) == best._1 && s(j + 1) == best._2) {
+              nb += merged; j += 2
+            } else { nb += s(j); j += 1 }
+          }
+          syms(w) = nb.result()
+          addWord(w, 1L)
+          t += 1
+        }
+      }
+      r += 1
+    }
+    out.result()
   }
 
   /** Apply a learned [[bpeMerges]] table: subword-tokenize every document

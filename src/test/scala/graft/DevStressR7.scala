@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev-only stress validation (r7): BPE merge training at REAL vocab scale.
+  * The r6 formulation ran one Spark job round per merge (10 rounds ≈ 1.9 s of
+  * pure job overhead — 32k merges undeliverable); the r7 formulation keeps
+  * the corpus-scale word count distributed, collects the bounded word table
+  * once, and runs the merge loop locally with an incremental pair index.
+  * This harness measures (a) merges/second at 1k and 4k merges — per-merge
+  * cost must stay ~flat in the round number — and (b) corpus-size invariance
+  * (sf0.1 vs the 100x corpus at the same merge count: only the word-count
+  * pass may grow). Also: prep_d4 at the 100x corpus after the shared-scan
+  * change, and the selective LargeMessage path. Not part of the driver
+  * contract. */
+object DevStressR7 {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val docs = SparkEntry.docs(spark, dir)
+    docs.count() // warm scan
+
+    def timed[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[stress-r7] $label%-32s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+      ops.CacheScope.releaseAll(spark)
+      r
+    }
+
+    // merge-count scaling: per-merge cost must be ~flat (the collect and the
+    // word-count pass amortize; each extra merge touches only posted words)
+    for (m <- Seq(10, 1000, 4000)) {
+      val t0 = System.nanoTime()
+      val n = ops.TextAnalysis.bpeMerges(docs, merges = m).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[stress-r7] bpe_merges m=$m%-5d $sec%7.2f s  " +
+        f"rows=$n  per-merge=${sec / m * 1000}%8.3f ms")
+      ops.CacheScope.releaseAll(spark)
+    }
+
+    if (args.contains("d4")) {
+      val emb = SparkEntry.emb(spark, dir)
+      emb.count()
+      timed("prep_d4_t08 (shared scan)")(
+        ops.Similarity.prepD4(emb, threshold = 0.8).count())
+    }
+    spark.stop()
+  }
+}

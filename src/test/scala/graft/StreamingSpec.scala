@@ -260,8 +260,67 @@ class StreamingSpec extends SparkSpec {
       "--brokers", "b", "--input-pattern", "p",
       "--output-topic", "out", "--error-topic", "err"))
     assert(dflt.statsTopic == "out-stats" && dflt.examplesTopic == "out-examples")
+    // state store defaults to RocksDB (the 100 TB-scale provider); "hdfs"
+    // restores the heap default; anything else fails fast
+    assert(dflt.stateStore == "rocksdb")
+    assert(AnalyzerMain.stateStoreProviderClass("rocksdb").get
+      .endsWith("RocksDBStateStoreProvider"))
+    assert(AnalyzerMain.stateStoreProviderClass("hdfs").isEmpty)
+    val hdfs = AnalyzerMain.parseArgs(Array(
+      "--brokers", "b", "--input-pattern", "p",
+      "--output-topic", "out", "--error-topic", "err",
+      "--state-store", "hdfs"))
+    assert(hdfs.stateStore == "hdfs")
+    intercept[IllegalArgumentException] {
+      AnalyzerMain.parseArgs(Array(
+        "--brokers", "b", "--input-pattern", "p",
+        "--output-topic", "out", "--error-topic", "err",
+        "--state-store", "leveldb"))
+    }
     intercept[IllegalArgumentException] {
       AnalyzerMain.parseArgs(Array("--brokers", "b"))
+    }
+  }
+
+  test("stateful analyzer runs green under the RocksDB state store provider") {
+    // the production default (AnalyzerMain --state-store rocksdb): the
+    // statistics state lives in RocksDB on executor-local disk rather than
+    // on the heap — cross-micro-batch state semantics must be identical
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark2.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, AnalyzerMain.stateStoreProviderClass("rocksdb").get)
+    try {
+      val stream = MemoryStream[KafkaRecord]
+      val out = StreamingAnalyzer.analyze(stream.toDF())
+      val q = out.results.writeStream
+        .format("memory").queryName("rocksdb_results")
+        .outputMode("append").start()
+      try {
+        stream.addData(
+          record(0, 1000, "first", Fixtures.StackTrace),
+          record(1, 3000, "second", Fixtures.StackTrace))
+        q.processAllAvailable()
+        // second micro-batch reads the first's persisted RocksDB state
+        stream.addData(record(2, 2000, "third", Fixtures.StackTrace))
+        q.processAllAvailable()
+        val rows = spark.table("rocksdb_results").orderBy("count").collect()
+        assert(rows.length == 3)
+        assert(rows.map(_.getAs[Int]("count")).toSeq == Seq(1, 2, 3))
+        assert(rows(0).getAs[String]("exampleKey") == "first")
+        assert(rows(2).isNullAt(rows(2).fieldIndex("exampleKey")))
+        // the provider actually in effect is RocksDB, not the heap default:
+        // RocksDB's provider reports its own custom state metrics
+        assert(q.lastProgress.json.contains("rocksdb"),
+          "expected RocksDB custom metrics in the query progress")
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
     }
   }
 
