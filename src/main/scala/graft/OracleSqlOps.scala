@@ -304,8 +304,9 @@ FROM cl LEFT JOIN agg USING (doc_id)"""
     * written operation-for-operation as the engine computes it (incl.
     * `(1.2 + 1)` rather than the literal 2.2 — they are different doubles),
     * so scores are bit-identical. */
-  val searchBm25: String = {
-    val terms = Seq("table", "spark", "window")
+  /** The BM25 scored-docs CTE chain (base/stats/scored), shared by the
+    * standalone oracle and the hybrid-RRF sparse side. */
+  private def bm25ScoredCtes(terms: Seq[String]): String = {
     val tfCols = terms.zipWithIndex.map { case (t, i) =>
       s"len(list_filter($toks, x -> x = '$t')) AS tf$i"
     }.mkString(",\n    ")
@@ -316,7 +317,7 @@ FROM cl LEFT JOIN agg USING (doc_id)"""
         s"(CAST(tf$i AS DOUBLE) * (1.2 + 1) / " +
         s"(tf$i + 1.2 * (1.0 - 0.75 + 0.75 * dl / (CAST(sum_dl AS DOUBLE) / n))))")
       .mkString("\n    + ")
-    s"""WITH base AS (
+    s"""base AS (
   SELECT doc_id, len($toks) AS dl,
     $tfCols
   FROM documents
@@ -328,12 +329,68 @@ FROM cl LEFT JOIN agg USING (doc_id)"""
   SELECT doc_id,
     $score AS score
   FROM base, stats
-)
+)"""
+  }
+
+  val searchBm25: String =
+    s"""WITH ${bm25ScoredCtes(Seq("table", "spark", "window"))}
 SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank,
   doc_id, score
 FROM scored WHERE score > 0
 ORDER BY score DESC, doc_id LIMIT 10"""
-  }
+
+  /** Hybrid RRF oracle (mirrors graft.ops.Similarity.hybridRrf for terms
+    * [table, spark, window], queryVecId=0, nCand=50, kRrf=60, topK=10).
+    * Ranks are integers, so the only float arithmetic is the two
+    * CAST(1.0 AS DOUBLE)/(60+rank) divides summed sparse-then-dense —
+    * bit-identical across engines (a bare `1.0/` would be a DuckDB DECIMAL
+    * divide, which rounds differently from the engine's double). */
+  val searchHybridRrf: String =
+    s"""WITH ${bm25ScoredCtes(Seq("table", "spark", "window"))},
+sparse AS (
+  SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS s_rank
+  FROM scored WHERE score > 0
+  ORDER BY score DESC, doc_id LIMIT 50
+), e AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+    list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) AS n2
+  FROM embeddings
+), q AS (
+  SELECT v AS qv, n2 AS qn2 FROM e WHERE vec_id = 0
+), dcand AS (
+  SELECT e.vec_id AS doc_id,
+    list_dot_product(q.qv, e.v) / sqrt(q.qn2 * e.n2) AS cosine
+  FROM e, q WHERE e.vec_id <> 0
+  ORDER BY cosine DESC, doc_id LIMIT 50
+), dense AS (
+  SELECT doc_id,
+    CAST(row_number() OVER (ORDER BY cosine DESC, doc_id) AS INT) AS d_rank
+  FROM dcand
+), fused AS (
+  SELECT doc_id, s_rank, d_rank,
+    coalesce(CAST(1.0 AS DOUBLE) / (60 + s_rank), 0.0)
+      + coalesce(CAST(1.0 AS DOUBLE) / (60 + d_rank), 0.0) AS rrf
+  FROM sparse FULL JOIN dense USING (doc_id)
+)
+SELECT CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS INT) AS rank,
+  doc_id, s_rank, d_rank, rrf
+FROM fused ORDER BY rrf DESC, doc_id LIMIT 10"""
+
+  /** Stride-chunking oracle (mirrors graft.ops.TextAnalysis.chunkWithStride,
+    * window=32, stride=16). `range(0, n, 16)` is exactly the engine's
+    * `sequence(0, n-1, 16)` for n > 0; chunk_idx = off/16 is exact (off is
+    * a multiple of 16), so the only engine-sensitive piece is list_slice's
+    * end-inclusive clamp == slice's length clamp. */
+  val textChunk: String = s"""WITH t AS (
+  SELECT doc_id, $toks AS tk FROM documents
+), o AS (
+  SELECT doc_id, tk, unnest(range(0, len(tk), 16)) AS off
+  FROM t WHERE len(tk) > 0
+)
+SELECT doc_id, CAST(off / 16 AS INT) AS chunk_idx,
+  CAST(len(list_slice(tk, off + 1, off + 32)) AS INT) AS n_tokens,
+  array_to_string(list_slice(tk, off + 1, off + 32), ' ') AS chunk_text
+FROM o"""
 
   /** Uniform-share data mixing oracle (mirrors graft.ops.TextAnalysis
     * .mixToShares with no explicit shares). */

@@ -292,6 +292,15 @@ object SparkEntry {
     // fixed 3-term query over the corpus
     "search_bm25" -> ((s, dir) =>
       ops.TextAnalysis.searchBm25(docs(s, dir), Seq("table", "spark", "window"))),
+    // hybrid sparse+dense retrieval: BM25 candidate list fused with the
+    // exact dense top-50 for corpus vector 0 by reciprocal-rank fusion
+    "search_hybrid_rrf" -> ((s, dir) =>
+      ops.Similarity.hybridRrf(docs(s, dir), emb(s, dir),
+        Seq("table", "spark", "window"), queryVecId = 0L)),
+    // context-window chunking with stride (training-example prep): 32-token
+    // windows every 16 tokens, tail chunks kept
+    "text_chunk" -> ((s, dir) =>
+      ops.TextAnalysis.chunkWithStride(docs(s, dir), window = 32, stride = 16)),
     // uniform-share data mixing across the `source` column
     "text_mix" -> ((s, dir) => ops.TextAnalysis.mixToShares(docs(s, dir))),
     // explicit NON-uniform recipe (the Pile/Dolma-style case): share of
@@ -528,6 +537,8 @@ object SparkEntry {
     "text_clean_chunks" -> OracleSqlOps.textCleanChunks,
     "text_lm_score" -> OracleSqlOps.textLmScore,
     "search_bm25" -> OracleSqlOps.searchBm25,
+    "search_hybrid_rrf" -> OracleSqlOps.searchHybridRrf,
+    "text_chunk" -> OracleSqlOps.textChunk,
     "text_mix" -> OracleSqlOps.textMix,
     "text_mix_recipe" -> OracleSqlOps.textMixRecipe,
     "text_mix_temperature" -> OracleSqlOps.textMixTemperature,

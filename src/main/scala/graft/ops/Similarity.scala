@@ -1070,4 +1070,57 @@ object Similarity {
           col("l.n2"), col("r.n2")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
+
+  /** Hybrid sparse+dense retrieval by reciprocal-rank fusion (the public RRF
+    * formulation: fused score = Σ over lists of 1/(kRrf + rank) — the
+    * standard calibration-free way retrieval stacks combine a BM25 keyword
+    * list with a dense-embedding list). Only RANKS cross the fusion
+    * boundary, never raw scores of incompatible scales — the property that
+    * makes RRF robust, and what makes the operator bit-portable across
+    * engines: integer ranks → one double divide per side, summed in fixed
+    * order (sparse + dense).
+    *
+    * The sparse list is [[TextAnalysis.searchBm25]]'s top-`nCand`; the dense
+    * list is the exact cosine top-`nCand` for the `queryVecId` corpus vector
+    * (query-by-example; the query vector itself is excluded — its self-match
+    * would always be dense rank 1). A doc on one list only contributes that
+    * list's term (the standard RRF convention for missing ranks).
+    *
+    * Scale shape: both candidate lists are top-N truncated — the fusion
+    * input is ≤ 2·nCand rows regardless of corpus size, so the outer join +
+    * final sort touch a BOUNDED table. The dense side scans the corpus once
+    * against one broadcast query row; the sparse side is the BM25 scan +
+    * broadcast scalar stats. At production scale the dense list drops in
+    * from [[ivfPqRerankTopK]] (same output contract) without touching the
+    * fusion. */
+  def hybridRrf(docs: DataFrame, embeddings: DataFrame, terms: Seq[String],
+      queryVecId: Long, topK: Int = 10, nCand: Int = 50, kRrf: Int = 60,
+      tokenizer: Tokenizer = Tokenizer.Whitespace): DataFrame = {
+    val sparse = TextAnalysis.searchBm25(docs, terms, nCand,
+        tokenizer = tokenizer)
+      .select(col("doc_id"), col("rank").as("s_rank"))
+    val corpus = withNorm2(embeddings)
+    val q = corpus.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("qe"), col("n2").as("qn2"))
+    val denseW = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cosine").desc, col("doc_id"))
+    val dense = corpus.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= queryVecId)
+      .select(col("vec_id").as("doc_id"),
+        cosineWithNorms(col("qe"), col("embedding"), col("qn2"), col("n2"))
+          .as("cosine"))
+      .orderBy(col("cosine").desc, col("doc_id")).limit(nCand)
+      .select(col("doc_id"), row_number().over(denseW).as("d_rank"))
+    val fused = sparse.join(dense, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("s_rank"), col("d_rank"),
+        (coalesce(lit(1.0) / (lit(kRrf) + col("s_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(kRrf) + col("d_rank")), lit(0.0)))
+          .as("rrf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rrf").desc, col("doc_id"))
+    fused.orderBy(col("rrf").desc, col("doc_id")).limit(topK)
+      .withColumn("rank", row_number().over(w))
+      .select(col("rank"), col("doc_id"), col("s_rank"), col("d_rank"),
+        col("rrf"))
+  }
 }

@@ -46,6 +46,30 @@ object DevStressR7 {
       ops.CacheScope.releaseAll(spark)
     }
 
+    // the synthetic corpus's vocabulary is tiny (~30 distinct words — the
+    // pair space exhausts after ~107 merges), so the corpus runs above can't
+    // exercise 1k+ REAL rounds. Stress the local merge loop itself on a
+    // natural-language-shaped synthetic vocabulary: 50k distinct words of
+    // length 3..12 over a 26-letter alphabet, Zipf-weighted counts — per-merge
+    // cost must stay ~flat from 1k to 8k rounds (the 32k-vocab deliverability
+    // claim). Deterministic seed; pure driver-side (that IS the design: the
+    // merge loop runs off the cluster).
+    {
+      val rnd = new scala.util.Random(42)
+      val vocab = Array.tabulate(50000) { i =>
+        val len = 3 + rnd.nextInt(10)
+        val w = (0 until len).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+        (w + i.toString, (100000.0 / (i + 1) + 1).toLong) // suffix → distinct
+      }
+      for (m <- Seq(1000, 8000, 32000)) {
+        val t0 = System.nanoTime()
+        val out = ops.TextAnalysis.localBpeMerges(vocab, m)
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"[stress-r7] local_bpe 50k-vocab m=$m%-5d $sec%7.2f s  " +
+          f"rows=${out.length}  per-merge=${sec / m * 1000}%8.3f ms")
+      }
+    }
+
     if (args.contains("d4")) {
       val emb = SparkEntry.emb(spark, dir)
       emb.count()

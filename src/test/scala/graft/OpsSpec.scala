@@ -1349,6 +1349,61 @@ class OpsSpec extends SparkSpec {
     assert(!r.exists(_._2 == 3L))          // zero-score doc never ranks
   }
 
+  test("hybrid RRF fuses sparse and dense ranks; both-list docs outrank") {
+    // doc 1 matches the terms AND sits next to query vector 0; doc 2 is
+    // sparse-only; doc 3 is dense-only; doc 4 is on neither list
+    val d = Seq(
+      (1L, "spark table spark"),
+      (2L, "spark table spark spark table"),
+      (3L, "nothing relevant here"),
+      (4L, "equally irrelevant text")
+    ).toDF("doc_id", "text")
+    val e = Seq(
+      (0L, Seq(1.0f, 0.0f)),   // the query vector
+      (1L, Seq(0.9f, 0.1f)),   // near the query
+      (2L, Seq(0.0f, 1.0f)),   // orthogonal
+      (3L, Seq(1.0f, 0.1f)),   // near the query
+      (4L, Seq(-1.0f, 0.0f))   // opposite
+    ).toDF("vec_id", "embedding")
+    val rows = Similarity.hybridRrf(d, e, Seq("spark", "table"),
+        queryVecId = 0L, topK = 4, nCand = 2).collect()
+    val r = rows.map(x => (x.getAs[Int]("rank"), x.getAs[Long]("doc_id"),
+      x.getAs[Double]("rrf")))
+    // doc 1: on both top-2 lists — fused score beats every single-list doc
+    assert(r.head._2 == 1L)
+    assert(r.head._3 > r(1)._3)
+    // the query vector's own row never appears (self excluded from dense)
+    assert(!r.exists(_._2 == 0L))
+    // every row's fused score is EXACTLY the RRF sum of its own rank columns
+    // (missing list membership contributes 0 — the null-rank convention)
+    rows.foreach { x =>
+      val s = Option(x.getAs[Any]("s_rank")).map(_.asInstanceOf[Int])
+        .map(v => 1.0 / (60 + v)).getOrElse(0.0)
+      val dn = Option(x.getAs[Any]("d_rank")).map(_.asInstanceOf[Int])
+        .map(v => 1.0 / (60 + v)).getOrElse(0.0)
+      assert(x.getAs[Double]("rrf") == s + dn, x.toString)
+    }
+  }
+
+  test("stride chunking covers every token with the tail chunk kept") {
+    val d = Seq(
+      (1L, "a b c d e f g"),  // 7 tokens: offsets 0,3,6 at stride 3
+      (2L, ""),               // no chunks
+      (3L, null.asInstanceOf[String])) // no chunks
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.chunkWithStride(d, window = 4, stride = 3)
+      .collect().map(x => (x.getAs[Long]("doc_id"), x.getAs[Int]("chunk_idx"),
+        x.getAs[Int]("n_tokens"), x.getAs[String]("chunk_text")))
+      .sortBy(x => (x._1, x._2))
+    assert(r.map(_._1).forall(_ == 1L))
+    assert(r.map(x => (x._2, x._3, x._4)).toSeq == Seq(
+      (0, 4, "a b c d"), (1, 4, "d e f g"), (2, 1, "g")))
+    // overlap = window - stride: token "d" appears in chunks 0 and 1
+    intercept[IllegalArgumentException] {
+      TextAnalysis.chunkWithStride(d, window = 2, stride = 3)
+    }
+  }
+
   test("mix thins over-represented sources toward the uniform token share") {
     val d = ((0L until 300L).map(i => (i, "tok tok tok tok", "big")) ++
       (300L until 320L).map(i => (i, "tok tok", "small")))
