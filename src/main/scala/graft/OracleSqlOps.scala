@@ -515,6 +515,88 @@ SELECT s.doc_id, s.source, s.quality,
   s.qb >= coalesce(t.thr_qb, 9223372036854775807) AS kept
 FROM scored s LEFT JOIN thr t ON s.source = t.source"""
 
+  /** Gopher-rule filter oracle (mirrors graft.ops.TextAnalysis.gopherRules
+    * defaults: words in [30,90], mean word length in [3,10], symbol ratio
+    * <= 0.1, alpha-word fraction >= 0.8, >= 2 hits on the 8-word Gopher
+    * stop list). Zero-token docs pin ratios to 0.0 on both sides. */
+  val textGopher: String = {
+    val gopherStops = graft.ops.TextAnalysis.GopherStops
+      .map(w => s"'$w'").mkString("[", ",", "]")
+    s"""WITH t AS (SELECT doc_id, text, $toks AS tk FROM documents),
+g AS (SELECT doc_id,
+  CAST(len(tk) AS INT) AS n_words,
+  CAST(list_sum(list_transform(tk, x -> length(x))) AS INT) AS tok_chars,
+  (length(text) - length(regexp_replace(text, '#', '', 'g')))
+    + (length(text) - length(regexp_replace(text, '\\.\\.\\.', '', 'g'))) / 3
+    AS symbols,
+  CAST(len(list_filter(tk, x -> regexp_matches(x, '[a-zA-Z]'))) AS INT) AS alpha_words,
+  CAST(len(list_filter(tk, x -> list_contains($gopherStops, x))) AS INT) AS n_stop_hits
+FROM t),
+s AS (SELECT doc_id, n_words,
+  CASE WHEN n_words = 0 THEN 0.0 ELSE CAST(tok_chars AS DOUBLE) / n_words END AS mean_word_len,
+  CASE WHEN n_words = 0 THEN 0.0 ELSE CAST(symbols AS DOUBLE) / n_words END AS symbol_ratio,
+  CASE WHEN n_words = 0 THEN 0.0 ELSE CAST(alpha_words AS DOUBLE) / n_words END AS alpha_word_frac,
+  n_stop_hits
+FROM g)
+SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_word_frac, n_stop_hits,
+  n_words >= 30 AND n_words <= 90 AS r_word_count,
+  mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS r_mean_len,
+  symbol_ratio <= 0.1 AS r_symbol,
+  alpha_word_frac >= 0.8 AS r_alpha,
+  n_stop_hits >= 2 AS r_stopwords,
+  (n_words >= 30 AND n_words <= 90) AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+    AND symbol_ratio <= 0.1 AND alpha_word_frac >= 0.8 AND n_stop_hits >= 2 AS kept
+FROM s"""
+  }
+
+  /** CCNet-style per-source head/middle/tail oracle (mirrors
+    * graft.ops.TextAnalysis.ccnetBuckets, buckets=10⁶): the lm_score
+    * tertile cut stated with the same quantized histogram so the bucket
+    * decision is integer-exact in both engines. */
+  val textCcnetBuckets: String = s"""WITH lm AS (SELECT * FROM ($textLmScore)),
+scored AS (
+  SELECT d.doc_id, d.source, lm.lm_score,
+    coalesce(CAST(floor(lm.lm_score * 1000000) AS BIGINT), -1) AS qb
+  FROM lm JOIN documents d USING (doc_id)
+), hist AS (
+  SELECT source, qb, count(*) AS cnt FROM scored GROUP BY source, qb
+), nsrc AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_src FROM scored GROUP BY source
+), cum AS (
+  SELECT source, qb,
+    coalesce(sum(cnt) OVER (PARTITION BY source ORDER BY qb DESC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_prev
+  FROM hist
+), j AS (
+  SELECT c.source, c.qb, c.cum_prev, n.n_src
+  FROM cum c JOIN nsrc n ON c.source = n.source
+), th AS (
+  SELECT source, min(qb) AS thr_head FROM j
+  WHERE cum_prev < CAST(floor(n_src / 3.0) AS BIGINT) GROUP BY source
+), tm AS (
+  SELECT source, min(qb) AS thr_mid FROM j
+  WHERE cum_prev < CAST(floor(n_src * 2.0 / 3.0) AS BIGINT) GROUP BY source
+)
+SELECT s.doc_id, s.source, s.lm_score,
+  CASE WHEN s.qb >= coalesce(th.thr_head, 9223372036854775807) THEN 'head'
+       WHEN s.qb >= coalesce(tm.thr_mid, 9223372036854775807) THEN 'middle'
+       ELSE 'tail' END AS bucket
+FROM scored s
+LEFT JOIN th ON s.source = th.source
+LEFT JOIN tm ON s.source = tm.source"""
+
+  /** Per-source exact-duplication report oracle (mirrors
+    * graft.ops.Dedup.dupRateBySource): per-(source, text-digest) counts,
+    * then per-source totals. */
+  val corpusDupRate: String = """WITH pd AS (
+  SELECT source, md5(text) AS h, count(*) AS c FROM documents GROUP BY source, h
+)
+SELECT source, CAST(sum(c) AS BIGINT) AS n_docs,
+  CAST(count(*) AS BIGINT) AS n_unique,
+  CAST(sum(c) - count(*) AS BIGINT) AS n_dup_docs,
+  CAST(sum(c) - count(*) AS DOUBLE) / CAST(sum(c) AS BIGINT) AS dup_rate
+FROM pd GROUP BY source"""
+
   /** DSIR importance-weight oracle (mirrors
     * graft.ops.TextAnalysis.dsirWeights, target = source 'src0', m = 4096,
     * minWeight 1.0): unigram+bigram features hashed to md5-lane buckets,
@@ -1278,6 +1360,31 @@ SELECT cell, CAST(sum(cnt) AS BIGINT) AS n_members,
     AS inertia
 FROM k_p GROUP BY cell"""
   }
+
+  /** Cluster-vs-label purity oracle (mirrors
+    * graft.ops.Similarity.clusterPurity, lloydIters=2): the Lloyd-2 cell
+    * chain, a (cell, label) contingency count, majority label per cell with
+    * the (count desc, label) tie-break. */
+  val embPurity: String = s"""WITH e AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+    list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) AS n2
+  FROM embeddings
+), ${semanticCellChain()}, cont AS (
+  SELECT c.cell, emb.label, count(*) AS cnt
+  FROM cell c JOIN embeddings emb ON c.vec_id = emb.vec_id
+  GROUP BY c.cell, emb.label
+), tot AS (
+  SELECT cell, CAST(sum(cnt) AS BIGINT) AS n_members FROM cont GROUP BY cell
+), top AS (
+  SELECT cell, label, cnt FROM (
+    SELECT cell, label, cnt,
+      row_number() OVER (PARTITION BY cell ORDER BY cnt DESC, label) AS rn
+    FROM cont) WHERE rn = 1
+)
+SELECT top.cell, tot.n_members, CAST(top.label AS INT) AS top_label,
+  CAST(top.cnt AS BIGINT) AS top_count,
+  CAST(top.cnt AS DOUBLE) / tot.n_members AS purity
+FROM top JOIN tot ON top.cell = tot.cell"""
 
   /** Per-cell prototypicality score + top-`dropFrac` histogram cut, shared
     * by the diversity oracles (mirrors the bucket-granularity tier of

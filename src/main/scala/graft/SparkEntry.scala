@@ -323,6 +323,16 @@ object SparkEntry {
     // top-200 word bigrams by occurrence count — the pair-frequency input
     // to BPE/tokenizer training (text_vocab is the unigram df case)
     "text_ngrams" -> ((s, dir) => ops.TextAnalysis.topNgrams(docs(s, dir))),
+    // Gopher-style rule filter: per-rule flags + AND-combined keep, all
+    // expression-only per-row compute (zero shuffles)
+    "text_gopher" -> ((s, dir) => ops.TextAnalysis.gopherRules(docs(s, dir))),
+    // CCNet-style per-source head/middle/tail LM-score tertiles via the
+    // quantized-histogram cut (no per-source rank sort)
+    "text_ccnet_buckets" -> ((s, dir) =>
+      ops.TextAnalysis.ccnetBuckets(docs(s, dir))),
+    // per-source exact-duplication report: the corpus-health rates a
+    // curation run publishes before cleaning
+    "corpus_dup_rate" -> ((s, dir) => ops.Dedup.dupRateBySource(docs(s, dir))),
     // DSIR-style importance weights vs the src0 reference corpus: hashed
     // ngram bucket-ratio products (multiply-only arithmetic — engine-exact)
     "corpus_dsir" -> ((s, dir) =>
@@ -449,6 +459,10 @@ object SparkEntry {
     // cluster-quality scan over the same Lloyd-2 codebook dedup_semantic uses
     "emb_kmeans" -> ((s, dir) =>
       ops.Similarity.kmeansSummary(emb(s, dir), lloydIters = 2)),
+    // cluster-vs-label purity over the same codebook: topic-mix health per
+    // cell (majority label share from the bounded contingency table)
+    "emb_purity" -> ((s, dir) =>
+      ops.Similarity.clusterPurity(emb(s, dir), lloydIters = 2)),
     // SSL-prototypes diversity pruning: drop each cell's top-30% most
     // prototypical (closest-to-centroid) members at bucket granularity
     "emb_diversity" -> ((s, dir) =>
@@ -544,6 +558,9 @@ object SparkEntry {
     "text_mix_temperature" -> OracleSqlOps.textMixTemperature,
     "text_quality_topfrac" -> OracleSqlOps.textQualityTopFrac,
     "text_ngrams" -> OracleSqlOps.textNgrams,
+    "text_gopher" -> OracleSqlOps.textGopher,
+    "text_ccnet_buckets" -> OracleSqlOps.textCcnetBuckets,
+    "corpus_dup_rate" -> OracleSqlOps.corpusDupRate,
     "corpus_dsir" -> OracleSqlOps.corpusDsir,
     "text_bpe_merges" -> OracleSqlOps.textBpeMerges,
     "text_bpe_encode" -> OracleSqlOps.textBpeEncode,
@@ -577,6 +594,7 @@ object SparkEntry {
     "ann_pq_rerank" -> OracleSqlOps.ivfPqRerank,
     "ann_range" -> OracleSqlOps.annRange(0.3),
     "emb_kmeans" -> OracleSqlOps.embKmeans,
+    "emb_purity" -> OracleSqlOps.embPurity,
     "emb_diversity" -> OracleSqlOps.embDiversity,
     "prep_d4" -> OracleSqlOps.prepD4,
     "corpus_overlap" -> OracleSqlOps.corpusOverlap,

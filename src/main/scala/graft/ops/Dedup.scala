@@ -940,4 +940,28 @@ object Dedup {
         .as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
+
+  /** Per-source exact-duplication report — the corpus-health number a
+    * curation run publishes before any cleaning ([[exact]] gives the
+    * corpus-wide keep set; this gives the per-source rates that drive
+    * recrawl/re-weighting decisions): docs, distinct texts, duplicate doc
+    * count, and the duplication rate, per `source`.
+    *
+    * Scale shape: one map-side-combining groupBy on the 16-byte
+    * (source, digest) key, then a second bounded aggregation to
+    * per-source rows — ≤ |sources| rows ever leave the second shuffle, and
+    * no text moves past the first projection. Degenerate empty sources
+    * cannot occur (a source exists only via its rows), so the rate divide
+    * is safe. */
+  def dupRateBySource(docs: DataFrame): DataFrame = {
+    val perDigest = docs
+      .groupBy(col("source"), md5(col("text").cast("binary")).as("h"))
+      .agg(count(lit(1)).as("c"))
+    perDigest.groupBy(col("source"))
+      .agg(sum(col("c")).as("n_docs"),
+        count(lit(1)).as("n_unique"),
+        (sum(col("c")) - count(lit(1))).as("n_dup_docs"))
+      .select(col("source"), col("n_docs"), col("n_unique"), col("n_dup_docs"),
+        (col("n_dup_docs").cast("double") / col("n_docs")).as("dup_rate"))
+  }
 }

@@ -894,6 +894,35 @@ object Similarity {
           .as("inertia"))
   }
 
+  /** Cluster-vs-label purity over the coarse quantizer — the topic-mix
+    * health check a curation run reads next to [[kmeansSummary]]'s inertia:
+    * per cell, the member count, majority `label`, its count, and purity =
+    * majority share. Low purity flags cells mixing topics (a quantizer too
+    * coarse for topic-balanced sampling); the per-cell rows also give the
+    * corpus's topic distribution per bucket.
+    *
+    * Scale shape: assignment is the broadcast-codebook scan; labels join on
+    * `vec_id` as narrow (id, label) rows — the only corpus-scale shuffle.
+    * The contingency table is bounded (≤ maxCells·|labels| rows), so the
+    * majority pick is a window over a bounded relation, and ≤ maxCells rows
+    * leave the final join. */
+  def clusterPurity(embeddings: DataFrame, lloydIters: Int = 2,
+      maxCells: Int = IvfMaxCells): DataFrame = {
+    val cont = CacheScope.track(
+      cellAssignments(embeddings, lloydIters, maxCells)
+        .join(embeddings.select(col("vec_id"), col("label")), "vec_id")
+        .groupBy(col("cell"), col("label")).agg(count(lit(1)).as("cnt")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cell")).orderBy(col("cnt").desc, col("label"))
+    val tot = cont.groupBy(col("cell")).agg(sum(col("cnt")).as("n_members"))
+    cont.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .join(tot, "cell")
+      .select(col("cell"), col("n_members"),
+        col("label").as("top_label"), col("cnt").as("top_count"),
+        (col("cnt").cast("double") / col("n_members")).as("purity"))
+  }
+
   /** Semantic dedup (the SemDeDup shape): cluster the embedding space with
     * the coarse quantizer, compute exact pairwise cosine ONLY within each
     * cell, and resolve connected components — every vector labeled with its

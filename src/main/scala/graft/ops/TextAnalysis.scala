@@ -1175,4 +1175,107 @@ object TextAnalysis {
     top.withColumn("rank", row_number().over(w))
       .select(col("rank"), col("gram"), col("n_occurrences"), col("df"))
   }
+
+  /** The Gopher rule set's stopword list (the public paper's 8-word
+    * "contains ≥2 of" check). */
+  val GopherStops: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher-style rule-based document filtering (the public Gopher /
+    * MassiveText quality rules, parameterized): per-rule boolean flags plus
+    * the AND-combined `kept` decision, with the raw signals each rule reads
+    * so downstream reporting can explain every drop.
+    *
+    * Rules: word count in [minWords, maxWords]; mean word length in
+    * [minMeanLen, maxMeanLen]; symbol-to-word ratio ('#' and '...'
+    * occurrences per word) ≤ maxSymbolRatio; fraction of words containing
+    * an alphabetic character ≥ minAlphaFrac; ≥ minStopHits hits on the
+    * 8-word [[GopherStops]] list.
+    *
+    * Scale shape: a pure per-row projection — expression-only (no UDF),
+    * zero shuffles, fuses into the scan's whole-stage codegen. Zero-token
+    * docs pin their ratios to 0.0 in both engines (Spark Divide → NULL vs
+    * DuckDB IEEE NaN would otherwise diverge) and fail the word-count rule
+    * anyway. */
+  def gopherRules(docs: DataFrame,
+      minWords: Int = 30, maxWords: Int = 90,
+      minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1, minAlphaFrac: Double = 0.8,
+      minStopHits: Int = 2): DataFrame = {
+    val t = tokens(col("text"))
+    val nW = size(t)
+    val meanLen = when(nW === 0, lit(0.0)).otherwise(
+      aggregate(t, lit(0), (a, x) => a + length(x)).cast("double") / nW)
+    val symbols =
+      (length(col("text")) - length(regexp_replace(col("text"), "#", ""))) +
+        (length(col("text")) -
+          length(regexp_replace(col("text"), "\\.\\.\\.", ""))) / 3
+    val symbolRatio = when(nW === 0, lit(0.0))
+      .otherwise(symbols.cast("double") / nW)
+    val alphaFrac = when(nW === 0, lit(0.0)).otherwise(
+      size(filter(t, x => x.rlike("[a-zA-Z]"))).cast("double") / nW)
+    val stops = stopCount(t, GopherStops)
+    val rWords = nW >= minWords && nW <= maxWords
+    val rMeanLen = meanLen >= minMeanLen && meanLen <= maxMeanLen
+    val rSymbol = symbolRatio <= maxSymbolRatio
+    val rAlpha = alphaFrac >= minAlphaFrac
+    val rStops = stops >= minStopHits
+    docs.select(col("doc_id"),
+      nW.cast("int").as("n_words"), meanLen.as("mean_word_len"),
+      symbolRatio.as("symbol_ratio"), alphaFrac.as("alpha_word_frac"),
+      stops.cast("int").as("n_stop_hits"),
+      rWords.as("r_word_count"), rMeanLen.as("r_mean_len"),
+      rSymbol.as("r_symbol"), rAlpha.as("r_alpha"), rStops.as("r_stopwords"),
+      (rWords && rMeanLen && rSymbol && rAlpha && rStops).as("kept"))
+  }
+
+  /** CCNet-style per-source head/middle/tail bucketing by LM score (the
+    * public CCNet pipeline's perplexity-tertile split, with [[lmScore]]'s
+    * rational mean-conditional-probability standing in for the Kneser-Ney
+    * perplexity — higher score = more predictable = "head"): each source's
+    * docs are cut at its own ⌊n/3⌋ / ⌊2n/3⌋ ranks from the top.
+    *
+    * Scale shape: the tertile cut is the [[qualityTopFrac]] quantized
+    * histogram — per-(source, bucket) counts (map-side combining), a
+    * cumulative window over the BOUNDED histogram (≤ |sources|·buckets
+    * rows), and two bounded threshold tables eager-tracked and broadcast
+    * back over the corpus-scale scored stream (never a per-source
+    * full-partition rank sort, and never a shuffle keyed on low-cardinality
+    * `source`). Cut decisions are made per whole bucket at 1e-6
+    * granularity, so both engines agree exactly. */
+  def ccnetBuckets(docs: DataFrame, buckets: Int = 1000000,
+      tokenizer: Tokenizer = Tokenizer.Whitespace): DataFrame = {
+    val scored = CacheScope.track(
+      lmScore(docs, tokenizer)
+        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+        .select(col("doc_id"), col("source"), col("lm_score"),
+          coalesce(floor(col("lm_score") * buckets).cast("long"), lit(-1L))
+            .as("qb")))
+    val hist = scored.groupBy(col("source"), col("qb"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("qb").desc)
+    val cum = hist.withColumn("cum_prev",
+      coalesce(sum(col("cnt")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+        lit(0L)))
+    val nSrc = scored.groupBy(col("source")).agg(count(lit(1)).as("n_src"))
+    val joined = cum.join(nSrc, "source")
+    def thrAt(frac: Column, out: String) = joined
+      .filter(col("cum_prev") < floor(frac).cast("long"))
+      .groupBy(col("source")).agg(min(col("qb")).as(out))
+    val thr = thrAt(col("n_src") / 3.0, "thr_head")
+      .join(thrAt(col("n_src") * 2.0 / 3.0, "thr_mid"), Seq("source"), "full")
+    // same trap as qualityTopFrac: thr sits under windows + aggregations
+    // where the size estimate is garbage — eager-track or the broadcast
+    // gate declines into a |sources|-partition shuffle of the corpus.
+    scored.join(Par.maybeBroadcast(CacheScope.trackEager(thr)),
+        Seq("source"), "left")
+      .select(col("doc_id"), col("source"), col("lm_score"),
+        when(col("qb") >= coalesce(col("thr_head"), lit(Long.MaxValue)),
+            lit("head"))
+          .when(col("qb") >= coalesce(col("thr_mid"), lit(Long.MaxValue)),
+            lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+  }
 }

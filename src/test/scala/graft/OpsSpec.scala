@@ -1145,6 +1145,13 @@ class OpsSpec extends SparkSpec {
     assert(tmixPlan.contains("BroadcastHashJoin"),
       "per-source temperature rates must broadcast-join over the doc stream")
     graft.ops.CacheScope.releaseAll(spark)
+    // ccnetBuckets carries the same two bounded threshold tables under the
+    // same window+aggregation shape
+    val ccnetPlan = org.apache.spark.sql.graftbridge.executedPlanString(
+      TextAnalysis.ccnetBuckets(d))
+    assert(ccnetPlan.contains("BroadcastHashJoin"),
+      "per-source tertile thresholds must broadcast-join over the scored stream")
+    graft.ops.CacheScope.releaseAll(spark)
   }
 
   test("dsirWeights up-weights docs whose ngrams match the target corpus") {
@@ -1491,6 +1498,62 @@ class OpsSpec extends SparkSpec {
       .map(x => (x.getAs[String]("source_a"), x.getAs[String]("source_b"),
         x.getAs[Long]("n_pairs")))
     assert(r.toSeq == Seq(("web", "wiki", 1L)))
+    graft.ops.CacheScope.releaseAll(spark)
+  }
+
+  test("gopherRules flags each rule independently and ANDs the keep") {
+    val good = (Seq("the", "of", "and") ++ Seq.fill(27)("word")).mkString(" ")
+    val short = "the of and word" // fails only the word-count rule
+    val symbolic = (Seq("the", "of") ++ Seq.fill(28)("###")).mkString(" ")
+    val noStops = Seq.fill(30)("word").mkString(" ")
+    val d = Seq((0L, good), (1L, short), (2L, symbolic), (3L, noStops))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.gopherRules(d).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r(0L).getAs[Boolean]("kept"))
+    assert(!r(1L).getAs[Boolean]("r_word_count") &&
+      r(1L).getAs[Boolean]("r_stopwords") && !r(1L).getAs[Boolean]("kept"))
+    assert(!r(2L).getAs[Boolean]("r_symbol") && !r(2L).getAs[Boolean]("r_alpha"))
+    assert(r(3L).getAs[Boolean]("r_word_count") &&
+      !r(3L).getAs[Boolean]("r_stopwords") && !r(3L).getAs[Boolean]("kept"))
+  }
+
+  test("ccnetBuckets cuts each source at its own lm-score tertiles") {
+    // doc i = i repetitions of "u s_i": its u->s_i bigram probability i/45
+    // rises with i while the s_i->u legs stay 1.0, so lm_score is strictly
+    // increasing in i — tertiles are exactly {9,8,7} / {6,5,4} / {3,2,1}
+    val d = (1 to 9).map(i =>
+      (i.toLong, Seq.fill(i)(s"u s$i").mkString(" "), "s"))
+      .toDF("doc_id", "text", "source")
+    val r = TextAnalysis.ccnetBuckets(d).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[String]("bucket")).toMap
+    assert(Seq(9L, 8L, 7L).forall(r(_) == "head"))
+    assert(Seq(6L, 5L, 4L).forall(r(_) == "middle"))
+    assert(Seq(3L, 2L, 1L).forall(r(_) == "tail"))
+    graft.ops.CacheScope.releaseAll(spark)
+  }
+
+  test("dupRateBySource reports per-source duplicate shares") {
+    val d = Seq(
+      (0L, "x", "a"), (1L, "x", "a"), (2L, "y", "a"), // a: 3 docs, 2 unique
+      (3L, "z", "b")) // b: clean
+      .toDF("doc_id", "text", "source")
+    val r = Dedup.dupRateBySource(d).collect()
+      .map(x => x.getAs[String]("source") ->
+        ((x.getAs[Long]("n_docs"), x.getAs[Long]("n_unique"),
+          x.getAs[Long]("n_dup_docs"), x.getAs[Double]("dup_rate")))).toMap
+    assert(r("a") == ((3L, 2L, 1L, 1.0 / 3.0)))
+    assert(r("b") == ((1L, 1L, 0L, 0.0)))
+  }
+
+  test("clusterPurity: label-aligned cells score exact 1.0 majorities") {
+    val lab = clusteredEmb.drop("label")
+      .withColumn("label", (col("vec_id") / 25).cast("int"))
+    val r = Similarity.clusterPurity(lab, lloydIters = 2).collect()
+    assert(r.length == 3)
+    assert(r.forall(_.getAs[Long]("n_members") == 25L))
+    assert(r.forall(_.getAs[Double]("purity") == 1.0))
+    assert(r.map(_.getAs[Int]("top_label")).toSet == Set(0, 1, 2))
     graft.ops.CacheScope.releaseAll(spark)
   }
 }
