@@ -2032,6 +2032,60 @@ SELECT doc_id, CAST(count(*) AS INT) AS n_tokens,
 FROM t JOIN f USING (tok) CROSS JOIN g
 GROUP BY doc_id"""
 
+  /** Per-source document cap oracle (mirrors
+    * graft.ops.TextAnalysis.capPerSource, cap=10, buckets=10⁶): the naive
+    * rank formulation — row_number per source over (quantized bucket DESC,
+    * doc_id) — which the engine's histogram + boundary-bucket plan
+    * reproduces exactly. */
+  val textCapPerSource: String = s"""WITH ${qualityScoreOver("documents")},
+scored AS (
+  SELECT doc_id, source, quality,
+    coalesce(CAST(floor(quality * 1000000) AS BIGINT), -1) AS qb
+  FROM qs
+), r AS (
+  SELECT doc_id, source, quality,
+    row_number() OVER (PARTITION BY source ORDER BY qb DESC, doc_id) AS rn
+  FROM scored
+)
+SELECT doc_id, source, quality, rn <= 10 AS kept FROM r"""
+
+  /** Token-budget selection oracle (mirrors
+    * graft.ops.TextAnalysis.selectBudget, budget=10000, buckets=10⁶): the
+    * naive global-window formulation — cumulative preceding tokens over
+    * (quantized bucket DESC, doc_id) strictly under budget — which the
+    * engine's bounded-histogram + boundary-bucket plan reproduces exactly. */
+  val corpusSelectBudget: String = s"""WITH ${qualityScoreOver("documents")},
+scored AS (
+  SELECT q.doc_id, CAST(q2.n_tokens AS BIGINT) AS n_tokens, q.quality,
+    coalesce(CAST(floor(q.quality * 1000000) AS BIGINT), -1) AS qb
+  FROM qs q JOIN qq q2 USING (doc_id)
+), r AS (
+  SELECT doc_id, quality, n_tokens,
+    coalesce(sum(n_tokens) OVER (ORDER BY qb DESC, doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_prev
+  FROM scored
+)
+SELECT doc_id, quality, n_tokens, cum_prev < 10000 AS kept FROM r"""
+
+  /** Cross-corpus dedup oracle (mirrors graft.ops.Dedup.crossDedup with
+    * reference = source 'src0', corpus = the rest): byte-exact and
+    * normalized digest membership against the reference corpus. */
+  val dedupCross: String = """WITH nrm AS (
+  SELECT doc_id, source, md5(text) AS h,
+    md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+      ' +', ' ', 'g'))) AS nh
+  FROM documents
+), ref AS (SELECT DISTINCT h FROM nrm WHERE source = 'src0'),
+refn AS (SELECT DISTINCT nh FROM nrm WHERE source = 'src0')
+SELECT c.doc_id,
+  r.h IS NOT NULL AS exact_hit,
+  rn.nh IS NOT NULL AS norm_hit,
+  NOT (r.h IS NOT NULL OR rn.nh IS NOT NULL) AS kept
+FROM nrm c
+LEFT JOIN ref r ON c.h = r.h
+LEFT JOIN refn rn ON c.nh = rn.nh
+WHERE c.source <> 'src0'"""
+
   /** TPC-H Q5 shape (local-supplier revenue by nation within a region). */
   val q5Local: String = """SELECT n_name,
   CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue

@@ -355,6 +355,27 @@ object SparkEntry {
           .select(col("doc_id"), col("n_subwords").cast("long").as("n_tokens")))
     }),
 
+    // per-source document cap (the per-domain limit): top-10 per source by
+    // quantized quality, exact rank semantics without a per-source sort
+    "text_cap_per_source" -> ((s, dir) =>
+      ops.TextAnalysis.capPerSource(docs(s, dir))),
+    // token-budget corpus selection: greedy quality-first take until the
+    // 10k-token budget is spent, no global one-reducer sort
+    "corpus_select_budget" -> ((s, dir) =>
+      ops.TextAnalysis.selectBudget(docs(s, dir))),
+    // decontamination with a Bloom prefilter on the train shingles: the
+    // non-colliding bulk dies at the scan; exact verify keeps the output
+    // bit-identical to text_decontaminate (same oracle)
+    "text_decontaminate_bloom" -> ((s, dir) =>
+      ops.TextAnalysis.decontaminateBloom(docs(s, dir))),
+    // cross-corpus dedup vs the held-out src0 reference: exact + normalized
+    // digest membership, reference digest sets broadcast
+    "dedup_cross" -> ((s, dir) => {
+      val d = docs(s, dir)
+      ops.Dedup.crossDedup(d.filter(col("source") =!= "src0"),
+        d.filter(col("source") === "src0"))
+    }),
+
     "dedup_exact" -> ((s, dir) => ops.Dedup.exact(docs(s, dir))),
     // the normalized tier: case/punctuation/spacing variants collapse at
     // exact-dedup cost (one hash shuffle)
@@ -565,6 +586,12 @@ object SparkEntry {
     "text_bpe_merges" -> OracleSqlOps.textBpeMerges,
     "text_bpe_encode" -> OracleSqlOps.textBpeEncode,
     "text_pack_bpe" -> OracleSqlOps.textPackBpe,
+    "text_cap_per_source" -> OracleSqlOps.textCapPerSource,
+    "corpus_select_budget" -> OracleSqlOps.corpusSelectBudget,
+    // the Bloom prefilter is exact-verified, so the oracle IS the exact
+    // decontamination contract
+    "text_decontaminate_bloom" -> OracleSqlOps.textDecontaminate,
+    "dedup_cross" -> OracleSqlOps.dedupCross,
     "dedup_exact" -> OracleSqlOps.dedupExact,
     "dedup_exact_norm" -> OracleSqlOps.dedupExactNorm,
     "dedup_minhash_lsh" -> OracleSqlOps.minhashLsh,

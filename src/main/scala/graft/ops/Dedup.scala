@@ -47,11 +47,52 @@ object Dedup {
     * (one hash shuffle), where the MinHash tier would spend a full sketch
     * pass. Normalization stays in the Java∩RE2 regex dialect (same rule as
     * [[TextAnalysis.pii]]) so the oracle reproduces it literally. */
-  def exactNormalized(docs: DataFrame): DataFrame = {
-    val norm = trim(regexp_replace(
-      regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
-    docs.groupBy(md5(norm.cast("binary")).as("norm_hash"))
+  def exactNormalized(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(normText.cast("binary")).as("norm_hash"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).cast("int").as("n_copies"))
+
+  /** The normalization behind the cleaning tier (shared by
+    * [[exactNormalized]] and [[crossDedup]]): lowercase, non-alphanumerics
+    * to spaces, whitespace runs collapsed, trimmed. Stays in the Java∩RE2
+    * regex dialect so the oracle reproduces it literally. */
+  private def normText: Column = trim(regexp_replace(
+    regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+
+  /** Cross-corpus dedup (dedup-against-held-out: drop training docs that
+    * duplicate a doc of the REFERENCE corpus — the eval set, a licensed
+    * subset, a previous snapshot): per corpus doc, whether its byte-exact
+    * digest or its [[exactNormalized]] normalized digest appears anywhere in
+    * `reference`, and the resulting keep flag. The n-gram-level overlap
+    * check is [[TextAnalysis.decontaminate]]; the near-dup tier composes as
+    * [[minhashLsh]] over the union — this operator is the exact tiers, which
+    * at crawl scale remove the bulk at one-hash-join cost.
+    *
+    * Scale shape: the corpus side is a pure per-row double-digest projection
+    * (scan speed); the reference side collapses to its DISTINCT digest sets —
+    * bounded by the reference corpus, which in every use above is orders of
+    * magnitude smaller than the corpus — eager-tracked (the estimate under
+    * distinct is garbage) and broadcast, so no corpus-scale shuffle at all;
+    * past the gate the fallback is a shuffle-hash join on the 16-byte
+    * digest. */
+  def crossDedup(corpus: DataFrame, reference: DataFrame): DataFrame = {
+    val refExact = reference
+      .select(md5(col("text").cast("binary")).as("text_hash")).distinct()
+      .withColumn("x_hit", lit(true))
+    val refNorm = reference
+      .select(md5(normText.cast("binary")).as("norm_hash")).distinct()
+      .withColumn("nm_hit", lit(true))
+    corpus.select(col("doc_id"),
+        md5(col("text").cast("binary")).as("text_hash"),
+        md5(normText.cast("binary")).as("norm_hash"))
+      .join(maybeBroadcast(CacheScope.trackEager(refExact)),
+        Seq("text_hash"), "left")
+      .join(maybeBroadcast(CacheScope.trackEager(refNorm)),
+        Seq("norm_hash"), "left")
+      .select(col("doc_id"),
+        coalesce(col("x_hit"), lit(false)).as("exact_hit"),
+        coalesce(col("nm_hit"), lit(false)).as("norm_hit"),
+        (!(coalesce(col("x_hit"), lit(false)) ||
+          coalesce(col("nm_hit"), lit(false)))).as("kept"))
   }
 
   /** (doc_id, tok) with distinct tokens per doc — the token-set relation. */

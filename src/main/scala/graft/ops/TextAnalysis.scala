@@ -228,16 +228,77 @@ object TextAnalysis {
     // persisted: the shingle posting list feeds the val-gram set AND the
     // train-side semi-join — untracked each branch re-runs the 5-gram
     // explode over the corpus
-    val postings = CacheScope.track(docs
-      .select(col("doc_id"), tokenizer.tokens(col("text")).as("tk"))
-      .withColumn("n", size(col("tk")))
-      .select(col("doc_id"),
-        explode(array_distinct(grams(col("tk"), col("n"), width))).as("g"))
-      .join(split, Seq("doc_id")))
+    val postings = CacheScope.track(splitPostings(docs, width, trainPct, tokenizer))
     val valGrams = postings.filter(col("split") === "val")
       .select(col("g")).distinct()
     val contaminated = postings.filter(col("split") === "train")
       .join(valGrams, Seq("g"), "left_semi")
+      .select(col("doc_id")).distinct()
+      .withColumn("hit", lit(true))
+    split.join(contaminated, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("split"),
+        (col("split") === "train" && coalesce(col("hit"), lit(false)))
+          .as("contaminated"))
+  }
+
+  /** (doc_id, g, split): per-doc DISTINCT word `width`-gram postings with
+    * each doc's hash-split — the shared feed of both decontamination passes. */
+  private def splitPostings(docs: DataFrame, width: Int, trainPct: Int,
+      tokenizer: Tokenizer): DataFrame =
+    docs.select(col("doc_id"), tokenizer.tokens(col("text")).as("tk"))
+      .withColumn("n", size(col("tk")))
+      .select(col("doc_id"),
+        explode(array_distinct(grams(col("tk"), col("n"), width))).as("g"))
+      .join(hashSplit(docs, trainPct), Seq("doc_id"))
+
+  /** [[decontaminate]] with a Bloom prefilter on the train side — the shape
+    * that survives 100 TB: the exact check's cost center is the gram
+    * semi-join, which hash-shuffles EVERY training shingle even though
+    * almost none collide with the (much smaller) validation set. Here the
+    * val-side shingles are folded into one bounded Bloom filter (Spark's own
+    * `BloomFilterAggregate` over `xxhash64(g)` — the codegen'd sketch behind
+    * Catalyst's runtime row-level filtering; `numBits/8` bytes regardless of
+    * corpus size), the blob is collected once (a bounded single-row binary,
+    * same justification as `mixToShares`) and re-embedded as a literal in a
+    * codegen'd `BloomFilterMightContain` scan predicate, so non-colliding
+    * train shingles die AT THE SCAN and only might-contain survivors reach
+    * the exact semi-join. Bloom false positives are verified away by that
+    * exact join, so the output is bit-identical to [[decontaminate]] — same
+    * oracle, deterministically.
+    *
+    * Sizing: `numBits` defaults to 2^23 (a 1 MB blob — ~10 bits per item at
+    * the 2^20 expected-item default, ~1% false positives; each false
+    * positive only costs one extra row through the exact verify). Both knobs
+    * are explicit because the val-shingle count is corpus-dependent — size
+    * numBits ~10× the expected val-shingle count. The blob participates in
+    * one partial-aggregation buffer per input partition and is then embedded
+    * in the scan predicate, so oversizing it taxes every task: 8× larger
+    * bits measured ~2.7× the whole operator's runtime at small scale. */
+  def decontaminateBloom(docs: DataFrame, width: Int = 5, trainPct: Int = 90,
+      expectedItems: Long = 1L << 20, numBits: Long = 1L << 23,
+      tokenizer: Tokenizer = Tokenizer.Whitespace): DataFrame = {
+    import org.apache.spark.sql.graftbridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val split = hashSplit(docs, trainPct)
+    val postings = CacheScope.track(splitPostings(docs, width, trainPct, tokenizer))
+    val valGrams = postings.filter(col("split") === "val").select(col("g"))
+    val blob = valGrams
+      .agg(graftbridge.column(new BloomFilterAggregate(
+          graftbridge.expression(xxhash64(col("g"))),
+          Literal(expectedItems), Literal(numBits)).toAggregateExpression())
+        .as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    // an empty val split aggregates to a NULL blob — nothing can be
+    // contaminated, and a NULL literal would fail might_contain's type check
+    if (blob == null)
+      return split.select(col("doc_id"), col("split"),
+        lit(false).as("contaminated"))
+    val mightContain = graftbridge.column(new BloomFilterMightContain(
+      Literal(blob), graftbridge.expression(xxhash64(col("g")))))
+    val contaminated = postings.filter(col("split") === "train")
+      .filter(mightContain)
+      .join(valGrams.distinct(), Seq("g"), "left_semi")
       .select(col("doc_id")).distinct()
       .withColumn("hit", lit(true))
     split.join(contaminated, Seq("doc_id"), "left")
@@ -1277,5 +1338,127 @@ object TextAnalysis {
           .when(col("qb") >= coalesce(col("thr_mid"), lit(Long.MaxValue)),
             lit("middle"))
           .otherwise(lit("tail")).as("bucket"))
+  }
+
+  /** Per-source document cap (the Common-Crawl-style per-domain limit: no
+    * source may contribute more than `cap` documents, and the ones it keeps
+    * are its best): keep each source's top `cap` docs ordered by quantized
+    * quality bucket descending, doc_id ascending (the deterministic
+    * tiebreak).
+    *
+    * Scale shape: the naive formulation is `row_number() OVER (PARTITION BY
+    * source ORDER BY quality DESC)` — a full per-source sort of the corpus,
+    * keyed on low-cardinality `source` (the exact skew collapse
+    * [[qualityTopFrac]] avoids). Instead the [[qualityTopFrac]] quantized
+    * histogram decides whole buckets: per-(source, qb) counts (map-side
+    * combining), a cumulative window over the BOUNDED histogram classifies
+    * each bucket as fully-kept (`cum_prev + cnt <= cap`), fully-dropped
+    * (`cum_prev >= cap`) or the ONE boundary bucket per source, and the
+    * bounded status table is eager-tracked and broadcast back over the
+    * scored stream. Only boundary-bucket rows — at most one quality bucket
+    * per source — pay a `row_number` sort, so the exact cap semantics cost a
+    * per-bucket (not per-source) window over a sliver of the corpus. Bucket
+    * decisions are integer-exact at 1e-6 quality granularity, so both
+    * engines agree bit-for-bit with the naive window formulation the oracle
+    * states. */
+  def capPerSource(docs: DataFrame, cap: Int = 10,
+      buckets: Int = 1000000): DataFrame = {
+    require(cap >= 0, s"cap >= 0: $cap")
+    val scored = CacheScope.track(
+      qualityWith(docs, Seq(col("source")))
+        .select(col("doc_id"), col("source"), col("quality"),
+          coalesce(floor(col("quality") * buckets).cast("long"), lit(-1L))
+            .as("qb")))
+    val hist = scored.groupBy(col("source"), col("qb"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("qb").desc)
+    val status = hist.withColumn("cum_prev",
+        coalesce(sum(col("cnt")).over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("source"), col("qb"),
+        (col("cum_prev") + col("cnt") <= cap).as("full_keep"),
+        (col("cum_prev") < cap && col("cum_prev") + col("cnt") > cap)
+          .as("boundary"),
+        (lit(cap.toLong) - col("cum_prev")).as("room"))
+    // same trap as qualityTopFrac: status sits under a window + aggregation
+    // where the size estimate is garbage — eager-track or the broadcast gate
+    // declines into a |sources|-partition shuffle of the corpus
+    val joined = CacheScope.track(
+      scored.join(Par.maybeBroadcast(CacheScope.trackEager(status)),
+        Seq("source", "qb")))
+    val plain = joined.filter(!col("boundary"))
+      .select(col("doc_id"), col("source"), col("quality"),
+        col("full_keep").as("kept"))
+    val bw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"), col("qb")).orderBy(col("doc_id"))
+    val bound = joined.filter(col("boundary"))
+      .withColumn("rn", row_number().over(bw))
+      .select(col("doc_id"), col("source"), col("quality"),
+        (col("rn") <= col("room")).as("kept"))
+    plain.unionByName(bound)
+  }
+
+  /** Token-budget corpus selection (the "fill the training budget with the
+    * best tokens" cut): order the corpus by quantized quality bucket
+    * descending (doc_id ascending tiebreak) and keep each doc whose
+    * cumulative preceding token count is still under `budget` — the greedy
+    * quality-first take that stops once the budget is spent (the straddling
+    * doc is still taken: its preceding total was in budget).
+    *
+    * Scale shape: the naive formulation is a GLOBAL ordered window (one
+    * reducer sorting the corpus). Instead per-bucket token totals (bounded
+    * histogram, map-side combining) and ONE cumulative scan over those
+    * bounded rows classify whole buckets — fully kept
+    * (`cum_prev + tok <= budget`; every doc's preceding total is under
+    * budget), fully dropped (`cum_prev >= budget`), or the single boundary
+    * bucket, whose rows alone pay an ordered running-sum window. The status
+    * table is eager-tracked and broadcast over the scored stream, so the
+    * global greedy semantics cost one bounded-table scan plus a one-bucket
+    * window. */
+  def selectBudget(docs: DataFrame, budget: Long = 10000L,
+      buckets: Int = 1000000): DataFrame = {
+    require(budget >= 0, s"budget >= 0: $budget")
+    val scored = CacheScope.track(
+      quality(docs)
+        .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+          col("quality"),
+          coalesce(floor(col("quality") * buckets).cast("long"), lit(-1L))
+            .as("qb")))
+    val hist = scored.groupBy(col("qb"))
+      .agg(sum(col("n_tokens")).as("tok"))
+    // the cumulative scan is a single-partition window — over the BOUNDED
+    // histogram (<= distinct quality buckets rows), never the corpus
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("qb").desc)
+    val status = hist.withColumn("cum_prev",
+        coalesce(sum(col("tok")).over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("qb"),
+        // STRICT bound: at cum_prev + tok == budget a zero-token doc ordered
+        // last can sit exactly AT the budget (preceding total == budget,
+        // dropped by the `< budget` rule) — route that bucket through the
+        // exact boundary window instead of keeping it wholesale
+        (col("cum_prev") + col("tok") < budget).as("full_keep"),
+        (col("cum_prev") < budget && col("cum_prev") + col("tok") >= budget)
+          .as("boundary"),
+        col("cum_prev"))
+    val joined = CacheScope.track(
+      scored.join(Par.maybeBroadcast(CacheScope.trackEager(status)),
+        Seq("qb")))
+    val plain = joined.filter(!col("boundary"))
+      .select(col("doc_id"), col("quality"), col("n_tokens"),
+        col("full_keep").as("kept"))
+    val bw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qb")).orderBy(col("doc_id"))
+    val bound = joined.filter(col("boundary"))
+      .withColumn("within_prev",
+        coalesce(sum(col("n_tokens")).over(
+          bw.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("doc_id"), col("quality"), col("n_tokens"),
+        (col("cum_prev") + col("within_prev") < budget).as("kept"))
+    plain.unionByName(bound)
   }
 }

@@ -1152,6 +1152,19 @@ class OpsSpec extends SparkSpec {
     assert(ccnetPlan.contains("BroadcastHashJoin"),
       "per-source tertile thresholds must broadcast-join over the scored stream")
     graft.ops.CacheScope.releaseAll(spark)
+    // capPerSource / selectBudget carry the same bounded status-table-under-
+    // window shape: the bucket-status join must broadcast, not shuffle the
+    // corpus stream on (source, qb) / qb
+    val capPlan = org.apache.spark.sql.graftbridge.executedPlanString(
+      TextAnalysis.capPerSource(d, cap = 5))
+    assert(capPlan.contains("BroadcastHashJoin"),
+      "bucket status must broadcast-join over the scored stream")
+    graft.ops.CacheScope.releaseAll(spark)
+    val budgetPlan = org.apache.spark.sql.graftbridge.executedPlanString(
+      TextAnalysis.selectBudget(d, budget = 100L))
+    assert(budgetPlan.contains("BroadcastHashJoin"),
+      "budget bucket status must broadcast-join over the scored stream")
+    graft.ops.CacheScope.releaseAll(spark)
   }
 
   test("dsirWeights up-weights docs whose ngrams match the target corpus") {
@@ -1554,6 +1567,93 @@ class OpsSpec extends SparkSpec {
     assert(r.forall(_.getAs[Long]("n_members") == 25L))
     assert(r.forall(_.getAs[Double]("purity") == 1.0))
     assert(r.map(_.getAs[Int]("top_label")).toSet == Set(0, 1, 2))
+    graft.ops.CacheScope.releaseAll(spark)
+  }
+
+  test("capPerSource keeps each source's top-cap by quality, doc_id tiebreak") {
+    // source s: 10 docs with distinct qualities (stops rise with i);
+    // source t: 3 identical docs (one shared quality bucket — the whole
+    // source IS the boundary bucket, kept by doc_id order)
+    val d = ((0 until 10).map { i =>
+      val stops = Seq.fill(i)("the")
+      val rest = Seq.fill(10 - i)(s"zz$i")
+      (i.toLong, (stops ++ rest).mkString(" "), "s")
+    } ++ (10 until 13).map(i => (i.toLong, "same text here", "t")))
+      .toDF("doc_id", "text", "source")
+    val r = TextAnalysis.capPerSource(d, cap = 4).collect()
+      .map(x => (x.getAs[Long]("doc_id"), x.getAs[String]("source"),
+        x.getAs[Double]("quality"), x.getAs[Boolean]("kept")))
+    val sRows = r.filter(_._2 == "s")
+    val sKept = sRows.filter(_._4).map(_._1).toSet
+    val sTop4 = sRows.sortBy(x => (-x._3, x._1)).take(4).map(_._1).toSet
+    assert(sKept == sTop4, s"s kept $sKept != top4 $sTop4")
+    // t's three docs share one bucket; cap=4 > 3 keeps all of them
+    assert(r.filter(_._2 == "t").forall(_._4))
+    // and a binding boundary: cap=2 keeps exactly doc 10, 11 by id order
+    graft.ops.CacheScope.releaseAll(spark)
+    val r2 = TextAnalysis.capPerSource(d, cap = 2).collect()
+      .filter(_.getAs[String]("source") == "t")
+      .filter(_.getAs[Boolean]("kept")).map(_.getAs[Long]("doc_id")).toSet
+    assert(r2 == Set(10L, 11L))
+    graft.ops.CacheScope.releaseAll(spark)
+  }
+
+  test("selectBudget takes quality-first until the token budget is spent") {
+    // 5 docs x 10 tokens, qualities strictly falling with doc_id (stops
+    // decrease quality? no — stopword ratio RAISES quality; make doc 0
+    // best by giving it the most stopwords)
+    val d = (0 until 5).map { i =>
+      val stops = Seq.fill(8 - i)("the")
+      val rest = Seq.fill(2 + i)(s"zz$i")
+      (i.toLong, (stops ++ rest).mkString(" "))
+    }.toDF("doc_id", "text")
+    val r = TextAnalysis.selectBudget(d, budget = 25L).collect()
+      .map(x => (x.getAs[Long]("doc_id"), x.getAs[Long]("n_tokens"),
+        x.getAs[Boolean]("kept"))).sortBy(_._1)
+    assert(r.forall(_._2 == 10L))
+    // greedy by quality desc = doc_id asc here: docs 0,1 fit (0,10 < 25),
+    // doc 2 straddles (20 < 25 -> taken), docs 3,4 over (30,40 >= 25)
+    assert(r.map(x => (x._1, x._3)).toSeq ==
+      Seq((0L, true), (1L, true), (2L, true), (3L, false), (4L, false)))
+    graft.ops.CacheScope.releaseAll(spark)
+  }
+
+  test("decontaminateBloom output is bit-identical to the exact pass") {
+    // ids chosen so the md5 lane split yields both train and val members;
+    // shared 5-grams force real contamination hits, plus a clean train doc
+    val base = "alpha beta gamma delta epsilon zeta eta theta"
+    val d = (0L until 40L).map { i =>
+      val text = if (i % 3 == 0) base
+      else if (i % 3 == 1) s"$base iota kappa"
+      else s"unique$i solo$i text$i four$i five$i six$i"
+      (i, text)
+    }.toDF("doc_id", "text")
+    val exact = TextAnalysis.decontaminate(d).collect()
+      .map(x => (x.getAs[Long]("doc_id"), x.getAs[String]("split"),
+        x.getAs[Boolean]("contaminated"))).sortBy(_._1)
+    graft.ops.CacheScope.releaseAll(spark)
+    val bloom = TextAnalysis.decontaminateBloom(d).collect()
+      .map(x => (x.getAs[Long]("doc_id"), x.getAs[String]("split"),
+        x.getAs[Boolean]("contaminated"))).sortBy(_._1)
+    assert(bloom.toSeq == exact.toSeq)
+    assert(exact.exists(_._3), "fixture must produce a real contamination hit")
+    graft.ops.CacheScope.releaseAll(spark)
+  }
+
+  test("crossDedup flags exact and normalized reference hits independently") {
+    val ref = Seq((100L, "The quick brown fox")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (0L, "The quick brown fox"),   // byte-exact hit (and norm hit)
+      (1L, "the QUICK, brown fox!"), // normalized-only hit
+      (2L, "a different doc")        // clean
+    ).toDF("doc_id", "text")
+    val r = Dedup.crossDedup(corpus, ref).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Boolean]("exact_hit"), x.getAs[Boolean]("norm_hit"),
+          x.getAs[Boolean]("kept")))).toMap
+    assert(r(0L) == ((true, true, false)))
+    assert(r(1L) == ((false, true, false)))
+    assert(r(2L) == ((false, false, true)))
     graft.ops.CacheScope.releaseAll(spark)
   }
 }
