@@ -1198,6 +1198,46 @@ WHERE list_dot_product(qe.v, ne.v) / sqrt(qe.n2 * ne.n2) >= $threshold"""
 )
 SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cosine FROM ranked WHERE rank <= 5"""
 
+  /** Hard-negative mining oracle (mirrors
+    * graft.ops.Similarity.hardNegatives, k=5): the exact top-6 per query,
+    * rank 1 as the positive, ranks 2..6 re-ranked 1..5 as negatives. */
+  val searchHardNegatives: String = s"""WITH e AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+    list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) AS n2
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS qid, v AS qv, n2 AS qn2 FROM e WHERE vec_id % 100 = 0
+), scored AS (
+  SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+    list_dot_product(q.qv, e.v) / sqrt(q.qn2 * e.n2) AS cosine
+  FROM e JOIN q ON e.vec_id <> q.qid
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+), pos AS (
+  SELECT query_id, neighbor_id AS positive_id FROM ranked WHERE rank = 1
+)
+SELECT r.query_id, p.positive_id, CAST(r.rank - 1 AS INT) AS neg_rank,
+  r.neighbor_id, r.cosine
+FROM ranked r JOIN pos p USING (query_id) WHERE r.rank BETWEEN 2 AND 6"""
+
+  /** Snapshot-diff oracle (mirrors graft.ops.Dedup.snapshotDiff with
+    * old = doc_id % 10 <> 3, new = doc_id % 10 <> 7 — two deterministic
+    * overlapping snapshot views of the documents table). */
+  val corpusSnapshotDiff: String = """WITH o AS (
+  SELECT md5(text) AS h, CAST(count(*) AS BIGINT) AS c
+  FROM documents WHERE doc_id % 10 <> 3 GROUP BY md5(text)
+), n AS (
+  SELECT md5(text) AS h, CAST(count(*) AS BIGINT) AS c
+  FROM documents WHERE doc_id % 10 <> 7 GROUP BY md5(text)
+)
+SELECT coalesce(o.h, n.h) AS text_hash,
+  CASE WHEN o.h IS NULL THEN 'added' WHEN n.h IS NULL THEN 'removed'
+       WHEN o.c = n.c THEN 'unchanged' ELSE 'changed' END AS status,
+  coalesce(o.c, 0) AS n_old,
+  coalesce(n.c, 0) AS n_new
+FROM o FULL JOIN n ON o.h = n.h"""
+
   /** Real-IVF oracle (mirrors graft.ops.Similarity.ivfTopK): sampled
     * centroids (vec_id % stride = residue), nearest-centroid cell
     * assignment, nprobe=2 probe cells per query. */

@@ -375,6 +375,17 @@ object SparkEntry {
       ops.Dedup.crossDedup(d.filter(col("source") =!= "src0"),
         d.filter(col("source") === "src0"))
     }),
+    // crawl-refresh CDC: digest-level diff between two deterministic
+    // snapshot views (added/removed/unchanged/changed)
+    "corpus_snapshot_diff" -> ((s, dir) => {
+      val d = docs(s, dir)
+      ops.Dedup.snapshotDiff(d.filter(col("doc_id") % 10 =!= 3),
+        d.filter(col("doc_id") % 10 =!= 7))
+    }),
+    // retrieval-training data prep: per query the exact top-1 positive and
+    // the next-5 hard negatives, re-ranked
+    "search_hard_negatives" -> ((s, dir) =>
+      ops.Similarity.hardNegatives(emb(s, dir), col("vec_id") % 100 === 0)),
 
     "dedup_exact" -> ((s, dir) => ops.Dedup.exact(docs(s, dir))),
     // the normalized tier: case/punctuation/spacing variants collapse at
@@ -592,6 +603,8 @@ object SparkEntry {
     // decontamination contract
     "text_decontaminate_bloom" -> OracleSqlOps.textDecontaminate,
     "dedup_cross" -> OracleSqlOps.dedupCross,
+    "corpus_snapshot_diff" -> OracleSqlOps.corpusSnapshotDiff,
+    "search_hard_negatives" -> OracleSqlOps.searchHardNegatives,
     "dedup_exact" -> OracleSqlOps.dedupExact,
     "dedup_exact_norm" -> OracleSqlOps.dedupExactNorm,
     "dedup_minhash_lsh" -> OracleSqlOps.minhashLsh,

@@ -95,6 +95,32 @@ object Dedup {
           coalesce(col("nm_hit"), lit(false)))).as("kept"))
   }
 
+  /** Snapshot diff between two corpus versions keyed by content digest (the
+    * crawl-refresh CDC report: what a new snapshot added, removed, or
+    * re-weighted vs the previous one — the first artifact an incremental
+    * curation run publishes, and the input that decides whether downstream
+    * recomputation is needed at all). Per digest: old/new multiplicities and
+    * a status (`added` / `removed` / `unchanged` / `changed`).
+    *
+    * Scale shape: one map-side-combining digest count per side (shuffle rows
+    * = distinct digests, not docs) and ONE full-outer hash join on the
+    * 16-byte digest — no doc-level pairing anywhere, so two 100 TB snapshots
+    * diff at the cost of their digest sets. */
+  def snapshotDiff(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
+    def counts(d: DataFrame, out: String) =
+      d.groupBy(md5(col("text").cast("binary")).as("text_hash"))
+        .agg(count(lit(1)).as(out))
+    counts(oldDocs, "n_old").join(counts(newDocs, "n_new"),
+        Seq("text_hash"), "full")
+      .select(col("text_hash"),
+        when(col("n_old").isNull, lit("added"))
+          .when(col("n_new").isNull, lit("removed"))
+          .when(col("n_old") === col("n_new"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"),
+        coalesce(col("n_old"), lit(0L)).as("n_old"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+  }
+
   /** (doc_id, tok) with distinct tokens per doc — the token-set relation. */
   private def docTokens(docs: DataFrame, tokenizer: Tokenizer): DataFrame =
     docs.select(col("doc_id"),

@@ -64,6 +64,29 @@ object Similarity {
     topK(scored, k)
   }
 
+  /** Hard-negative mining for retrieval training (the dense-retriever
+    * fine-tuning data prep: for each query, the corpus items that score
+    * CLOSEST without being the positive — the negatives that actually teach
+    * the model): per query, the exact top-1 neighbor is taken as the
+    * positive and ranks 2..k+1 become its hard negatives, re-ranked 1..k.
+    *
+    * Built on [[bruteForceTopK]] (k+1) — one corpus scan, queries broadcast;
+    * the per-query positive table is |Q| rows, eager-tracked and broadcast
+    * back over the negative rows. At corpus scale the exact scan swaps for
+    * the two-stage [[ivfPqRerankTopK]] shortlist with the same downstream
+    * shape (the positive/negative split only needs SOME top-(k+1) list). */
+  def hardNegatives(embeddings: DataFrame, queryPred: Column,
+      k: Int = 5): DataFrame = {
+    val top = CacheScope.track(bruteForceTopK(embeddings, queryPred, k + 1))
+    val pos = top.filter(col("rank") === 1)
+      .select(col("query_id"), col("neighbor_id").as("positive_id"))
+    top.filter(col("rank") > 1)
+      .join(Par.maybeBroadcast(CacheScope.trackEager(pos)), Seq("query_id"))
+      .select(col("query_id"), col("positive_id"),
+        (col("rank") - 1).cast("int").as("neg_rank"),
+        col("neighbor_id"), col("cosine"))
+  }
+
   /** Deterministic coarse-quantizer selection for [[ivfTopK]]: corpus vectors
     * with `vec_id % IvfCentroidStride == IvfCentroidResidue` are the cell
     * centroids (a uniform sample — the sampled-quantizer variant of IVF; a

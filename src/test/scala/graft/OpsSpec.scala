@@ -1640,6 +1640,40 @@ class OpsSpec extends SparkSpec {
     graft.ops.CacheScope.releaseAll(spark)
   }
 
+  test("snapshotDiff classifies digest deltas across two corpus versions") {
+    val old = Seq((0L, "kept doc"), (1L, "removed doc"),
+      (2L, "reweighted"), (3L, "reweighted")).toDF("doc_id", "text")
+    val nw = Seq((10L, "kept doc"), (11L, "added doc"),
+      (12L, "reweighted")).toDF("doc_id", "text")
+    val r = Dedup.snapshotDiff(old, nw).collect()
+      .map(x => x.getAs[String]("status") ->
+        ((x.getAs[Long]("n_old"), x.getAs[Long]("n_new")))).toMap
+    assert(r("unchanged") == ((1L, 1L)))
+    assert(r("removed") == ((1L, 0L)))
+    assert(r("added") == ((0L, 1L)))
+    assert(r("changed") == ((2L, 1L)))
+  }
+
+  test("hardNegatives excludes the positive and re-ranks the rest") {
+    // queries are vec 0 (cluster 0 in clusteredEmb); top-1 is its nearest
+    // clustermate (the positive), negatives are the next-k by cosine
+    val top = Similarity.bruteForceTopK(clusteredEmb, col("vec_id") === 0, k = 4)
+      .collect().sortBy(_.getAs[Int]("rank"))
+      .map(x => (x.getAs[Int]("rank"), x.getAs[Long]("neighbor_id"),
+        x.getAs[Double]("cosine")))
+    graft.ops.CacheScope.releaseAll(spark)
+    val r = Similarity.hardNegatives(clusteredEmb, col("vec_id") === 0, k = 3)
+      .collect().sortBy(_.getAs[Int]("neg_rank"))
+      .map(x => (x.getAs[Long]("positive_id"), x.getAs[Int]("neg_rank"),
+        x.getAs[Long]("neighbor_id"), x.getAs[Double]("cosine")))
+    assert(r.length == 3)
+    assert(r.forall(_._1 == top.head._2), "positive must be the exact top-1")
+    assert(r.map(x => (x._2, x._3, x._4)).toSeq ==
+      top.tail.map(t => (t._1 - 1, t._2, t._3)).toSeq)
+    assert(!r.exists(_._3 == top.head._2), "the positive is never a negative")
+    graft.ops.CacheScope.releaseAll(spark)
+  }
+
   test("crossDedup flags exact and normalized reference hits independently") {
     val ref = Seq((100L, "The quick brown fox")).toDF("doc_id", "text")
     val corpus = Seq(
