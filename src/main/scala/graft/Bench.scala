@@ -23,7 +23,10 @@ object Bench {
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir) {
       SparkEntry.queries.values.foreach { fn =>
-        try fn(spark, warmDir).count() catch { case _: Throwable => () }
+        // forceCount so the warm-up compiles the FULL plan's codegen, not the
+        // count()-pruned skeleton (see the timed loop below)
+        try org.apache.spark.sql.graftbridge.forceCount(fn(spark, warmDir))
+        catch { case _: Throwable => () }
       }
       ops.CacheScope.releaseAll(spark)
     }
@@ -41,7 +44,11 @@ object Bench {
     val failed = scala.collection.mutable.ListBuffer[String]()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime(); val g0 = gcMillis
-      try { fn(spark, sfDir).count(); () } catch {
+      // forceCount, not count(): count()'s prune-everything rewrite lets the
+      // optimizer ELIMINATE cardinality-preserving left joins (the ending
+      // shape of the decontamination/keep-flag operators) — the bench must
+      // time the full result, not the prunable skeleton
+      try { org.apache.spark.sql.graftbridge.forceCount(fn(spark, sfDir)); () } catch {
         case e: Throwable =>
           failed += name
           println(s"[bench] $name FAILED: $e")

@@ -491,7 +491,10 @@ FROM qq)"""
     * graft.ops.TextAnalysis.qualityTopFrac, keepFrac=0.3, buckets=10⁶):
     * quantized score histogram per source, keep every bucket whose
     * cumulative-from-top count starts below ⌊0.3·nₛ⌋. */
-  val textQualityTopFrac: String = s"""WITH ${qualityScoreOver("documents")},
+  val textQualityTopFrac: String = textQualityTopFracOver("documents")
+
+  private def textQualityTopFracOver(src: String): String =
+    s"""WITH ${qualityScoreOver(src)},
 scored AS (
   SELECT doc_id, source, quality,
     coalesce(CAST(floor(quality * 1000000) AS BIGINT), -1) AS qb
@@ -519,10 +522,12 @@ FROM scored s LEFT JOIN thr t ON s.source = t.source"""
     * defaults: words in [30,90], mean word length in [3,10], symbol ratio
     * <= 0.1, alpha-word fraction >= 0.8, >= 2 hits on the 8-word Gopher
     * stop list). Zero-token docs pin ratios to 0.0 on both sides. */
-  val textGopher: String = {
+  val textGopher: String = textGopherOver("documents")
+
+  private def textGopherOver(src: String): String = {
     val gopherStops = graft.ops.TextAnalysis.GopherStops
       .map(w => s"'$w'").mkString("[", ",", "]")
-    s"""WITH t AS (SELECT doc_id, text, $toks AS tk FROM documents),
+    s"""WITH t AS (SELECT doc_id, text, $toks AS tk FROM $src),
 g AS (SELECT doc_id,
   CAST(len(tk) AS INT) AS n_words,
   CAST(list_sum(list_transform(tk, x -> length(x))) AS INT) AS tok_chars,
@@ -927,6 +932,36 @@ FROM grp g JOIN rcl ON rcl.rep_id = g.rep_id"""
   SELECT * FROM (${textPackOver("mixed")})
 ), sp AS (
   ${textSplitOver("mixed")}
+)
+SELECT packed.doc_id, sp.split, packed.shard, packed.seq,
+  packed.tok_offset, packed.n_tokens
+FROM packed JOIN sp USING (doc_id)"""
+
+  /** FineWeb-shaped composed prep oracle (mirrors
+    * graft.ops.Prep.prepFineWeb, keepFrac=0.3): Gopher rules → normalized-
+    * exact canonicals → per-source top-30% quality → split + pack, each
+    * stage re-rooted on the previous stage's survivors. */
+  val prepFineweb: String = s"""WITH gph AS (
+  SELECT doc_id FROM (${textGopherOver("documents")}) WHERE kept
+), g AS (
+  SELECT d.* FROM documents d JOIN gph USING (doc_id)
+), nrm AS (
+  SELECT doc_id,
+    md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+      ' +', ' ', 'g'))) AS nh
+  FROM g
+), ncanon AS (
+  SELECT min(doc_id) AS doc_id FROM nrm GROUP BY nh
+), canon AS (
+  SELECT g.* FROM g JOIN ncanon USING (doc_id)
+), tfk AS (
+  SELECT doc_id FROM (${textQualityTopFracOver("canon")}) WHERE kept
+), selected AS (
+  SELECT c.* FROM canon c JOIN tfk USING (doc_id)
+), packed AS (
+  SELECT * FROM (${textPackOver("selected")})
+), sp AS (
+  ${textSplitOver("selected")}
 )
 SELECT packed.doc_id, sp.split, packed.shard, packed.seq,
   packed.tok_offset, packed.n_tokens

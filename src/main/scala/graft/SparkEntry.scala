@@ -410,6 +410,9 @@ object SparkEntry {
     // the showcase composition: dedup -> quality floor -> mix -> split+pack,
     // one declarative plan from crawl to training shards
     "prep_corpus" -> ((s, dir) => ops.Prep.prepCorpus(docs(s, dir))),
+    // the FineWeb-shaped recipe: rules -> normalized dedup -> per-source
+    // top-frac quality -> split + pack, composed end to end
+    "prep_fineweb" -> ((s, dir) => ops.Prep.prepFineWeb(docs(s, dir))),
     // edit-distance-verified near-dup: Levenshtein runs only on the
     // Hamming-bounded simhash survivors, never a quadratic pair stream
     "dedup_edit" -> ((s, dir) => ops.Dedup.editDistancePairs(docs(s, dir))),
@@ -615,6 +618,7 @@ object SparkEntry {
     "dedup_clusters" -> OracleSqlOps.dedupClusters,
     "dedup_pipeline" -> OracleSqlOps.dedupPipeline,
     "prep_corpus" -> OracleSqlOps.prepCorpus,
+    "prep_fineweb" -> OracleSqlOps.prepFineweb,
     "dedup_edit" -> OracleSqlOps.dedupEdit,
     "dedup_incremental" -> OracleSqlOps.dedupIncremental,
     "dedup_incremental_emb" -> OracleSqlOps.dedupIncrementalEmb,

@@ -44,4 +44,39 @@ object Prep {
       .select(col("doc_id"), col("split"), col("shard"), col("seq"),
         col("tok_offset"), col("n_tokens"))
   }
+
+  /** The FineWeb-shaped recipe, composed from the round-7 operator surface —
+    * the second end-to-end prep job, proving the filters compose the same
+    * way [[prepCorpus]]'s dedup-first recipe does:
+    *
+    *   1. rule filtering first ([[TextAnalysis.gopherRules]] — the cheap
+    *      per-row pass runs BEFORE anything that shuffles);
+    *   2. normalized-exact dedup on the survivors
+    *      ([[Dedup.exactNormalized]] canonicals — crawl case/punctuation
+    *      variants collapse at one digest shuffle);
+    *   3. per-source top-fraction quality retention
+    *      ([[TextAnalysis.qualityTopFrac]] — FineWeb's keep-the-best cut,
+    *      histogram-exact);
+    *   4. split + pack ([[TextAnalysis.hashSplit]] / [[TextAnalysis.pack]]).
+    *
+    * Same reproducibility contract as [[prepCorpus]]: every stage is a pure
+    * function of the corpus, keep-sets are id projections joined back,
+    * multi-branch survivor frames are [[CacheScope]]-tracked so each stage
+    * scans once. */
+  def prepFineWeb(docs: DataFrame, keepFrac: Double = 0.3,
+      budget: Int = 2048, shards: Int = 32): DataFrame = {
+    val gIds = TextAnalysis.gopherRules(docs)
+      .filter(col("kept")).select(col("doc_id"))
+    val g = CacheScope.track(docs.join(gIds, "doc_id"))
+    val canonIds = Dedup.exactNormalized(g)
+      .select(col("keep_id").as("doc_id"))
+    val canon = CacheScope.track(g.join(canonIds, "doc_id"))
+    val qIds = TextAnalysis.qualityTopFrac(canon, keepFrac)
+      .filter(col("kept")).select(col("doc_id"))
+    val selected = CacheScope.track(canon.join(qIds, "doc_id"))
+    TextAnalysis.pack(selected, budget, shards)
+      .join(TextAnalysis.hashSplit(selected), "doc_id")
+      .select(col("doc_id"), col("split"), col("shard"), col("seq"),
+        col("tok_offset"), col("n_tokens"))
+  }
 }

@@ -259,26 +259,29 @@ object TextAnalysis {
     * `BloomFilterAggregate` over `xxhash64(g)` — the codegen'd sketch behind
     * Catalyst's runtime row-level filtering; `numBits/8` bytes regardless of
     * corpus size), the blob is collected once (a bounded single-row binary,
-    * same justification as `mixToShares`) and re-embedded as a literal in a
-    * codegen'd `BloomFilterMightContain` scan predicate, so non-colliding
-    * train shingles die AT THE SCAN and only might-contain survivors reach
-    * the exact semi-join. Bloom false positives are verified away by that
-    * exact join, so the output is bit-identical to [[decontaminate]] — same
-    * oracle, deterministically.
+    * same justification as `mixToShares`) and probed by the codegen'd
+    * [[graft.functions.BloomMightContain]] scan predicate (the blob rides
+    * OUTSIDE the expression-comparison surface — embedding it in a `Literal`
+    * makes every optimizer pass deep-hash megabytes; see that scaladoc), so
+    * non-colliding train shingles die AT THE SCAN and only might-contain
+    * survivors reach the exact semi-join. Bloom false positives are
+    * verified away by that exact join, so the output is bit-identical to
+    * [[decontaminate]] — same oracle, deterministically.
     *
-    * Sizing: `numBits` defaults to 2^23 (a 1 MB blob — ~10 bits per item at
-    * the 2^20 expected-item default, ~1% false positives; each false
-    * positive only costs one extra row through the exact verify). Both knobs
-    * are explicit because the val-shingle count is corpus-dependent — size
-    * numBits ~10× the expected val-shingle count. The blob participates in
-    * one partial-aggregation buffer per input partition and is then embedded
-    * in the scan predicate, so oversizing it taxes every task: 8× larger
-    * bits measured ~2.7× the whole operator's runtime at small scale. */
+    * Measured (DevStressR7 `bloomab`, 500k-doc corpus, full-result timing):
+    * exact 31.6 s vs bloom 20.2 s at the 2^23-bit default — the prefilter
+    * wins once the train-side gram shuffle dominates; at toy scale the
+    * extra blob-building pass costs more than it saves. Sizing: ~10 bits
+    * per expected val shingle (2^23 bits ≈ 1 MB holds ~1M shingles at ~1%
+    * fpp; each false positive only costs one extra row through the exact
+    * verify, so an overloaded filter degrades toward the exact pass, never
+    * below it). Both knobs are explicit because the val-shingle count is
+    * corpus-dependent. */
   def decontaminateBloom(docs: DataFrame, width: Int = 5, trainPct: Int = 90,
       expectedItems: Long = 1L << 20, numBits: Long = 1L << 23,
       tokenizer: Tokenizer = Tokenizer.Whitespace): DataFrame = {
     import org.apache.spark.sql.graftbridge
-    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     val split = hashSplit(docs, trainPct)
     val postings = CacheScope.track(splitPostings(docs, width, trainPct, tokenizer))
@@ -290,12 +293,16 @@ object TextAnalysis {
         .as("bf"))
       .head().getAs[Array[Byte]]("bf")
     // an empty val split aggregates to a NULL blob — nothing can be
-    // contaminated, and a NULL literal would fail might_contain's type check
+    // contaminated
     if (blob == null)
       return split.select(col("doc_id"), col("split"),
         lit(false).as("contaminated"))
-    val mightContain = graftbridge.column(new BloomFilterMightContain(
-      Literal(blob), graftbridge.expression(xxhash64(col("g")))))
+    // the probe rides graft's own expression, NOT Spark's
+    // BloomFilterMightContain-over-a-Literal: a megabyte blob inside a
+    // Literal is deep-hashed by every optimizer pass (see
+    // functions.BloomMightContain scaladoc)
+    val mightContain = graftbridge.column(graft.functions.BloomMightContain(
+      graftbridge.expression(xxhash64(col("g"))), blob))
     val contaminated = postings.filter(col("split") === "train")
       .filter(mightContain)
       .join(valGrams.distinct(), Seq("g"), "left_semi")

@@ -25,4 +25,16 @@ object graftbridge {
   /** Rendered physical plan (test/diagnostic hook). */
   def executedPlanString(df: DataFrame): String =
     df.asInstanceOf[classic.Dataset[_]].queryExecution.executedPlan.toString
+
+  /** Count that FORCES full materialization of the frame's output rows.
+    * `df.count()` rewrites the logical plan to a bare aggregate first:
+    * column pruning drops every output column, and a cardinality-preserving
+    * left join against a distinct keep-set — the ending shape of several
+    * operators — is then eliminated outright, so the "benchmark" times a
+    * no-op (measured: the decontamination gram pipeline vanished from its
+    * own bench number). Counting `queryExecution.toRdd` executes the
+    * ORIGINAL physical plan — every output column computed, nothing
+    * collected to the driver. */
+  def forceCount(df: DataFrame): Long =
+    df.asInstanceOf[classic.Dataset[_]].queryExecution.toRdd.count()
 }

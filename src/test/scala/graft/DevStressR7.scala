@@ -76,6 +76,78 @@ object DevStressR7 {
       timed("prep_d4_t08 (shared scan)")(
         ops.Similarity.prepD4(emb, threshold = 0.8).count())
     }
+
+    // `r7b`: the round-7 curation operators at the 100x corpus (500k docs:
+    // each sf0.1 doc in 100 copies — every 4th copy byte-identical, the
+    // rest suffix-perturbed, so exact-dup groups and distinct docs mix the
+    // way a crawl refresh does). Key A/B: Bloom-prefiltered decontamination
+    // must BEAT the exact pass here (at sf0.1 its blob job overhead wins;
+    // the prefilter pays off once the gram shuffle dominates).
+    if (args.contains("r7b")) {
+      val big = "/tmp/stress100b"
+      if (!new java.io.File(s"$big/documents.parquet").isDirectory) {
+        println("[stress-r7] generating /tmp/stress100b (500k docs)")
+        val perturbed = when(col("copy") % 4 === 0, col("text"))
+          .otherwise(concat(col("text"), lit(" v"), col("copy").cast("string")))
+        docs.crossJoin(spark.range(100).toDF("copy"))
+          .select(
+            (col("doc_id") + col("copy") * 1000000L).as("doc_id"),
+            perturbed.as("text"),
+            col("lang"), col("source"),
+            length(perturbed).cast("long").as("n_chars"))
+          .repartition(32)
+          .write.mode("overwrite").parquet(s"$big/documents.parquet")
+      }
+      val bigDocs = SparkEntry.docs(spark, big)
+      println(s"[stress-r7] corpus rows=${bigDocs.count()}")
+      timed("text_cap_per_source")(
+        ops.TextAnalysis.capPerSource(bigDocs, cap = 1000).count())
+      timed("corpus_select_budget")(
+        ops.TextAnalysis.selectBudget(bigDocs, budget = 1000000L).count())
+      timed("text_decontaminate")(
+        ops.TextAnalysis.decontaminate(bigDocs).count())
+      timed("text_decontaminate_bloom")(
+        ops.TextAnalysis.decontaminateBloom(bigDocs).count())
+      timed("dedup_cross")(
+        ops.Dedup.crossDedup(bigDocs.filter(col("source") =!= "src0"),
+          bigDocs.filter(col("source") === "src0")).count())
+      timed("corpus_snapshot_diff")(
+        ops.Dedup.snapshotDiff(bigDocs.filter(col("doc_id") % 10 =!= 3),
+          bigDocs.filter(col("doc_id") % 10 =!= 7)).count())
+      timed("text_ccnet_buckets")(
+        ops.TextAnalysis.ccnetBuckets(bigDocs).count())
+      timed("text_gopher")(ops.TextAnalysis.gopherRules(bigDocs).count())
+    }
+
+    // `bloomab`: decontamination exact-vs-bloom on the 100x corpus.
+    // CAVEAT the first cut missed: `.count()` on the decontamination output
+    // lets Catalyst ELIMINATE the left join against the distinct
+    // contaminated-id set (count prunes all columns; a distinct right side
+    // preserves cardinality), so the whole gram pipeline is optimized away
+    // and "exact" times a bare corpus count. The honest measurement below
+    // aggregates OVER the contaminated flag, which forces the join.
+    if (args.contains("bloomab")) {
+      val big = "/tmp/stress100b"
+      val bigDocs = SparkEntry.docs(spark, big)
+      bigDocs.count()
+      def hits(df: org.apache.spark.sql.DataFrame): Long =
+        df.agg(sum(when(col("contaminated"), 1L).otherwise(0L)))
+          .head().getLong(0)
+      // evidence of the pruning: the count() plan has no Generate (explode)
+      val countPlan = org.apache.spark.sql.graftbridge.executedPlanString(
+        ops.TextAnalysis.decontaminate(bigDocs)
+          .groupBy().count())
+      println(s"[stress-r7] count()-plan has explode: " +
+        countPlan.contains("Generate"))
+      ops.CacheScope.releaseAll(spark)
+      timed("exact (forced)")(
+        hits(ops.TextAnalysis.decontaminate(bigDocs)))
+      for (bits <- Seq(20, 23, 26)) {
+        timed(s"bloom 2^$bits bits (forced)")(
+          hits(ops.TextAnalysis.decontaminateBloom(bigDocs,
+            numBits = 1L << bits)))
+      }
+    }
     spark.stop()
   }
 }

@@ -1640,6 +1640,25 @@ class OpsSpec extends SparkSpec {
     graft.ops.CacheScope.releaseAll(spark)
   }
 
+  test("prepFineWeb: rules gate first, norm-dups collapse, survivors pack") {
+    // a 40-word doc passing every Gopher rule ("the ... of" = 2 stop hits,
+    // all-alpha words, mean len in range)
+    def good(i: Int) =
+      (s"the quick brown fox jumps over of lazy dog extra$i ") * 4
+    val d = Seq(
+      (0L, good(0), "s"),                          // survivor
+      // normalized dup of 0: case+punct variants collapse, rules still pass
+      (1L, good(0).replace("quick", "QUICK,"), "s"),
+      (2L, "too short", "s"),                     // fails Gopher word count
+      (3L, good(3), "s")                          // survivor, distinct text
+    ).toDF("doc_id", "text", "source")
+    val out = graft.ops.Prep.prepFineWeb(d, keepFrac = 1.0).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    // doc 2 fails the rules; doc 1 collapses into doc 0's normalized group
+    assert(out == Set(0L, 3L), s"got $out")
+    graft.ops.CacheScope.releaseAll(spark)
+  }
+
   test("snapshotDiff classifies digest deltas across two corpus versions") {
     val old = Seq((0L, "kept doc"), (1L, "removed doc"),
       (2L, "reweighted"), (3L, "reweighted")).toDF("doc_id", "text")
