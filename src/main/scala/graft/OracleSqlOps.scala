@@ -1722,6 +1722,39 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, 224 AS width, 224 AS height,
   CAST(octet_length(encode(resized)) AS INT) AS n_bytes, md5(resized) AS checksum
 FROM r"""
 
+  /** Perceptual-hash CTE shared by the two phash oracles (mirrors
+    * graft.ops.Multimodal.imagePhash's STUB path — the gate's text payloads
+    * are not decodable images, so the grid is the evenly-spaced byte gather;
+    * the real-decode path is pinned by OpsSpec over generated PNGs). 7×9
+    * luma grid, bit r·8+c set iff grid[r·9+c] > grid[r·9+c+1]; powers
+    * assembled with BIGINT shifts. */
+  private val phashCte: String = """WITH i AS (
+  SELECT doc_id, text, octet_length(encode(text)) AS n
+  FROM documents WHERE doc_id % 3 = 0
+), g AS (
+  SELECT doc_id, n,
+    list_transform(range(63), x -> CASE WHEN n = 0 THEN 0
+      ELSE ascii(substr(text, CAST((x * n) // 63 AS INT) + 1, 1)) END) AS grid
+  FROM i
+), h AS (
+  SELECT doc_id,
+    CAST(coalesce(list_sum(flatten(list_transform(range(7), r ->
+      list_transform(range(8), c ->
+        CASE WHEN grid[r * 9 + c + 1] > grid[r * 9 + c + 2]
+          THEN CAST(1 AS BIGINT) << (r * 8 + c) ELSE CAST(0 AS BIGINT)
+        END)))), 0) AS BIGINT) AS phash
+  FROM g
+)"""
+
+  val mmPhash: String = phashCte + """
+SELECT doc_id, phash, false AS real_decode FROM h"""
+
+  val mmPhashPairs: String = phashCte + """
+SELECT l.doc_id AS a, r.doc_id AS b,
+  CAST(bit_count(xor(l.phash, r.phash)) AS INT) AS hamming
+FROM h l JOIN h r ON l.doc_id < r.doc_id
+WHERE bit_count(xor(l.phash, r.phash)) <= 3"""
+
   /** Audio payload stub features (mirrors graft.ops.Multimodal.audioFeatures):
     * f_j = sum of bytes at 0-indexed positions ≡ j mod 8, over length. */
   val mmFeatures: String = {

@@ -509,6 +509,10 @@ object SparkEntry {
     "corpus_overlap" -> ((s, dir) => ops.Dedup.sourceOverlap(docs(s, dir))),
 
     "mm_meta" -> ((s, dir) => ops.Multimodal.meta(s, docs(s, dir))),
+    // perceptual image hash (dHash) per image payload; hamming near-dup
+    // pairs via the pigeonhole chunk join (never an all-pairs product)
+    "mm_phash" -> ((s, dir) => ops.Multimodal.phash(docs(s, dir))),
+    "mm_phash_pairs" -> ((s, dir) => ops.Multimodal.phashPairs(docs(s, dir))),
     "mm_frame_sample" -> ((s, dir) => ops.Multimodal.frameSample(docs(s, dir)).toDF()),
     "mm_resize" -> ((s, dir) => ops.Multimodal.resizeImages(docs(s, dir)).toDF()),
     "mm_features" -> ((s, dir) => ops.Multimodal.audioFeatures(docs(s, dir)).toDF()),
@@ -644,6 +648,8 @@ object SparkEntry {
     "corpus_overlap" -> OracleSqlOps.corpusOverlap,
     "dedup_semantic_full" -> OracleSqlOps.dedupSemanticFull,
     "mm_meta" -> OracleSqlOps.mmMeta,
+    "mm_phash" -> OracleSqlOps.mmPhash,
+    "mm_phash_pairs" -> OracleSqlOps.mmPhashPairs,
     "mm_frame_sample" -> OracleSqlOps.mmFrameSample,
     "mm_resize" -> OracleSqlOps.mmResize,
     "mm_features" -> OracleSqlOps.mmFeatures,

@@ -197,4 +197,111 @@ object Multimodal {
       }
     }(Encoders.product[Frame])
   }
+
+  /** 56-bit perceptual dHash grid: 7 rows × 9 columns of luma samples, one
+    * bit per within-row neighbor comparison (8 × 7 = 56 — the same width as
+    * [[Dedup.SimhashBits]], so the pigeonhole pair machinery carries over
+    * unchanged). */
+  val PhashRows = 7
+  val PhashCols = 9
+  val PhashBits: Int = PhashRows * (PhashCols - 1)
+
+  /** A media payload's perceptual hash (+ whether a real codec produced it). */
+  final case class ImageHash(doc_id: Long, phash: Long, real_decode: Boolean)
+
+  private def dHashFromGrid(grid: Array[Int]): Long = {
+    var h = 0L
+    var bit = 0
+    var r = 0
+    while (r < PhashRows) {
+      var c = 0
+      while (c < PhashCols - 1) {
+        if (grid(r * PhashCols + c) > grid(r * PhashCols + c + 1))
+          h |= (1L << bit)
+        bit += 1
+        c += 1
+      }
+      r += 1
+    }
+    h
+  }
+
+  /** Perceptual image hashing (the image-dedup signature: near-identical
+    * images — recompressions, small crops, brightness shifts — land within a
+    * few bits of each other, where a byte digest sees nothing): the classic
+    * dHash over a downscaled luma grid. Decodable images take the REAL path
+    * — nearest-neighbor sample of the decoded raster at the grid points
+    * (floor(i·src/grid) per axis, the resize kernel's gather), integer
+    * BT.601 luma (×299/587/114 ÷1000 — integer arithmetic, deterministic
+    * across JVMs) — and report `real_decode = true`. Non-image bytes take
+    * the stub grid (the resize stub's evenly-spaced byte gather), keeping
+    * the synthetic text fixtures oracle-reproducible. Same per-partition
+    * typed-map shape as every media verb; output is one 56-bit long per
+    * image — the join key for [[phashPairs]]. */
+  def imagePhash(images: Dataset[MediaRow]): Dataset[ImageHash] =
+    images.mapPartitions { rows =>
+      rows.map { r =>
+        tryDecodeImage(r.payload) match {
+          case Some(img) =>
+            val grid = new Array[Int](PhashRows * PhashCols)
+            var y = 0
+            while (y < PhashRows) {
+              var x = 0
+              while (x < PhashCols) {
+                val rgb = img.getRGB(x * img.getWidth / PhashCols,
+                  y * img.getHeight / PhashRows)
+                grid(y * PhashCols + x) =
+                  (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+                    (rgb & 0xff) * 114) / 1000
+                x += 1
+              }
+              y += 1
+            }
+            ImageHash(r.doc_id, dHashFromGrid(grid), real_decode = true)
+          case None =>
+            val n = r.payload.length
+            val grid = new Array[Int](PhashRows * PhashCols)
+            if (n > 0) {
+              var i = 0
+              while (i < grid.length) {
+                grid(i) = r.payload(i * n / grid.length) & 0xff
+                i += 1
+              }
+            }
+            ImageHash(r.doc_id, dHashFromGrid(grid), real_decode = false)
+        }
+      }
+    }(Encoders.product[ImageHash])
+
+  /** Documents-backed wrapper: perceptual hash of every image-typed payload. */
+  def phash(docs: DataFrame): DataFrame =
+    imagePhash(mediaTable(docs).filter(_.media_type == "image")).toDF()
+
+  /** Near-duplicate images by perceptual-hash distance: candidates share one
+    * of `maxHamming + 1` hash chunks (pigeonhole — a pair within the Hamming
+    * bound MUST agree on some chunk), verified with `bit_count(xor)`. The
+    * identical shape as [[Dedup.simhashPairs]] — chunk equi-joins, never an
+    * all-pairs product — applied to the image signature: this is how a
+    * 100 TB image corpus dedups recompressed copies. */
+  def phashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    import Par.maybeBroadcast
+    val nChunks = maxHamming + 1
+    val bitsPer = PhashBits / nChunks
+    val mask = (1L << bitsPer) - 1
+    val chunkCols = (0 until nChunks).map { c =>
+      shiftright(col("phash"), c * bitsPer).bitwiseAND(lit(mask)).as(s"c$c")
+    }
+    val fps = CacheScope.trackEager(
+      phash(docs).select(col("doc_id") +: col("phash") +: chunkCols: _*))
+    (0 until nChunks).map { c =>
+      val guard = (0 until c)
+        .map(p => col(s"l.c$p") =!= col(s"r.c$p"))
+        .foldLeft(col(s"l.c$c") === col(s"r.c$c"))(_ && _)
+      fps.as("l").join(maybeBroadcast(fps.as("r")),
+          guard && col("l.doc_id") < col("r.doc_id"))
+        .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"),
+          bit_count(col("l.phash").bitwiseXOR(col("r.phash"))).as("hamming"))
+    }.reduce(_ unionByName _)
+      .filter(col("hamming") <= maxHamming)
+  }
 }

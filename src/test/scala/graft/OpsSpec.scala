@@ -610,6 +610,58 @@ class OpsSpec extends SparkSpec {
     assert(r(3L).n_bytes == t)
   }
 
+  test("phash: near-identical PNGs land within a few bits, distinct ones far") {
+    def png(f: (Int, Int) => Int, w: Int = 36, h: Int = 28): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, f(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    // an ascending horizontal gradient, the same +6 brightness (a
+    // recompress/levels shift — dHash compares NEIGHBORS, so uniform shifts
+    // survive), and the DESCENDING gradient (opposite row structure — a
+    // vertical gradient would be degenerate for a row-wise dHash: constant
+    // rows hash to zero just like ascending ones)
+    def grad(shift: Int)(x: Int, y: Int): Int = {
+      val v = math.min(255, x * 7 + shift); (v << 16) | (v << 8) | v
+    }
+    def desc(x: Int, y: Int): Int = {
+      val v = math.max(0, 255 - x * 7); (v << 16) | (v << 8) | v
+    }
+    import spark.implicits._
+    val media = Seq(
+      Multimodal.MediaRow(0L, "image", png(grad(0))),
+      Multimodal.MediaRow(1L, "image", png(grad(6))),
+      Multimodal.MediaRow(2L, "image", png(desc)),
+      Multimodal.MediaRow(3L, "image", "not an image".getBytes("UTF-8"))).toDS()
+    val h = Multimodal.imagePhash(media).collect().map(x => x.doc_id -> x).toMap
+    assert(h(0L).real_decode && h(1L).real_decode && h(2L).real_decode)
+    assert(!h(3L).real_decode)
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(h(0L).phash, h(1L).phash) <= 3,
+      s"brightness shift must stay near: ${hamming(h(0L).phash, h(1L).phash)}")
+    assert(hamming(h(0L).phash, h(2L).phash) > 10,
+      s"different structure must be far: ${hamming(h(0L).phash, h(2L).phash)}")
+    graft.ops.CacheScope.releaseAll(spark)
+  }
+
+  test("phashPairs finds exactly the within-bound pairs via chunk join") {
+    // doc_ids multiples of 3 (mediaTable types them image); identical texts
+    // share a phash (hamming 0). dHash is STRUCTURAL (neighbor comparisons),
+    // so the far fixture must differ in byte ORDERING, not just values:
+    // monotone ascending (all "greater" bits 0) vs descending (all 1)
+    val asc = ('a' to 'z').mkString + ('0' to '9').mkString
+    val d = Seq((0L, asc), (3L, asc), (6L, asc.reverse), (1L, "audio row"))
+      .toDF("doc_id", "text")
+    val pairs = Multimodal.phashPairs(d).collect()
+      .map(x => (x.getAs[Long]("a"), x.getAs[Long]("b"),
+        x.getAs[Int]("hamming")))
+    assert(pairs.toSeq == Seq((0L, 3L, 0)), pairs.toSeq.toString)
+    graft.ops.CacheScope.releaseAll(spark)
+  }
+
   test("audio features are payload-normalized banded byte sums") {
     val d = Seq((1L, "aaaaaaaa")).toDF("doc_id", "text") // doc_id%3==1, 8 bytes
     val f = Multimodal.audioFeatures(d).collect().head
