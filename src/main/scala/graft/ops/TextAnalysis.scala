@@ -1176,43 +1176,70 @@ object TextAnalysis {
     * with nested `list_reduce` bit-for-bit. */
   def bpeEncode(docs: DataFrame, mergeTable: DataFrame,
       tokenizer: Tokenizer = Tokenizer.Whitespace): DataFrame = {
-    val ms = mergeTable
-      .agg(sort_array(collect_list(struct(col("merge_rank").as("r"),
-        col("pair").as("m")))).as("rm"))
-      .select(transform(col("rm"), x => x.getField("m")).as("ms"))
-    val occ = docs.select(col("doc_id"),
-      posexplode(tokenizer.tokens(col("text"))).as(Seq("p", "w")))
-    val chars = transform(sequence(lit(1), length(col("w"))),
-      i => col("w").substr(i, lit(1)))
-    val s0 = concat_ws(" ", concat(chars, array(lit("</w>"))))
-    def pa(m: Column) = element_at(split(m, " "), 1)
-    def pb(m: Column) = element_at(split(m, " "), 2)
-    val enc = occ.crossJoin(broadcast(ms))
-      .select(col("doc_id"), col("p"),
-        aggregate(col("ms"), s0, (acc, m) => {
-          val la = length(pa(m))
-          aggregate(split(acc, " "), lit(""), (a, x) =>
-            when(a === "", x)
-              .when(x === pb(m) && a === pa(m), concat(pa(m), pb(m)))
-              .when(x === pb(m) && length(a) > la &&
-                  a.substr(length(a) - la, la + lit(1)) ===
-                    concat(lit(" "), pa(m)),
-                concat(a.substr(lit(1), length(a) - la), pa(m), pb(m)))
-              .otherwise(concat(a, lit(" "), x)))
-        }).as("sub"))
-    val agg = enc.groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(struct(col("p"), col("sub")))).as("ss"))
-      .select(col("doc_id"),
-        concat_ws(" ", transform(col("ss"), x => x.getField("sub")))
-          .as("bpe_text"),
-        aggregate(transform(col("ss"),
-            x => size(split(x.getField("sub"), " "))),
-          lit(0), (a, x) => a + x).as("n_subwords"))
-    docs.select(col("doc_id"))
-      .join(agg, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("bpe_text"), lit("")).as("bpe_text"),
-        coalesce(col("n_subwords"), lit(0)).as("n_subwords"))
+    // the merge table is the trainer's bounded output (vocab-scale) — one
+    // driver collect, rank-ordered, shipped in the task closure. The
+    // previous formulation replayed the merges as a nested higher-order
+    // Catalyst fold: HOFs are CodegenFallback (interpreted lambdas), so the
+    // per-ROW cost was merges × per-symbol string allocation — GC-churn-
+    // noisy at 107 merges (measured 2.8–15 s for the same sf0.1 query
+    // depending on heap state) and structurally undeliverable at a real
+    // 32k-merge vocab. The typed partition map below does the identical
+    // sequential replay in plain Scala, skips merges whose symbols are
+    // absent (two hash probes — a no-op round in the replay), and memoizes
+    // per DISTINCT word per partition, so the real unit of work is the
+    // partition's vocabulary, not its token count.
+    val merges: Array[(String, String)] = mergeTable
+      .select(col("merge_rank").cast("int").as("r"), col("pair"))
+      .collect()
+      .sortBy(_.getAs[Int]("r"))
+      .map { row =>
+        val p = row.getAs[String]("pair").split(" ", 2)
+        (p(0), p(1))
+      }
+    val sp = docs.sparkSession
+    import sp.implicits._
+    docs.select(col("doc_id").cast("long"),
+        tokenizer.tokens(col("text")).as("tk"))
+      .as[(Long, Seq[String])]
+      .mapPartitions { rows =>
+        val memo = scala.collection.mutable.HashMap[String, (String, Int)]()
+        def encodeWord(w: String): (String, Int) =
+          memo.getOrElseUpdate(w, {
+            var syms = scala.collection.mutable.ArrayBuffer[String]()
+            w.foreach(c => syms += c.toString)
+            syms += "</w>"
+            val present = scala.collection.mutable.HashSet[String]()
+            present ++= syms
+            var mi = 0
+            while (mi < merges.length) {
+              val (a, b) = merges(mi)
+              // a merge whose symbols aren't in the word is a no-op round
+              if (present.contains(a) && present.contains(b)) {
+                // leftmost-greedy rewrite of every occurrence — the
+                // trainer's (and oracle's) scan order
+                val out = scala.collection.mutable.ArrayBuffer[String]()
+                var i = 0
+                var applied = false
+                while (i < syms.length) {
+                  if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+                    out += a + b; applied = true; i += 2
+                  } else { out += syms(i); i += 1 }
+                }
+                if (applied) {
+                  syms = out
+                  present.clear(); present ++= syms
+                }
+              }
+              mi += 1
+            }
+            (syms.mkString(" "), syms.length)
+          })
+        rows.map { case (id, tk) =>
+          val enc = tk.map(encodeWord)
+          (id, enc.map(_._1).mkString(" "), enc.map(_._2).sum)
+        }
+      }
+      .toDF("doc_id", "bpe_text", "n_subwords")
   }
 
   /** Corpus n-gram statistics: the top-K word n-grams by total occurrence
