@@ -472,6 +472,41 @@ SELECT p.doc_id, p.source, p.n_tokens, r.rate,
     < CAST(floor(r.rate * 1000000) AS BIGINT) AS kept
 FROM perdoc p JOIN rates r USING (source)"""
 
+  /** Temperature EPOCHS-schedule oracle (mirrors
+    * graft.ops.TextAnalysis.mixTemperatureEpochs, α=0.5): the UNCAPPED
+    * √-token-share rate, n_copies = ⌊rate⌋ + the per-million `epoch:` lane
+    * coin on frac(rate), one row per emitted copy. */
+  val textMixEpochs: String = s"""WITH perdoc AS (
+  SELECT doc_id, source, CAST(len($toks) AS BIGINT) AS n_tokens FROM documents
+), bysrc AS (
+  SELECT source, sum(n_tokens) AS src_tokens FROM perdoc GROUP BY source
+), tot AS (
+  SELECT
+    list_reduce(list_prepend(0.0,
+      list(sqrt(CAST(src_tokens AS DOUBLE)) ORDER BY source)),
+      (x, y) -> x + y) AS sum_w,
+    CAST(sum(src_tokens) AS BIGINT) AS total_tokens
+  FROM bysrc
+), rates AS (
+  SELECT source,
+    CASE WHEN src_tokens = 0 THEN 0.0 ELSE
+      sqrt(CAST(src_tokens AS DOUBLE)) / sum_w
+        * CAST(total_tokens AS DOUBLE) / src_tokens
+    END AS rate
+  FROM bysrc, tot
+), pc AS (
+  SELECT p.doc_id, p.source, p.n_tokens, r.rate,
+    CAST(floor(r.rate) AS BIGINT) +
+      CASE WHEN ((${hexLaneOf("'epoch:' || CAST(doc_id AS VARCHAR)", 1, 7)})
+          % 1000000)
+        < CAST(floor((r.rate - floor(r.rate)) * 1000000) AS BIGINT)
+      THEN 1 ELSE 0 END AS n_copies
+  FROM perdoc p JOIN rates r USING (source)
+)
+SELECT doc_id, source, n_tokens, rate, n_copies,
+  CAST(unnest(generate_series(1, CAST(n_copies AS INT))) AS BIGINT) AS copy
+FROM pc WHERE n_copies >= 1"""
+
   /** Per-doc (doc_id, source, quality) chain shared by the top-frac oracle —
     * the [[quality]] arithmetic with `source` carried through. */
   private def qualityScoreOver(src: String): String =

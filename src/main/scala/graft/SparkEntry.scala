@@ -316,6 +316,10 @@ object SparkEntry {
     // engines so the per-million keep decision stays integer-exact
     "text_mix_temperature" -> ((s, dir) =>
       ops.TextAnalysis.mixTemperature(docs(s, dir))),
+    // the epochs schedule: UNCAPPED temperature rates, one row per emitted
+    // copy — the up-sampling half the capped keep lanes cannot express
+    "text_mix_epochs" -> ((s, dir) =>
+      ops.TextAnalysis.mixTemperatureEpochs(docs(s, dir))),
     // FineWeb-style per-source top-30% quality retention, exact at
     // 1e-6 bucket granularity (no per-source full-partition sort)
     "text_quality_topfrac" -> ((s, dir) =>
@@ -595,6 +599,7 @@ object SparkEntry {
     "text_mix" -> OracleSqlOps.textMix,
     "text_mix_recipe" -> OracleSqlOps.textMixRecipe,
     "text_mix_temperature" -> OracleSqlOps.textMixTemperature,
+    "text_mix_epochs" -> OracleSqlOps.textMixEpochs,
     "text_quality_topfrac" -> OracleSqlOps.textQualityTopFrac,
     "text_ngrams" -> OracleSqlOps.textNgrams,
     "text_gopher" -> OracleSqlOps.textGopher,

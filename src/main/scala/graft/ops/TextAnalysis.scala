@@ -839,6 +839,24 @@ object TextAnalysis {
     * decorrelated from the mix/split/sample lanes). */
   def mixTemperature(docs: DataFrame,
       tokenizer: Tokenizer = Tokenizer.Whitespace): DataFrame = {
+    val (perDoc, rates) = temperatureRates(docs, tokenizer, capped = true)
+    val lane = md5Lane(concat(lit("tmix:"), col("doc_id").cast("string")))
+    // same |sources|-bounded-rates eager-track as [[mixToShares]]
+    perDoc.join(Par.maybeBroadcast(CacheScope.trackEager(rates)), "source")
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("rate"),
+        (lane % 1000000L < floor(col("rate") * 1000000L).cast("long"))
+          .as("kept"))
+  }
+
+  /** (perDoc, per-source temperature rates) shared by [[mixTemperature]]
+    * (rates capped at 1 — pure down-sampling) and [[mixTemperatureEpochs]]
+    * (uncapped — the epochs schedule). The arithmetic is the α=0.5
+    * √-token-share: rate = (√tokensₛ / Σ√) · total / tokensₛ, with the
+    * src_tokens = 0 divide-by-zero guard pinned to 0.0 (engine-dependent
+    * NaN otherwise; also covers the all-empty sum_w = 0 edge, since every
+    * such source hits the src_tokens guard first). */
+  private def temperatureRates(docs: DataFrame, tokenizer: Tokenizer,
+      capped: Boolean): (DataFrame, DataFrame) = {
     val perDoc = docs.select(col("doc_id"), col("source"),
       size(tokenizer.tokens(col("text"))).cast("long").as("n_tokens"))
     val bySource = perDoc.groupBy(col("source"))
@@ -851,23 +869,46 @@ object TextAnalysis {
         aggregate(col("ws"), lit(0.0), (a, v) => a + v.getField("w"))
           .as("sum_w"),
         col("total_tokens"))
-    // same degenerate-source guard as [[mixToShares]]: src_tokens = 0 would
-    // divide by zero with engine-dependent results — pin to rate 0.0 (this
-    // also covers the all-sources-empty sum_w = 0 edge, since every such
-    // source hits the src_tokens guard first)
+    val raw = sqrt(col("src_tokens").cast("double")) / col("sum_w") *
+      col("total_tokens").cast("double") / col("src_tokens")
     val rates = bySource.crossJoin(broadcast(totals))
       .select(col("source"),
-        when(col("src_tokens") === 0L, lit(0.0)).otherwise(
-          least(lit(1.0),
-            sqrt(col("src_tokens").cast("double")) / col("sum_w") *
-              col("total_tokens").cast("double") / col("src_tokens")))
-          .as("rate"))
-    val lane = md5Lane(concat(lit("tmix:"), col("doc_id").cast("string")))
-    // same |sources|-bounded-rates eager-track as [[mixToShares]]
+        when(col("src_tokens") === 0L, lit(0.0))
+          .otherwise(if (capped) least(lit(1.0), raw) else raw).as("rate"))
+    (perDoc, rates)
+  }
+
+  /** Temperature-based EPOCHS schedule (the up-sampling half [[mixToShares]]
+    * and [[mixTemperature]] cannot express — their keep lanes only thin):
+    * the α=0.5 rate is left UNCAPPED, and each doc is emitted
+    * `⌊rate⌋ + Bernoulli(frac(rate))` times — low-resource sources repeat
+    * ~rate epochs (the multilingual up-weighting published with the
+    * √-temperature trick), over-represented ones thin exactly like the
+    * capped operator. The fractional coin is the salted per-million id lane
+    * (prefix `epoch:` — decorrelated from the `tmix:` keep decision), so
+    * the whole copy layout is a pure function of the corpus: deterministic,
+    * replay-idempotent, oracle-exact (floor/lane integer arithmetic on
+    * correctly-rounded doubles). Output: one row per EMITTED COPY
+    * (`copy` = 1..n_copies; zero-copy docs emit nothing).
+    *
+    * Scale shape: identical to [[mixTemperature]] — one map-side-combining
+    * token groupBy, a bounded eager-tracked broadcast rate table, then a
+    * pure projection + `explode(sequence)` whose output volume is the
+    * schedule itself. */
+  def mixTemperatureEpochs(docs: DataFrame,
+      tokenizer: Tokenizer = Tokenizer.Whitespace): DataFrame = {
+    val (perDoc, rates) = temperatureRates(docs, tokenizer, capped = false)
+    val lane = md5Lane(concat(lit("epoch:"), col("doc_id").cast("string")))
     perDoc.join(Par.maybeBroadcast(CacheScope.trackEager(rates)), "source")
       .select(col("doc_id"), col("source"), col("n_tokens"), col("rate"),
-        (lane % 1000000L < floor(col("rate") * 1000000L).cast("long"))
-          .as("kept"))
+        (floor(col("rate")).cast("long") +
+          when(lane % 1000000L <
+              floor((col("rate") - floor(col("rate"))) * 1000000L).cast("long"),
+            1L).otherwise(0L)).as("n_copies"))
+      .filter(col("n_copies") >= 1L)
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("rate"),
+        col("n_copies"),
+        explode(sequence(lit(1L), col("n_copies"))).as("copy"))
   }
 
   /** Per-source top-fraction quality selection (the FineWeb-Edu shape: score

@@ -1692,6 +1692,35 @@ class OpsSpec extends SparkSpec {
     graft.ops.CacheScope.releaseAll(spark)
   }
 
+  test("mixTemperatureEpochs up-samples the low-resource source by copies") {
+    // source "lo" holds ~1/101 of the tokens: sqrt-share rate = total *
+    // sqrt(lo) / (sum_w * lo) >> 1, so its docs must repeat; source "hi"
+    // gets rate < 1, so its docs appear 0 or 1 times
+    val d = ((0 until 2).map(i => (i.toLong, "a b c d e", "lo")) ++
+      (2 until 102).map(i => (i.toLong, "a b c d e f g h i j", "hi")))
+      .toDF("doc_id", "text", "source")
+    val r = TextAnalysis.mixTemperatureEpochs(d).collect()
+      .map(x => (x.getAs[Long]("doc_id"), x.getAs[String]("source"),
+        x.getAs[Double]("rate"), x.getAs[Long]("n_copies"),
+        x.getAs[Long]("copy")))
+    val lo = r.filter(_._2 == "lo")
+    val loRate = lo.head._3
+    assert(loRate > 1.0, s"low-resource rate must exceed 1: $loRate")
+    // each lo doc appears exactly n_copies times with copy = 1..n_copies,
+    // and n_copies is floor(rate) or floor(rate)+1
+    lo.groupBy(_._1).foreach { case (_, rows) =>
+      val n = rows.head._4
+      assert(n == math.floor(loRate).toLong || n == math.floor(loRate).toLong + 1)
+      assert(rows.map(_._5).sorted.toSeq == (1L to n))
+    }
+    // hi-source copies are 0 or 1 — never duplicated
+    val hi = r.filter(_._2 == "hi")
+    assert(hi.head._3 < 1.0)
+    assert(hi.groupBy(_._1).values.forall(_.length == 1))
+    assert(hi.forall(_._5 == 1L))
+    graft.ops.CacheScope.releaseAll(spark)
+  }
+
   test("prepFineWeb: rules gate first, norm-dups collapse, survivors pack") {
     // a 40-word doc passing every Gopher rule ("the ... of" = 2 stop hits,
     // all-alpha words, mean len in range)
