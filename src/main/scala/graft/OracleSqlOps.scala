@@ -473,9 +473,10 @@ SELECT p.doc_id, p.source, p.n_tokens, r.rate,
 FROM perdoc p JOIN rates r USING (source)"""
 
   /** Temperature EPOCHS-schedule oracle (mirrors
-    * graft.ops.TextAnalysis.mixTemperatureEpochs, α=0.5): the UNCAPPED
-    * √-token-share rate, n_copies = ⌊rate⌋ + the per-million `epoch:` lane
-    * coin on frac(rate), one row per emitted copy. */
+    * graft.ops.TextAnalysis.mixTemperatureEpochs, α=0.5, maxEpochs=100):
+    * the √-token-share rate capped at 100 epochs, n_copies = ⌊rate⌋ + the
+    * per-million `epoch:` lane coin on frac(rate), one row per emitted
+    * copy. */
   val textMixEpochs: String = s"""WITH perdoc AS (
   SELECT doc_id, source, CAST(len($toks) AS BIGINT) AS n_tokens FROM documents
 ), bysrc AS (
@@ -490,8 +491,8 @@ FROM perdoc p JOIN rates r USING (source)"""
 ), rates AS (
   SELECT source,
     CASE WHEN src_tokens = 0 THEN 0.0 ELSE
-      sqrt(CAST(src_tokens AS DOUBLE)) / sum_w
-        * CAST(total_tokens AS DOUBLE) / src_tokens
+      least(100.0, sqrt(CAST(src_tokens AS DOUBLE)) / sum_w
+        * CAST(total_tokens AS DOUBLE) / src_tokens)
     END AS rate
   FROM bysrc, tot
 ), pc AS (

@@ -2,9 +2,10 @@ package graft.functions
 
 import java.io.ByteArrayInputStream
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{BooleanType, DataType}
+import org.apache.spark.sql.types.{BooleanType, DataType, LongType}
 import org.apache.spark.util.sketch.BloomFilter
 
 /**
@@ -31,6 +32,15 @@ import org.apache.spark.util.sketch.BloomFilter
  */
 case class BloomMightContain(child: Expression, blob: Array[Byte])
     extends UnaryExpression {
+
+  // Analysis-time type gate (ExpectsInputTypes is unreachable here —
+  // AbstractDataType is private[sql]): a non-Long child (e.g. a forgotten
+  // xxhash64 wrap) must fail at analysis, not as a codegen ClassCastException.
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a LONG child (the xxhash64 of the probed " +
+        s"value), got ${child.dataType.simpleString}")
 
   override def dataType: DataType = BooleanType
   override def prettyName: String = "graft_bloom_might_contain"

@@ -259,6 +259,11 @@ object Multimodal {
             }
             ImageHash(r.doc_id, dHashFromGrid(grid), real_decode = true)
           case None =>
+            // Stub path indexes raw payload BYTES; the DuckDB oracle's
+            // substr/ascii mirror indexes CHARACTERS/code points — identical
+            // only for ASCII payloads. The synthetic fixtures are ASCII by
+            // construction (same convention as the resize/audio stubs); a
+            // non-ASCII text fixture would silently diverge from the oracle.
             val n = r.payload.length
             val grid = new Array[Int](PhashRows * PhashCols)
             if (n > 0) {
@@ -286,9 +291,15 @@ object Multimodal {
   def phashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     import Par.maybeBroadcast
     val nChunks = maxHamming + 1
+    // Chunk c covers bits [c·bitsPer, (c+1)·bitsPer); the LAST chunk absorbs
+    // the PhashBits % nChunks remainder so every bit lands in exactly one
+    // chunk — plain integer division would leave the top bits outside every
+    // chunk (recall would survive, but uncovered-bit diffs degrade chunk
+    // selectivity silently). Pigeonhole needs full coverage only.
     val bitsPer = PhashBits / nChunks
-    val mask = (1L << bitsPer) - 1
     val chunkCols = (0 until nChunks).map { c =>
+      val width = if (c == nChunks - 1) PhashBits - c * bitsPer else bitsPer
+      val mask = (1L << width) - 1
       shiftright(col("phash"), c * bitsPer).bitwiseAND(lit(mask)).as(s"c$c")
     }
     val fps = CacheScope.trackEager(

@@ -839,7 +839,7 @@ object TextAnalysis {
     * decorrelated from the mix/split/sample lanes). */
   def mixTemperature(docs: DataFrame,
       tokenizer: Tokenizer = Tokenizer.Whitespace): DataFrame = {
-    val (perDoc, rates) = temperatureRates(docs, tokenizer, capped = true)
+    val (perDoc, rates) = temperatureRates(docs, tokenizer, cap = 1.0)
     val lane = md5Lane(concat(lit("tmix:"), col("doc_id").cast("string")))
     // same |sources|-bounded-rates eager-track as [[mixToShares]]
     perDoc.join(Par.maybeBroadcast(CacheScope.trackEager(rates)), "source")
@@ -849,14 +849,14 @@ object TextAnalysis {
   }
 
   /** (perDoc, per-source temperature rates) shared by [[mixTemperature]]
-    * (rates capped at 1 — pure down-sampling) and [[mixTemperatureEpochs]]
-    * (uncapped — the epochs schedule). The arithmetic is the α=0.5
+    * (cap = 1 — pure down-sampling) and [[mixTemperatureEpochs]]
+    * (cap = maxEpochs — the epochs schedule). The arithmetic is the α=0.5
     * √-token-share: rate = (√tokensₛ / Σ√) · total / tokensₛ, with the
     * src_tokens = 0 divide-by-zero guard pinned to 0.0 (engine-dependent
     * NaN otherwise; also covers the all-empty sum_w = 0 edge, since every
     * such source hits the src_tokens guard first). */
   private def temperatureRates(docs: DataFrame, tokenizer: Tokenizer,
-      capped: Boolean): (DataFrame, DataFrame) = {
+      cap: Double): (DataFrame, DataFrame) = {
     val perDoc = docs.select(col("doc_id"), col("source"),
       size(tokenizer.tokens(col("text"))).cast("long").as("n_tokens"))
     val bySource = perDoc.groupBy(col("source"))
@@ -874,7 +874,7 @@ object TextAnalysis {
     val rates = bySource.crossJoin(broadcast(totals))
       .select(col("source"),
         when(col("src_tokens") === 0L, lit(0.0))
-          .otherwise(if (capped) least(lit(1.0), raw) else raw).as("rate"))
+          .otherwise(least(lit(cap), raw)).as("rate"))
     (perDoc, rates)
   }
 
@@ -891,13 +891,23 @@ object TextAnalysis {
     * correctly-rounded doubles). Output: one row per EMITTED COPY
     * (`copy` = 1..n_copies; zero-copy docs emit nothing).
     *
+    * The rate is capped at `maxEpochs` (default 100): a near-empty source
+    * in a huge corpus otherwise gets rate ~ total/(Σ√·√s) → unbounded, and
+    * `explode(sequence(1, n_copies))` would allocate multi-million-element
+    * arrays per row (Spark's sequence length limit / executor OOM).
+    * Published epoch schedules cap for the same statistical reason —
+    * repeating a tiny source thousands of times is memorization, not
+    * up-weighting.
+    *
     * Scale shape: identical to [[mixTemperature]] — one map-side-combining
     * token groupBy, a bounded eager-tracked broadcast rate table, then a
     * pure projection + `explode(sequence)` whose output volume is the
-    * schedule itself. */
+    * schedule itself (now bounded by maxEpochs · |corpus|). */
   def mixTemperatureEpochs(docs: DataFrame,
-      tokenizer: Tokenizer = Tokenizer.Whitespace): DataFrame = {
-    val (perDoc, rates) = temperatureRates(docs, tokenizer, capped = false)
+      tokenizer: Tokenizer = Tokenizer.Whitespace,
+      maxEpochs: Int = 100): DataFrame = {
+    require(maxEpochs >= 1, s"maxEpochs >= 1: $maxEpochs")
+    val (perDoc, rates) = temperatureRates(docs, tokenizer, cap = maxEpochs.toDouble)
     val lane = md5Lane(concat(lit("epoch:"), col("doc_id").cast("string")))
     perDoc.join(Par.maybeBroadcast(CacheScope.trackEager(rates)), "source")
       .select(col("doc_id"), col("source"), col("n_tokens"), col("rate"),

@@ -662,6 +662,21 @@ class OpsSpec extends SparkSpec {
     graft.ops.CacheScope.releaseAll(spark)
   }
 
+  test("phashPairs covers all 56 bits when nChunks does not divide them") {
+    // maxHamming = 4 → 5 chunks of 11 bits + a 12-bit last chunk; the
+    // remainder fold must keep the top bits inside a chunk so a pair
+    // differing ONLY there still keys together on the low chunks and pairs
+    // agreeing there gain selectivity. Exact-duplicate pair must survive.
+    val asc = ('a' to 'z').mkString + ('0' to '9').mkString
+    val d = Seq((0L, asc), (3L, asc), (6L, asc.reverse))
+      .toDF("doc_id", "text")
+    val pairs = Multimodal.phashPairs(d, maxHamming = 4).collect()
+      .map(x => (x.getAs[Long]("a"), x.getAs[Long]("b"),
+        x.getAs[Int]("hamming")))
+    assert(pairs.toSeq == Seq((0L, 3L, 0)), pairs.toSeq.toString)
+    graft.ops.CacheScope.releaseAll(spark)
+  }
+
   test("audio features are payload-normalized banded byte sums") {
     val d = Seq((1L, "aaaaaaaa")).toDF("doc_id", "text") // doc_id%3==1, 8 bytes
     val f = Multimodal.audioFeatures(d).collect().head
@@ -1718,6 +1733,18 @@ class OpsSpec extends SparkSpec {
     assert(hi.head._3 < 1.0)
     assert(hi.groupBy(_._1).values.forall(_.length == 1))
     assert(hi.forall(_._5 == 1L))
+    graft.ops.CacheScope.releaseAll(spark)
+  }
+
+  test("mixTemperatureEpochs caps the rate at maxEpochs") {
+    val d = ((0 until 2).map(i => (i.toLong, "a b c d e", "lo")) ++
+      (2 until 102).map(i => (i.toLong, "a b c d e f g h i j", "hi")))
+      .toDF("doc_id", "text", "source")
+    val r = TextAnalysis.mixTemperatureEpochs(d, maxEpochs = 2).collect()
+    val lo = r.filter(_.getAs[String]("source") == "lo")
+    assert(lo.forall(_.getAs[Double]("rate") == 2.0),
+      lo.map(_.getAs[Double]("rate")).toSeq.toString)
+    assert(lo.forall(_.getAs[Long]("n_copies") == 2L))
     graft.ops.CacheScope.releaseAll(spark)
   }
 
