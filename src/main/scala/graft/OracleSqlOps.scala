@@ -836,6 +836,13 @@ WHERE rank <= 200"""
   CAST(count(*) AS INT) AS n_copies
 FROM documents GROUP BY md5(text)"""
 
+  /** Shared digest projection oracle (mirrors graft.ops.Dedup.fingerprints):
+    * byte-exact + cleaning-tier digests in one scan. */
+  val dedupFingerprints: String = """SELECT doc_id, md5(text) AS text_hash,
+  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+    ' +', ' ', 'g'))) AS norm_hash
+FROM documents"""
+
   /** Normalized-exact oracle (mirrors graft.ops.Dedup.exactNormalized):
     * lower → non-alphanumerics to spaces → collapse runs → trim → md5. */
   val dedupExactNorm: String = """WITH n AS (
@@ -1733,13 +1740,17 @@ SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cosine FROM ranked WHER
 )
 SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cosine FROM ranked WHERE rank <= 3"""
 
+  /** Stub-path metadata (the gate's text payloads decode as neither image,
+    * audio, nor MP4 — real_decode is constant false here; the real decode
+    * paths are pinned by OpsSpec over generated PNG/WAV/MP4 bytes). */
   val mmMeta: String = """SELECT CAST(doc_id AS BIGINT) AS doc_id,
   ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS media_type,
   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
   CAST(octet_length(encode(text)) % 640 AS INT) AS width,
   CAST((doc_id * 7) % 480 AS INT) AS height,
   octet_length(encode(text)) / CAST(1000.0 AS DOUBLE) AS duration_s,
-  md5(text) AS checksum
+  md5(text) AS checksum,
+  false AS real_decode
 FROM documents"""
 
   /** Image payload stub resize (mirrors graft.ops.Multimodal.resizeImages,
@@ -1804,7 +1815,9 @@ WHERE bit_count(xor(l.phash, r.phash)) <= 3"""
   FROM documents WHERE doc_id % 3 = 1
 )
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
-  $fs
+  $fs,
+  CAST(0.0 AS DOUBLE) AS sample_rate, 0 AS channels,
+  CAST(0.0 AS DOUBLE) AS duration_s, false AS real_decode
 FROM a"""
   }
 
@@ -2250,4 +2263,121 @@ JOIN orders ON o_custkey = c_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
 WHERE o_orderstatus = 'O'
 GROUP BY o_orderpriority, c_mktsegment"""
+
+  /** Per-line HTML cleaner (mirrors graft.ops.TextExtract.cleanLine): strip
+    * tags, decode the six entities (&amp; LAST — the single-pass rule), and
+    * collapse whitespace. `e` is the line expression. */
+  private def cleanLineSql(e: String): String =
+    "trim(regexp_replace(" +
+      "replace(replace(replace(replace(replace(replace(" +
+      s"regexp_replace($e, '<[^>]*>', ' ', 'g'), " +
+      "'&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), '&#39;', ''''), " +
+      "'&nbsp;', ' '), '&amp;', '&'), " +
+      "'[ \\t\\r\\n]+', ' ', 'g'))"
+
+  /** HTML render (mirrors graft.ops.TextExtract.htmlPages, paraWords=12) +
+    * line-level boilerplate extraction (mirrors TextExtract.extract,
+    * minWords=3, maxLinkDensity=1/3) over a (doc_id, text, source)
+    * relation. A full standalone query selecting
+    * (doc_id, source, text, n_lines_kept, n_lines_dropped) — wrap in
+    * parens to embed as a derived table. */
+  private def htmlExtractOver(src: String): String = {
+    val keep = "struct_extract(p, 'words') >= 3 AND " +
+      "CAST(struct_extract(p, 'lchars') AS DOUBLE) <= " +
+      "(1.0/3) * CAST(struct_extract(p, 'chars') AS DOUBLE)"
+    s"""WITH w0 AS (
+  SELECT doc_id, source, string_split(text, ' ') AS words FROM $src
+), w1 AS (
+  SELECT doc_id, source, words,
+    greatest(1, CAST(ceil(len(words) / 12.0) AS INT)) AS npar
+  FROM w0
+), pages AS (
+  SELECT doc_id, source,
+    '<html><head><title>Document ' || CAST(doc_id AS VARCHAR) || '</title>'
+    || '<style>body { margin: 0; font: 14px sans-serif; }</style>'
+    || '<script type="text/javascript">var src = "' || source
+    || '"; track(src);</script></head><body>'
+    || '<nav><a href="/">Home</a> <a href="/s/' || source || '">' || source
+    || '</a> <a href="/tags">Tags</a></nav>'
+    || '<div class="content">'
+    || array_to_string(list_transform(range(npar), i ->
+         '<p>' || array_to_string(list_slice(words, i*12 + 1, i*12 + 12), ' ')
+         || '</p>'), '')
+    || '</div>'
+    || '<div class="share"><a href="/share">Share</a> <a href="/like">Like</a></div>'
+    || '<footer><a href="/tos">Terms of Service</a> <a href="/privacy">Privacy</a> (c) 2026 '
+    || source || '</footer></body></html>' AS html
+  FROM w1
+), blocky AS (
+  SELECT doc_id, source, regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+    '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+    '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+    '(?s)<!--.*?-->', ' ', 'g'),
+    '[ \\t\\r\\n]+', ' ', 'g'),
+    '(?i)</(p|div|li|h[1-6]|tr|td|th|table|ul|ol|section|article|header|footer|nav|blockquote|title)>|<br[^>]*>',
+    chr(10), 'g') AS b
+  FROM pages
+), perline AS (
+  SELECT doc_id, source,
+    list_transform(string_split(b, chr(10)), l -> struct_pack(
+      txt := ${cleanLineSql("l")},
+      ltxt := ${cleanLineSql(
+        // coalesce: DuckDB's array_to_string over an EMPTY list is NULL,
+        // Spark's array_join is '' — pin the no-anchors line to ''
+        "coalesce(array_to_string(regexp_extract_all(l, '(?is)<a[^>]*>(.*?)</a>', 1), ' '), '')")}
+    )) AS per0
+  FROM blocky
+), stats AS (
+  SELECT doc_id, source, list_transform(per0, q -> struct_pack(
+      txt := struct_extract(q, 'txt'),
+      words := CASE WHEN struct_extract(q, 'txt') = '' THEN 0
+        ELSE CAST(len(string_split(struct_extract(q, 'txt'), ' ')) AS INT) END,
+      chars := CAST(length(struct_extract(q, 'txt')) AS INT),
+      lchars := CAST(length(struct_extract(q, 'ltxt')) AS INT))) AS per
+  FROM perline
+)
+SELECT doc_id, source,
+  coalesce(array_to_string(list_transform(list_filter(per, p -> $keep),
+    p -> struct_extract(p, 'txt')), chr(10)), '') AS text,
+  CAST(len(list_filter(per, p -> $keep)) AS INT) AS n_lines_kept,
+  CAST(len(list_filter(per, p -> struct_extract(p, 'words') > 0)) AS INT)
+    - CAST(len(list_filter(per, p -> $keep)) AS INT) AS n_lines_dropped
+FROM stats"""
+  }
+
+  /** Stage-zero extraction oracle (mirrors graft.ops.TextExtract
+    * .textExtract over the rendered fixture pages). */
+  val textExtractHtml: String = htmlExtractOver("documents")
+
+  /** FineWeb recipe re-rooted on EXTRACTED text (mirrors
+    * graft.ops.Prep.prepFineWebHtml): render → extract → Gopher rules →
+    * normalized-exact canonicals → per-source top-30% quality →
+    * split + pack — the full crawl-to-shards pipeline from stage zero. */
+  val prepFinewebHtml: String = s"""WITH ext AS (
+  SELECT doc_id, text, source FROM (${htmlExtractOver("documents")})
+), gph AS (
+  SELECT doc_id FROM (${textGopherOver("ext")}) WHERE kept
+), g AS (
+  SELECT d.* FROM ext d JOIN gph USING (doc_id)
+), nrm AS (
+  SELECT doc_id,
+    md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+      ' +', ' ', 'g'))) AS nh
+  FROM g
+), ncanon AS (
+  SELECT min(doc_id) AS doc_id FROM nrm GROUP BY nh
+), canon AS (
+  SELECT g.* FROM g JOIN ncanon USING (doc_id)
+), tfk AS (
+  SELECT doc_id FROM (${textQualityTopFracOver("canon")}) WHERE kept
+), selected AS (
+  SELECT c.* FROM canon c JOIN tfk USING (doc_id)
+), packed AS (
+  SELECT * FROM (${textPackOver("selected")})
+), sp AS (
+  ${textSplitOver("selected")}
+)
+SELECT packed.doc_id, sp.split, packed.shard, packed.seq,
+  packed.tok_offset, packed.n_tokens
+FROM packed JOIN sp USING (doc_id)"""
 }

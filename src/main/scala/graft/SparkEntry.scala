@@ -392,6 +392,9 @@ object SparkEntry {
       ops.Similarity.hardNegatives(emb(s, dir), col("vec_id") % 100 === 0)),
 
     "dedup_exact" -> ((s, dir) => ops.Dedup.exact(docs(s, dir))),
+    // the shared digest projection of the exact-dedup family (computed once
+    // per recipe, feeds exact/normalized/cross/snapshot tiers)
+    "dedup_fingerprints" -> ((s, dir) => ops.Dedup.fingerprints(docs(s, dir))),
     // the normalized tier: case/punctuation/spacing variants collapse at
     // exact-dedup cost (one hash shuffle)
     "dedup_exact_norm" -> ((s, dir) => ops.Dedup.exactNormalized(docs(s, dir))),
@@ -417,6 +420,12 @@ object SparkEntry {
     // the FineWeb-shaped recipe: rules -> normalized dedup -> per-source
     // top-frac quality -> split + pack, composed end to end
     "prep_fineweb" -> ((s, dir) => ops.Prep.prepFineWeb(docs(s, dir))),
+    // stage ZERO: HTML -> text extraction with line-level boilerplate
+    // removal (short-line + link-density rules) over deterministically
+    // rendered fixture pages
+    "text_extract" -> ((s, dir) => ops.TextExtract.textExtract(docs(s, dir))),
+    // the full crawl-to-shards pipeline: render -> extract -> FineWeb
+    "prep_fineweb_html" -> ((s, dir) => ops.Prep.prepFineWebHtml(docs(s, dir))),
     // edit-distance-verified near-dup: Levenshtein runs only on the
     // Hamming-bounded simhash survivors, never a quadratic pair stream
     "dedup_edit" -> ((s, dir) => ops.Dedup.editDistancePairs(docs(s, dir))),
@@ -618,6 +627,7 @@ object SparkEntry {
     "corpus_snapshot_diff" -> OracleSqlOps.corpusSnapshotDiff,
     "search_hard_negatives" -> OracleSqlOps.searchHardNegatives,
     "dedup_exact" -> OracleSqlOps.dedupExact,
+    "dedup_fingerprints" -> OracleSqlOps.dedupFingerprints,
     "dedup_exact_norm" -> OracleSqlOps.dedupExactNorm,
     "dedup_minhash_lsh" -> OracleSqlOps.minhashLsh,
     "dedup_minhash_bpe" -> OracleSqlOps.minhashBpe,
@@ -628,6 +638,8 @@ object SparkEntry {
     "dedup_pipeline" -> OracleSqlOps.dedupPipeline,
     "prep_corpus" -> OracleSqlOps.prepCorpus,
     "prep_fineweb" -> OracleSqlOps.prepFineweb,
+    "text_extract" -> OracleSqlOps.textExtractHtml,
+    "prep_fineweb_html" -> OracleSqlOps.prepFinewebHtml,
     "dedup_edit" -> OracleSqlOps.dedupEdit,
     "dedup_incremental" -> OracleSqlOps.dedupIncremental,
     "dedup_incremental_emb" -> OracleSqlOps.dedupIncrementalEmb,

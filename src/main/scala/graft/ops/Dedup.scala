@@ -34,10 +34,28 @@ object Dedup {
 
   import Par.maybeBroadcast
 
+  /** The shared digest projection of the exact-dedup family:
+    * `(doc_id, text_hash, norm_hash)` — byte-exact digest plus the
+    * [[exactNormalized]] cleaning-tier digest in ONE text scan. The
+    * normalization regex chain is the expensive part of every exact-tier
+    * operator at corpus scale; [[exact]], [[exactNormalized]],
+    * [[crossDedup]], and [[snapshotDiff]] all consume this projection, so a
+    * composed recipe (or a session running several of them) computes it
+    * once, `CacheScope`-tracks it, and feeds the 24-bytes-per-doc frame to
+    * every downstream tier instead of re-running the regex chain per
+    * operator. */
+  def fingerprints(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      md5(col("text").cast("binary")).as("text_hash"),
+      md5(normText.cast("binary")).as("norm_hash"))
+
   /** Exact dedup: canonical (minimum) doc_id and multiplicity per distinct
     * text digest. */
-  def exact(docs: DataFrame): DataFrame =
-    docs.groupBy(md5(col("text").cast("binary")).as("text_hash"))
+  def exact(docs: DataFrame): DataFrame = exactFp(fingerprints(docs))
+
+  /** [[exact]] over a pre-computed [[fingerprints]] frame. */
+  def exactFp(fp: DataFrame): DataFrame =
+    fp.groupBy(col("text_hash"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).cast("int").as("n_copies"))
 
   /** NORMALIZED exact dedup — the standard cleaning tier between byte-exact
@@ -48,7 +66,11 @@ object Dedup {
     * pass. Normalization stays in the Java∩RE2 regex dialect (same rule as
     * [[TextAnalysis.pii]]) so the oracle reproduces it literally. */
   def exactNormalized(docs: DataFrame): DataFrame =
-    docs.groupBy(md5(normText.cast("binary")).as("norm_hash"))
+    exactNormalizedFp(fingerprints(docs))
+
+  /** [[exactNormalized]] over a pre-computed [[fingerprints]] frame. */
+  def exactNormalizedFp(fp: DataFrame): DataFrame =
+    fp.groupBy(col("norm_hash"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).cast("int").as("n_copies"))
 
   /** The normalization behind the cleaning tier (shared by
@@ -74,16 +96,20 @@ object Dedup {
     * distinct is garbage) and broadcast, so no corpus-scale shuffle at all;
     * past the gate the fallback is a shuffle-hash join on the 16-byte
     * digest. */
-  def crossDedup(corpus: DataFrame, reference: DataFrame): DataFrame = {
-    val refExact = reference
-      .select(md5(col("text").cast("binary")).as("text_hash")).distinct()
+  def crossDedup(corpus: DataFrame, reference: DataFrame): DataFrame =
+    crossDedupFp(fingerprints(corpus), fingerprints(reference))
+
+  /** [[crossDedup]] over pre-computed [[fingerprints]] frames — the shape a
+    * composed run uses when the same corpus digests also feed
+    * [[exactNormalizedFp]] / [[snapshotDiffFp]]. */
+  def crossDedupFp(corpusFp: DataFrame, referenceFp: DataFrame): DataFrame = {
+    val refExact = referenceFp
+      .select(col("text_hash")).distinct()
       .withColumn("x_hit", lit(true))
-    val refNorm = reference
-      .select(md5(normText.cast("binary")).as("norm_hash")).distinct()
+    val refNorm = referenceFp
+      .select(col("norm_hash")).distinct()
       .withColumn("nm_hit", lit(true))
-    corpus.select(col("doc_id"),
-        md5(col("text").cast("binary")).as("text_hash"),
-        md5(normText.cast("binary")).as("norm_hash"))
+    corpusFp.select(col("doc_id"), col("text_hash"), col("norm_hash"))
       .join(maybeBroadcast(CacheScope.trackEager(refExact)),
         Seq("text_hash"), "left")
       .join(maybeBroadcast(CacheScope.trackEager(refNorm)),
@@ -106,11 +132,14 @@ object Dedup {
     * = distinct digests, not docs) and ONE full-outer hash join on the
     * 16-byte digest — no doc-level pairing anywhere, so two 100 TB snapshots
     * diff at the cost of their digest sets. */
-  def snapshotDiff(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
+  def snapshotDiff(oldDocs: DataFrame, newDocs: DataFrame): DataFrame =
+    snapshotDiffFp(fingerprints(oldDocs), fingerprints(newDocs))
+
+  /** [[snapshotDiff]] over pre-computed [[fingerprints]] frames. */
+  def snapshotDiffFp(oldFp: DataFrame, newFp: DataFrame): DataFrame = {
     def counts(d: DataFrame, out: String) =
-      d.groupBy(md5(col("text").cast("binary")).as("text_hash"))
-        .agg(count(lit(1)).as(out))
-    counts(oldDocs, "n_old").join(counts(newDocs, "n_new"),
+      d.groupBy(col("text_hash")).agg(count(lit(1)).as(out))
+    counts(oldFp, "n_old").join(counts(newFp, "n_new"),
         Seq("text_hash"), "full")
       .select(col("text_hash"),
         when(col("n_old").isNull, lit("added"))

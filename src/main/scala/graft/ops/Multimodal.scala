@@ -34,12 +34,105 @@ object Multimodal {
       Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
     } catch { case _: Exception => None }
 
+  /** Decoded audio: true format params + the CANONICAL PCM rendering
+    * (16-bit signed little-endian at the source rate/channels) — so the same
+    * samples decode to the same bytes whether the container was WAV or AIFF,
+    * which is the whole point of decoding before feature extraction. */
+  private final case class AudioInfo(sampleRate: Double, channels: Int,
+      durationS: Double, pcm: Array[Byte])
+
+  /** Real audio decode via the JDK's `javax.sound.sampled` (WAV/AIFF/AU —
+    * zero external dependencies). None when the bytes are not a decodable
+    * audio stream; the header sniff makes the miss cheap on text payloads. */
+  private def tryDecodeAudio(payload: Array[Byte]): Option[AudioInfo] =
+    try {
+      import javax.sound.sampled.{AudioFormat, AudioSystem}
+      val in = AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = in.getFormat
+        val target = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+          fmt.getSampleRate, 16, fmt.getChannels, fmt.getChannels * 2,
+          fmt.getSampleRate, false)
+        val conv = AudioSystem.getAudioInputStream(target, in)
+        val pcm = conv.readAllBytes()
+        val frames = pcm.length / target.getFrameSize
+        Some(AudioInfo(fmt.getSampleRate.toDouble, fmt.getChannels,
+          frames.toDouble / fmt.getSampleRate, pcm))
+      } finally in.close()
+    } catch { case _: Exception => None }
+
+  /** Parsed MP4/ISO-BMFF header metadata. */
+  private final case class Mp4Info(width: Int, height: Int, durationS: Double)
+
+  private def be32(b: Array[Byte], o: Int): Long =
+    ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+      ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+
+  private def boxType(b: Array[Byte], o: Int): String =
+    new String(b, o + 4, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+
+  /** Real video metadata via MP4/ISO-BMFF box walking — PURE byte parsing
+    * (`moov`/`mvhd` for timescale+duration, `trak`/`tkhd` for the 16.16
+    * fixed-point width/height), no codec needed: a training pipeline wants
+    * dimensions/duration for filtering long before it wants pixels. Requires
+    * a leading `ftyp` box (the MP4 magic), so text payloads miss in one
+    * 8-byte check. None on 64-bit box sizes (`size == 1`) and malformed
+    * trees — the honest stub keeps covering truly opaque bytes. */
+  private def tryParseMp4(p: Array[Byte]): Option[Mp4Info] = {
+    if (p.length < 16 || boxType(p, 0) != "ftyp") return None
+    var w = 0; var h = 0; var durS = -1.0
+    def children(lo: Int, hi: Int): Iterator[(String, Int, Int)] =
+      new Iterator[(String, Int, Int)] {
+        private var o = lo
+        def hasNext: Boolean = o + 8 <= hi
+        def next(): (String, Int, Int) = {
+          val sz = be32(p, o)
+          if (sz < 8 || o + sz > hi) { o = hi; ("", 0, 0) }
+          else { val r = (boxType(p, o), o, o + sz.toInt); o += sz.toInt; r }
+        }
+      }
+    for ((t, lo, hi) <- children(0, p.length) if t == "moov") {
+      for ((ct, clo, chi) <- children(lo + 8, hi)) ct match {
+        case "mvhd" if chi - clo >= 32 =>
+          val v = p(clo + 8) & 0xff
+          // v0: vf(4) ctime(4) mtime(4) timescale(4) duration(4)
+          // v1: vf(4) ctime(8) mtime(8) timescale(4) duration(8)
+          if (v == 0) {
+            val ts = be32(p, clo + 20)
+            if (ts > 0) durS = be32(p, clo + 24).toDouble / ts
+          } else if (chi - clo >= 44) {
+            val ts = be32(p, clo + 28)
+            val d = (be32(p, clo + 32) << 32) | be32(p, clo + 36)
+            if (ts > 0) durS = d.toDouble / ts
+          }
+        case "trak" =>
+          for ((gt, glo, ghi) <- children(clo + 8, chi) if gt == "tkhd") {
+            val v = p(glo + 8) & 0xff
+            // width/height are the LAST 8 bytes of tkhd (16.16 fixed),
+            // after vf + times + ids + reserved + layer/volume + matrix
+            val off = if (v == 0) glo + 84 else glo + 96
+            if (off + 8 <= ghi) {
+              val tw = (be32(p, off) >> 16).toInt
+              val th = (be32(p, off + 4) >> 16).toInt
+              // the video trak carries nonzero dims; audio traks are 0×0
+              if (tw > w) w = tw
+              if (th > h) h = th
+            }
+          }
+        case _ => ()
+      }
+    }
+    if (durS >= 0) Some(Mp4Info(w, h, durS)) else None
+  }
+
   /** A media row: opaque payload + source id. */
   final case class MediaRow(doc_id: Long, media_type: String, payload: Array[Byte])
 
-  /** Extracted metadata (stub-decoded). */
+  /** Extracted metadata (+ whether a real decoder/parser produced it). */
   final case class MediaMeta(doc_id: Long, media_type: String, n_bytes: Long,
-      width: Int, height: Int, duration_s: Double, checksum: String)
+      width: Int, height: Int, duration_s: Double, checksum: String,
+      real_decode: Boolean)
 
   /** Media table synthesized from `documents`: the text bytes stand in for an
     * encoded payload; media_type cycles image/audio/video. */
@@ -55,10 +148,11 @@ object Multimodal {
   private def hex(bytes: Array[Byte]): String =
     bytes.map(b => f"$b%02x").mkString
 
-  /** The decoder: one per partition (the expensive-codec-init shape). Image
-    * payloads that ImageIO can decode report their TRUE width/height (and
-    * duration 0 — stills have none); everything else takes the deterministic
-    * stub derivation so the synthetic fixtures stay oracle-reproducible. */
+  /** The decoder: one per partition (the expensive-codec-init shape). Every
+    * media type now has a REAL path: ImageIO width/height for images,
+    * `javax.sound.sampled` rate/duration for audio, MP4 box walking for
+    * video dims/duration. Undecodable bytes take the deterministic stub
+    * derivation so the synthetic fixtures stay oracle-reproducible. */
   def decodeMeta(media: Dataset[MediaRow]): Dataset[MediaMeta] =
     media.mapPartitions { rows =>
       // per-partition init: a real decoder (libjpeg/ffmpeg binding) would be
@@ -67,22 +161,28 @@ object Multimodal {
       rows.map { r =>
         digest.reset()
         val sum = hex(digest.digest(r.payload))
-        val real =
-          if (r.media_type == "image") tryDecodeImage(r.payload) else None
-        real match {
-          case Some(img) =>
-            MediaMeta(r.doc_id, r.media_type, r.payload.length.toLong,
-              img.getWidth, img.getHeight, 0.0, sum)
-          case None =>
-            MediaMeta(
-              doc_id = r.doc_id,
-              media_type = r.media_type,
-              n_bytes = r.payload.length.toLong,
-              width = (r.payload.length % 640).toInt,
-              height = ((r.doc_id * 7) % 480).toInt,
-              duration_s = r.payload.length / 1000.0,
-              checksum = sum)
+        val nb = r.payload.length.toLong
+        val real: Option[MediaMeta] = r.media_type match {
+          case "image" => tryDecodeImage(r.payload).map(img =>
+            MediaMeta(r.doc_id, r.media_type, nb, img.getWidth,
+              img.getHeight, 0.0, sum, real_decode = true))
+          case "audio" => tryDecodeAudio(r.payload).map(a =>
+            MediaMeta(r.doc_id, r.media_type, nb, 0, 0, a.durationS, sum,
+              real_decode = true))
+          case "video" => tryParseMp4(r.payload).map(v =>
+            MediaMeta(r.doc_id, r.media_type, nb, v.width, v.height,
+              v.durationS, sum, real_decode = true))
+          case _ => None
         }
+        real.getOrElse(MediaMeta(
+          doc_id = r.doc_id,
+          media_type = r.media_type,
+          n_bytes = nb,
+          width = (r.payload.length % 640).toInt,
+          height = ((r.doc_id * 7) % 480).toInt,
+          duration_s = r.payload.length / 1000.0,
+          checksum = sum,
+          real_decode = false))
       }
     }(Encoders.product[MediaMeta])
 
@@ -146,33 +246,54 @@ object Multimodal {
       }
     }(Encoders.product[ResizedImage])
 
-  /** Stub audio feature vector: 8 payload-normalized banded byte sums
-    * (f_j = sum of bytes at positions ≡ j mod 8, over payload length) — the
-    * fixed-width per-row feature shape of a real MFCC extractor, as scalar
-    * columns (engine outputs stay array-free for the oracle hash compare). */
+  /** Audio feature vector: 8 banded byte sums (f_j = sum of bytes at
+    * positions ≡ j mod 8, normalized by length) — the fixed-width per-row
+    * feature shape of a real MFCC extractor, as scalar columns (engine
+    * outputs stay array-free for the oracle hash compare). Decodable audio
+    * (WAV/AIFF/AU) computes the bands over the DECODED canonical PCM — so
+    * the same samples yield the same features regardless of container — and
+    * reports its true sample rate/channels/duration; opaque bytes band the
+    * raw payload (the documented stub) with zeroed format fields. */
   final case class AudioFeatures(doc_id: Long,
       f0: Double, f1: Double, f2: Double, f3: Double,
-      f4: Double, f5: Double, f6: Double, f7: Double)
+      f4: Double, f5: Double, f6: Double, f7: Double,
+      sample_rate: Double, channels: Int, duration_s: Double,
+      real_decode: Boolean)
+
+  private def bandSums(bytes: Array[Byte]): Array[Double] = {
+    val sums = new Array[Long](8)
+    var i = 0
+    while (i < bytes.length) {
+      sums(i % 8) += bytes(i) & 0xff
+      i += 1
+    }
+    val n = math.max(bytes.length, 1).toDouble
+    sums.map(_ / n)
+  }
 
   /** Audio feature extraction: per-partition init, one fixed-width feature
     * row per payload. */
-  def audioFeatures(docs: DataFrame): Dataset[AudioFeatures] = {
-    val audios = mediaTable(docs).filter(_.media_type == "audio")
+  def audioFeatures(docs: DataFrame): Dataset[AudioFeatures] =
+    audioFeaturesOf(mediaTable(docs).filter(_.media_type == "audio"))
+
+  /** The feature kernel over an explicit media table ([[audioFeatures]] is
+    * the documents-backed wrapper; tests feed real WAV/AIFF payloads here). */
+  def audioFeaturesOf(audios: Dataset[MediaRow]): Dataset[AudioFeatures] =
     audios.mapPartitions { rows =>
       rows.map { r =>
-        val sums = new Array[Long](8)
-        var i = 0
-        while (i < r.payload.length) {
-          sums(i % 8) += r.payload(i) & 0xff
-          i += 1
+        tryDecodeAudio(r.payload) match {
+          case Some(a) =>
+            val f = bandSums(a.pcm)
+            AudioFeatures(r.doc_id, f(0), f(1), f(2), f(3), f(4), f(5),
+              f(6), f(7), a.sampleRate, a.channels, a.durationS,
+              real_decode = true)
+          case None =>
+            val f = bandSums(r.payload)
+            AudioFeatures(r.doc_id, f(0), f(1), f(2), f(3), f(4), f(5),
+              f(6), f(7), 0.0, 0, 0.0, real_decode = false)
         }
-        val n = math.max(r.payload.length, 1).toDouble
-        AudioFeatures(r.doc_id,
-          sums(0) / n, sums(1) / n, sums(2) / n, sums(3) / n,
-          sums(4) / n, sums(5) / n, sums(6) / n, sums(7) / n)
       }
     }(Encoders.product[AudioFeatures])
-  }
 
   /** One sampled frame of a video payload. */
   final case class Frame(doc_id: Long, frame_idx: Int, n_bytes: Int, checksum: String)

@@ -79,4 +79,18 @@ object Prep {
       .select(col("doc_id"), col("split"), col("shard"), col("seq"),
         col("tok_offset"), col("n_tokens"))
   }
+
+  /** [[prepFineWeb]] re-rooted at STAGE ZERO: raw HTML pages → boilerplate-
+    * stripped text ([[TextExtract.extract]]) → the FineWeb recipe. The
+    * fixture has no crawl table, so the pages come from the deterministic
+    * renderer ([[TextExtract.htmlPages]]); a real deployment feeds its
+    * crawl table straight into the same extract → prep chain. Extraction
+    * is pure per-row expression compute, so it fuses into the same scan
+    * stage as the Gopher gate — stage zero adds NO shuffle. */
+  def prepFineWebHtml(docs: DataFrame, keepFrac: Double = 0.3,
+      budget: Int = 2048, shards: Int = 32): DataFrame =
+    prepFineWeb(
+      TextExtract.extract(TextExtract.htmlPages(docs))
+        .select(col("doc_id"), col("text"), col("source")),
+      keepFrac, budget, shards)
 }

@@ -1,0 +1,154 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Stage ZERO of the web-corpus pipeline: HTML → text extraction with
+  * line-level boilerplate removal — the step every CCNet/FineWeb-style
+  * recipe runs before any of the text operators ([[TextAnalysis.gopherRules]],
+  * [[TextAnalysis.qualityTopFrac]], [[Dedup]]) see a document.
+  *
+  * The extractor is EXPRESSION-ONLY per-row compute (regexp chains + array
+  * higher-order functions — no UDF, no shuffle): at 100 TB this is a pure
+  * map stage that runs at scan speed ahead of the first exchange, exactly
+  * where a rule gate belongs. The rules are the classic deterministic
+  * boilerplate heuristics (jusText/boilerpipe family, reduced to their
+  * engine-portable core):
+  *
+  *   1. drop `<script>`/`<style>` blocks and HTML comments entirely;
+  *   2. convert block-element CLOSERS (`</p> </div> </li> </h1..6> </tr>
+  *      </td> </th> </table> </ul> </ol> </section> </article> </header>
+  *      </footer> </nav> </blockquote> </title>`) and `<br>` to newlines —
+  *      the document's visual line structure;
+  *   3. per line: strip remaining tags, decode the six common entities
+  *      (`&lt; &gt; &quot; &#39; &nbsp;` then `&amp;` LAST — so already-
+  *      escaped `&amp;lt;` decodes to the literal `&lt;`, not `<`),
+  *      collapse whitespace;
+  *   4. keep a line only if it has ≥ `minWords` words AND its LINK DENSITY
+  *      (characters contributed by `<a>` anchor text / all characters)
+  *      ≤ `maxLinkDensity` — short-line and link-soup heuristics that kill
+  *      nav bars, share buttons, and footers while keeping prose.
+  *
+  * Every rule is bit-portable across engines (integer word counts, one
+  * int×double multiply for the density bound), so the whole extraction is
+  * DuckDB-mirrorable and oracle-gated. Regexes avoid backreferences (the
+  * oracle's RE2 has none) and `\s`-class corners (no vertical-tab bytes in
+  * any fixture).
+  */
+object TextExtract {
+
+  /** Default minimum words per kept line (short-line heuristic). */
+  val MinWords = 3
+
+  /** Default link-density ceiling: a line more than one-third anchor text
+    * is navigation, not prose. */
+  val MaxLinkDensity: Double = 1.0 / 3
+
+  private def stripTags(c: Column): Column =
+    regexp_replace(c, "<[^>]*>", " ")
+
+  private def decodeEntities(c: Column): Column = {
+    // &amp; decoded LAST: single-pass entity decode must not double-decode
+    // "&amp;lt;" (the escaped literal "&lt;") into "<".
+    val steps = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+    steps.foldLeft(c) { case (col0, (from, to)) =>
+      regexp_replace(col0, java.util.regex.Pattern.quote(from), to)
+    }
+  }
+
+  private def normWs(c: Column): Column =
+    trim(regexp_replace(c, "[ \\t\\r\\n]+", " "))
+
+  private def cleanLine(l: Column): Column =
+    normWs(decodeEntities(stripTags(l)))
+
+  /** The per-page extraction as a single struct Column over an `html`
+    * string: `(text, n_lines_kept, n_lines_dropped)`. Dropped counts only
+    * NON-BLANK lines that failed a rule — the blank lines block-tag
+    * conversion manufactures are layout, not content. */
+  def extractHtml(html: Column, minWords: Int = MinWords,
+      maxLinkDensity: Double = MaxLinkDensity): Column = {
+    require(minWords >= 1, s"minWords >= 1: $minWords")
+    val noScript = regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    // Source-formatting newlines are NOT line structure: flatten all raw
+    // whitespace first, so lines come only from block tags below (a wrapped
+    // <p> stays one line, as any block-based extractor treats it).
+    val flat = regexp_replace(noComment, "[ \\t\\r\\n]+", " ")
+    val blocky = regexp_replace(flat,
+      "(?i)</(p|div|li|h[1-6]|tr|td|th|table|ul|ol|section|article|header|" +
+        "footer|nav|blockquote|title)>|<br[^>]*>", "\n")
+    val lines = split(blocky, "\n")
+    val per = transform(lines, l => {
+      val txt = cleanLine(l)
+      val anchorTxt = cleanLine(array_join(
+        regexp_extract_all(l, lit("(?is)<a[^>]*>(.*?)</a>"), lit(1)), " "))
+      struct(
+        txt.as("txt"),
+        when(txt === "", lit(0)).otherwise(size(split(txt, " ")))
+          .as("words"),
+        length(txt).as("chars"),
+        length(anchorTxt).as("link_chars"))
+    })
+    val kept = filter(per, p =>
+      p.getField("words") >= minWords &&
+        p.getField("link_chars").cast("double") <=
+          lit(maxLinkDensity) * p.getField("chars").cast("double"))
+    val nonBlank = filter(per, p => p.getField("words") > 0)
+    struct(
+      array_join(transform(kept, _.getField("txt")), "\n").as("text"),
+      size(kept).as("n_lines_kept"),
+      (size(nonBlank) - size(kept)).as("n_lines_dropped"))
+  }
+
+  /** Extraction over a pages table `(doc_id, source, html)` →
+    * `(doc_id, source, text, n_lines_kept, n_lines_dropped)`. */
+  def extract(pages: DataFrame, minWords: Int = MinWords,
+      maxLinkDensity: Double = MaxLinkDensity): DataFrame =
+    pages.select(col("doc_id"), col("source"),
+        extractHtml(col("html"), minWords, maxLinkDensity).as("ex"))
+      .select(col("doc_id"), col("source"), col("ex.text").as("text"),
+        col("ex.n_lines_kept").as("n_lines_kept"),
+        col("ex.n_lines_dropped").as("n_lines_dropped"))
+
+  /** Deterministic HTML rendering of the shared `documents` fixture — the
+    * crawl-table STAND-IN (the driver testdata carries extracted text, not
+    * HTML; a real deployment points [[extract]] at its crawl table and
+    * skips this). Each document becomes a full page: title + style +
+    * script head, a nav bar of links, the text as `<p>` paragraphs of
+    * `paraWords` words, a share row, and a link-heavy footer — so the
+    * extractor's rules each have a witness (title: short-line; nav/share:
+    * pure link soup; footer: mixed link density; paragraphs: kept prose).
+    * Pure per-row string construction, mirrored verbatim by the oracle. */
+  def htmlPages(docs: DataFrame, paraWords: Int = 12): DataFrame = {
+    require(paraWords >= 1, s"paraWords >= 1: $paraWords")
+    val words = split(col("text"), " ")
+    val nPar = greatest(lit(1),
+      ceil(size(words).cast("double") / paraWords).cast("int"))
+    val paras = array_join(
+      transform(sequence(lit(0), nPar - lit(1)), i =>
+        concat(lit("<p>"),
+          array_join(slice(words, i * paraWords + lit(1), lit(paraWords)), " "),
+          lit("</p>"))),
+      "")
+    docs.select(col("doc_id"), col("source"),
+      concat(
+        lit("<html><head><title>Document "), col("doc_id"), lit("</title>"),
+        lit("<style>body { margin: 0; font: 14px sans-serif; }</style>"),
+        lit("<script type=\"text/javascript\">var src = \""), col("source"),
+        lit("\"; track(src);</script></head><body>"),
+        lit("<nav><a href=\"/\">Home</a> <a href=\"/s/"), col("source"),
+        lit("\">"), col("source"), lit("</a> <a href=\"/tags\">Tags</a></nav>"),
+        lit("<div class=\"content\">"), paras, lit("</div>"),
+        lit("<div class=\"share\"><a href=\"/share\">Share</a> " +
+          "<a href=\"/like\">Like</a></div>"),
+        lit("<footer><a href=\"/tos\">Terms of Service</a> " +
+          "<a href=\"/privacy\">Privacy</a> (c) 2026 "), col("source"),
+        lit("</footer></body></html>")).as("html"))
+  }
+
+  /** The composed stage-zero query: render the fixture pages, extract. */
+  def textExtract(docs: DataFrame): DataFrame = extract(htmlPages(docs))
+}

@@ -686,6 +686,88 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("audio decode: WAV and AIFF of the same samples agree, format real") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    // 400 frames of a deterministic stereo ramp at 8 kHz = 50 ms
+    val rate = 8000f; val channels = 2; val frames = 400
+    val pcm = new Array[Byte](frames * channels * 2)
+    for (i <- 0 until frames; c <- 0 until channels) {
+      val s = (i * 37 + c * 11 - 4000).toShort
+      val o = (i * channels + c) * 2
+      pcm(o) = (s & 0xff).toByte; pcm(o + 1) = ((s >> 8) & 0xff).toByte
+    }
+    def container(tp: AudioFileFormat.Type, bigEndian: Boolean): Array[Byte] = {
+      // AIFF stores big-endian PCM; flip byte order so the SAMPLES match
+      val body =
+        if (!bigEndian) pcm
+        else pcm.grouped(2).flatMap(p => Array(p(1), p(0))).toArray
+      val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, rate, 16,
+        channels, channels * 2, rate, bigEndian)
+      val in = new AudioInputStream(
+        new java.io.ByteArrayInputStream(body), fmt, frames.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(in, tp, bos)
+      bos.toByteArray
+    }
+    import spark.implicits._
+    val media = Seq(
+      Multimodal.MediaRow(1L, "audio", container(AudioFileFormat.Type.WAVE, bigEndian = false)),
+      Multimodal.MediaRow(4L, "audio", container(AudioFileFormat.Type.AIFF, bigEndian = true)),
+      Multimodal.MediaRow(7L, "audio", "not audio at all".getBytes("UTF-8")))
+      .toDS()
+    val f = Multimodal.audioFeaturesOf(media).collect().map(x => x.doc_id -> x).toMap
+    assert(f(1L).real_decode && f(4L).real_decode && !f(7L).real_decode)
+    assert(f(1L).sample_rate == 8000.0 && f(1L).channels == 2)
+    assert(math.abs(f(1L).duration_s - 0.05) < 1e-9, f(1L).duration_s.toString)
+    // container-independence: the decoded canonical PCM drives the bands
+    (0 until 8).foreach { j =>
+      assert(f(1L).productElement(j + 1) == f(4L).productElement(j + 1),
+        s"band $j differs between WAV and AIFF")
+    }
+    // and the WAV bands equal the expected little-endian PCM byte sums
+    val sums = new Array[Long](8)
+    pcm.zipWithIndex.foreach { case (b, i) => sums(i % 8) += b & 0xff }
+    (0 until 8).foreach { j =>
+      assert(f(1L).productElement(j + 1).asInstanceOf[Double] ==
+        sums(j).toDouble / pcm.length)
+    }
+    // metadata verb: real duration, zero dims for audio
+    val meta = Multimodal.decodeMeta(media).collect().map(m => m.doc_id -> m).toMap
+    assert(meta(1L).real_decode && meta(1L).duration_s == 0.05 &&
+      meta(1L).width == 0 && meta(1L).height == 0)
+    assert(!meta(7L).real_decode)
+  }
+
+  test("video metadata: MP4 moov/tkhd/mvhd box walk reads dims + duration") {
+    def be32(v: Long): Array[Byte] =
+      Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def box(tp: String, content: Array[Byte]): Array[Byte] =
+      be32(content.length + 8L) ++ tp.getBytes("ISO-8859-1") ++ content
+    val ftyp = box("ftyp", "isom".getBytes ++ be32(0) ++ "isom".getBytes)
+    // mvhd v0: vf, ctime, mtime, timescale=600, duration=1500 (2.5 s), then
+    // rate/volume/reserved/matrix/predefined/next_track to spec length 100
+    val mvhd = box("mvhd", be32(0) ++ be32(0) ++ be32(0) ++ be32(600) ++
+      be32(1500) ++ new Array[Byte](100 - 20))
+    // tkhd v0: 76 bytes of vf/times/ids/duration/reserved/layer/volume/
+    // matrix, then width 640 and height 360 as 16.16 fixed-point
+    val tkhd = box("tkhd", new Array[Byte](76) ++
+      be32(640L << 16) ++ be32(360L << 16))
+    val mp4 = ftyp ++ box("moov", mvhd ++ box("trak", tkhd))
+    import spark.implicits._
+    val media = Seq(
+      Multimodal.MediaRow(2L, "video", mp4),
+      Multimodal.MediaRow(5L, "video", "definitely not an mp4".getBytes("UTF-8")))
+      .toDS()
+    val meta = Multimodal.decodeMeta(media).collect().map(m => m.doc_id -> m).toMap
+    assert(meta(2L).real_decode, meta(2L).toString)
+    assert(meta(2L).width == 640 && meta(2L).height == 360)
+    assert(meta(2L).duration_s == 2.5)
+    // opaque bytes keep the honest stub
+    assert(!meta(5L).real_decode)
+    assert(meta(5L).width == 21 % 640 && meta(5L).height == (5 * 7 % 480))
+  }
+
   test("multimodal meta decodes deterministically via mapPartitions") {
     val m = Multimodal.meta(spark, docs).orderBy("doc_id").collect()
     assert(m.length == 4)
@@ -1764,6 +1846,73 @@ class OpsSpec extends SparkSpec {
       .map(_.getAs[Long]("doc_id")).toSet
     // doc 2 fails the rules; doc 1 collapses into doc 0's normalized group
     assert(out == Set(0L, 3L), s"got $out")
+    graft.ops.CacheScope.releaseAll(spark)
+  }
+
+  test("extractHtml strips boilerplate from a real page, keeps the prose") {
+    import graft.ops.TextExtract
+    val page = """<!DOCTYPE html>
+<html lang="en">
+<head>
+  <meta charset="utf-8">
+  <title>Why Columnar Scans Win</title>
+  <style>
+    body { font-family: Georgia, serif; }
+    .sidebar { float: right; }
+  </style>
+  <script src="/js/analytics.js"></script>
+  <script>
+    window.dataLayer = window.dataLayer || [];
+    function gtag(){dataLayer.push(arguments);}
+  </script>
+</head>
+<body>
+  <header>
+    <nav>
+      <ul>
+        <li><a href="/">Home</a></li>
+        <li><a href="/blog">Blog</a></li>
+        <li><a href="/about">About us</a></li>
+      </ul>
+    </nav>
+  </header>
+  <!-- main article body -->
+  <article>
+    <h1>Why columnar scans win</h1>
+    <p>Columnar storage lets an engine read only the bytes a query
+       actually touches, &amp; that changes everything about scan cost.</p>
+    <p>When predicates push down to the scan, entire row groups are
+       skipped before a single value is decoded &#39;for free&#39;.</p>
+    <div class="share">
+      <a href="/share/tw">Tweet</a> <a href="/share/fb">Share</a>
+    </div>
+  </article>
+  <footer>
+    <a href="/tos">Terms</a> | <a href="/privacy">Privacy</a> | (c) 2026
+  </footer>
+</body>
+</html>"""
+    val out = TextExtract.extract(
+        Seq((1L, "web", page)).toDF("doc_id", "source", "html"))
+      .collect().head
+    val text = out.getAs[String]("text")
+    // prose survives, entities decoded
+    assert(text.contains(
+      "read only the bytes a query actually touches, & that changes"), text)
+    assert(text.contains("are skipped before a single value is decoded " +
+      "'for free'"), text)
+    // boilerplate dies: nav links, share row, footer, script/style bodies
+    Seq("Home", "Blog", "About us", "Tweet", "Terms", "Privacy",
+        "dataLayer", "font-family", "analytics").foreach { bp =>
+      assert(!text.contains(bp), s"boilerplate '$bp' leaked into: $text")
+    }
+    // the short headline ("Why columnar scans win" = 4 words) is kept —
+    // above minWords, zero link density
+    assert(text.contains("Why columnar scans win"), text)
+    // kept: <title>, <h1>, the two <p> blocks (each ONE line despite the
+    // wrapped source formatting — raw newlines are not line structure)
+    assert(out.getAs[Int]("n_lines_kept") == 4, out.toString)
+    assert(out.getAs[Int]("n_lines_dropped") > 0)
     graft.ops.CacheScope.releaseAll(spark)
   }
 
