@@ -22,6 +22,17 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
  *                            so state cardinality stays fixed while volume
  *                            scales)
  *   SPARK_GRAFT_STREAM_BATCH rows per micro-batch (default 20000)
+ *   SPARK_GRAFT_STREAM_MODE  full | state | parse  (default full) — the
+ *                            r8 profiling knob: `full` drives the four-sink
+ *                            topology; `state` times ONLY parse→enrich→
+ *                            flatMapGroupsWithState with a count sink (no
+ *                            fan-out, no commit markers, no persist);
+ *                            `parse` times only the stateless parse chain.
+ *                            Comparing the three at a fixed batch size
+ *                            splits per-record cost into parse / state /
+ *                            fan-out shares; sweeping BATCH at fixed mode
+ *                            splits per-batch fixed cost from per-record
+ *                            marginal cost.
  *
  * Output: ONE JSON line
  *   {"metric":"stream_records_per_sec","value":...,"providers":{...},...}
@@ -41,6 +52,8 @@ object BenchStream {
       Runtime.getRuntime.availableProcessors.toString)
     val mult = sys.env.getOrElse("SPARK_GRAFT_STREAM_MULT", "1").toInt
     val batchRows = sys.env.getOrElse("SPARK_GRAFT_STREAM_BATCH", "20000").toInt
+    val mode = sys.env.getOrElse("SPARK_GRAFT_STREAM_MODE", "full")
+    require(Seq("full", "state", "parse").contains(mode), s"bad mode $mode")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -72,12 +85,28 @@ object BenchStream {
       }
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
       val stream = MemoryStream[Rec]
-      val unified = StreamingAnalyzer.unified(stream.toDF())
       val ckpt = java.nio.file.Files
         .createTempDirectory(s"graft-bench-stream-$provider").toString
       val sunk = new java.util.concurrent.atomic.AtomicLong(0L)
-      val writer = StreamingAnalyzer.fanOut(unified, ckpt) { (_, frame) =>
-        sunk.addAndGet(frame.count()); ()
+      import org.apache.spark.sql.functions.col
+      def countSink(df: org.apache.spark.sql.DataFrame) =
+        df.writeStream.outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+          .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            sunk.addAndGet(b.count()); ()
+          }.option("checkpointLocation", ckpt)
+      val writer = mode match {
+        case "full" =>
+          StreamingAnalyzer.fanOut(StreamingAnalyzer.unified(stream.toDF()), ckpt) {
+            (_, frame) => sunk.addAndGet(frame.count()); ()
+          }
+        case "state" =>
+          val p = plans.Analyzer.parsed(stream.toDF())
+          val good = plans.Analyzer
+            .enriched(p.filter(col("parsed").getField("error").isNull))
+            .filter(col("enrich_error").isNull)
+          countSink(StreamingAnalyzer.statResults(good, _ => (), None))
+        case "parse" =>
+          countSink(plans.Analyzer.parsed(stream.toDF()))
       }
       val q = writer.queryName(s"bench_stream_$provider").start()
       try {
@@ -112,7 +141,7 @@ object BenchStream {
     val pj = results.map { case (p, v) => s"\"$p\":${v.toLong}" }
       .mkString("{", ",", "}")
     val headline = results.map(_._2).max.toLong
-    println(s"""{"metric":"stream_records_per_sec","value":$headline,"unit":"rec/s","providers":$pj,"records":$totalRecords,"mult":$mult,"sf":"$sfDir"}""")
+    println(s"""{"metric":"stream_records_per_sec","value":$headline,"unit":"rec/s","providers":$pj,"records":$totalRecords,"mult":$mult,"batch":$batchRows,"mode":"$mode","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -35,6 +35,42 @@ SELECT doc_id, score_en, score_de, score_es, score_fr,
        WHEN score_es >= score_fr THEN 'es' ELSE 'fr' END AS lang_guess
 FROM s"""
 
+  /** Trigram language-ID oracle (mirrors graft.ops.TextAnalysis.langId2):
+    * the per-language profile is the SAME driver-computed artifact the
+    * engine ships (trigramProfile literals — trigrams are [a-z ] only, no
+    * quoting hazards); the oracle restates only the scoring: padded
+    * normalized trigrams, map-literal weight lookup, occurrence sum,
+    * en>de>es>fr tie priority. */
+  val textLangid2: String = {
+    def mapLit(lang: String): String = {
+      val prof = graft.ops.TextAnalysis.trigramProfile(lang)
+      s"MAP([${prof.map(p => s"'${p._1}'").mkString(",")}]," +
+        s"[${prof.map(_._2).mkString(",")}])"
+    }
+    def score(lang: String): String =
+      s"CAST(coalesce(list_sum(list_transform(tris, t -> " +
+        s"coalesce(map_extract(${mapLit(lang)}, t)[1], 0))), 0) AS INT)"
+    s"""WITH n AS (
+  SELECT doc_id, ' ' || trim(regexp_replace(regexp_replace(lower(text),
+    '[^a-z ]', ' ', 'g'), ' +', ' ', 'g')) || ' ' AS s
+  FROM documents
+), tr AS (
+  SELECT doc_id, CASE WHEN length(s) >= 3
+    THEN list_transform(range(1, length(s) - 1), i -> substr(s, CAST(i AS INT), 3))
+    ELSE CAST([] AS VARCHAR[]) END AS tris
+  FROM n
+), sc AS (
+  SELECT doc_id, ${score("en")} AS score_en, ${score("de")} AS score_de,
+    ${score("es")} AS score_es, ${score("fr")} AS score_fr
+  FROM tr
+)
+SELECT doc_id, score_en, score_de, score_es, score_fr,
+  CASE WHEN score_en >= score_de AND score_en >= score_es AND score_en >= score_fr THEN 'en'
+       WHEN score_de >= score_es AND score_de >= score_fr THEN 'de'
+       WHEN score_es >= score_fr THEN 'es' ELSE 'fr' END AS lang_guess
+FROM sc"""
+  }
+
   val quality: String = qualityOver("documents")
 
   /** Quality-signal SQL over an arbitrary (doc_id, text) relation — reused
@@ -183,6 +219,50 @@ FROM s LEFT JOIN c ON s.doc_id = c.doc_id"""
 SELECT doc_id, shard, CAST(cum_before // 2048 AS INT) AS seq,
   CAST(cum_before % 2048 AS INT) AS tok_offset, CAST(n_tokens AS INT) AS n_tokens
 FROM c"""
+
+  /** Best-fit-decreasing whole-doc packing oracle (mirrors
+    * graft.ops.TextAnalysis.packBestFit, budget=2048, shards=32): the BFD
+    * placement replayed EXACTLY by a recursive CTE — per shard, docs in
+    * (n DESC, doc_id) order; each step picks the max-load bin that still
+    * fits (ties to the lowest index, encoded as load·10⁶ + (10⁶−1−i) so one
+    * integer list_max is the whole argmax), else opens a new bin. */
+  val textPackBestfit: String = {
+    val sel = "list_max(list_transform(list_filter(range(len(f.loads)), " +
+      "i -> f.loads[i+1] + o.n <= 2048), " +
+      "i -> f.loads[i+1] * 1000000 + (999999 - i)))"
+    s"""WITH RECURSIVE t AS (
+  SELECT doc_id, CAST(len($toks) AS BIGINT) AS n0,
+    (${hexLaneOf("CAST(doc_id AS VARCHAR)", 1, 7)}) AS lane
+  FROM documents
+), sh AS (
+  SELECT doc_id, least(n0, 2048) AS n, CAST(lane % 32 AS INT) AS shard FROM t
+), ordered AS (
+  SELECT shard, doc_id, n,
+    CAST(row_number() OVER (PARTITION BY shard ORDER BY n DESC, doc_id) AS INT) AS rn
+  FROM sh
+), ffd AS (
+  SELECT shard, 0 AS rn, CAST([] AS BIGINT[]) AS loads,
+    CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS INT) AS bin,
+    CAST(NULL AS BIGINT) AS tok_off, CAST(NULL AS BIGINT) AS n
+  FROM (SELECT DISTINCT shard FROM ordered)
+  UNION ALL
+  SELECT o.shard, o.rn,
+    CASE WHEN $sel IS NULL THEN list_append(f.loads, o.n)
+      ELSE list_transform(range(len(f.loads)), i ->
+        CASE WHEN i = 999999 - ($sel % 1000000) THEN f.loads[i+1] + o.n
+             ELSE f.loads[i+1] END)
+    END,
+    o.doc_id,
+    CAST(CASE WHEN $sel IS NULL THEN len(f.loads)
+         ELSE 999999 - ($sel % 1000000) END AS INT),
+    CAST(CASE WHEN $sel IS NULL THEN 0 ELSE $sel // 1000000 END AS BIGINT),
+    o.n
+  FROM ffd f JOIN ordered o ON o.shard = f.shard AND o.rn = f.rn + 1
+)
+SELECT doc_id, shard, bin AS seq, CAST(tok_off AS INT) AS tok_offset,
+  CAST(n AS INT) AS n_tokens
+FROM ffd WHERE doc_id IS NOT NULL"""
+  }
 
   /** Stratified sample (mirrors graft.ops.TextAnalysis.stratifiedSample with
     * DefaultSampleRates, defaultPct=10; salted lane decorrelates from the

@@ -260,6 +260,9 @@ object SparkEntry {
 
     "text_tokens" -> ((s, dir) => ops.TextAnalysis.tokenCounts(docs(s, dir))),
     "text_langid" -> ((s, dir) => ops.TextAnalysis.langId(docs(s, dir))),
+    // trigram-profile language ID (broadcast model weights, map-side
+    // inference — the fastText-stage shape)
+    "text_langid2" -> ((s, dir) => ops.TextAnalysis.langId2(docs(s, dir))),
     "text_quality" -> ((s, dir) => ops.TextAnalysis.quality(docs(s, dir))),
     "text_fingerprint" -> ((s, dir) => ops.TextAnalysis.fingerprint(docs(s, dir))),
     "text_vocab" -> ((s, dir) => ops.TextAnalysis.vocabulary(docs(s, dir))),
@@ -275,6 +278,9 @@ object SparkEntry {
     "text_repetition" -> ((s, dir) => ops.TextAnalysis.repetition(docs(s, dir))),
     "text_decontaminate" -> ((s, dir) => ops.TextAnalysis.decontaminate(docs(s, dir))),
     "text_pack" -> ((s, dir) => ops.TextAnalysis.pack(docs(s, dir))),
+    // whole-doc best-fit-decreasing packing (no doc splits; padding is the
+    // price, BFD minimizes it)
+    "text_pack_bestfit" -> ((s, dir) => ops.TextAnalysis.packBestFit(docs(s, dir))),
     "text_sample" -> ((s, dir) => ops.TextAnalysis.stratifiedSample(docs(s, dir))),
     "corpus_stats" -> ((s, dir) => ops.TextAnalysis.corpusStats(docs(s, dir))),
     "corpus_quantiles" -> ((s, dir) => ops.TextAnalysis.corpusQuantiles(docs(s, dir))),
@@ -586,6 +592,7 @@ object SparkEntry {
     "q_antijoin" -> OracleSqlOps.qAntijoin,
     "text_tokens" -> OracleSqlOps.textTokens,
     "text_langid" -> OracleSqlOps.langId,
+    "text_langid2" -> OracleSqlOps.textLangid2,
     "text_quality" -> OracleSqlOps.quality,
     "text_fingerprint" -> OracleSqlOps.fingerprint,
     "text_vocab" -> OracleSqlOps.textVocab,
@@ -594,6 +601,7 @@ object SparkEntry {
     "text_repetition" -> OracleSqlOps.textRepetition,
     "text_decontaminate" -> OracleSqlOps.textDecontaminate,
     "text_pack" -> OracleSqlOps.textPack,
+    "text_pack_bestfit" -> OracleSqlOps.textPackBestfit,
     "text_sample" -> OracleSqlOps.textSample,
     "corpus_stats" -> OracleSqlOps.corpusStats,
     "corpus_quantiles" -> OracleSqlOps.corpusQuantiles,

@@ -924,22 +924,44 @@ object Dedup {
         "left_semi")
       .join(maybeBroadcast(bHash), "__h")
       .groupBy(col("doc_id")).agg(min(col("hid")).as("exact_id"))
-    // near tier: cross-corpus band-key candidates, Jaccard fused in-stage
+    // near tier: cross-corpus band-key candidates, Jaccard fused in-stage.
+    // BOTH sides are first collapsed to one representative per DISTINCT
+    // token set (r8 skew fix): identical `tks` ⇒ identical minhash bands ⇒
+    // identical Jaccard against everything, so a duplicate-heavy corpus
+    // (the very thing a dedup pipeline processes) otherwise multiplies the
+    // banded join's hot keys QUADRATICALLY — on the 100× stress corpus
+    // (~100 same-sig copies per doc) the uncollapsed join ground one
+    // straggler task for >45 min while 31 cores idled. The collapse
+    // preserves the output bit-for-bit: history reps carry min(hid), batch
+    // members re-expand from the rep's verdict; each is one extra bounded
+    // aggregation that is a near-no-op on a diverse corpus.
+    val sigCols = (0 until bands).map(b => col(s"band$b"))
     val bandedH = index.banded
-    val bandedB = CacheScope.trackEager(bandedWithSets(batch, k, bands, tokenizer))
+      .groupBy(col("tks") +: sigCols: _*).agg(min(col("doc_id")).as("doc_id"))
+    val bandedBAll = CacheScope.trackEager(bandedWithSets(batch, k, bands, tokenizer))
+    val bandedB = CacheScope.trackEager(bandedBAll
+      .groupBy(col("tks") +: sigCols: _*).agg(min(col("doc_id")).as("doc_id")))
+    // member → representative map (equi-join on the exact token-set array —
+    // no digest shortcut, so no collision risk)
+    val repOf = bandedBAll.select(col("doc_id"), col("tks"))
+      .join(maybeBroadcast(bandedB.select(col("doc_id").as("rep_id"), col("tks"))),
+        "tks")
+      .select(col("doc_id"), col("rep_id"))
     val inter = graft.functions.ArrayExprs.sortedIntersectSize(
       col("h.tks"), col("b.tks"))
-    val near = (0 until bands).map { bd =>
+    val nearRep = (0 until bands).map { bd =>
       val guard = (0 until bd)
         .map(p => col(s"h.band$p") =!= col(s"b.band$p"))
         .foldLeft(col(s"h.band$bd") === col(s"b.band$bd"))(_ && _)
       bandedH.as("h").join(maybeBroadcast(bandedB.as("b")), guard)
-        .select(col("b.doc_id").as("doc_id"), col("h.doc_id").as("hid"),
+        .select(col("b.doc_id").as("rep_id"), col("h.doc_id").as("hid"),
           (inter.cast("double") /
             (size(col("h.tks")) + size(col("b.tks")) - inter)).as("j"))
     }.reduce(_ unionByName _)
       .filter(col("j") >= threshold)
-      .groupBy(col("doc_id")).agg(min(col("hid")).as("near_id"))
+      .groupBy(col("rep_id")).agg(min(col("hid")).as("near_id"))
+    val near = repOf.join(maybeBroadcast(nearRep), "rep_id")
+      .select(col("doc_id"), col("near_id"))
     // embedding tier (present iff the index carries the sign-LSH sketch AND
     // the caller supplies the batch's embeddings): cross-corpus candidates
     // from the (band, key) equi-join — the [[Similarity.nearDupCandidates]]
@@ -947,9 +969,21 @@ object Dedup {
     // history sketch is scanned, never self-joined; candidate volume is the
     // banding's, O(colliding pairs).
     val embTier = for { he <- index.emb; be <- batchEmb } yield {
-      val bSk = CacheScope.trackEager(
+      // same representative collapse as the near tier (identical vectors ⇒
+      // identical sketch keys and cosines): history reps carry min(hid),
+      // batch members re-expand from their rep's verdict
+      val heRep = he.groupBy(col("ev"), col("n2"), col("keys"))
+        .agg(min(col("hid")).as("hid"))
+      val bSkAll = CacheScope.trackEager(
         embSketch(be, "doc_id", index.embRowsPerBand, index.embBands))
-      val hband = he.select(col("hid"), posexplode(col("keys")).as(Seq("band", "key")))
+      val bSk = CacheScope.trackEager(bSkAll
+        .groupBy(col("ev"), col("n2"), col("keys"))
+        .agg(min(col("doc_id")).as("doc_id")))
+      val embRepOf = bSkAll.select(col("doc_id"), col("ev"))
+        .join(maybeBroadcast(bSk.select(col("doc_id").as("rep_id"), col("ev"))),
+          "ev")
+        .select(col("doc_id"), col("rep_id"))
+      val hband = heRep.select(col("hid"), posexplode(col("keys")).as(Seq("band", "key")))
       val bband = bSk.select(col("doc_id"), posexplode(col("keys")).as(Seq("band", "key")))
       val cand = hband.join(maybeBroadcast(bband), Seq("band", "key"))
         .select(col("doc_id"), col("hid")).distinct()
@@ -958,15 +992,18 @@ object Dedup {
       // gated build side, so history is never sorted (the same
       // declined-broadcast lesson as Par.maybeBroadcast's shuffle_hash
       // fallback; an unhinted join here would sort-merge the history sketch)
-      maybeBroadcast(cand
+      val embPerRep = maybeBroadcast(cand
         .join(maybeBroadcast(
           bSk.select(col("doc_id"), col("ev").as("bev"), col("n2").as("bn2"))),
           "doc_id"))
-        .join(he.select(col("hid"), col("ev").as("hev"), col("n2").as("hn2")),
+        .join(heRep.select(col("hid"), col("ev").as("hev"), col("n2").as("hn2")),
           "hid")
         .filter(graft.functions.VectorExprs.dotProduct(col("bev"), col("hev"))
           / sqrt(col("bn2") * col("hn2")) >= embThreshold)
         .groupBy(col("doc_id")).agg(min(col("hid")).as("emb_id"))
+      embRepOf.join(maybeBroadcast(embPerRep.withColumnRenamed("doc_id", "rep_id")),
+          "rep_id")
+        .select(col("doc_id"), col("emb_id"))
     }
     val base = batch.select(col("doc_id"))
       .join(exact, Seq("doc_id"), "left")

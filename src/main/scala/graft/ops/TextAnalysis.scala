@@ -78,6 +78,110 @@ object TextAnalysis {
         .otherwise("fr").as("lang_guess"))
   }
 
+  /** Tiny ASCII seed corpora the [[langId2]] trigram profiles are trained
+    * from — a handful of hand-written sample sentences per language built
+    * from common function words (public knowledge; accent-folded to ASCII,
+    * matching the a–z normalization below). The model artifact is the
+    * PROFILE derived from these, computed once on the driver and shipped as
+    * literals to both the engine and the oracle. */
+  val LangSeeds: Map[String, String] = Map(
+    "en" -> ("the quick brown fox jumps over the lazy dog and it runs with " +
+      "a friend to the house of the king in one day this is not a bad " +
+      "thing for anyone who wants to be there and the people that have " +
+      "been in this place will say that they are of the same mind with him"),
+    "de" -> ("der schnelle braune fuchs springt ueber den faulen hund und " +
+      "die katze ist nicht mit einem freund zu dem haus von dem koenig " +
+      "gelaufen das ist ein gutes ding fuer alle die dort sind und die " +
+      "leute die in diesem ort gewesen sind werden sagen dass sie mit ihm " +
+      "einer meinung sind"),
+    "es" -> ("el zorro rapido salta sobre el perro perezoso y corre con un " +
+      "amigo a la casa de el rey en un dia esto es una cosa buena para " +
+      "todos los que quieren estar alli y la gente que ha estado en este " +
+      "lugar dira que ellos son de la misma opinion con el"),
+    "fr" -> ("le renard brun saute sur le chien paresseux et il court avec " +
+      "un ami dans la maison de le roi pour que tout le monde soit la et " +
+      "les gens qui ont ete dans ce lieu diront que ils sont de le meme " +
+      "avis avec lui dans une journee"))
+
+  /** Profile width: top-K trigrams per language. */
+  val TrigramK = 64
+
+  private def normalizeAz(s: String): String =
+    s.toLowerCase.replaceAll("[^a-z ]", " ").replaceAll(" +", " ").trim
+
+  /** The Cavnar–Trenkle-style rank profile of one language's seed: top-K
+    * character trigrams of the padded normalized seed, weighted `K − rank`
+    * (most characteristic trigram weighs most). Deterministic: ties break
+    * by trigram string. Computed on the driver (the seed is ~300 chars) —
+    * this is the bounded trained artifact, not a corpus pass. */
+  def trigramProfile(lang: String): Seq[(String, Int)] = {
+    val s = " " + normalizeAz(LangSeeds(lang)) + " "
+    val counts = scala.collection.mutable.HashMap[String, Int]()
+    (0 to s.length - 3).foreach { i =>
+      val t = s.substring(i, i + 3)
+      counts(t) = counts.getOrElse(t, 0) + 1
+    }
+    counts.toSeq.sortBy { case (t, c) => (-c, t) }.take(TrigramK)
+      .zipWithIndex.map { case ((t, _), r) => (t, TrigramK - r) }
+  }
+
+  /** The langId2 lane order: en«48 | de«32 | es«16 | fr, 16 bits each. */
+  private val TrigramLangs = Seq("en", "de", "es", "fr")
+
+  /** All four profiles merged into ONE trigram → packed-weight-long table
+    * (the [[graft.functions.TrigramScore]] model artifact). */
+  private lazy val packedTrigramProfile: Map[String, Long] = {
+    val m = scala.collection.mutable.HashMap[String, Long]()
+    TrigramLangs.zipWithIndex.foreach { case (lang, li) =>
+      val shift = (3 - li) * 16
+      trigramProfile(lang).foreach { case (t, w) =>
+        m(t) = m.getOrElse(t, 0L) | (w.toLong << shift)
+      }
+    }
+    m.toMap
+  }
+
+  /** Character-trigram language ID (the [[langId]] upgrade toward CCNet's
+    * model-based stage): per language, score = Σ over the document's padded
+    * normalized trigram OCCURRENCES of that language's profile weight, a
+    * bag-of-trigrams match against the bounded trained profile; winner by
+    * score with [[langId]]'s fixed en>de>es>fr tie priority. Catches
+    * function-word MORPHOLOGY (" de", "er ", "ung"…) that the stopword list
+    * misses on text without exact stopword matches.
+    *
+    * Scale shape: the merged profile rides as ONE [[graft.functions
+    * .TrigramScore]] codegen'd expression — a single O(len) hash-lookup
+    * pass per row producing all four scores as 16-bit lanes of one long
+    * (no join, no shuffle, scan speed — broadcast weights, map-side
+    * inference, the fastText-stage shape). The first formulation (a HOF
+    * `aggregate` over a `transform`ed trigram array probing per-language
+    * map LITERALS) was measured at 359 s for the 100× corpus: interpreted
+    * lambdas, linear map-literal scans, and the winner CASE re-evaluating
+    * every score chain; the packed expression runs the same corpus in a
+    * few seconds. Lane unpack is a cheap shift+mask, safe to duplicate in
+    * the CASE. */
+  def langId2(docs: DataFrame): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z ]", " "), " +", " "))
+    val s = concat(lit(" "), norm, lit(" "))
+    val packed = org.apache.spark.sql.graftbridge.column(
+      graft.functions.TrigramScore(
+        org.apache.spark.sql.graftbridge.expression(s),
+        packedTrigramProfile))
+    def lane(li: Int): Column =
+      shiftright(col("__packed"), (3 - li) * 16).bitwiseAND(lit(0xffffL))
+        .cast("int")
+    val en = lane(0); val de = lane(1); val es = lane(2); val fr = lane(3)
+    docs.select(col("doc_id"), packed.as("__packed"))
+      .select(
+        col("doc_id"),
+        en.as("score_en"), de.as("score_de"), es.as("score_es"), fr.as("score_fr"),
+        when(en >= de && en >= es && en >= fr, "en")
+          .when(de >= es && de >= fr, "de")
+          .when(es >= fr, "es")
+          .otherwise("fr").as("lang_guess"))
+  }
+
   /** Quality scoring: length/alpha/stopword/token-shape signals combined into
     * one [0,1] score. Division order is fixed so the oracle reproduces the
     * exact doubles. */
@@ -353,6 +457,75 @@ object TextAnalysis {
         floor(col("cum_before") / budget).cast("int").as("seq"),
         (col("cum_before") % budget).cast("int").as("tok_offset"),
         col("n_tokens").cast("int").as("n_tokens"))
+  }
+
+  /** A best-fit placement row: `seq` is the BIN, `tok_offset` the bin load
+    * before this doc was placed. */
+  final case class PackedDoc(doc_id: Long, shard: Int, seq: Int,
+      tok_offset: Int, n_tokens: Int)
+
+  /** WHOLE-DOCUMENT sequence packing by best-fit-decreasing — the
+    * no-truncation layout ([[pack]] concatenates and SPLITS docs across
+    * sequence boundaries; this variant keeps every document intact inside
+    * one fixed-budget sequence and pays the leftover space as padding).
+    * Within each hash shard, docs are ordered by token count descending
+    * (ties by doc_id) and each is placed into the open bin with the LEAST
+    * remaining capacity that still fits (ties to the lowest bin index) —
+    * classic BFD, within ~22% of optimal bin count in the worst case and
+    * typically a few percent padding on real length distributions, vs the
+    * naive sequential greedy that opens a new bin whenever the next doc
+    * misses. Docs longer than the budget occupy a dedicated bin truncated
+    * to `budget` tokens.
+    *
+    * Scale shape: same sharding as [[pack]] — the only shuffle is the
+    * groupByKey on `shard`, and each shard's placement is an independent
+    * O(n log n) local loop (TreeSet best-fit probe), so the layout
+    * parallelizes across the cluster and `shards` scales it. The whole
+    * placement is a pure function of (doc_id, n_tokens): deterministic,
+    * and the DuckDB oracle replays it exactly with a recursive CTE. */
+  def packBestFit(docs: DataFrame, budget: Int = 2048, shards: Int = 32,
+      tokenizer: Tokenizer = Tokenizer.Whitespace): DataFrame =
+    packBestFitByCounts(docs.select(col("doc_id"),
+      size(tokenizer.tokens(col("text"))).cast("long").as("n_tokens")),
+      budget, shards)
+
+  /** [[packBestFit]] over pre-computed `(doc_id, n_tokens)` counts. */
+  def packBestFitByCounts(counted: DataFrame, budget: Int = 2048,
+      shards: Int = 32): DataFrame = {
+    require(budget >= 1, s"budget >= 1: $budget")
+    val sp = counted.sparkSession
+    import sp.implicits._
+    counted.select(col("doc_id").cast("long"), col("n_tokens").cast("long"),
+        (md5Lane(col("doc_id").cast("string")) % shards).cast("int"))
+      .as[(Long, Long, Int)]
+      .groupByKey(_._3)
+      .flatMapGroups { (shard, it) =>
+        // decreasing by size, ties by id — the deterministic BFD order
+        val arr = it.toArray.sortBy(t => (-math.min(t._2, budget), t._1))
+        // bins ordered by (load asc, index desc): floor((budget-n, MIN))
+        // is then the max-load bin that still fits, ties to LOWEST index
+        val bins = new java.util.TreeSet[(Long, Int)](
+          new java.util.Comparator[(Long, Int)] {
+            def compare(a: (Long, Int), b: (Long, Int)): Int = {
+              val c = java.lang.Long.compare(a._1, b._1)
+              if (c != 0) c else Integer.compare(b._2, a._2)
+            }
+          })
+        var nBins = 0
+        arr.iterator.map { case (id, nRaw, _) =>
+          val n = math.min(nRaw, budget)
+          val fit = bins.floor((budget - n, Int.MinValue))
+          if (fit == null) {
+            val idx = nBins; nBins += 1
+            bins.add((n, idx))
+            PackedDoc(id, shard, idx, 0, n.toInt)
+          } else {
+            bins.remove(fit)
+            bins.add((fit._1 + n, fit._2))
+            PackedDoc(id, shard, fit._2, fit._1.toInt, n.toInt)
+          }
+        }
+      }.toDF()
   }
 
   /** Default per-language keep rates for [[stratifiedSample]]. */

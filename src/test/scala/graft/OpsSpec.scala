@@ -543,6 +543,29 @@ class OpsSpec extends SparkSpec {
     assert(r(1).getAs[String]("lang_guess") == "en")
   }
 
+  test("langId2 trigram profiles beat the stopword heuristic off-list") {
+    // none of these sentences contains a single word from the Stopwords
+    // lists — the heuristic scores 0 everywhere (ties collapse to 'en'),
+    // while the trigram profiles still see the languages' morphology
+    val d = Seq(
+      (0L, "people say they want more time there", "en"),
+      (1L, "wir haben heute gutes wetter gesehen als alle dort waren", "de"),
+      (2L, "ellos quieren estar cerca cuando todos llegan alli", "es"),
+      (3L, "nous avons ce soir beaucoup parle quand ils sont venus", "fr"),
+      // and WITH stopwords both should succeed
+      (4L, "the cat and the dog is on a mat", "en"),
+      (5L, "der hund und die katze ist nicht da", "de"))
+      .toDF("doc_id", "text", "lang")
+    val truth = d.collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("lang")).toMap
+    def acc(out: Array[org.apache.spark.sql.Row]): Int =
+      out.count(r => r.getAs[String]("lang_guess") == truth(r.getAs[Long]("doc_id")))
+    val a1 = acc(TextAnalysis.langId(d).collect())
+    val a2 = acc(TextAnalysis.langId2(d).collect())
+    assert(a2 == 6, TextAnalysis.langId2(d).collect().mkString("; "))
+    assert(a1 < a2, s"stopword heuristic $a1 vs trigram $a2")
+    graft.ops.CacheScope.releaseAll(spark)
+  }
+
   test("quality score is bounded and sensitive to stopword ratio") {
     val q = TextAnalysis.quality(docs).collect()
     assert(q.forall(r => r.getAs[Double]("quality") >= 0 && r.getAs[Double]("quality") <= 1))
@@ -1827,6 +1850,35 @@ class OpsSpec extends SparkSpec {
     assert(lo.forall(_.getAs[Double]("rate") == 2.0),
       lo.map(_.getAs[Double]("rate")).toSeq.toString)
     assert(lo.forall(_.getAs[Long]("n_copies") == 2L))
+    graft.ops.CacheScope.releaseAll(spark)
+  }
+
+  test("packBestFit places whole docs by best-fit-decreasing, pads the rest") {
+    import graft.ops.TextAnalysis
+    // force one shard so the placement is fully determined by sizes:
+    // sizes 6,5,4,3,2 at budget 8 -> BFD bins (6+2), (5+3), (4): the 3 goes
+    // to the FULLER fitting bin (5), the 2 to the then-fullest (6) — a
+    // sequential greedy would instead open bins (6),(5),(4) and leave 3+2
+    // unplaced in them differently
+    val counted = Seq((10L, 6L), (11L, 5L), (12L, 4L), (13L, 3L), (14L, 2L),
+      (15L, 11L)) // oversize: dedicated bin, truncated to budget
+      .toDF("doc_id", "n_tokens")
+    val out = TextAnalysis.packBestFitByCounts(counted, budget = 8, shards = 1)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Int]("seq"), r.getAs[Int]("tok_offset"),
+          r.getAs[Int]("n_tokens")))).toMap
+    // BFD order: 8(trunc),6,5,4,3,2 -> bins: [8],[6],[5],[4] then 3->bin2
+    // (5+3=8 beats 4+3), 2->bin1 (6+2=8)
+    assert(out(15L) == ((0, 0, 8)), out.toString)   // truncated oversize
+    assert(out(10L) == ((1, 0, 6)))
+    assert(out(11L) == ((2, 0, 5)))
+    assert(out(12L) == ((3, 0, 4)))
+    assert(out(13L) == ((2, 5, 3)))                 // best fit, not first
+    assert(out(14L) == ((1, 6, 2)))
+    // invariant: no bin exceeds budget
+    val binLoads = out.values.groupBy(_._1)
+      .map { case (_, v) => v.map(_._3).sum }
+    assert(binLoads.forall(_ <= 8), binLoads.toString)
     graft.ops.CacheScope.releaseAll(spark)
   }
 
