@@ -2460,4 +2460,207 @@ FROM stats"""
 SELECT packed.doc_id, sp.split, packed.shard, packed.seq,
   packed.tok_offset, packed.n_tokens
 FROM packed JOIN sp USING (doc_id)"""
+
+  /** Corpus-level line-dedup oracle (mirrors
+    * graft.ops.TextAnalysis.lineDedup, minDf=2, over the stage-zero
+    * extraction): lines with distinct-doc frequency >= 2 are dropped from
+    * EVERY document; docs reassemble from the survivors in line order. The
+    * oracle groups on the line TEXT where the engine groups on its md5
+    * digest — equality is equality either way. */
+  private def lineDedupOver(src: String): String = s"""WITH ldsrc AS (
+  SELECT doc_id, text FROM ($src)
+), ldls AS (
+  SELECT doc_id, unnest(pl, recursive := true) FROM (
+    SELECT doc_id, list_transform(range(1, len(sl) + 1),
+      i -> struct_pack(li := i, line := sl[i])) AS pl
+    FROM (SELECT doc_id, string_split(text, chr(10)) AS sl FROM ldsrc))
+), ldnb AS (
+  SELECT doc_id, li, line FROM ldls WHERE line <> ''
+), ldcommon AS (
+  SELECT line FROM (SELECT DISTINCT doc_id, line FROM ldnb)
+  GROUP BY line HAVING count(*) >= 2
+), ldkept AS (
+  SELECT doc_id, li, line FROM ldnb
+  WHERE line NOT IN (SELECT line FROM ldcommon)
+), ldbydoc AS (
+  SELECT doc_id, array_to_string(list(line ORDER BY li), chr(10)) AS cleaned,
+    CAST(count(*) AS INT) AS n_kept
+  FROM ldkept GROUP BY doc_id
+), ldcnts AS (
+  SELECT doc_id, CAST(count(*) AS INT) AS n_lines FROM ldnb GROUP BY doc_id
+)
+SELECT e.doc_id, coalesce(b.cleaned, '') AS cleaned_text,
+  coalesce(c.n_lines, 0) AS n_lines, coalesce(b.n_kept, 0) AS n_kept
+FROM ldsrc e LEFT JOIN ldcnts c USING (doc_id)
+LEFT JOIN ldbydoc b USING (doc_id)"""
+
+  val textLineDedup: String = lineDedupOver(htmlExtractOver("documents"))
+
+  /** URL fixture render (mirrors graft.ops.UrlOps.pageUrls): deterministic
+    * scheme/host/port/path/query/fragment from doc_id residues — every
+    * normalize/filter rule has a witness. Selects (doc_id, url, text). */
+  private def urlPagesOver(src: String): String = s"""WITH ub AS (
+  SELECT doc_id, text, lang, source,
+    (CASE WHEN doc_id % 3 = 0 THEN 'www.' WHEN doc_id % 3 = 1 THEN 'blog.'
+          ELSE '' END) || source || '-site' ||
+    (CASE WHEN doc_id % 4 = 0 THEN '.com' WHEN doc_id % 4 = 1 THEN '.org'
+          WHEN doc_id % 4 = 2 THEN '.co.uk' ELSE '.net' END) AS base_host
+  FROM $src
+), uh AS (
+  SELECT doc_id, text, lang,
+    CASE WHEN doc_id % 5 = 0 THEN upper(h0) ELSE h0 END AS host
+  FROM (SELECT *, CASE WHEN doc_id % 9 = 0 THEN 'spam-mirror.net'
+        ELSE base_host END AS h0 FROM ub)
+), up AS (
+  SELECT *, CASE WHEN doc_id % 17 = 0
+      THEN p0 || repeat('/long-segment-padding', 20) ELSE p0 END AS path0
+  FROM (SELECT *, CASE WHEN doc_id % 13 = 0
+        THEN '/casino-bonus/win-' || CAST(doc_id AS VARCHAR)
+        ELSE '/' || lang || '/article-' || CAST(doc_id AS VARCHAR) END AS p0
+        FROM uh)
+)
+SELECT doc_id,
+  (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END) || '://' || host ||
+  (CASE WHEN doc_id % 6 = 0 THEN ':443' WHEN doc_id % 6 = 3 THEN ':8080'
+        ELSE '' END) || path0 ||
+  (CASE WHEN doc_id % 4 = 0
+        THEN '?utm_source=feed&id=' || CAST(doc_id % 97 AS VARCHAR)
+        WHEN doc_id % 4 = 1 THEN '?id=' || CAST(doc_id % 97 AS VARCHAR)
+        ELSE '' END) ||
+  (CASE WHEN doc_id % 5 = 0 THEN '#section2' ELSE '' END) AS url,
+  text
+FROM up"""
+
+  /** URL parse + normalize over a (doc_id, url, text) relation (mirrors
+    * graft.ops.UrlOps.parseNormalize): lowercased scheme/host, www strip,
+    * default-port strip, tracking-param removal, fragment drop,
+    * registered-domain by the bounded second-level-suffix list. Selects
+    * every parsed part plus url_norm and the ride-along text. */
+  private def urlParsedOver(src: String): String = s"""WITH uu AS (
+  SELECT * FROM ($src)
+), parsed AS (
+  SELECT doc_id, url, text,
+    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+    lower(regexp_extract(regexp_extract(url,
+      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), '^([^:]*)', 1)) AS rawhost,
+    regexp_extract(regexp_extract(url,
+      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), ':([0-9]+)$$', 1) AS portstr,
+    regexp_extract(url,
+      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS rawpath,
+    regexp_extract(url, '\\?([^#]*)', 1) AS q
+  FROM uu
+), norm AS (
+  SELECT doc_id, url, text, scheme,
+    regexp_replace(rawhost, '^www\\.', '') AS host,
+    CASE WHEN portstr = '' THEN NULL ELSE CAST(portstr AS INT) END AS port,
+    CASE WHEN rawpath = '' THEN '/' ELSE rawpath END AS path,
+    list_filter(string_split(q, '&'), p ->
+      NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid)(=.*)?$$')
+      AND p <> '') AS kp
+  FROM parsed
+), rd AS (
+  SELECT *,
+    CASE WHEN len(labels) <= 2 THEN host
+         WHEN labels[-2] || '.' || labels[-1] IN
+             ('co.uk','org.uk','ac.uk','com.au','co.jp','com.br','co.in')
+           AND len(labels) >= 3
+           THEN labels[-3] || '.' || labels[-2] || '.' || labels[-1]
+         ELSE labels[-2] || '.' || labels[-1] END AS registered_domain
+  FROM (SELECT *, string_split(host, '.') AS labels FROM norm)
+)
+SELECT doc_id, url, text, scheme, host, port, path, registered_domain,
+  scheme || '://' || host ||
+  (CASE WHEN port IS NULL OR (scheme = 'http' AND port = 80)
+        OR (scheme = 'https' AND port = 443) THEN ''
+        ELSE ':' || CAST(port AS VARCHAR) END) || path ||
+  (CASE WHEN len(kp) > 0 THEN '?' || array_to_string(kp, '&')
+        ELSE '' END) AS url_norm
+FROM rd"""
+
+  /** URL parse/normalize oracle (mirrors graft.ops.UrlOps.webUrls over the
+    * rendered fixture URLs). */
+  val webUrls: String = s"""SELECT doc_id, url, scheme, host, port, path,
+  registered_domain, url_norm
+FROM (${urlParsedOver(urlPagesOver("documents"))})"""
+
+  /** URL gate oracle (mirrors graft.ops.UrlOps.webUrlFilter): blocklisted
+    * registered domain, spam keyword in lowercased path+query, over-length
+    * URL — first violation names the reason; kept rows say 'ok'. */
+  val webUrlFilter: String = s"""WITH pp AS (
+  SELECT doc_id, url, registered_domain,
+    lower(path || ' ' || regexp_extract(url, '\\?([^#]*)', 1)) AS pq
+  FROM (${urlParsedOver(urlPagesOver("documents"))})
+), r AS (
+  SELECT doc_id, url, registered_domain,
+    CASE WHEN registered_domain IN ('spam-mirror.net') THEN 'blocked_domain'
+         WHEN regexp_matches(pq, '(casino|viagra|porn|xxx)') THEN 'spam_path'
+         WHEN length(url) > 200 THEN 'too_long'
+         ELSE 'ok' END AS reason
+  FROM pp
+)
+SELECT doc_id, url, registered_domain, reason = 'ok' AS keep, reason FROM r"""
+
+  /** Per-registered-domain stats oracle (mirrors
+    * graft.ops.UrlOps.webDomains): docs and whitespace tokens per domain
+    * plus corpus shares. */
+  val webDomains: String = s"""WITH per AS (
+  SELECT registered_domain, CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(sum(CASE WHEN text = '' THEN 0
+        ELSE len(string_split(text, ' ')) END) AS BIGINT) AS n_tokens
+  FROM (${urlParsedOver(urlPagesOver("documents"))})
+  GROUP BY registered_domain
+), tot AS (
+  SELECT sum(n_docs) AS td, sum(n_tokens) AS tt FROM per
+)
+SELECT registered_domain, n_docs, n_tokens,
+  CAST(n_docs AS DOUBLE) / td AS doc_share,
+  CAST(n_tokens AS DOUBLE) / tt AS token_share
+FROM per, tot"""
+
+  /** Full crawl-to-shards oracle (mirrors graft.ops.Prep.prepWeb): URL
+    * gate → stage-zero extraction → corpus-level line dedup → the FineWeb
+    * chain over the CLEANED text. The gate restates the urlFilter rules;
+    * downstream stages re-root over each previous CTE. */
+  val prepWeb: String = s"""WITH gids AS (
+  SELECT doc_id FROM (${urlParsedOver(urlPagesOver("documents"))})
+  WHERE NOT (registered_domain IN ('spam-mirror.net')
+    OR regexp_matches(lower(path || ' ' ||
+         regexp_extract(url, '\\?([^#]*)', 1)), '(casino|viagra|porn|xxx)')
+    OR length(url) > 200)
+), gated AS (
+  SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+  FROM documents d JOIN gids USING (doc_id)
+), ext AS (
+  SELECT doc_id, text, source FROM (${htmlExtractOver("gated")})
+), ld AS (
+  SELECT doc_id, cleaned_text
+  FROM (${lineDedupOver("SELECT doc_id, text FROM ext")})
+), clean AS (
+  SELECT ld.doc_id, ld.cleaned_text AS text, ext.source
+  FROM ld JOIN ext USING (doc_id)
+), gph AS (
+  SELECT doc_id FROM (${textGopherOver("clean")}) WHERE kept
+), g AS (
+  SELECT c.* FROM clean c JOIN gph USING (doc_id)
+), nrm AS (
+  SELECT doc_id,
+    md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+      ' +', ' ', 'g'))) AS nh
+  FROM g
+), ncanon AS (
+  SELECT min(doc_id) AS doc_id FROM nrm GROUP BY nh
+), canon AS (
+  SELECT g.* FROM g JOIN ncanon USING (doc_id)
+), tfk AS (
+  SELECT doc_id FROM (${textQualityTopFracOver("canon")}) WHERE kept
+), selected AS (
+  SELECT c.* FROM canon c JOIN tfk USING (doc_id)
+), packed AS (
+  SELECT * FROM (${textPackOver("selected")})
+), sp AS (
+  ${textSplitOver("selected")}
+)
+SELECT packed.doc_id, sp.split, packed.shard, packed.seq,
+  packed.tok_offset, packed.n_tokens
+FROM packed JOIN sp USING (doc_id)"""
 }

@@ -432,6 +432,19 @@ object SparkEntry {
     "text_extract" -> ((s, dir) => ops.TextExtract.textExtract(docs(s, dir))),
     // the full crawl-to-shards pipeline: render -> extract -> FineWeb
     "prep_fineweb_html" -> ((s, dir) => ops.Prep.prepFineWebHtml(docs(s, dir))),
+    // CCNet-style corpus-level line dedup right after extraction: lines
+    // duplicated across >= 2 docs (boilerplate) are dropped from EVERY doc
+    "text_line_dedup" -> ((s, dir) =>
+      ops.TextAnalysis.lineDedup(ops.TextExtract.textExtract(docs(s, dir)))),
+    // URL stage (before even extraction): parse + normalize, the blocklist/
+    // spam/length gate, and per-registered-domain corpus stats over
+    // deterministically rendered fixture URLs
+    "web_urls" -> ((s, dir) => ops.UrlOps.webUrls(docs(s, dir))),
+    "web_url_filter" -> ((s, dir) => ops.UrlOps.webUrlFilter(docs(s, dir))),
+    "web_domains" -> ((s, dir) => ops.UrlOps.webDomains(docs(s, dir))),
+    // the FULL crawl-to-shards composition: URL gate -> extract -> line
+    // dedup -> FineWeb recipe on the cleaned text
+    "prep_web" -> ((s, dir) => ops.Prep.prepWeb(docs(s, dir))),
     // edit-distance-verified near-dup: Levenshtein runs only on the
     // Hamming-bounded simhash survivors, never a quadratic pair stream
     "dedup_edit" -> ((s, dir) => ops.Dedup.editDistancePairs(docs(s, dir))),
@@ -648,6 +661,11 @@ object SparkEntry {
     "prep_fineweb" -> OracleSqlOps.prepFineweb,
     "text_extract" -> OracleSqlOps.textExtractHtml,
     "prep_fineweb_html" -> OracleSqlOps.prepFinewebHtml,
+    "text_line_dedup" -> OracleSqlOps.textLineDedup,
+    "web_urls" -> OracleSqlOps.webUrls,
+    "web_url_filter" -> OracleSqlOps.webUrlFilter,
+    "web_domains" -> OracleSqlOps.webDomains,
+    "prep_web" -> OracleSqlOps.prepWeb,
     "dedup_edit" -> OracleSqlOps.dedupEdit,
     "dedup_incremental" -> OracleSqlOps.dedupIncremental,
     "dedup_incremental_emb" -> OracleSqlOps.dedupIncrementalEmb,

@@ -17,11 +17,12 @@ import org.apache.spark.unsafe.types.UTF8String
  * the HOF chain is CodegenFallback (interpreted lambdas), `element_at` on a
  * literal map is a LINEAR scan of the map per lookup, and every reference to
  * the score column in the winner `CASE` re-evaluates the whole chain —
- * measured 359 s for the 100× corpus. Here the profile is a real HashMap
- * carried OUTSIDE the expression-comparison surface (the
- * [[BloomMightContain]] pattern: identity-hashed constructor field, shipped
- * once via the task binary), the scan is one codegen'd virtual call per row,
+ * measured 359 s for the 100× corpus. Here the profile probes are one
+ * real-HashMap lookup each, the scan is one codegen'd virtual call per row,
  * and the per-language unpack (`shift + mask`) is cheap enough to duplicate.
+ * Unlike [[BloomMightContain]]'s megabyte blob, the merged profile is a few
+ * hundred entries, so it can stay an ordinary (deeply-compared) constructor
+ * field — no identity-hash carrier needed.
  */
 case class TrigramScore(child: Expression, profile: Map[String, Long])
     extends UnaryExpression {

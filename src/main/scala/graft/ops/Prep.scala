@@ -85,12 +85,52 @@ object Prep {
     * fixture has no crawl table, so the pages come from the deterministic
     * renderer ([[TextExtract.htmlPages]]); a real deployment feeds its
     * crawl table straight into the same extract → prep chain. Extraction
-    * is pure per-row expression compute, so it fuses into the same scan
-    * stage as the Gopher gate — stage zero adds NO shuffle. */
+    * is pure per-row expression compute and adds no shuffle of its own;
+    * the extracted frame is EAGERLY materialized because the recipe's
+    * first stage consumes it twice (the Gopher gate and the survivor
+    * join) and several of its later jobs run before a lazy cache would
+    * land — measured at sf0.1, the lazy version recomputed the extraction
+    * chain into 14.3 s where the eager one runs the same plan in ~7 s. */
   def prepFineWebHtml(docs: DataFrame, keepFrac: Double = 0.3,
       budget: Int = 2048, shards: Int = 32): DataFrame =
     prepFineWeb(
-      TextExtract.extract(TextExtract.htmlPages(docs))
-        .select(col("doc_id"), col("text"), col("source")),
+      CacheScope.trackEager(TextExtract.extract(TextExtract.htmlPages(docs))
+        .select(col("doc_id"), col("text"), col("source"))),
       keepFrac, budget, shards)
+
+  /** The FULL crawl-to-shards pipeline, starting one stage earlier still —
+    * at the URL GATE (the first thing a CCNet/FineWeb-style crawl recipe
+    * evaluates, before fetching or extracting anything):
+    *
+    *   0. URL filter ([[UrlOps.filterReason]] — blocklist/spam/length
+    *      rules as a pure per-row FILTER, no id join, fused into the scan);
+    *   1. stage-zero extraction ([[TextExtract.extract]]);
+    *   2. corpus-level line dedup ([[TextAnalysis.lineDedup]] — lines
+    *      repeating across ≥ 2 documents are boilerplate and drop from
+    *      every copy; the surviving per-doc text feeds everything below);
+    *   3. the FineWeb recipe on the CLEANED text ([[prepFineWeb]]:
+    *      Gopher rules → normalized-exact canonicals → per-source
+    *      top-fraction quality → split + pack).
+    *
+    * Stages 0–1 are expression-only and run at scan speed; stage 2 is the
+    * first shuffle (digest-keyed); stage 3 is the audited prep chain. The
+    * fixture URLs/pages come from the deterministic renderers; a real
+    * deployment points the same chain at its crawl table's (url, html). */
+  def prepWeb(docs: DataFrame, keepFrac: Double = 0.3,
+      budget: Int = 2048, shards: Int = 32): DataFrame = {
+    val gated = UrlOps.pageUrls(docs)
+      .filter(UrlOps.filterReason(col("url")) === "ok")
+      .select(col("doc_id"), col("text"), col("source"))
+    // both stage frames feed 2+ consumers and carry the expensive
+    // render→extract(→dedup) lineage — EAGER materialization, for the
+    // same measured reason as [[prepFineWebHtml]] (lazy caches lose the
+    // race to the chain's first jobs and the lineage recomputes)
+    val extracted = CacheScope.trackEager(
+      TextExtract.extract(TextExtract.htmlPages(gated))
+        .select(col("doc_id"), col("text"), col("source")))
+    val clean = CacheScope.trackEager(TextAnalysis.lineDedup(extracted)
+      .select(col("doc_id"), col("cleaned_text").as("text"))
+      .join(extracted.select(col("doc_id"), col("source")), "doc_id"))
+    prepFineWeb(clean, keepFrac, budget, shards)
+  }
 }

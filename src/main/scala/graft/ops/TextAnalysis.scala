@@ -843,6 +843,56 @@ object TextAnalysis {
         col("n_chunks"), coalesce(col("n_kept"), lit(0)).as("n_kept"))
   }
 
+  /** CCNet-style corpus-level LINE deduplication — drop every line whose
+    * distinct-document frequency reaches `minDf` and reassemble the docs.
+    * This is the boilerplate-removal effect of CCNet's paragraph-hash dedup
+    * stage: cookie banners, nav residue, license headers, and share-bar
+    * text repeat VERBATIM across thousands of pages, so frequency alone
+    * identifies them — no rule list needed. It complements [[cleanChunks]]
+    * (which keeps the FIRST occurrence of any duplicated fixed-width token
+    * chunk) with the stricter drop-ALL-occurrences semantics on the
+    * document's natural line structure — the right call for boilerplate,
+    * which is noise in every copy including the first. Lines are the `\n`
+    * rows [[TextExtract.extract]] emits, making this the natural stage
+    * right after extraction.
+    *
+    * Scale shape: lines explode once and are keyed by their 16-byte md5
+    * digest (the exact-dedup convention — the shuffles move digests, not
+    * line text); the df count is `distinct(doc, digest)` then a map-side-
+    * combining count per digest; removal is ONE anti equi-join on the
+    * digest (`Par.maybeBroadcast` — a real corpus's over-threshold line set
+    * is small and broadcasts; if it ever exceeds the gate the join falls
+    * back to shuffle-hash where AQE's skew split handles the hot
+    * boilerplate digests); reassembly is one `collect_list` per doc bounded
+    * by the doc's own line count. No window anywhere. */
+  def lineDedup(docs: DataFrame, minDf: Int = 2): DataFrame = {
+    require(minDf >= 2, s"minDf >= 2: $minDf")
+    val lines = CacheScope.track(docs
+      .select(col("doc_id"), posexplode(split(col("text"), "\n"))
+        .as(Seq("li", "line")))
+      .filter(col("line") =!= "")
+      .withColumn("lh", md5(col("line").cast("binary"))))
+    val common = lines.select(col("doc_id"), col("lh")).distinct()
+      .groupBy(col("lh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf).select(col("lh"))
+    val kept = lines.join(Par.maybeBroadcast(common), Seq("lh"), "left_anti")
+    val byDoc = kept.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("li"), col("line")))).as("kl"))
+      .select(col("doc_id"),
+        array_join(transform(col("kl"), x => x.getField("line")), "\n")
+          .as("cleaned"),
+        size(col("kl")).cast("int").as("n_kept"))
+    val counts = lines.groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("n_lines"))
+    docs.select(col("doc_id"))
+      .join(counts, Seq("doc_id"), "left")
+      .join(byDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cleaned"), lit("")).as("cleaned_text"),
+        coalesce(col("n_lines"), lit(0)).as("n_lines"),
+        coalesce(col("n_kept"), lit(0)).as("n_kept"))
+  }
+
   /** BM25 keyword retrieval: top-`topK` documents for a bag of query terms —
     * the retrieval primitive data pipelines use for relevance filtering and
     * benchmark-leak hunting (find the training docs that "answer" an eval

@@ -1,0 +1,236 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** URL-level operators — the stage BEFORE even [[TextExtract]] in a
+  * web-corpus pipeline: CCNet/FineWeb-style recipes gate on the URL
+  * (blocklists, spam patterns, length/shape rules) before fetching or
+  * extracting anything, and dedup/caps key on the NORMALIZED url and the
+  * REGISTERED domain (the registrable name one level below the public
+  * suffix — the unit "one site" means for capping and blocklisting).
+  *
+  * Everything here is EXPRESSION-ONLY per-row compute (regexp parses +
+  * array higher-order functions) except [[domains]]' one map-side-combining
+  * aggregation: at 100 TB the parse/normalize/filter verbs fuse into the
+  * scan ahead of the first exchange, exactly like [[TextExtract]], and the
+  * per-domain stats shuffle only (domain, count) pairs.
+  *
+  * The public-suffix handling is a deliberately BOUNDED core: a literal set
+  * of common second-level suffixes ([[SecondLevelSuffixes]]) stands in for
+  * the full Mozilla public-suffix list (which is itself just a broadcast
+  * literal table at scale — same shape, longer list).
+  */
+object UrlOps {
+
+  /** Second-level public suffixes the registered-domain rule recognizes:
+    * `host = a.b.co.uk` registers `b.co.uk`, not `co.uk`. */
+  val SecondLevelSuffixes: Seq[String] =
+    Seq("co.uk", "org.uk", "ac.uk", "com.au", "co.jp", "com.br", "co.in")
+
+  /** Registered domains the [[urlFilter]] blocklist rule drops. */
+  val BlockedDomains: Seq[String] = Seq("spam-mirror.net")
+
+  /** Spam keywords the [[urlFilter]] path rule drops on (matched anywhere
+    * in the lowercased path + query). */
+  val SpamPattern = "(casino|viagra|porn|xxx)"
+
+  /** Maximum URL length [[urlFilter]] accepts. */
+  val MaxUrlLength = 200
+
+  /** Tracking query parameters [[normalize]] strips: `utm_*`, `fbclid`,
+    * `gclid`. */
+  val TrackingParamPattern = "^(utm_[^=]*|fbclid|gclid)(=.*)?$"
+
+  // ---- parsing -----------------------------------------------------------
+
+  private def schemeOf(url: Column): Column =
+    regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
+
+  private def hostPortOf(url: Column): Column =
+    regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+
+  private def pathOf(url: Column): Column =
+    regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+
+  private def queryOf(url: Column): Column =
+    regexp_extract(url, "\\?([^#]*)", 1)
+
+  /** The registered (registrable) domain of an already-lowercased host:
+    * the last two labels, or the last three when the last two form a
+    * listed second-level public suffix. */
+  def registeredDomain(host: Column): Column = {
+    val labels = split(host, "\\.")
+    val n = size(labels)
+    val last2 = concat_ws(".", element_at(labels, -2), element_at(labels, -1))
+    val last3 = concat_ws(".", element_at(labels, -3), element_at(labels, -2),
+      element_at(labels, -1))
+    when(n <= 2, host)
+      .when(last2.isin(SecondLevelSuffixes: _*) && n >= 3, last3)
+      .otherwise(last2)
+  }
+
+  /** Parse + normalize, as one struct Column over a `url` string:
+    * `(scheme, host, port, path, registered_domain, url_norm)`.
+    *
+    * Normalization (the exact-dedup key for URLs): lowercase scheme and
+    * host, strip a leading `www.`, drop the port when it is the scheme
+    * default (http:80 / https:443), empty path becomes `/`, tracking
+    * params ([[TrackingParamPattern]]) are removed preserving the order of
+    * the rest, and the fragment is dropped entirely. `port` is null when
+    * the URL carries none. */
+  def parseNormalize(url: Column): Column = {
+    val scheme = lower(schemeOf(url))
+    val hostPort = hostPortOf(url)
+    val rawHost = lower(regexp_extract(hostPort, "^([^:]*)", 1))
+    val portStr = regexp_extract(hostPort, ":([0-9]+)$", 1)
+    val port = when(portStr === "", lit(null).cast("int"))
+      .otherwise(portStr.cast("int"))
+    val host = regexp_replace(rawHost, "^www\\.", "")
+    val path = pathOf(url)
+    val normPath = when(path === "", "/").otherwise(path)
+    val keptParams = filter(split(queryOf(url), "&"),
+      p => !(p.rlike(TrackingParamPattern)) && p =!= "")
+    val normQuery = when(size(keptParams) > 0,
+      concat(lit("?"), array_join(keptParams, "&"))).otherwise("")
+    val defaultPort = (scheme === "http" && port === 80) ||
+      (scheme === "https" && port === 443)
+    val portPart = when(port.isNull || defaultPort, "")
+      .otherwise(concat(lit(":"), port.cast("string")))
+    struct(
+      scheme.as("scheme"), host.as("host"), port.as("port"),
+      normPath.as("path"),
+      registeredDomain(host).as("registered_domain"),
+      concat(scheme, lit("://"), host, portPart, normPath, normQuery)
+        .as("url_norm"))
+  }
+
+  /** Parse/normalize over a `(doc_id, url)` frame →
+    * `(doc_id, url, scheme, host, port, path, registered_domain,
+    * url_norm)`. Pure projection — fuses into the scan. */
+  def urls(pages: DataFrame): DataFrame =
+    pages.select(col("doc_id"), col("url"), parseNormalize(col("url")).as("u"))
+      .select(col("doc_id"), col("url"), col("u.scheme").as("scheme"),
+        col("u.host").as("host"), col("u.port").as("port"),
+        col("u.path").as("path"),
+        col("u.registered_domain").as("registered_domain"),
+        col("u.url_norm").as("url_norm"))
+
+  /** URL gate — the pipeline's first filter, run before any fetch or
+    * extraction. Rules in order (first violation names the reason):
+    *
+    *   1. `blocked_domain` — registered domain on [[BlockedDomains]];
+    *   2. `spam_path`      — [[SpamPattern]] anywhere in the lowercased
+    *                         path + query;
+    *   3. `too_long`       — `length(url) >` [[MaxUrlLength]].
+    *
+    * Output `(doc_id, url, registered_domain, keep, reason)`; kept rows
+    * carry reason `ok`. Pure projection (the blocklist and keyword list
+    * ride as literals; a production-sized blocklist becomes a broadcast
+    * semi-join — same shape). */
+  def urlFilter(pages: DataFrame): DataFrame = {
+    val u = parseNormalize(col("url"))
+    val reason = filterReason(col("url"))
+    pages.select(col("doc_id"), col("url"),
+      u.getField("registered_domain").as("registered_domain"),
+      (reason === "ok").as("keep"), reason.as("reason"))
+  }
+
+  /** The [[urlFilter]] decision alone, as a column over a `url` string —
+    * lets composed recipes ([[Prep.prepWeb]]) gate with a pure per-row
+    * FILTER (no id join, no shuffle). */
+  def filterReason(url: Column): Column = {
+    val u = parseNormalize(url)
+    val pq = lower(concat(u.getField("path"), lit(" "), queryOf(url)))
+    when(u.getField("registered_domain").isin(BlockedDomains: _*),
+        "blocked_domain")
+      .when(pq.rlike(SpamPattern), "spam_path")
+      .when(length(url) > MaxUrlLength, "too_long")
+      .otherwise("ok")
+  }
+
+  /** Per-registered-domain corpus stats — what a per-site cap
+    * ([[TextAnalysis.capPerSource]] keyed on domain) and a crawl-mix audit
+    * consume: docs, whitespace tokens, and each as a share of the corpus.
+    *
+    * Scale shape: one map-side-combining `groupBy(registered_domain)` (the
+    * only shuffle, carrying (domain, two longs) pairs), then the corpus
+    * totals join back as a single broadcast row. The per-domain frame is
+    * cached (bounded: one row per registered domain) so deriving the
+    * totals does NOT re-scan the corpus — without it the totals branch
+    * recomputes the whole aggregation lineage from the source (verified in
+    * the physical plan: two parquet scans). */
+  def domains(pages: DataFrame): DataFrame = {
+    val u = parseNormalize(col("url"))
+    val per = CacheScope.trackEager(pages.select(
+        u.getField("registered_domain").as("registered_domain"),
+        when(col("text") === "", 0)
+          .otherwise(size(split(col("text"), " "))).cast("long").as("ntok"))
+      .groupBy(col("registered_domain"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("n_tokens")))
+    val totals = per.agg(sum(col("n_docs")).as("td"),
+      sum(col("n_tokens")).as("tt"))
+    per.join(broadcast(totals))
+      .select(col("registered_domain"), col("n_docs"), col("n_tokens"),
+        (col("n_docs").cast("double") / col("td")).as("doc_share"),
+        (col("n_tokens").cast("double") / col("tt")).as("token_share"))
+  }
+
+  // ---- fixture stand-in --------------------------------------------------
+
+  /** Deterministic URL rendering of the shared `documents` fixture — the
+    * crawl-table STAND-IN (the driver testdata carries no URLs; a real
+    * deployment points these verbs at its crawl table's `url` column and
+    * skips this). Every rule above gets a witness, keyed off `doc_id`
+    * residues so the oracle can restate the render literally:
+    *
+    *   - scheme `https` on even ids, `http` on odd;
+    *   - host `{www.|blog.|∅}{source}-site{.com|.org|.co.uk|.net}` by id
+    *     residues, UPPERCASED when `id % 5 == 0` (case normalization
+    *     witness); `id % 9 == 0` instead hits the blocklisted
+    *     `spam-mirror.net`;
+    *   - port `:443` when `id % 6 == 0` (default-port strip witness),
+    *     `:8080` when `id % 6 == 3` (kept);
+    *   - path `/{lang}/article-{id}`, or `/casino-bonus/win-{id}` when
+    *     `id % 13 == 0` (spam witness), with 20 repeated long segments
+    *     appended when `id % 17 == 0` (length witness);
+    *   - query `?utm_source=feed&id={id%97}` when `id % 4 == 0` (tracking
+    *     strip keeps `id=`), `?id={id%97}` when `id % 4 == 1`;
+    *   - fragment `#section2` when `id % 5 == 0`.
+    *
+    * Output `(doc_id, url, text, lang, source)` — text rides along for
+    * [[domains]], lang/source for composed recipes ([[Prep.prepWeb]]). */
+  def pageUrls(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    val sub = when(id % 3 === 0, "www.").when(id % 3 === 1, "blog.")
+      .otherwise("")
+    val tld = when(id % 4 === 0, ".com").when(id % 4 === 1, ".org")
+      .when(id % 4 === 2, ".co.uk").otherwise(".net")
+    val baseHost = concat(sub, col("source"), lit("-site"), tld)
+    val host0 = when(id % 9 === 0, "spam-mirror.net").otherwise(baseHost)
+    val host = when(id % 5 === 0, upper(host0)).otherwise(host0)
+    val scheme = when(id % 2 === 0, "https").otherwise("http")
+    val port = when(id % 6 === 0, ":443").when(id % 6 === 3, ":8080")
+      .otherwise("")
+    val path0 = when(id % 13 === 0,
+        concat(lit("/casino-bonus/win-"), id.cast("string")))
+      .otherwise(concat(lit("/"), col("lang"), lit("/article-"),
+        id.cast("string")))
+    val path = when(id % 17 === 0,
+      concat(path0, repeat(lit("/long-segment-padding"), 20))).otherwise(path0)
+    val query = when(id % 4 === 0,
+        concat(lit("?utm_source=feed&id="), (id % 97).cast("string")))
+      .when(id % 4 === 1, concat(lit("?id="), (id % 97).cast("string")))
+      .otherwise("")
+    val frag = when(id % 5 === 0, "#section2").otherwise("")
+    docs.select(col("doc_id"),
+      concat(scheme, lit("://"), host, port, path, query, frag).as("url"),
+      col("text"), col("lang"), col("source"))
+  }
+
+  /** The composed fixture queries: render the stand-in URLs, then apply
+    * each verb. */
+  def webUrls(docs: DataFrame): DataFrame = urls(pageUrls(docs))
+  def webUrlFilter(docs: DataFrame): DataFrame = urlFilter(pageUrls(docs))
+  def webDomains(docs: DataFrame): DataFrame = domains(pageUrls(docs))
+}

@@ -154,6 +154,21 @@ object DevStressR8 {
     timed("text_langid2  100x")(
       forceCount(ops.TextAnalysis.langId2(bigDocs)))
 
+    // corpus-level line dedup right after extraction. stress100b is the
+    // WORST-case boilerplate regime for it: ~every paragraph line repeats
+    // across the 100 copies, so the common set ~= the distinct-line set and
+    // almost everything is dropped — maximal anti-join work.
+    timed("text_line_dedup  sf0.1")(
+      forceCount(ops.TextAnalysis.lineDedup(ops.TextExtract.textExtract(docs))))
+    timed("text_line_dedup  100x")(
+      forceCount(ops.TextAnalysis.lineDedup(ops.TextExtract.textExtract(bigDocs))))
+
+    // URL stage: parse/normalize/filter are pure projections, domains is
+    // one map-side-combining aggregation — all must scale linearly
+    timed("web_urls  100x")(forceCount(ops.UrlOps.webUrls(bigDocs)))
+    timed("web_url_filter  100x")(forceCount(ops.UrlOps.webUrlFilter(bigDocs)))
+    timed("web_domains  100x")(forceCount(ops.UrlOps.webDomains(bigDocs)))
+
     spark.stop()
   }
 }

@@ -1901,6 +1901,22 @@ class OpsSpec extends SparkSpec {
     graft.ops.CacheScope.releaseAll(spark)
   }
 
+  test("prepWeb: the URL gate drops blocked/spam/long docs before any stage") {
+    def good(i: Int) =
+      (s"the quick brown fox jumps over of lazy dog extra$i ") * 4
+    // ids against the pageUrls residues: 9 -> blocked domain, 13 -> casino
+    // path, 17 -> over-length; 2, 4, 8 pass the gate and every later stage
+    // (each 12-word paragraph carries the doc's own extra token, so line
+    // dedup has no cross-doc repeats here)
+    val d = Seq(2L, 4L, 8L, 9L, 13L, 17L)
+      .map(i => (i, good(i.toInt), "en", "srcA"))
+      .toDF("doc_id", "text", "lang", "source")
+    val out = graft.ops.Prep.prepWeb(d, keepFrac = 1.0).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(out == Set(2L, 4L, 8L), s"got $out")
+    graft.ops.CacheScope.releaseAll(spark)
+  }
+
   test("extractHtml strips boilerplate from a real page, keeps the prose") {
     import graft.ops.TextExtract
     val page = """<!DOCTYPE html>
@@ -2017,5 +2033,81 @@ class OpsSpec extends SparkSpec {
     assert(r(1L) == ((false, true, false)))
     assert(r(2L) == ((false, false, true)))
     graft.ops.CacheScope.releaseAll(spark)
+  }
+
+  test("lineDedup drops corpus-common lines from every doc, keeps order") {
+    val d = Seq(
+      (0L, "shared cookie banner\nalpha prose line\nshared cookie banner"),
+      (1L, "shared cookie banner\nbeta prose line"),
+      (2L, "gamma only line\ngamma only line"),
+      (3L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.lineDedup(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // the banner appears in 2 DISTINCT docs -> dropped everywhere,
+    // including both copies inside doc 0
+    assert(out(0L).getAs[String]("cleaned_text") == "alpha prose line")
+    assert(out(0L).getAs[Int]("n_lines") == 3)
+    assert(out(0L).getAs[Int]("n_kept") == 1)
+    assert(out(1L).getAs[String]("cleaned_text") == "beta prose line")
+    // within-doc repetition is df=1 (distinct docs) -> kept, order intact
+    assert(out(2L).getAs[String]("cleaned_text") ==
+      "gamma only line\ngamma only line")
+    assert(out(2L).getAs[Int]("n_kept") == 2)
+    assert(out(3L).getAs[String]("cleaned_text") == "")
+    assert(out(3L).getAs[Int]("n_lines") == 0)
+    graft.ops.CacheScope.releaseAll(spark)
+  }
+
+  test("url normalize: case, www, default port, tracking params, fragment") {
+    import graft.ops.UrlOps
+    val d = Seq(
+      (0L, "HTTPS://WWW.Example-Site.COM:443/a/b?utm_source=x&id=7&utm_medium=y#frag"),
+      (1L, "http://blog.sample.co.uk:8080"),
+      (2L, "http://host.org:80/path?fbclid=abc"),
+      (3L, "https://deep.sub.domain.net/x")).toDF("doc_id", "url")
+    val out = UrlOps.urls(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(0L).getAs[String]("url_norm") == "https://example-site.com/a/b?id=7")
+    assert(out(0L).getAs[String]("host") == "example-site.com")
+    assert(out(0L).getAs[String]("registered_domain") == "example-site.com")
+    assert(out(1L).getAs[String]("url_norm") == "http://blog.sample.co.uk:8080/")
+    assert(out(1L).getAs[String]("registered_domain") == "sample.co.uk")
+    assert(out(1L).getAs[Int]("port") == 8080)
+    assert(out(2L).getAs[String]("url_norm") == "http://host.org/path")
+    assert(out(3L).getAs[String]("registered_domain") == "domain.net")
+  }
+
+  test("urlFilter names the first violated rule; clean urls keep") {
+    import graft.ops.UrlOps
+    val d = Seq(
+      (0L, "https://sub.spam-mirror.net/x/y"),
+      (1L, "https://fine.com/casino-bonus/win"),
+      (2L, "https://fine.com/" + "a" * 250),
+      (3L, "https://fine.com/article")).toDF("doc_id", "url")
+    val out = UrlOps.urlFilter(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(0L).getAs[String]("reason") == "blocked_domain")
+    assert(!out(0L).getAs[Boolean]("keep"))
+    assert(out(1L).getAs[String]("reason") == "spam_path")
+    assert(out(2L).getAs[String]("reason") == "too_long")
+    assert(out(3L).getAs[String]("reason") == "ok")
+    assert(out(3L).getAs[Boolean]("keep"))
+  }
+
+  test("webDomains shares sum to one; domains are normalized") {
+    import graft.ops.UrlOps
+    val d = Seq(
+      (0L, "alpha beta gamma", "en", "srcA"),
+      (5L, "delta epsilon", "de", "srcB"),   // %5==0: uppercased host witness
+      (9L, "zeta eta theta iota", "fr", "srcC"), // %9==0: blocklisted host
+      (7L, "kappa", "es", "srcA")).toDF("doc_id", "text", "lang", "source")
+    val out = UrlOps.webDomains(d).collect()
+    assert(math.abs(out.map(_.getAs[Double]("doc_share")).sum - 1.0) < 1e-9)
+    assert(math.abs(out.map(_.getAs[Double]("token_share")).sum - 1.0) < 1e-9)
+    assert(out.exists(_.getAs[String]("registered_domain") == "spam-mirror.net"))
+    assert(out.forall { r =>
+      val x = r.getAs[String]("registered_domain")
+      x == x.toLowerCase && !x.startsWith("www.")
+    })
   }
 }
