@@ -347,6 +347,46 @@ SELECT t.doc_id, coalesce(agg.lm, 0.0) AS lm_score,
   coalesce(agg.nb, 0) AS n_bigrams
 FROM t LEFT JOIN agg USING (doc_id)"""
 
+  /** Token-odds quality-classifier oracle (mirrors
+    * graft.ops.TextAnalysis.qualityClassifier, seeds src0–3 vs src16–19):
+    * seed-split token counts, add-one posterior centered on the corpus
+    * prior, positional-order mean per doc — rational arithmetic
+    * throughout, same ordered-fold shape as [[textLmScore]]. */
+  val textQualityClassifier: String = s"""WITH base AS (
+  SELECT doc_id, source, $toks AS tk FROM documents
+), occ AS (
+  SELECT doc_id, source, unnest(ps, recursive := true) FROM (
+    SELECT doc_id, source, list_transform(range(1, len(tk) + 1),
+      i -> struct_pack(p := i, tok := tk[i])) AS ps
+    FROM base)
+), counts AS (
+  SELECT tok,
+    sum(CASE WHEN source IN ('src0','src1','src2','src3') THEN 1 ELSE 0 END)
+      AS cg,
+    sum(CASE WHEN source IN ('src16','src17','src18','src19') THEN 1 ELSE 0 END)
+      AS cb
+  FROM occ
+  WHERE source IN ('src0','src1','src2','src3',
+    'src16','src17','src18','src19')
+  GROUP BY tok
+), tot AS (
+  SELECT sum(cg) AS tcg, sum(cb) AS tcb FROM counts
+), w AS (
+  SELECT occ.doc_id, occ.p,
+    coalesce(CAST(counts.cg + 1 AS DOUBLE) / (counts.cg + counts.cb + 2),
+      0.5) - CAST(tot.tcg + 1 AS DOUBLE) / (tot.tcg + tot.tcb + 2) AS w
+  FROM occ LEFT JOIN counts USING (tok), tot
+), agg AS (
+  SELECT doc_id,
+    list_reduce(list_prepend(0.0, list(w ORDER BY p)), (a, b) -> a + b)
+      / count(*) AS s,
+    CAST(count(*) AS INT) AS n
+  FROM w GROUP BY doc_id
+)
+SELECT d.doc_id, d.source, coalesce(agg.s, 0.0) AS nb_score,
+  coalesce(agg.s, 0.0) > 0 AS nb_label, coalesce(agg.n, 0) AS n_tokens
+FROM documents d LEFT JOIN agg USING (doc_id)"""
+
   /** C4-style chunk-removal oracle (mirrors
     * graft.ops.TextAnalysis.cleanChunks, width 8): 8-token non-overlapping
     * chunks; every distinct chunk text survives once corpus-wide at its
@@ -2361,33 +2401,36 @@ GROUP BY o_orderpriority, c_mktsegment"""
     * relation. A full standalone query selecting
     * (doc_id, source, text, n_lines_kept, n_lines_dropped) — wrap in
     * parens to embed as a derived table. */
-  private def htmlExtractOver(src: String): String = {
-    val keep = "struct_extract(p, 'words') >= 3 AND " +
-      "CAST(struct_extract(p, 'lchars') AS DOUBLE) <= " +
-      "(1.0/3) * CAST(struct_extract(p, 'chars') AS DOUBLE)"
-    s"""WITH w0 AS (
+  private def htmlPagesOver(src: String): String = s"""WITH w0 AS (
   SELECT doc_id, source, string_split(text, ' ') AS words FROM $src
 ), w1 AS (
   SELECT doc_id, source, words,
     greatest(1, CAST(ceil(len(words) / 12.0) AS INT)) AS npar
   FROM w0
-), pages AS (
-  SELECT doc_id, source,
-    '<html><head><title>Document ' || CAST(doc_id AS VARCHAR) || '</title>'
-    || '<style>body { margin: 0; font: 14px sans-serif; }</style>'
-    || '<script type="text/javascript">var src = "' || source
-    || '"; track(src);</script></head><body>'
-    || '<nav><a href="/">Home</a> <a href="/s/' || source || '">' || source
-    || '</a> <a href="/tags">Tags</a></nav>'
-    || '<div class="content">'
-    || array_to_string(list_transform(range(npar), i ->
-         '<p>' || array_to_string(list_slice(words, i*12 + 1, i*12 + 12), ' ')
-         || '</p>'), '')
-    || '</div>'
-    || '<div class="share"><a href="/share">Share</a> <a href="/like">Like</a></div>'
-    || '<footer><a href="/tos">Terms of Service</a> <a href="/privacy">Privacy</a> (c) 2026 '
-    || source || '</footer></body></html>' AS html
-  FROM w1
+)
+SELECT doc_id, source,
+  '<html><head><title>Document ' || CAST(doc_id AS VARCHAR) || '</title>'
+  || '<style>body { margin: 0; font: 14px sans-serif; }</style>'
+  || '<script type="text/javascript">var src = "' || source
+  || '"; track(src);</script></head><body>'
+  || '<nav><a href="/">Home</a> <a href="/s/' || source || '">' || source
+  || '</a> <a href="/tags">Tags</a></nav>'
+  || '<div class="content">'
+  || array_to_string(list_transform(range(npar), i ->
+       '<p>' || array_to_string(list_slice(words, i*12 + 1, i*12 + 12), ' ')
+       || '</p>'), '')
+  || '</div>'
+  || '<div class="share"><a href="/share">Share</a> <a href="/like">Like</a></div>'
+  || '<footer><a href="/tos">Terms of Service</a> <a href="/privacy">Privacy</a> (c) 2026 '
+  || source || '</footer></body></html>' AS html
+FROM w1"""
+
+  private def htmlExtractOver(src: String): String = {
+    val keep = "struct_extract(p, 'words') >= 3 AND " +
+      "CAST(struct_extract(p, 'lchars') AS DOUBLE) <= " +
+      "(1.0/3) * CAST(struct_extract(p, 'chars') AS DOUBLE)"
+    s"""WITH pages AS (
+  SELECT * FROM (${htmlPagesOver(src)})
 ), blocky AS (
   SELECT doc_id, source, regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
     '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
@@ -2617,10 +2660,79 @@ SELECT registered_domain, n_docs, n_tokens,
   CAST(n_tokens AS DOUBLE) / tt AS token_share
 FROM per, tot"""
 
+  /** URL-dedup oracle (mirrors graft.ops.UrlOps.webUrlDedup): every 10th
+    * doc gains a decorated alias (uppercased scheme, different fragment)
+    * that must collapse onto its base via the normalized url. */
+  val webUrlDedup: String = s"""WITH base AS (
+  SELECT doc_id, url FROM (${urlPagesOver("documents")})
+), mirrors AS (
+  SELECT doc_id + 10000000 AS doc_id,
+    regexp_replace(upper(regexp_extract(url, '^([a-z]+)', 1)) ||
+      regexp_extract(url, '^[a-z]+(.*)$$', 1), '#.*$$', '#mirror') AS url
+  FROM base WHERE doc_id % 10 = 0
+), allu AS (
+  SELECT * FROM base UNION ALL SELECT * FROM mirrors
+), uu AS (
+  SELECT doc_id, url_norm
+  FROM (${urlParsedOver("SELECT doc_id, url, '' AS text FROM allu")})
+), ucanon AS (
+  SELECT url_norm, min(doc_id) AS keep_id FROM uu GROUP BY url_norm
+)
+SELECT uu.doc_id, uu.url_norm, ucanon.keep_id,
+  uu.doc_id = ucanon.keep_id AS is_canonical
+FROM uu JOIN ucanon USING (url_norm)"""
+
   /** Full crawl-to-shards oracle (mirrors graft.ops.Prep.prepWeb): URL
     * gate → stage-zero extraction → corpus-level line dedup → the FineWeb
     * chain over the CLEANED text. The gate restates the urlFilter rules;
     * downstream stages re-root over each previous CTE. */
+  /** WARC round-trip oracle (mirrors graft.ops.Warc.webWarc) — states the
+    * EXPECTED record table directly from the generative render (URL + HTML
+    * renderers shared with the other web oracles), so the engine's
+    * Content-Length-driven parse of the concatenated files must be the
+    * identity on every field. `strlen` is DuckDB's BYTE length, matching
+    * Spark's `octet_length` (the spec's Content-Length unit). */
+  val webWarc: String = s"""WITH up AS (
+  SELECT doc_id, url FROM (${urlPagesOver("documents")})
+), hp AS (
+  SELECT doc_id, html FROM (${htmlPagesOver("documents")})
+), resp AS (
+  SELECT up.doc_id, up.doc_id // 25 AS warc_id, up.url, hp.html,
+    '2026-01-' || lpad(CAST((up.doc_id % 28) + 1 AS VARCHAR), 2, '0')
+      || 'T00:00:00Z' AS warc_date,
+    'HTTP/1.1 200 OK' || chr(13)||chr(10) || 'Content-Type: text/html'
+      || chr(13)||chr(10) || 'Content-Length: '
+      || CAST(strlen(hp.html) AS VARCHAR)
+      || chr(13)||chr(10)||chr(13)||chr(10) || hp.html AS payload
+  FROM up JOIN hp USING (doc_id)
+), infop AS (
+  SELECT 'software: graft-fetch/1.0' || chr(13)||chr(10)
+    || 'format: WARC File Format 1.0' AS p
+), info AS (
+  SELECT DISTINCT warc_id, 0 AS rec_idx, 'warcinfo' AS warc_type,
+    CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS VARCHAR) AS target_uri,
+    '2026-01-01T00:00:00Z' AS warc_date,
+    CAST(strlen((SELECT p FROM infop)) AS BIGINT) AS content_length,
+    CAST(NULL AS INT) AS http_status,
+    (SELECT p FROM infop) AS body
+  FROM resp
+), respout AS (
+  SELECT warc_id,
+    CAST(row_number() OVER (PARTITION BY warc_id ORDER BY doc_id) AS INT)
+      AS rec_idx,
+    'response' AS warc_type, doc_id, url AS target_uri, warc_date,
+    CAST(strlen(payload) AS BIGINT) AS content_length,
+    200 AS http_status, html AS body
+  FROM resp
+)
+SELECT * FROM info UNION ALL SELECT * FROM respout"""
+
+  /** prep_warc oracle: by the [[webWarc]] round-trip identity the
+    * WARC-rooted pipeline must produce EXACTLY the [[prepWeb]] output —
+    * so the oracle IS the prepWeb statement (the strongest possible
+    * check: any parse/plumbing divergence breaks shard hashes). */
+  def prepWarc: String = prepWeb
+
   val prepWeb: String = s"""WITH gids AS (
   SELECT doc_id FROM (${urlParsedOver(urlPagesOver("documents"))})
   WHERE NOT (registered_domain IN ('spam-mirror.net')

@@ -294,6 +294,12 @@ object SparkEntry {
     // CCNet-style model-based quality: the corpus's own bigram stats score
     // each doc's mean conditional probability (rational perplexity proxy)
     "text_lm_score" -> ((s, dir) => ops.TextAnalysis.lmScore(docs(s, dir))),
+    // trained quality model stand-in: seed-split token-odds classifier
+    // (src0-3 positive seeds, src16-19 negative), rational arithmetic
+    "text_quality_classifier" -> ((s, dir) =>
+      ops.TextAnalysis.qualityClassifier(docs(s, dir),
+        Seq("src0", "src1", "src2", "src3"),
+        Seq("src16", "src17", "src18", "src19"))),
     // BM25 retrieval (rational-idf variant, see searchBm25 scaladoc) for a
     // fixed 3-term query over the corpus
     "search_bm25" -> ((s, dir) =>
@@ -442,9 +448,18 @@ object SparkEntry {
     "web_urls" -> ((s, dir) => ops.UrlOps.webUrls(docs(s, dir))),
     "web_url_filter" -> ((s, dir) => ops.UrlOps.webUrlFilter(docs(s, dir))),
     "web_domains" -> ((s, dir) => ops.UrlOps.webDomains(docs(s, dir))),
+    // URL-level exact dedup (the cheapest crawl dedup tier): aliases that
+    // normalize identically collapse to the min-id canonical
+    "web_url_dedup" -> ((s, dir) => ops.UrlOps.webUrlDedup(docs(s, dir))),
     // the FULL crawl-to-shards composition: URL gate -> extract -> line
     // dedup -> FineWeb recipe on the cleaned text
     "prep_web" -> ((s, dir) => ops.Prep.prepWeb(docs(s, dir))),
+    // WARC front end: render -> concat -> Content-Length-driven parse; the
+    // oracle states the expected records from the render (round-trip gate)
+    "web_warc" -> ((s, dir) => ops.Warc.webWarc(docs(s, dir))),
+    // the same crawl pipeline rooted at the RAW WARC files; must equal
+    // prep_web bit-for-bit (the oracle IS the prep_web statement)
+    "prep_warc" -> ((s, dir) => ops.Prep.prepWarc(docs(s, dir))),
     // edit-distance-verified near-dup: Levenshtein runs only on the
     // Hamming-bounded simhash survivors, never a quadratic pair stream
     "dedup_edit" -> ((s, dir) => ops.Dedup.editDistancePairs(docs(s, dir))),
@@ -623,6 +638,7 @@ object SparkEntry {
     "text_dup_spans" -> OracleSqlOps.textDupSpans,
     "text_clean_chunks" -> OracleSqlOps.textCleanChunks,
     "text_lm_score" -> OracleSqlOps.textLmScore,
+    "text_quality_classifier" -> OracleSqlOps.textQualityClassifier,
     "search_bm25" -> OracleSqlOps.searchBm25,
     "search_hybrid_rrf" -> OracleSqlOps.searchHybridRrf,
     "text_chunk" -> OracleSqlOps.textChunk,
@@ -665,6 +681,9 @@ object SparkEntry {
     "web_urls" -> OracleSqlOps.webUrls,
     "web_url_filter" -> OracleSqlOps.webUrlFilter,
     "web_domains" -> OracleSqlOps.webDomains,
+    "web_url_dedup" -> OracleSqlOps.webUrlDedup,
+    "web_warc" -> OracleSqlOps.webWarc,
+    "prep_warc" -> OracleSqlOps.prepWarc,
     "prep_web" -> OracleSqlOps.prepWeb,
     "dedup_edit" -> OracleSqlOps.dedupEdit,
     "dedup_incremental" -> OracleSqlOps.dedupIncremental,

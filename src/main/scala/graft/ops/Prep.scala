@@ -121,16 +121,44 @@ object Prep {
     val gated = UrlOps.pageUrls(docs)
       .filter(UrlOps.filterReason(col("url")) === "ok")
       .select(col("doc_id"), col("text"), col("source"))
-    // both stage frames feed 2+ consumers and carry the expensive
-    // render→extract(→dedup) lineage — EAGER materialization, for the
-    // same measured reason as [[prepFineWebHtml]] (lazy caches lose the
-    // race to the chain's first jobs and the lineage recomputes)
+    crawlChain(TextExtract.htmlPages(gated), keepFrac, budget, shards)
+  }
+
+  /** Stages 1–3 of the crawl pipeline over an already-URL-gated pages
+    * table `(doc_id, source, html)` — shared by [[prepWeb]] (rendered
+    * fixture pages) and [[prepWarc]] (WARC-parsed pages): stage-zero
+    * extraction → corpus-level line dedup → the FineWeb chain. Both stage
+    * frames feed 2+ consumers and carry the expensive (render→)extract
+    * (→dedup) lineage — EAGER materialization, for the same measured
+    * reason as [[prepFineWebHtml]] (lazy caches lose the race to the
+    * chain's first jobs and the lineage recomputes). */
+  private def crawlChain(pages: DataFrame, keepFrac: Double,
+      budget: Int, shards: Int): DataFrame = {
     val extracted = CacheScope.trackEager(
-      TextExtract.extract(TextExtract.htmlPages(gated))
+      TextExtract.extract(pages)
         .select(col("doc_id"), col("text"), col("source")))
     val clean = CacheScope.trackEager(TextAnalysis.lineDedup(extracted)
       .select(col("doc_id"), col("cleaned_text").as("text"))
       .join(extracted.select(col("doc_id"), col("source")), "doc_id"))
     prepFineWeb(clean, keepFrac, budget, shards)
+  }
+
+  /** The crawl pipeline rooted one stage earlier still — at the RAW CRAWL
+    * FILES: parse the WARC fixture ([[Warc.webWarc]]'s render → parse
+    * round trip), keep `response` records, apply the URL gate to the
+    * PARSED target URI, extract from the PARSED payload, and run the
+    * shared [[crawlChain]]. `source` rides outside the WARC record in the
+    * fixture and is restored by one equi-join on `doc_id` (a real fetcher
+    * stashes such metadata in a WARC extension header; the join stands in
+    * for reading it). By the round-trip identity the result must equal
+    * [[prepWeb]] exactly — and the oracle holds it to that. */
+  def prepWarc(docs: DataFrame, keepFrac: Double = 0.3,
+      budget: Int = 2048, shards: Int = 32): DataFrame = {
+    val pages = Warc.records(Warc.files(docs))
+      .filter(col("warc_type") === "response" &&
+        UrlOps.filterReason(col("target_uri")) === "ok")
+      .select(col("doc_id"), col("body").as("html"))
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+    crawlChain(pages, keepFrac, budget, shards)
   }
 }

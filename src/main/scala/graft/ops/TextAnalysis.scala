@@ -787,6 +787,65 @@ object TextAnalysis {
         coalesce(col("nb"), lit(0)).as("n_bigrams"))
   }
 
+  /** Count-based token-odds quality classifier — the stand-in for
+    * CCNet/FineWeb's trained (fastText) quality model, which scores every
+    * page by a classifier fit on seed corpora (wiki-linked pages vs raw
+    * crawl). Training is a DISTRIBUTED token count over the seed split:
+    * docs whose `source` is in `goodSources` are positive seeds,
+    * `badSources` negative; per token the add-one-smoothed posterior of
+    * the good class, centered on the corpus prior,
+    * `w(t) = (cg+1)/(cg+cb+2) − (CG+1)/(CG+CB+2)`, and a document scores
+    * the positional MEAN of `w` over its tokens (unseen tokens take the
+    * smoothed posterior 1/2, exactly what add-one says for zero counts).
+    * All arithmetic stays RATIONAL (+/×/÷) — the same bit-portability
+    * trade as [[searchBm25]]'s log-free idf (summing log-odds is one
+    * `ln()` swap away; the rational posterior keeps the oracle exact) —
+    * and the per-doc fold runs in fixed positional order (the [[lmScore]]
+    * pattern), so the score is bit-stable under any partitioning.
+    *
+    * Scale shape: one corpus token explosion feeds both training and
+    * scoring (tracked cache); the weight table is vocab-bounded and
+    * size-gated broadcast for the scoring join; the totals are a 1-row
+    * broadcast. No other shuffle beyond the per-doc regroup. */
+  def qualityClassifier(docs: DataFrame,
+      goodSources: Seq[String], badSources: Seq[String],
+      tokenizer: Tokenizer = Tokenizer.Whitespace): DataFrame = {
+    require(goodSources.nonEmpty && badSources.nonEmpty,
+      "both seed classes need at least one source")
+    require(goodSources.intersect(badSources).isEmpty,
+      s"seed classes overlap: ${goodSources.intersect(badSources)}")
+    val occ = CacheScope.track(docs.select(col("doc_id"), col("source"),
+      posexplode(tokenizer.tokens(col("text"))).as(Seq("p", "tok"))))
+    val counts = occ
+      .filter(col("source").isin(goodSources ++ badSources: _*))
+      .select(col("tok"),
+        when(col("source").isin(goodSources: _*), 1L).otherwise(0L).as("g"))
+      .groupBy(col("tok"))
+      .agg(sum(col("g")).as("cg"), sum(lit(1L) - col("g")).as("cb"))
+    val tot = counts.agg(sum(col("cg")).as("tcg"), sum(col("cb")).as("tcb"))
+    val prior = (col("tcg") + 1).cast("double") / (col("tcg") + col("tcb") + 2)
+    // eager: the post-aggregation size estimate is garbage (input-derived)
+    // and would decline the broadcast of a genuinely vocab-bounded table
+    val scored = occ
+      .join(Par.maybeBroadcast(CacheScope.trackEager(counts)), Seq("tok"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("p"),
+        (coalesce((col("cg") + 1).cast("double") / (col("cg") + col("cb") + 2),
+          lit(0.5)) - prior).as("w"))
+    val agg = scored.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("p"), col("w")))).as("ps"))
+      .select(col("doc_id"),
+        (aggregate(transform(col("ps"), x => x.getField("w")),
+          lit(0.0), (a, x) => a + x) / size(col("ps"))).as("s"),
+        size(col("ps")).as("n"))
+    docs.select(col("doc_id"), col("source"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("s"), lit(0.0)).as("nb_score"),
+        (coalesce(col("s"), lit(0.0)) > 0).as("nb_label"),
+        coalesce(col("n"), lit(0)).cast("int").as("n_tokens"))
+  }
+
   /** C4-style duplicated-span REMOVAL — the cleaning REWRITE that
     * [[dupSpans]]' detection signal feeds: the corpus is cut into
     * `width`-token non-overlapping chunks, every distinct chunk text

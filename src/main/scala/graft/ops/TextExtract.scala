@@ -121,8 +121,13 @@ object TextExtract {
     * `paraWords` words, a share row, and a link-heavy footer — so the
     * extractor's rules each have a witness (title: short-line; nav/share:
     * pure link soup; footer: mixed link density; paragraphs: kept prose).
-    * Pure per-row string construction, mirrored verbatim by the oracle. */
-  def htmlPages(docs: DataFrame, paraWords: Int = 12): DataFrame = {
+    * Pure per-row string construction, mirrored verbatim by the oracle.
+    *
+    * @param keep extra input columns carried through alongside
+    *   `(doc_id, source, html)` — e.g. `url` when the caller pairs the
+    *   page render with the URL render ([[Warc.files]]). */
+  def htmlPages(docs: DataFrame, paraWords: Int = 12,
+      keep: Seq[String] = Nil): DataFrame = {
     require(paraWords >= 1, s"paraWords >= 1: $paraWords")
     val words = split(col("text"), " ")
     val nPar = greatest(lit(1),
@@ -133,7 +138,7 @@ object TextExtract {
           array_join(slice(words, i * paraWords + lit(1), lit(paraWords)), " "),
           lit("</p>"))),
       "")
-    docs.select(col("doc_id"), col("source"),
+    docs.select(col("doc_id") +: col("source") +: keep.map(col) :+
       concat(
         lit("<html><head><title>Document "), col("doc_id"), lit("</title>"),
         lit("<style>body { margin: 0; font: 14px sans-serif; }</style>"),
@@ -146,7 +151,7 @@ object TextExtract {
           "<a href=\"/like\">Like</a></div>"),
         lit("<footer><a href=\"/tos\">Terms of Service</a> " +
           "<a href=\"/privacy\">Privacy</a> (c) 2026 "), col("source"),
-        lit("</footer></body></html>")).as("html"))
+        lit("</footer></body></html>")).as("html"): _*)
   }
 
   /** The composed stage-zero query: render the fixture pages, extract. */

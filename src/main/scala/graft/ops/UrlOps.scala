@@ -78,7 +78,16 @@ object UrlOps {
     * default (http:80 / https:443), empty path becomes `/`, tracking
     * params ([[TrackingParamPattern]]) are removed preserving the order of
     * the rest, and the fragment is dropped entirely. `port` is null when
-    * the URL carries none. */
+    * the URL carries none.
+    *
+    * Stated simplifications (each deterministic, oracle-mirrored): a
+    * schemeless/malformed URL parses to empty parts rather than erroring
+    * (the gate's rules then see empty strings — a production pipeline
+    * would add a `scheme = ''` drop rule); IPv6 bracket literals are OUT
+    * OF SCOPE (the first-colon host split misreads them — a crawl-grade
+    * parser would gate on `[` first); no IDN/punycode handling — hosts
+    * compare byte-wise after lowercasing, the same convention as the text
+    * operators' exact tier. */
   def parseNormalize(url: Column): Column = {
     val scheme = lower(schemeOf(url))
     val hostPort = hostPortOf(url)
@@ -176,6 +185,22 @@ object UrlOps {
         (col("n_tokens").cast("double") / col("tt")).as("token_share"))
   }
 
+  /** URL-level exact dedup — the CHEAPEST dedup tier in a crawl pipeline
+    * (CCNet dedups by URL before any content pass touches a byte of text):
+    * docs sharing a NORMALIZED url collapse to the min-`doc_id` canonical.
+    * Same digest-shuffle shape as [[Dedup.exact]], keyed on `url_norm` —
+    * one map-side-combining `min` aggregation plus the join back, both on
+    * the normalized-url key. The normalization ([[parseNormalize]]) is
+    * what makes the tier catch anything: scheme/host case, `www.`,
+    * default ports, tracking params, and fragments all collapse. */
+  def urlDedup(pages: DataFrame): DataFrame = {
+    val u = urls(pages).select(col("doc_id"), col("url_norm"))
+    val canon = u.groupBy(col("url_norm")).agg(min(col("doc_id")).as("keep_id"))
+    u.join(canon, "url_norm")
+      .select(col("doc_id"), col("url_norm"), col("keep_id"),
+        (col("doc_id") === col("keep_id")).as("is_canonical"))
+  }
+
   // ---- fixture stand-in --------------------------------------------------
 
   /** Deterministic URL rendering of the shared `documents` fixture — the
@@ -233,4 +258,21 @@ object UrlOps {
   def webUrls(docs: DataFrame): DataFrame = urls(pageUrls(docs))
   def webUrlFilter(docs: DataFrame): DataFrame = urlFilter(pageUrls(docs))
   def webDomains(docs: DataFrame): DataFrame = domains(pageUrls(docs))
+
+  /** [[urlDedup]] fixture query. The rendered URLs are id-unique, so the
+    * collision witness is manufactured the way real crawls produce one:
+    * every 10th doc is "re-crawled" under a decorated ALIAS of the same
+    * location (uppercased scheme + a different fragment — textually
+    * distinct, normalization-identical), and url dedup must collapse each
+    * alias onto its base doc. */
+  def webUrlDedup(docs: DataFrame): DataFrame = {
+    val base = pageUrls(docs).select(col("doc_id"), col("url"))
+    val mirrors = base.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 10000000L).as("doc_id"),
+        regexp_replace(
+          concat(upper(regexp_extract(col("url"), "^([a-z]+)", 1)),
+            regexp_extract(col("url"), "^[a-z]+(.*)$", 1)),
+          "#.*$", "#mirror").as("url"))
+    urlDedup(base.unionByName(mirrors))
+  }
 }

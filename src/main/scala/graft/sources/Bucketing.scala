@@ -1,0 +1,56 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+
+/**
+ * Bucketed-table materialization — the storage-layout half of the engine's
+ * shuffle story. Every REPEATED equi-join against a durable table (the
+ * incremental-dedup history index re-probed by every batch, an ANN
+ * codebook-assignment table re-joined by every query wave, a per-domain
+ * stats table joined into each crawl refresh) pays a full exchange of the
+ * durable side on EVERY run when that side is stored as plain files.
+ * Writing it ONCE bucketed by the join key makes Spark's planner prove
+ * co-location from the catalog and drop that exchange from every
+ * subsequent plan: at 100 TB the exchange is the dominant cost, and it is
+ * paid once at write time instead of per run.
+ *
+ * Mechanics (all public Spark): `DataFrameWriter.bucketBy(n, key)` +
+ * `saveAsTable` records the bucket spec in the catalog; a join whose keys
+ * cover the bucket key of two tables with the SAME bucket count plans as
+ * a sort-merge join with zero `ShuffleExchange` nodes (sorted buckets via
+ * `sortBy` also drop the per-task sort). [[hasShuffle]] is the plan
+ * assertion used by the spec — layout claims are verified against the
+ * physical plan, not asserted in prose.
+ */
+object Bucketing {
+
+  /** Write `df` as an external parquet table bucketed (and bucket-sorted)
+    * by `key` — the one-time layout cost that removes this side's
+    * exchange from every future equi-join on `key`. */
+  def writeBucketed(df: DataFrame, table: String, path: String,
+      key: String, buckets: Int): Unit = {
+    require(buckets > 0, s"buckets > 0: $buckets")
+    df.write.mode("overwrite").format("parquet").option("path", path)
+      .bucketBy(buckets, key).sortBy(key)
+      .saveAsTable(table)
+  }
+
+  /** Equi-join two same-bucketed catalog tables on `key` — plans with no
+    * exchange on either side when both were written via [[writeBucketed]]
+    * with the same bucket count. */
+  def bucketedJoin(spark: SparkSession, left: String, right: String,
+      key: String): DataFrame =
+    spark.table(left).join(spark.table(right), key)
+
+  /** Whether the physical plan contains any shuffle exchange (descending
+    * into AQE-wrapped subtrees). */
+  def hasShuffle(df: DataFrame): Boolean = {
+    def scan(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+      p.collectFirst { case _: ShuffleExchangeExec => () }.nonEmpty ||
+        p.collect { case a: AdaptiveSparkPlanExec => a }
+          .exists(a => scan(a.executedPlan))
+    scan(df.queryExecution.executedPlan)
+  }
+}

@@ -1,0 +1,48 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.sources.Bucketing
+
+import org.apache.spark.sql.functions._
+
+/** Plan-level proof of the bucketed-layout claim: the SAME equi-join that
+  * shuffles both sides over plain parquet plans with ZERO exchanges over
+  * catalog tables bucketed on the join key. */
+class BucketingSpec extends SparkSpec {
+
+  test("bucketed tables co-locate the join; plain parquet shuffles") {
+    val dir = Files.createTempDirectory("graft-bucketing").toString
+    // plan-shape assertions read the static plan, not AQE's runtime rewrite
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // force the SHUFFLE join shape on both paths (a tiny fixture would
+    // otherwise broadcast and prove nothing about co-location)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val a = spark.range(0, 1000)
+        .select(col("id").as("doc_id"), (col("id") % 7).as("x"))
+      val b = spark.range(0, 1000)
+        .select(col("id").as("doc_id"), (col("id") % 5).as("y"))
+      Bucketing.writeBucketed(a, "bk_a", s"$dir/a", "doc_id", 8)
+      Bucketing.writeBucketed(b, "bk_b", s"$dir/b", "doc_id", 8)
+      val j = Bucketing.bucketedJoin(spark, "bk_a", "bk_b", "doc_id")
+      assert(!Bucketing.hasShuffle(j), "bucketed join must not exchange:\n" +
+        j.queryExecution.executedPlan.toString.take(2000))
+      assert(j.count() == 1000)
+      // control: identical join over the same data as plain parquet
+      a.write.mode("overwrite").parquet(s"$dir/ap")
+      b.write.mode("overwrite").parquet(s"$dir/bp")
+      val raw = spark.read.parquet(s"$dir/ap")
+        .join(spark.read.parquet(s"$dir/bp"), "doc_id")
+      assert(Bucketing.hasShuffle(raw), "plain-parquet control should shuffle")
+      assert(raw.count() == 1000)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+      spark.sql("DROP TABLE IF EXISTS bk_a")
+      spark.sql("DROP TABLE IF EXISTS bk_b")
+    }
+  }
+}

@@ -2094,6 +2094,91 @@ class OpsSpec extends SparkSpec {
     assert(out(3L).getAs[Boolean]("keep"))
   }
 
+  test("qualityClassifier separates seed vocabularies on held-out docs") {
+    import graft.ops.TextAnalysis
+    val d = Seq(
+      // good seeds: prose vocabulary
+      (0L, "the theory of distributed systems explains consensus", "en", "wiki"),
+      (1L, "systems theory explains the consensus protocols clearly", "en", "wiki"),
+      // bad seeds: spam vocabulary
+      (2L, "click here free bonus win casino jackpot now", "en", "spam"),
+      (3L, "free casino bonus click win now jackpot offer", "en", "spam"),
+      // held out: one from each vocabulary, one empty
+      (4L, "consensus protocols in distributed systems theory", "en", "webA"),
+      (5L, "win free jackpot bonus casino", "en", "webB"),
+      (6L, "", "en", "webC")).toDF("doc_id", "text", "lang", "source")
+    val out = TextAnalysis.qualityClassifier(d, Seq("wiki"), Seq("spam"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Double]("nb_score"), r.getAs[Boolean]("nb_label")))).toMap
+    assert(out(4L)._1 > 0 && out(4L)._2, s"held-out prose: ${out(4L)}")
+    assert(out(5L)._1 < 0 && !out(5L)._2, s"held-out spam: ${out(5L)}")
+    assert(out(0L)._2 && !out(2L)._2)
+    assert(out(6L)._1 == 0.0 && !out(6L)._2, "empty doc scores the prior 0")
+    graft.ops.CacheScope.releaseAll(spark)
+  }
+
+  test("warc parse is Content-Length-driven and byte-exact") {
+    import graft.ops.Warc
+    val crlf = "\r\n"
+    // payload embedding the record sentinel AND a multi-byte char: a
+    // sentinel-splitting parser desynchronizes, a char-counting one
+    // misreads the length
+    val html = "<p>fake" + crlf + crlf + "WARC/1.0" + crlf + "café</p>"
+    val http = s"HTTP/1.1 404 Not Found${crlf}Content-Type: text/html$crlf$crlf$html"
+    def bl(s: String) = s.getBytes("UTF-8").length
+    def rec(id: Int) =
+      s"WARC/1.0${crlf}WARC-Type: response${crlf}WARC-Record-ID: <urn:graft:$id>$crlf" +
+        s"WARC-Target-URI: https://x.test/$id${crlf}WARC-Date: 2026-02-03T04:05:06Z$crlf" +
+        s"Content-Length: ${bl(http)}$crlf$crlf$http$crlf$crlf"
+    val out = Warc.records(Seq((3L, rec(7) + rec(8)))
+        .toDF("warc_id", "content")).collect()
+      .map(r => r.getAs[Int]("rec_idx") -> r).toMap
+    assert(out.size == 2)
+    assert(out(0).getAs[Long]("doc_id") == 7L)
+    assert(out(1).getAs[Long]("doc_id") == 8L)
+    assert(out(0).getAs[Int]("http_status") == 404)
+    assert(out(0).getAs[String]("target_uri") == "https://x.test/7")
+    assert(out(0).getAs[String]("body") == html)
+    assert(out(0).getAs[Long]("content_length") == bl(http).toLong)
+  }
+
+  test("warc round trip: render -> concat -> parse is the identity") {
+    import graft.ops.Warc
+    val d = Seq(
+      (2L, "alpha beta gamma delta epsilon zeta eta theta " * 3, "en", "srcA"),
+      (4L, "one two three four five six seven eight nine ten", "en", "srcA"),
+      (26L, "lorem ipsum dolor sit amet consectetur adipiscing", "de", "srcB"))
+      .toDF("doc_id", "text", "lang", "source")
+    val out = Warc.webWarc(d).collect()
+    // files 0 (docs 2,4) and 1 (doc 26), each led by a warcinfo record
+    val infos = out.filter(_.getAs[String]("warc_type") == "warcinfo")
+    assert(infos.map(r => r.getAs[Long]("warc_id") -> r.getAs[Int]("rec_idx"))
+      .toSet == Set(0L -> 0, 1L -> 0))
+    assert(infos.forall(_.getAs[String]("body")
+      .startsWith("software: graft-fetch/1.0")))
+    val resp = out.filter(_.getAs[String]("warc_type") == "response")
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(resp.keySet == Set(2L, 4L, 26L))
+    assert(resp(2L).getAs[Int]("http_status") == 200)
+    // payload survived: the doc's own words are in the parsed html body
+    assert(resp(4L).getAs[String]("body").contains("<p>one two three"))
+    assert(resp(26L).getAs[Long]("warc_id") == 1L)
+    assert(resp(26L).getAs[String]("target_uri").nonEmpty)
+  }
+
+  test("urlDedup collapses normalization-identical aliases") {
+    import graft.ops.UrlOps
+    val d = Seq(
+      (0L, "https://example.com/a?utm_source=x#f"),
+      (1L, "HTTPS://WWW.EXAMPLE.COM:443/a"), // same normalized url as 0
+      (2L, "https://example.com/b")).toDF("doc_id", "url")
+    val r = UrlOps.urlDedup(d).collect().map(x => x.getAs[Long]("doc_id") ->
+      ((x.getAs[Long]("keep_id"), x.getAs[Boolean]("is_canonical")))).toMap
+    assert(r(0L) == ((0L, true)))
+    assert(r(1L) == ((0L, false)))
+    assert(r(2L) == ((2L, true)))
+  }
+
   test("webDomains shares sum to one; domains are normalized") {
     import graft.ops.UrlOps
     val d = Seq(
