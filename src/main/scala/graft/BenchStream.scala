@@ -220,11 +220,17 @@ object BenchStream {
             println(s"[bench-stream] progress name=${p.name} " +
               s"rows=${p.numInputRows} durs=${p.durationMs}")
           if (p.name == qname && p.numInputRows > 0) {
-            val sec = p.durationMs.getOrDefault("triggerExecution", 0L) / 1e3
-            val n = batches.synchronized {
-              batches += ((batchRows.toLong, sec)); batches.size
+            // a progress event without a positive triggerExecution would
+            // contribute rows at zero cost and inflate rec/s (advisor r8) —
+            // skip it; the drive loop just waits for one more real batch
+            val trig = p.durationMs.getOrDefault("triggerExecution", 0L)
+            if (trig > 0L) {
+              val sec = trig / 1e3
+              val n = batches.synchronized {
+                batches += ((batchRows.toLong, sec)); batches.size
+              }
+              if (n >= needBatches) done.countDown()
             }
-            if (n >= needBatches) done.countDown()
           }
         }
       }

@@ -2584,10 +2584,12 @@ FROM up"""
 ), parsed AS (
   SELECT doc_id, url, text,
     lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-    lower(regexp_extract(regexp_extract(url,
-      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), '^([^:]*)', 1)) AS rawhost,
-    regexp_extract(regexp_extract(url,
-      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), ':([0-9]+)$$', 1) AS portstr,
+    lower(regexp_extract(regexp_replace(regexp_extract(url,
+      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), '^[^/@]*@', ''),
+      '^([^:]*)', 1)) AS rawhost,
+    regexp_extract(regexp_replace(regexp_extract(url,
+      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), '^[^/@]*@', ''),
+      ':([0-9]+)$$', 1) AS portstr,
     regexp_extract(url,
       '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS rawpath,
     regexp_extract(url, '\\?([^#]*)', 1) AS q
@@ -2683,8 +2685,12 @@ SELECT uu.doc_id, uu.url_norm, ucanon.keep_id,
 FROM uu JOIN ucanon USING (url_norm)"""
 
   /** Full crawl-to-shards oracle (mirrors graft.ops.Prep.prepWeb): URL
-    * gate → stage-zero extraction → corpus-level line dedup → the FineWeb
-    * chain over the CLEANED text. The gate restates the urlFilter rules;
+    * gate → URL-level exact dedup (min doc_id per normalized url of the
+    * gated pages — the r9 stage; the fixture's rendered URLs are id-unique
+    * so it is the identity HERE, with the alias-collapse semantics
+    * witnessed by OpsSpec and the standalone web_url_dedup oracle) →
+    * stage-zero extraction → corpus-level line dedup → the FineWeb chain
+    * over the CLEANED text. The gate restates the urlFilter rules;
     * downstream stages re-root over each previous CTE. */
   /** WARC round-trip oracle (mirrors graft.ops.Warc.webWarc) — states the
     * EXPECTED record table directly from the generative render (URL + HTML
@@ -2733,12 +2739,17 @@ SELECT * FROM info UNION ALL SELECT * FROM respout"""
     * check: any parse/plumbing divergence breaks shard hashes). */
   def prepWarc: String = prepWeb
 
-  val prepWeb: String = s"""WITH gids AS (
-  SELECT doc_id FROM (${urlParsedOver(urlPagesOver("documents"))})
+  val prepWeb: String = s"""WITH up AS (
+  SELECT doc_id, url, url_norm, registered_domain, path
+  FROM (${urlParsedOver(urlPagesOver("documents"))})
+), gok AS (
+  SELECT doc_id, url_norm FROM up
   WHERE NOT (registered_domain IN ('spam-mirror.net')
     OR regexp_matches(lower(path || ' ' ||
          regexp_extract(url, '\\?([^#]*)', 1)), '(casino|viagra|porn|xxx)')
     OR length(url) > 200)
+), gids AS (
+  SELECT min(doc_id) AS doc_id FROM gok GROUP BY url_norm
 ), gated AS (
   SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
   FROM documents d JOIN gids USING (doc_id)

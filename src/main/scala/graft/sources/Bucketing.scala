@@ -46,11 +46,16 @@ object Bucketing {
 
   /** Whether the physical plan contains any shuffle exchange (descending
     * into AQE-wrapped subtrees). */
-  def hasShuffle(df: DataFrame): Boolean = {
-    def scan(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
-      p.collectFirst { case _: ShuffleExchangeExec => () }.nonEmpty ||
+  def hasShuffle(df: DataFrame): Boolean = countShuffles(df) > 0
+
+  /** Number of shuffle exchanges in the physical plan (descending into
+    * AQE-wrapped subtrees) — the bucketed-vs-plain layout delta the specs
+    * assert on. */
+  def countShuffles(df: DataFrame): Int = {
+    def scan(p: org.apache.spark.sql.execution.SparkPlan): Int =
+      p.collect { case _: ShuffleExchangeExec => 1 }.sum +
         p.collect { case a: AdaptiveSparkPlanExec => a }
-          .exists(a => scan(a.executedPlan))
+          .map(a => scan(a.executedPlan)).sum
     scan(df.queryExecution.executedPlan)
   }
 }

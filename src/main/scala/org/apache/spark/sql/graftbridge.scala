@@ -26,6 +26,15 @@ object graftbridge {
   def executedPlanString(df: DataFrame): String =
     df.asInstanceOf[classic.Dataset[_]].queryExecution.executedPlan.toString
 
+  /** The materialized RDD behind a `localCheckpoint`ed frame (a
+    * `LogicalRDD` leaf), for deterministic block release — None for any
+    * other plan shape. */
+  def checkpointRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+    df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => Some(l.rdd)
+      case _ => None
+    }
+
   /** Count that FORCES full materialization of the frame's output rows.
     * `df.count()` rewrites the logical plan to a bare aggregate first:
     * column pruning drops every output column, and a cardinality-preserving

@@ -45,4 +45,44 @@ class BucketingSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS bk_b")
     }
   }
+
+  test("bucketed incremental index drops history-side probe exchanges") {
+    import graft.ops.Dedup
+    val dir = Files.createTempDirectory("graft-bkidx").toString
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // the layout only matters once the batch is too big to broadcast —
+    // force that regime so the plan delta is visible on a fixture
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val history = spark.range(0, 500).select(col("id").as("doc_id"),
+        concat(lit("history document body number "), col("id") % 50,
+          lit(" with shared phrasing")).as("text"))
+      val batch = spark.range(1000, 1100).select(col("id").as("doc_id"),
+        concat(lit("history document body number "), col("id") % 50,
+          lit(" with shared phrasing")).as("text"))
+      Dedup.writeIndexBucketed(Dedup.buildIndex(history), dir, "bkidx", 8)
+      val bucketed = Dedup.readIndexBucketed(spark, dir, "bkidx")
+      val plain = Dedup.readIndex(spark, dir)
+      val pb = Dedup.incrementalWithIndex(bucketed, batch, threshold = 0.5)
+      val pp = Dedup.incrementalWithIndex(plain, batch, threshold = 0.5)
+      val nb = Bucketing.countShuffles(pb)
+      val np = Bucketing.countShuffles(pp)
+      assert(nb < np, s"bucketed probe should drop history-side exchanges " +
+        s"(bucketed=$nb plain=$np):\n" +
+        pb.queryExecution.executedPlan.toString.take(3000))
+      // identical rows either way — layout is pure plumbing
+      def norm(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toString).sorted.toSeq
+      assert(norm(pb) == norm(pp))
+      assert(pb.filter(col("dup_of").isNotNull).count() == 100)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+      spark.sql("DROP TABLE IF EXISTS bkidx_digests")
+      spark.sql("DROP TABLE IF EXISTS bkidx_banded")
+      graft.ops.CacheScope.releaseAll(spark)
+    }
+  }
 }
