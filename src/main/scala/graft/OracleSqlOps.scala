@@ -2581,19 +2581,24 @@ FROM up"""
     * every parsed part plus url_norm and the ride-along text. */
   private def urlParsedOver(src: String): String = s"""WITH uu AS (
   SELECT * FROM ($src)
+), hp AS (
+  SELECT *, regexp_replace(regexp_extract(url,
+    '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), '^[^/@]*@', '') AS hostport
+  FROM uu
 ), parsed AS (
   SELECT doc_id, url, text,
     lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-    lower(regexp_extract(regexp_replace(regexp_extract(url,
-      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), '^[^/@]*@', ''),
-      '^([^:]*)', 1)) AS rawhost,
-    regexp_extract(regexp_replace(regexp_extract(url,
-      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), '^[^/@]*@', ''),
-      ':([0-9]+)$$', 1) AS portstr,
+    CASE WHEN hostport LIKE '[%'
+         THEN '[' || lower(regexp_extract(hostport,
+           '^\\[([^\\]]*)\\]', 1)) || ']'
+         ELSE lower(regexp_extract(hostport, '^([^:]*)', 1)) END AS rawhost,
+    CASE WHEN hostport LIKE '[%'
+         THEN regexp_extract(hostport, '^\\[[^\\]]*\\]:([0-9]+)$$', 1)
+         ELSE regexp_extract(hostport, ':([0-9]+)$$', 1) END AS portstr,
     regexp_extract(url,
       '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS rawpath,
     regexp_extract(url, '\\?([^#]*)', 1) AS q
-  FROM uu
+  FROM hp
 ), norm AS (
   SELECT doc_id, url, text, scheme,
     regexp_replace(rawhost, '^www\\.', '') AS host,
@@ -2605,7 +2610,8 @@ FROM up"""
   FROM parsed
 ), rd AS (
   SELECT *,
-    CASE WHEN len(labels) <= 2 THEN host
+    CASE WHEN host LIKE '[%' THEN host
+         WHEN len(labels) <= 2 THEN host
          WHEN labels[-2] || '.' || labels[-1] IN
              ('co.uk','org.uk','ac.uk','com.au','co.jp','com.br','co.in')
            AND len(labels) >= 3

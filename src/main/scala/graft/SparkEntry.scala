@@ -457,9 +457,17 @@ object SparkEntry {
     // WARC front end: render -> concat -> Content-Length-driven parse; the
     // oracle states the expected records from the render (round-trip gate)
     "web_warc" -> ((s, dir) => ops.Warc.webWarc(docs(s, dir))),
+    // the same round trip through REAL on-disk .warc.gz files (executor-side
+    // write, binaryFile read, byte-level parse) — same oracle: the file hop
+    // must be byte-exact
+    "web_warc_files" -> ((s, dir) => ops.Warc.webWarcFiles(docs(s, dir))),
     // the same crawl pipeline rooted at the RAW WARC files; must equal
     // prep_web bit-for-bit (the oracle IS the prep_web statement)
     "prep_warc" -> ((s, dir) => ops.Prep.prepWarc(docs(s, dir))),
+    // the crawl pipeline rooted at REAL on-disk .warc.gz files (write →
+    // binaryFile read → byte parse → same chain); equals prep_web by the
+    // byte-exact file round trip — same oracle
+    "prep_warc_files" -> ((s, dir) => ops.Prep.prepWarcFiles(docs(s, dir))),
     // edit-distance-verified near-dup: Levenshtein runs only on the
     // Hamming-bounded simhash survivors, never a quadratic pair stream
     "dedup_edit" -> ((s, dir) => ops.Dedup.editDistancePairs(docs(s, dir))),
@@ -683,7 +691,9 @@ object SparkEntry {
     "web_domains" -> OracleSqlOps.webDomains,
     "web_url_dedup" -> OracleSqlOps.webUrlDedup,
     "web_warc" -> OracleSqlOps.webWarc,
+    "web_warc_files" -> OracleSqlOps.webWarc,
     "prep_warc" -> OracleSqlOps.prepWarc,
+    "prep_warc_files" -> OracleSqlOps.prepWarc,
     "prep_web" -> OracleSqlOps.prepWeb,
     "dedup_edit" -> OracleSqlOps.dedupEdit,
     "dedup_incremental" -> OracleSqlOps.dedupIncremental,

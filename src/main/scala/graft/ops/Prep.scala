@@ -204,4 +204,26 @@ object Prep {
       .join(docs.select(col("doc_id"), col("source")), "doc_id")
     crawlChain(pages, keepFrac, budget, shards)
   }
+
+  /** [[prepWarc]] rooted at REAL on-disk crawl files: the fixture corpus is
+    * laid down as `.warc.gz` files ([[Warc.writeFixtureFiles]], executor-
+    * side), read back through `binaryFile` + the byte-level walker, and fed
+    * to the identical gate → extract → dedup → FineWeb chain. By the
+    * byte-exact file round trip ([[Warc.webWarcFiles]]' oracle) the result
+    * must equal [[prepWeb]] — and the oracle holds it to that, so the
+    * whole disk hop sits inside the correctness gate. This is the query a
+    * real crawl user runs: point [[Warc.responsePagesFromFiles]] at a
+    * crawl directory instead of the fixture renderer. */
+  def prepWarcFiles(docs: DataFrame, keepFrac: Double = 0.3,
+      budget: Int = 2048, shards: Int = 32): DataFrame = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-prepwarc-files").toString
+    Warc.writeFixtureFiles(docs, dir)
+    val resp = Warc.responsePagesFromFiles(docs.sparkSession, dir)
+      .select(col("doc_id"), col("url"), col("body"))
+    val pages = urlGateCanonical(resp)
+      .select(col("doc_id"), col("body").as("html"))
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+    crawlChain(pages, keepFrac, budget, shards)
+  }
 }

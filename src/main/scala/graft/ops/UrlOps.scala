@@ -73,6 +73,14 @@ object UrlOps {
       graft.functions.RegisteredDomain(
         org.apache.spark.sql.graftbridge.expression(host)))
 
+  /** IDN wire form of an already-lowercased host — unicode labels become
+    * their `xn--` punycode spelling (JDK `java.net.IDN`), ASCII hosts pass
+    * through after one char scan ([[graft.functions.IdnAscii]]). */
+  def idnAscii(host: Column): Column =
+    org.apache.spark.sql.graftbridge.column(
+      graft.functions.IdnAscii(
+        org.apache.spark.sql.graftbridge.expression(host)))
+
   /** Parse + normalize, as one struct Column over a `url` string:
     * `(scheme, host, port, path, registered_domain, url_norm)`.
     *
@@ -86,11 +94,15 @@ object UrlOps {
     * Stated simplifications (each deterministic, oracle-mirrored): a
     * schemeless/malformed URL parses to empty parts rather than erroring
     * (the gate's rules then see empty strings — a production pipeline
-    * would add a `scheme = ''` drop rule); IPv6 bracket literals are OUT
-    * OF SCOPE (the first-colon host split misreads them — a crawl-grade
-    * parser would gate on `[` first); no IDN/punycode handling — hosts
-    * compare byte-wise after lowercasing, the same convention as the text
-    * operators' exact tier. */
+    * would add a `scheme = ''` drop rule); IPv6 bracket literals parse
+    * (bracket-gated host/port split, the address is its own registered
+    * domain) but are NOT RFC 5952-canonicalized — hex compares byte-wise
+    * after lowercasing; IDN hosts collapse to their punycode wire form
+    * ([[idnAscii]] — both spellings key the same page; malformed labels
+    * pass through raw and fall back to the byte-wise-compare convention).
+    * The DuckDB oracle restates the ASCII-host behavior (identical on the
+    * fixture domain — rendered hosts are ASCII; the IDN branch is
+    * spec-witnessed). */
   def parseNormalize(url: Column): Column = {
     val scheme = lower(schemeOf(url))
     // userinfo ("user:pass@") is stripped BEFORE the host/port split —
@@ -100,11 +112,26 @@ object UrlOps {
     // drops userinfo from url_norm: two fetches of the same resource under
     // different credentials ARE the same page for dedup purposes.
     val hostPort = regexp_replace(hostPortOf(url), "^[^/@]*@", "")
-    val rawHost = lower(regexp_extract(hostPort, "^([^:]*)", 1))
-    val portStr = regexp_extract(hostPort, ":([0-9]+)$", 1)
+    // IPv6 bracket literals ("[2001:db8::1]:8080"): the address lives in
+    // brackets and the port comes after "]:" — the first-colon split would
+    // otherwise read "[2001" as the host. The host keeps its brackets (the
+    // URI authority form, so url_norm reconstructs verbatim); hex compares
+    // byte-wise after lowercasing — no RFC 5952 canonicalization (the
+    // exact-tier convention; "::1" vs "0:0:0:0:0:0:0:1" stay distinct).
+    val isV6 = substring(hostPort, 1, 1) === "["
+    val rawHost = when(isV6,
+        concat(lit("["),
+          lower(regexp_extract(hostPort, "^\\[([^\\]]*)\\]", 1)), lit("]")))
+      .otherwise(lower(regexp_extract(hostPort, "^([^:]*)", 1)))
+    val portStr = when(isV6,
+        regexp_extract(hostPort, "^\\[[^\\]]*\\]:([0-9]+)$", 1))
+      .otherwise(regexp_extract(hostPort, ":([0-9]+)$", 1))
     val port = when(portStr === "", lit(null).cast("int"))
       .otherwise(portStr.cast("int"))
-    val host = regexp_replace(rawHost, "^www\\.", "")
+    // IDN: unicode labels collapse to their xn-- wire form so both
+    // spellings of a host key the same page (ASCII hosts — including the
+    // bracket-literal form — pass through on a one-char-scan fast path)
+    val host = idnAscii(regexp_replace(rawHost, "^www\\.", ""))
     val path = pathOf(url)
     val normPath = when(path === "", "/").otherwise(path)
     val keptParams = filter(split(queryOf(url), "&"),
@@ -118,7 +145,10 @@ object UrlOps {
     struct(
       scheme.as("scheme"), host.as("host"), port.as("port"),
       normPath.as("path"),
-      registeredDomain(host).as("registered_domain"),
+      // an IP literal is its own "site" — no public-suffix rule applies,
+      // so domain-keyed caps/blocklists treat the address as the domain
+      when(isV6, host).otherwise(registeredDomain(host))
+        .as("registered_domain"),
       concat(scheme, lit("://"), host, portPart, normPath, normQuery)
         .as("url_norm"))
   }

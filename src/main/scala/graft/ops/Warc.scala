@@ -256,4 +256,51 @@ object Warc {
   /** The composed fixture query: render, concatenate, parse — the round
     * trip the oracle checks field-by-field. */
   def webWarc(docs: DataFrame): DataFrame = records(files(docs))
+
+  /** Materialize the fixture render as REAL `.warc.gz` files under `dir` —
+    * one file per `warc_id`, gzip-compressed (one member per file; the
+    * per-record-member layout is exercised by the OpsSpec fixture — the
+    * walker reads both, JDK gzip handles concatenated members
+    * transparently). The write is EXECUTOR-side through the Hadoop
+    * FileSystem API (each task writes its partition's files; nothing is
+    * collected to the driver), so the same code lays crawl shards onto
+    * HDFS/object storage on a cluster as onto the local FS here. */
+  def writeFixtureFiles(docs: DataFrame, dir: String,
+      gzip: Boolean = true): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    files(docs).select(col("warc_id"), col("content")).as[(Long, String)]
+      .foreachPartition { it: Iterator[(Long, String)] =>
+        // default Configuration on the executor classpath — carries the
+        // cluster's fs.defaultFS; the fixture path is absolute-local either way
+        val conf = new org.apache.hadoop.conf.Configuration()
+        it.foreach { case (wid, content) =>
+          val ext = if (gzip) ".warc.gz" else ".warc"
+          val p = new org.apache.hadoop.fs.Path(dir, f"part-$wid%05d$ext")
+          val raw = p.getFileSystem(conf).create(p, true)
+          val out: java.io.OutputStream =
+            if (gzip) new java.util.zip.GZIPOutputStream(raw) else raw
+          try out.write(content.getBytes(UTF_8)) finally out.close()
+        }
+      }
+  }
+
+  /** [[webWarc]] through REAL on-disk `.warc.gz` files: render → write
+    * gzipped crawl files (executor-side) → `binaryFile` read → byte-level
+    * parse — the full real-crawl ingestion path, held to the SAME oracle as
+    * the in-memory round trip (the write/read hop must be byte-exact, so
+    * the result table is identical). `warc_id` is recovered from the file
+    * name; the UTF-8 body decode mirrors [[records]]' fixture dialect. */
+  def webWarcFiles(docs: DataFrame): DataFrame = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-webwarc-files").toString
+    writeFixtureFiles(docs, dir)
+    recordsFromFiles(docs.sparkSession, dir)
+      .select(
+        regexp_extract(col("path"), "part-(\\d+)\\.warc", 1)
+          .cast("long").as("warc_id"),
+        col("rec_idx"), col("warc_type"), col("doc_id"), col("target_uri"),
+        col("warc_date"), col("content_length"), col("http_status"),
+        decode(col("body"), "UTF-8").as("body"))
+  }
 }

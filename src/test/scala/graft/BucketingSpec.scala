@@ -27,6 +27,11 @@ class BucketingSpec extends SparkSpec {
         .select(col("id").as("doc_id"), (col("id") % 5).as("y"))
       Bucketing.writeBucketed(a, "bk_a", s"$dir/a", "doc_id", 8)
       Bucketing.writeBucketed(b, "bk_b", s"$dir/b", "doc_id", 8)
+      // layout invariant: one file per bucket (the pre-repartition writer
+      // emitted tasks×buckets files, fragmenting every later scan)
+      val nFiles = new java.io.File(s"$dir/a").listFiles
+        .count(_.getName.endsWith(".parquet"))
+      assert(nFiles == 8, s"one file per bucket expected, got $nFiles")
       val j = Bucketing.bucketedJoin(spark, "bk_a", "bk_b", "doc_id")
       assert(!Bucketing.hasShuffle(j), "bucketed join must not exchange:\n" +
         j.queryExecution.executedPlan.toString.take(2000))

@@ -1944,6 +1944,22 @@ class OpsSpec extends SparkSpec {
     graft.ops.CacheScope.releaseAll(spark)
   }
 
+  test("prepWarcFiles: the pipeline rooted at on-disk .warc.gz equals prepWeb") {
+    def good(i: Int) =
+      (s"the quick brown fox jumps over of lazy dog extra$i ") * 4
+    val d = Seq(2L, 4L, 8L, 9L, 13L, 17L)
+      .map(i => (i, good(i.toInt), "en", "srcA"))
+      .toDF("doc_id", "text", "lang", "source")
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    val web = norm(graft.ops.Prep.prepWeb(d, keepFrac = 1.0))
+    graft.ops.CacheScope.releaseAll(spark)
+    val files = norm(graft.ops.Prep.prepWarcFiles(d, keepFrac = 1.0))
+    assert(files == web, s"files-rooted pipeline diverged: " +
+      s"${files.size} vs ${web.size} rows")
+    graft.ops.CacheScope.releaseAll(spark)
+  }
+
   test("extractHtml strips boilerplate from a real page, keeps the prose") {
     import graft.ops.TextExtract
     val page = """<!DOCTYPE html>
@@ -2104,6 +2120,52 @@ class OpsSpec extends SparkSpec {
     assert(out(3L).getAs[String]("registered_domain") == "domain.net")
   }
 
+  test("url parse collapses IDN hosts to their punycode wire form") {
+    import graft.ops.UrlOps
+    // both spellings of an internationalized host must key the SAME page:
+    // unicode labels IDN-encode to xn--, the punycode spelling is already
+    // wire form, and the registered domain comes from the encoded host
+    val d = Seq(
+      (0L, "https://пример.example/p"),
+      (1L, "https://xn--e1afmkfd.example/p"),
+      (2L, "http://www.bücher.de:80/kat?utm_source=a&id=9"),
+      (3L, "https://plain.org/q")).toDF("doc_id", "url")
+    val out = UrlOps.urls(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(0L).getAs[String]("host") == "xn--e1afmkfd.example")
+    // the two spellings normalize identically — dedup keys agree
+    assert(out(0L).getAs[String]("url_norm") ==
+      out(1L).getAs[String]("url_norm"))
+    assert(out(2L).getAs[String]("host") == "xn--bcher-kva.de")
+    assert(out(2L).getAs[String]("registered_domain") == "xn--bcher-kva.de")
+    assert(out(2L).getAs[String]("url_norm") ==
+      "http://xn--bcher-kva.de/kat?id=9")
+    // ASCII fast path is the identity
+    assert(out(3L).getAs[String]("host") == "plain.org")
+  }
+
+  test("url parse handles IPv6 bracket literals") {
+    import graft.ops.UrlOps
+    // without the bracket gate the first-colon split read '[2001' as host;
+    // the address keeps its brackets, the port sits after ']:', and an IP
+    // literal is its own registered domain (no public-suffix rule applies)
+    val d = Seq(
+      (0L, "http://[2001:DB8::1]:8080/a?utm_source=x&id=3"),
+      (1L, "https://[::1]/p"),
+      (2L, "https://[2001:db8::2]:443/q")).toDF("doc_id", "url")
+    val out = UrlOps.urls(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(0L).getAs[String]("host") == "[2001:db8::1]")
+    assert(out(0L).getAs[Int]("port") == 8080)
+    assert(out(0L).getAs[String]("registered_domain") == "[2001:db8::1]")
+    assert(out(0L).getAs[String]("url_norm") ==
+      "http://[2001:db8::1]:8080/a?id=3")
+    assert(out(1L).getAs[String]("host") == "[::1]")
+    assert(out(1L).isNullAt(out(1L).fieldIndex("port")))
+    // default https port strips from url_norm like any other host
+    assert(out(2L).getAs[String]("url_norm") == "https://[2001:db8::2]/q")
+  }
+
   test("url parse strips userinfo before the host/port split") {
     import graft.ops.UrlOps
     // advisor r8 (medium): without the strip, 'user:pass@host' parsed host
@@ -2236,6 +2298,19 @@ class OpsSpec extends SparkSpec {
     assert(resp(4L).getAs[String]("body").contains("<p>one two three"))
     assert(resp(26L).getAs[Long]("warc_id") == 1L)
     assert(resp(26L).getAs[String]("target_uri").nonEmpty)
+  }
+
+  test("warc file round trip: gzipped on-disk files reproduce the in-memory parse") {
+    import graft.ops.Warc
+    val d = Seq(
+      (2L, "alpha beta gamma delta epsilon zeta eta theta " * 3, "en", "srcA"),
+      (4L, "one two three four five six seven eight nine ten", "en", "srcA"),
+      (26L, "lorem ipsum dolor sit amet consectetur adipiscing", "de", "srcB"))
+      .toDF("doc_id", "text", "lang", "source")
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    // the write→binaryFile→parse hop must be byte-exact: identical table
+    assert(norm(Warc.webWarcFiles(d)) == norm(Warc.webWarc(d)))
   }
 
   test("warc real-file ingestion: gzipped members, binary payloads, byte-exact") {
