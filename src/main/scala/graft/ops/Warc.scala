@@ -64,7 +64,7 @@ object Warc {
     * record + the doc_id-ordered response records. The HTTP and WARC
     * Content-Length fields are BYTE lengths ([[octet_length]]) — the spec's
     * unit, and what the parser walks by. */
-  def files(docs: DataFrame): DataFrame = {
+  def files(docs: DataFrame, perFile: Int = PerFile): DataFrame = {
     val pages = TextExtract.htmlPages(
       UrlOps.pageUrls(docs).select(col("doc_id"), col("url"), col("text"),
         col("source")), keep = Seq("url"))
@@ -86,7 +86,7 @@ object Warc {
         s"Content-Length: ${InfoPayload.getBytes(UTF_8).length}" +
         Crlf + Crlf + InfoPayload + Crlf + Crlf))
     pages
-      .select(floor(col("doc_id") / PerFile).cast("long").as("warc_id"),
+      .select(floor(col("doc_id") / perFile).cast("long").as("warc_id"),
         col("doc_id"), rec.as("rec"))
       .groupBy(col("warc_id"))
       .agg(array_join(
@@ -266,10 +266,11 @@ object Warc {
     * collected to the driver), so the same code lays crawl shards onto
     * HDFS/object storage on a cluster as onto the local FS here. */
   def writeFixtureFiles(docs: DataFrame, dir: String,
-      gzip: Boolean = true): Unit = {
+      gzip: Boolean = true, perFile: Int = PerFile): Unit = {
     val spark = docs.sparkSession
     import spark.implicits._
-    files(docs).select(col("warc_id"), col("content")).as[(Long, String)]
+    files(docs, perFile).select(col("warc_id"), col("content"))
+      .as[(Long, String)]
       .foreachPartition { it: Iterator[(Long, String)] =>
         // default Configuration on the executor classpath — carries the
         // cluster's fs.defaultFS; the fixture path is absolute-local either way

@@ -44,6 +44,24 @@ object DevStressR9b {
       forceCount(ops.Prep.prepWarcFiles(docs)))
     timed("prep_warc        100x-diverse (control)")(
       forceCount(ops.Prep.prepWarc(docs)))
+
+    // the fixture's 25-pages-per-file knob produces ~20k tiny files at
+    // 100× — the pathological small-file shape. Real crawl segments are
+    // ~1 GB; 2500 pages/file (200 files here) isolates the tax: if the
+    // delta vs the control is the FILE COUNT (open/list/create per file),
+    // the big-file run should approach the in-memory time.
+    timed("warc files write+read  200 big files") {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-warcbig").toString
+      ops.Warc.writeFixtureFiles(docs, dir, gzip = true, perFile = 2500)
+      forceCount(ops.Warc.recordsFromFiles(spark, dir))
+    }
+    timed("warc files write+read  20k small files") {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-warcsmall").toString
+      ops.Warc.writeFixtureFiles(docs, dir, gzip = true)
+      forceCount(ops.Warc.recordsFromFiles(spark, dir))
+    }
     spark.stop()
   }
 }
