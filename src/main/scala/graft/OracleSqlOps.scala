@@ -2630,6 +2630,33 @@ FROM rd"""
 
   /** URL parse/normalize oracle (mirrors graft.ops.UrlOps.webUrls over the
     * rendered fixture URLs). */
+  /** robots.txt gate oracle (mirrors graft.ops.Robots.webRobots): the
+    * engine renders per-domain robots from the SAME L=length(domain)
+    * recipe, parses them back, and decides by longest-prefix-match — the
+    * oracle states the DECISION generatively (casino block; /de/ section
+    * block with the /de/article- allow carve-out on L%3==0; the graftbot
+    * override group allowing everything on L%4==0; star-group crawl delay
+    * (L%7)+1), so the engine's render→parse→decide round trip must land on
+    * exactly these rows. Rule-overlap note: a fixture path matches at most
+    * one rule FAMILY (casino vs the /de/ rules), so the CASE order below
+    * encodes the longest-match order. */
+  val webRobots: String = s"""SELECT doc_id, url, registered_domain, path,
+  CASE WHEN l % 4 = 0 THEN TRUE
+       WHEN path LIKE '/casino-bonus/%' THEN FALSE
+       WHEN l % 3 = 0 AND path LIKE '/de/%'
+            AND NOT path LIKE '/de/article-%' THEN FALSE
+       ELSE TRUE END AS robots_allowed,
+  CASE WHEN l % 4 = 0 THEN '/'
+       WHEN path LIKE '/casino-bonus/%' THEN '/casino-bonus/'
+       WHEN l % 3 = 0 AND path LIKE '/de/article-%' THEN '/de/article-'
+       WHEN l % 3 = 0 AND path LIKE '/de/%' THEN '/de/'
+       WHEN l % 3 = 1 AND path LIKE '/private/%' THEN '/private/'
+       ELSE NULL END AS robots_rule,
+  CAST(CASE WHEN l % 4 = 0 THEN NULL ELSE (l % 7) + 1 END AS INT)
+    AS crawl_delay
+FROM (SELECT *, length(registered_domain) AS l
+      FROM (${urlParsedOver(urlPagesOver("documents"))}))"""
+
   val webUrls: String = s"""SELECT doc_id, url, scheme, host, port, path,
   registered_domain, url_norm
 FROM (${urlParsedOver(urlPagesOver("documents"))})"""

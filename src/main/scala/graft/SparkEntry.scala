@@ -456,6 +456,10 @@ object SparkEntry {
     "prep_web" -> ((s, dir) => ops.Prep.prepWeb(docs(s, dir))),
     // WARC front end: render -> concat -> Content-Length-driven parse; the
     // oracle states the expected records from the render (round-trip gate)
+    // robots.txt fetch-policy gate: render per-domain robots, parse back,
+    // longest-prefix-match decision per agent group (oracle states the
+    // decision generatively — the parser must reach it)
+    "web_robots" -> ((s, dir) => ops.Robots.webRobots(docs(s, dir))),
     "web_warc" -> ((s, dir) => ops.Warc.webWarc(docs(s, dir))),
     // the same round trip through REAL on-disk .warc.gz files (executor-side
     // write, binaryFile read, byte-level parse) — same oracle: the file hop
@@ -690,6 +694,7 @@ object SparkEntry {
     "web_url_filter" -> OracleSqlOps.webUrlFilter,
     "web_domains" -> OracleSqlOps.webDomains,
     "web_url_dedup" -> OracleSqlOps.webUrlDedup,
+    "web_robots" -> OracleSqlOps.webRobots,
     "web_warc" -> OracleSqlOps.webWarc,
     "web_warc_files" -> OracleSqlOps.webWarc,
     "prep_warc" -> OracleSqlOps.prepWarc,

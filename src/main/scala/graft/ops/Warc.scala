@@ -222,10 +222,18 @@ object Warc {
     * no cross-file state exists. The parse is `mapPartitions`, the
     * sanctioned per-partition escape hatch ([[records]]' rationale). */
   def recordsFromFiles(spark: org.apache.spark.sql.SparkSession,
-      path: String): DataFrame = {
+      path: String): DataFrame =
+    parseFilesFrame(spark.read.format("binaryFile").load(path))
+
+  /** The byte-level parse over ANY `binaryFile`-shaped frame carrying
+    * `(path, content)` — shared by the batch [[recordsFromFiles]] and the
+    * streaming [[graft.streaming.StreamingCrawl]] front ends (the parse is
+    * stateless per file, so the identical code serves both execution
+    * modes). */
+  private[graft] def parseFilesFrame(files: DataFrame): DataFrame = {
+    val spark = files.sparkSession
     import spark.implicits._
-    spark.read.format("binaryFile").load(path)
-      .select(col("path"), col("content")).as[(String, Array[Byte])]
+    files.select(col("path"), col("content")).as[(String, Array[Byte])]
       .mapPartitions { it =>
         it.flatMap { case (p, bytes) =>
           val base = new java.io.ByteArrayInputStream(bytes)
@@ -269,12 +277,15 @@ object Warc {
       gzip: Boolean = true, perFile: Int = PerFile): Unit = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // the SESSION Hadoop conf rides to the tasks (not a default
+    // Configuration): object-store credentials / fs impls / defaultFS all
+    // live there on a real cluster
+    val confSer = org.apache.spark.sql.graftbridge
+      .serializableHadoopConf(spark)
     files(docs, perFile).select(col("warc_id"), col("content"))
       .as[(Long, String)]
       .foreachPartition { it: Iterator[(Long, String)] =>
-        // default Configuration on the executor classpath — carries the
-        // cluster's fs.defaultFS; the fixture path is absolute-local either way
-        val conf = new org.apache.hadoop.conf.Configuration()
+        val conf = confSer.value
         it.foreach { case (wid, content) =>
           val ext = if (gzip) ".warc.gz" else ".warc"
           val p = new org.apache.hadoop.fs.Path(dir, f"part-$wid%05d$ext")

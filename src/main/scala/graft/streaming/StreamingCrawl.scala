@@ -1,0 +1,61 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Streaming crawl ingestion: a fetcher fleet drops `.warc` / `.warc.gz`
+ * files into a directory (or object-store prefix) and the pipeline picks
+ * each file up EXACTLY ONCE as it lands — Structured Streaming's file
+ * source over the `binaryFile` format, feeding the same byte-level walker
+ * ([[graft.ops.Warc.parseStream]] via `parseFilesFrame`) and the same URL
+ * gate as the batch pipeline. Everything here is STATELESS per file, so
+ * recovery/replay is the file source's checkpointed offset log and nothing
+ * else; chain [[StreamingDedup]] downstream for the stateful tiers.
+ *
+ * Scale shape: the file source lists new files per trigger and files stay
+ * the parallelism unit (whole-file reads, as in the batch front end);
+ * `maxFilesPerTrigger` is the deployment's ingest-rate knob.
+ */
+object StreamingCrawl {
+
+  /** `binaryFile`'s fixed schema — the streaming file source requires an
+    * explicit schema (no inference pass on a stream). */
+  val BinaryFileSchema: StructType = StructType(Seq(
+    StructField("path", StringType),
+    StructField("modificationTime", TimestampType),
+    StructField("length", LongType),
+    StructField("content", BinaryType)))
+
+  /** Parsed WARC records from a WATCHED directory — the streaming twin of
+    * [[graft.ops.Warc.recordsFromFiles]] (same schema, same byte-exact
+    * walker; `maxFilesPerTrigger` bounds per-batch work). */
+  def records(spark: SparkSession, path: String,
+      maxFilesPerTrigger: Int = 64): DataFrame =
+    graft.ops.Warc.parseFilesFrame(
+      spark.readStream.format("binaryFile")
+        .schema(BinaryFileSchema)
+        .option("maxFilesPerTrigger", maxFilesPerTrigger)
+        .load(path))
+
+  /** The HTML boundary of the stream: `response` records as
+    * `(doc_id, url, body)` string pages — the streaming twin of
+    * [[graft.ops.Warc.responsePagesFromFiles]]. */
+  def responsePages(spark: SparkSession, path: String,
+      maxFilesPerTrigger: Int = 64): DataFrame =
+    records(spark, path, maxFilesPerTrigger)
+      .filter(col("warc_type") === "response")
+      .select(col("doc_id"), col("target_uri").as("url"),
+        decode(col("body"), "UTF-8").as("body"))
+
+  /** [[responsePages]] with the URL gate applied in-stream (the pure
+    * per-row [[graft.ops.UrlOps.filterReason]] filter — fuses into the
+    * file scan; blocked/spam/over-length pages never leave the trigger
+    * that read them). URL-level dedup and the content tiers are
+    * [[StreamingDedup]]'s job downstream. */
+  def gatedPages(spark: SparkSession, path: String,
+      maxFilesPerTrigger: Int = 64): DataFrame =
+    responsePages(spark, path, maxFilesPerTrigger)
+      .filter(graft.ops.UrlOps.filterReason(col("url")) === "ok")
+}

@@ -35,6 +35,17 @@ object graftbridge {
       case _ => None
     }
 
+  /** The session's Hadoop configuration in executor-shippable form
+    * (`SerializableConfiguration` is `private[spark]` — this bridge is the
+    * public-API-shaped accessor). Executor-side FileSystem work (e.g. the
+    * WARC fixture writer) must carry the SESSION conf, not a default
+    * `new Configuration()`: object-store credentials, fs implementations,
+    * and defaultFS all live there on a real cluster. */
+  def serializableHadoopConf(s: SparkSession)
+      : org.apache.spark.util.SerializableConfiguration =
+    new org.apache.spark.util.SerializableConfiguration(
+      s.sparkContext.hadoopConfiguration)
+
   /** Count that FORCES full materialization of the frame's output rows.
     * `df.count()` rewrites the logical plan to a bare aggregate first:
     * column pruning drops every output column, and a cardinality-preserving

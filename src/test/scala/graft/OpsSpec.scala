@@ -2120,6 +2120,81 @@ class OpsSpec extends SparkSpec {
     assert(out(3L).getAs[String]("registered_domain") == "domain.net")
   }
 
+  test("robots gate: longest match wins, ties allow, exact agent group overrides *") {
+    import graft.ops.Robots
+    val robots = Seq(
+      // longest-match + tie witnesses for agent '*'
+      ("site-a.com",
+        "User-agent: *\nDisallow: /blog/\nAllow: /blog/public\n" +
+          "Disallow: /tie\nAllow: /tie\nCrawl-delay: 4"),
+      // agent-exact group REPLACES '*' (its casino block must not leak in)
+      ("site-b.com",
+        "User-agent: *\nDisallow: /\n\nUser-agent: graftbot\n" +
+          "Disallow: /secret/\nAllow: /"),
+      // group with no rules: agent + delay survive, everything allowed
+      ("site-c.com", "User-agent: *\nCrawl-delay: 9"))
+      .toDF("registered_domain", "robots_txt")
+    val pages = Seq(
+      (0L, "site-a.com", "/blog/post-1"),        // /blog/ disallow wins
+      (1L, "site-a.com", "/blog/public/x"),      // longer allow wins
+      (2L, "site-a.com", "/tie"),                // equal length -> allow
+      (3L, "site-a.com", "/elsewhere"),          // no match -> allowed
+      (4L, "site-b.com", "/anything"),           // graftbot group: Allow /
+      (5L, "site-b.com", "/secret/doc"),         // graftbot group disallow
+      (6L, "site-c.com", "/whatever"),           // ruleless group
+      (7L, "unlisted.net", "/x"))                // no robots row at all
+      .toDF("doc_id", "registered_domain", "path")
+      .withColumn("url", concat(lit("https://"), col("registered_domain"),
+        col("path")))
+    val out = Robots.robotsGate(pages, robots).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Boolean]("robots_allowed"), r.getAs[String]("robots_rule"),
+          Option(r.getAs[Any]("crawl_delay")))).toMap
+    assert(out(0L) == ((false, "/blog/", Some(4))))
+    assert(out(1L) == ((true, "/blog/public", Some(4))))
+    assert(out(2L) == ((true, "/tie", Some(4))))
+    assert(out(3L) == ((true, null, Some(4))))
+    assert(out(4L) == ((true, "/", None)))
+    assert(out(5L) == ((false, "/secret/", None)))
+    assert(out(6L) == ((true, null, Some(9))))
+    assert(out(7L) == ((true, null, None)))
+  }
+
+  test("webRobots fixture: group override and longest match on rendered URLs") {
+    import graft.ops.Robots
+    // sources of DIFFERENT lengths so the rendered registered domains hit
+    // every L-residue branch (a fixed source name yields only 2 lengths and
+    // can miss the graftbot-override residue L%4==0 entirely); the range
+    // includes id 65 — a casino path (65%13==0) on an override domain
+    // (ccc-site.org, L=12)
+    def good(i: Long) = (i, s"body $i", if (i % 2 == 0) "en" else "de",
+      Seq("a", "bb", "ccc")((i % 3).toInt))
+    val d = (0L until 78L).map(good).toDF("doc_id", "text", "lang", "source")
+    val out = Robots.webRobots(d).collect()
+    assert(out.length == 78)
+    for (r <- out) {
+      val dom = r.getAs[String]("registered_domain")
+      val path = r.getAs[String]("path")
+      val allowed = r.getAs[Boolean]("robots_allowed")
+      val l = dom.length
+      val expected =
+        if (l % 4 == 0) true // graftbot group: Allow /
+        else if (path.startsWith("/casino-bonus/")) false
+        else if (l % 3 == 0 && path.startsWith("/de/") &&
+          !path.startsWith("/de/article-")) false
+        else true
+      assert(allowed == expected, s"$dom $path: got $allowed")
+      // crawl_delay: star group (L%7)+1 unless the graftbot group governs
+      val delay = Option(r.getAs[Any]("crawl_delay"))
+      assert(delay == (if (l % 4 == 0) None else Some((l % 7) + 1)),
+        s"$dom delay: got $delay")
+    }
+    // the fixture must exercise BOTH branches
+    assert(out.exists(r => !r.getAs[Boolean]("robots_allowed")))
+    assert(out.exists(r => r.getAs[Boolean]("robots_allowed") &&
+      r.getAs[String]("path").startsWith("/casino-bonus/")))
+  }
+
   test("url parse collapses IDN hosts to their punycode wire form") {
     import graft.ops.UrlOps
     // both spellings of an internationalized host must key the SAME page:

@@ -540,4 +540,43 @@ class StreamingSpec extends SparkSpec {
       assert(b2.toSeq == Seq((0L, "a"), (1L, "b"), (4L, "c")))
     } finally q.stop()
   }
+
+  test("streaming crawl ingest: files land, parse once, URL gate in-stream") {
+    val spark2 = spark
+    import spark2.implicits._
+    import graft.ops.Warc
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-stream-crawl").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-stream-crawl-ckpt").toString
+    // batch-1 file: docs 2 and 4 (warc_id 0 -> part-00000.warc.gz); doc 9
+    // renders onto the blocked domain (spam-mirror.net), so the gate must
+    // drop it INSIDE the stream
+    def mk(ids: Long*) = ids.map(i =>
+      (i, s"crawl page body number $i with words", "en", "srcA"))
+      .toDF("doc_id", "text", "lang", "source")
+    Warc.writeFixtureFiles(mk(2L, 4L, 9L), dir)
+    val out = graft.streaming.StreamingCrawl.gatedPages(spark2, dir)
+    val q = out.writeStream
+      .format("memory").queryName("crawl_pages").outputMode("append")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      val b1 = spark.table("crawl_pages").collect()
+        .map(_.getAs[Long]("doc_id")).sorted.toSeq
+      assert(b1 == Seq(2L, 4L), s"batch 1 got $b1")
+      // a SECOND file lands mid-query (doc 28 -> warc_id 1): the file
+      // source must pick up exactly the new file, parse, and gate it
+      // (28 passes every gate rule; 26 would hit the casino-path residue)
+      Warc.writeFixtureFiles(mk(28L), dir)
+      q.processAllAvailable()
+      val b2 = spark.table("crawl_pages").collect()
+        .map(_.getAs[Long]("doc_id")).sorted.toSeq
+      assert(b2 == Seq(2L, 4L, 28L), s"batch 2 got $b2")
+      // the page text survived the WARC+gzip+stream round trip
+      val body = spark.table("crawl_pages")
+        .filter(col("doc_id") === 28L).head().getAs[String]("body")
+      assert(body.contains("crawl page body number 28"))
+    } finally q.stop()
+  }
 }
