@@ -122,7 +122,10 @@ object Robots {
         .otherwise(col("agent") === "*"))
       .groupBy(col("registered_domain"))
       .agg(
-        collect_list(when(col("prefix").isNotNull,
+        // an EMPTY prefix is RFC 9309's "no restriction" form ("Disallow:"
+        // with no value = everything allowed) — it must NOT enter the fold
+        // as a length-0 match, or a lone empty Disallow would block the site
+        collect_list(when(col("prefix").isNotNull && col("prefix") =!= "",
           struct(col("rule_type"), col("prefix")))).as("rules"),
         max(col("crawl_delay")).as("crawl_delay"))
     // the decision as a fold over the matching rules — runs per PAGE ROW

@@ -2132,7 +2132,9 @@ class OpsSpec extends SparkSpec {
         "User-agent: *\nDisallow: /\n\nUser-agent: graftbot\n" +
           "Disallow: /secret/\nAllow: /"),
       // group with no rules: agent + delay survive, everything allowed
-      ("site-c.com", "User-agent: *\nCrawl-delay: 9"))
+      ("site-c.com", "User-agent: *\nCrawl-delay: 9"),
+      // RFC 9309: an EMPTY Disallow means "no restriction", not "block all"
+      ("site-d.com", "User-agent: *\nDisallow:"))
       .toDF("registered_domain", "robots_txt")
     val pages = Seq(
       (0L, "site-a.com", "/blog/post-1"),        // /blog/ disallow wins
@@ -2142,7 +2144,8 @@ class OpsSpec extends SparkSpec {
       (4L, "site-b.com", "/anything"),           // graftbot group: Allow /
       (5L, "site-b.com", "/secret/doc"),         // graftbot group disallow
       (6L, "site-c.com", "/whatever"),           // ruleless group
-      (7L, "unlisted.net", "/x"))                // no robots row at all
+      (7L, "unlisted.net", "/x"),                // no robots row at all
+      (8L, "site-d.com", "/anything"))           // empty Disallow -> allowed
       .toDF("doc_id", "registered_domain", "path")
       .withColumn("url", concat(lit("https://"), col("registered_domain"),
         col("path")))
@@ -2158,6 +2161,7 @@ class OpsSpec extends SparkSpec {
     assert(out(5L) == ((false, "/secret/", None)))
     assert(out(6L) == ((true, null, Some(9))))
     assert(out(7L) == ((true, null, None)))
+    assert(out(8L) == ((true, null, None)))
   }
 
   test("webRobots fixture: group override and longest match on rendered URLs") {
