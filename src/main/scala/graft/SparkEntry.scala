@@ -453,7 +453,10 @@ object SparkEntry {
     "web_url_dedup" -> ((s, dir) => ops.UrlOps.webUrlDedup(docs(s, dir))),
     // the FULL crawl-to-shards composition: URL gate -> extract -> line
     // dedup -> FineWeb recipe on the cleaned text
-    "prep_web" -> ((s, dir) => ops.Prep.prepWeb(docs(s, dir))),
+    // the robots tier is composed in (cheapest gate first; a provable
+    // no-op on the fixture — the prep_web oracle holds unchanged)
+    "prep_web" -> ((s, dir) => { val d = docs(s, dir)
+      ops.Prep.prepWeb(d, robots = Some(ops.Robots.fixtureRobots(d))) }),
     // WARC front end: render -> concat -> Content-Length-driven parse; the
     // oracle states the expected records from the render (round-trip gate)
     // robots.txt fetch-policy gate: render per-domain robots, parse back,
@@ -467,11 +470,13 @@ object SparkEntry {
     "web_warc_files" -> ((s, dir) => ops.Warc.webWarcFiles(docs(s, dir))),
     // the same crawl pipeline rooted at the RAW WARC files; must equal
     // prep_web bit-for-bit (the oracle IS the prep_web statement)
-    "prep_warc" -> ((s, dir) => ops.Prep.prepWarc(docs(s, dir))),
+    "prep_warc" -> ((s, dir) => { val d = docs(s, dir)
+      ops.Prep.prepWarc(d, robots = Some(ops.Robots.fixtureRobots(d))) }),
     // the crawl pipeline rooted at REAL on-disk .warc.gz files (write →
     // binaryFile read → byte parse → same chain); equals prep_web by the
     // byte-exact file round trip — same oracle
-    "prep_warc_files" -> ((s, dir) => ops.Prep.prepWarcFiles(docs(s, dir))),
+    "prep_warc_files" -> ((s, dir) => { val d = docs(s, dir)
+      ops.Prep.prepWarcFiles(d, robots = Some(ops.Robots.fixtureRobots(d))) }),
     // edit-distance-verified near-dup: Levenshtein runs only on the
     // Hamming-bounded simhash survivors, never a quadratic pair stream
     "dedup_edit" -> ((s, dir) => ops.Dedup.editDistancePairs(docs(s, dir))),

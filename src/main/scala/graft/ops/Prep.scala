@@ -125,8 +125,9 @@ object Prep {
     * renderers; a real deployment points the same chain at its crawl
     * table's (url, html). */
   def prepWeb(docs: DataFrame, keepFrac: Double = 0.3,
-      budget: Int = 2048, shards: Int = 32): DataFrame = {
-    val canonical = urlGateCanonical(UrlOps.pageUrls(docs))
+      budget: Int = 2048, shards: Int = 32,
+      robots: Option[DataFrame] = None): DataFrame = {
+    val canonical = urlGateCanonical(UrlOps.pageUrls(docs), robots)
       .select(col("doc_id"), col("text"), col("source"))
     crawlChain(TextExtract.htmlPages(canonical), keepFrac, budget, shards)
   }
@@ -153,9 +154,27 @@ object Prep {
     * materialization barrier here. Real deployments read `url` as a leaf
     * column and never hit the multiplication; the barrier is still right —
     * the frame is consumed twice. */
-  private[graft] def urlGateCanonical(pages: DataFrame): DataFrame = {
+  private[graft] def urlGateCanonical(pages: DataFrame,
+      robots: Option[DataFrame] = None): DataFrame = {
+    // robots FIRST — it is the cheapest tier of all (a broadcast join +
+    // pure projection, no shuffle of pages; [[Robots.robotsGate]]), and
+    // fetch policy logically precedes content policy. On the fixture the
+    // robots decision is a provable NO-OP (every robots-blocked rendered
+    // path is also URL-gate-blocked), so the prep oracles hold unchanged;
+    // on a real corpus this is where disallowed fetches leave the pipeline.
+    val polite = robots match {
+      case Some(r) =>
+        val u = UrlOps.parseNormalize(col("url"))
+        Robots.robotsGate(
+            pages.withColumn("registered_domain", u.getField("registered_domain"))
+              .withColumn("path", u.getField("path")), r)
+          .filter(col("robots_allowed"))
+          .drop("registered_domain", "path", "robots_allowed", "robots_rule",
+            "crawl_delay")
+      case None => pages
+    }
     val ok = CacheScope.barrier(
-      pages.filter(UrlOps.filterReason(col("url")) === "ok"))
+      polite.filter(UrlOps.filterReason(col("url")) === "ok"))
     val canonIds = UrlOps.urlDedup(ok.select(col("doc_id"), col("url")))
       .filter(col("is_canonical")).select(col("doc_id"))
     ok.join(canonIds, "doc_id")
@@ -192,14 +211,15 @@ object Prep {
     * for reading it). By the round-trip identity the result must equal
     * [[prepWeb]] exactly — and the oracle holds it to that. */
   def prepWarc(docs: DataFrame, keepFrac: Double = 0.3,
-      budget: Int = 2048, shards: Int = 32): DataFrame = {
+      budget: Int = 2048, shards: Int = 32,
+      robots: Option[DataFrame] = None): DataFrame = {
     // stage 0's own eager frame ([[urlGateCanonical]]) is the single
     // materialization point — the mapPartitions WARC parse runs exactly
     // once, into it
     val resp = Warc.records(Warc.files(docs))
       .filter(col("warc_type") === "response")
       .select(col("doc_id"), col("target_uri").as("url"), col("body"))
-    val pages = urlGateCanonical(resp)
+    val pages = urlGateCanonical(resp, robots)
       .select(col("doc_id"), col("body").as("html"))
       .join(docs.select(col("doc_id"), col("source")), "doc_id")
     crawlChain(pages, keepFrac, budget, shards)
@@ -215,13 +235,14 @@ object Prep {
     * real crawl user runs: point [[Warc.responsePagesFromFiles]] at a
     * crawl directory instead of the fixture renderer. */
   def prepWarcFiles(docs: DataFrame, keepFrac: Double = 0.3,
-      budget: Int = 2048, shards: Int = 32): DataFrame = {
+      budget: Int = 2048, shards: Int = 32,
+      robots: Option[DataFrame] = None): DataFrame = {
     val dir = java.nio.file.Files
       .createTempDirectory("graft-prepwarc-files").toString
     Warc.writeFixtureFiles(docs, dir)
     val resp = Warc.responsePagesFromFiles(docs.sparkSession, dir)
       .select(col("doc_id"), col("url"), col("body"))
-    val pages = urlGateCanonical(resp)
+    val pages = urlGateCanonical(resp, robots)
       .select(col("doc_id"), col("body").as("html"))
       .join(docs.select(col("doc_id"), col("source")), "doc_id")
     crawlChain(pages, keepFrac, budget, shards)

@@ -160,4 +160,11 @@ object Robots {
       .select(col("doc_id"), col("url"), col("registered_domain"), col("path"))
     robotsGate(pages, robotsTxt(pages))
   }
+
+  /** The fixture robots table for a docs frame — what the composed prep
+    * recipes pass as their `robots` input (a real deployment passes its
+    * fetched robots corpus instead). */
+  def fixtureRobots(docs: DataFrame): DataFrame =
+    robotsTxt(UrlOps.urls(UrlOps.pageUrls(docs))
+      .select(col("registered_domain")))
 }

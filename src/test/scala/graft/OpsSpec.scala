@@ -2199,6 +2199,26 @@ class OpsSpec extends SparkSpec {
       r.getAs[String]("path").startsWith("/casino-bonus/")))
   }
 
+  test("crawl stage 0 composes robots before the URL gate") {
+    import graft.ops.Prep
+    // the page passes EVERY URL-quality rule (clean domain, clean path,
+    // short) — only the robots policy can drop it; the second page's domain
+    // has no robots restriction and must survive both variants
+    val pages = Seq(
+      (1L, "https://quiet-archive.org/en/article-1", "b1"),
+      (2L, "https://open-mirror.net/en/article-2", "b2"))
+      .toDF("doc_id", "url", "body")
+    val robots = Seq(
+      ("quiet-archive.org", "User-agent: *\nDisallow: /en/"),
+      ("open-mirror.net", "User-agent: *\nDisallow: /private/"))
+      .toDF("registered_domain", "robots_txt")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.getAs[Long]("doc_id")).sorted.toSeq
+    assert(ids(Prep.urlGateCanonical(pages, Some(robots))) == Seq(2L))
+    assert(ids(Prep.urlGateCanonical(pages, None)) == Seq(1L, 2L))
+    graft.ops.CacheScope.releaseAll(spark)
+  }
+
   test("url parse collapses IDN hosts to their punycode wire form") {
     import graft.ops.UrlOps
     // both spellings of an internationalized host must key the SAME page:
