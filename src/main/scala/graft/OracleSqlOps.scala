@@ -2632,24 +2632,34 @@ FROM rd"""
     * rendered fixture URLs). */
   /** robots.txt gate oracle (mirrors graft.ops.Robots.webRobots): the
     * engine renders per-domain robots from the SAME L=length(domain)
-    * recipe, parses them back, and decides by longest-prefix-match — the
-    * oracle states the DECISION generatively (casino block; /de/ section
-    * block with the /de/article- allow carve-out on L%3==0; the graftbot
+    * recipe (including CRLF/lowercase lexical variants and the stacked
+    * graftbot group — decision-invariant), parses them back, and decides
+    * by most-specific-match — the oracle states the DECISION generatively
+    * (casino block; /de/ section block with the /de/article- allow
+    * carve-out on L%3==0; the wildcard `&#47;*-padding$` block on L%5==0; the
+    * wildcard `Allow: /casino-bonus/win-*0$` carve-out on L%5==1, whose
+    * literal prefix (18) outranks the casino disallow (14); the graftbot
     * override group allowing everything on L%4==0; star-group crawl delay
     * (L%7)+1), so the engine's render→parse→decide round trip must land on
-    * exactly these rows. Rule-overlap note: a fixture path matches at most
-    * one rule FAMILY (casino vs the /de/ rules), so the CASE order below
-    * encodes the longest-match order. */
+    * exactly these rows. CASE order encodes specificity: the /de/article-
+    * allow (12) beats /de/ (4) and the padding wildcard (1);
+    * /casino-bonus/ (14) beats the padding wildcard on padded casino
+    * paths. */
   val webRobots: String = s"""SELECT doc_id, url, registered_domain, path,
   CASE WHEN l % 4 = 0 THEN TRUE
-       WHEN path LIKE '/casino-bonus/%' THEN FALSE
-       WHEN l % 3 = 0 AND path LIKE '/de/%'
-            AND NOT path LIKE '/de/article-%' THEN FALSE
+       WHEN path LIKE '/casino-bonus/%' THEN
+            (l % 5 = 1 AND path LIKE '/casino-bonus/win-%0')
+       WHEN l % 3 = 0 AND path LIKE '/de/article-%' THEN TRUE
+       WHEN l % 3 = 0 AND path LIKE '/de/%' THEN FALSE
+       WHEN l % 5 = 0 AND path LIKE '%-padding' THEN FALSE
        ELSE TRUE END AS robots_allowed,
   CASE WHEN l % 4 = 0 THEN '/'
-       WHEN path LIKE '/casino-bonus/%' THEN '/casino-bonus/'
+       WHEN path LIKE '/casino-bonus/%' THEN
+            CASE WHEN l % 5 = 1 AND path LIKE '/casino-bonus/win-%0'
+                 THEN '/casino-bonus/win-*0$$' ELSE '/casino-bonus/' END
        WHEN l % 3 = 0 AND path LIKE '/de/article-%' THEN '/de/article-'
        WHEN l % 3 = 0 AND path LIKE '/de/%' THEN '/de/'
+       WHEN l % 5 = 0 AND path LIKE '%-padding' THEN '/*-padding$$'
        WHEN l % 3 = 1 AND path LIKE '/private/%' THEN '/private/'
        ELSE NULL END AS robots_rule,
   CAST(CASE WHEN l % 4 = 0 THEN NULL ELSE (l % 7) + 1 END AS INT)

@@ -32,15 +32,23 @@ object PublicSuffix {
       wildcard: java.util.HashSet[String],
       exception: java.util.HashSet[String]) extends Serializable
 
+  // the upstream dat spells IDN rules in UNICODE label form, but hosts are
+  // IDN-converted to their xn-- wire form before lookup — rules must be
+  // stored in the same form or unicode TLDs silently fall back to the
+  // implicit '*' rule (advisor r9). Lowercase defensively first (the PSL
+  // algorithm is case-insensitive; the dat is lowercase by convention).
+  private def asciiRule(r: String): String =
+    Idn.toAscii(r.toLowerCase(java.util.Locale.ROOT))
+
   def parse(lines: Iterator[String]): Rules = {
     val exact = new java.util.HashSet[String]()
     val wildcard = new java.util.HashSet[String]()
     val exception = new java.util.HashSet[String]()
     lines.map(_.trim).filter(l => l.nonEmpty && !l.startsWith("//"))
       .foreach { l =>
-        if (l.startsWith("!")) exception.add(l.substring(1))
-        else if (l.startsWith("*.")) wildcard.add(l.substring(2))
-        else exact.add(l)
+        if (l.startsWith("!")) exception.add(asciiRule(l.substring(1)))
+        else if (l.startsWith("*.")) wildcard.add(asciiRule(l.substring(2)))
+        else exact.add(asciiRule(l))
       }
     Rules(exact, wildcard, exception)
   }

@@ -10,19 +10,25 @@ import org.apache.spark.sql.functions._
  * The reference consumes Kafka records and has no crawl stage (extension-
  * brief surface, like the rest of the web front end).
  *
- * Bounded dialect (stated, spec-witnessed): groups are separated by blank
- * lines with ONE `User-agent:` line each (the fixture's and the dominant
- * real-world shape); rules are `Allow:`/`Disallow:` path PREFIXES (`*`/`$`
- * wildcards out of scope); `Crawl-delay:` is read per group. Decision per
- * RFC 9309: the most specific (LONGEST) matching prefix wins, ties break
- * toward allow, no match means allowed; an agent-exact group, when present
- * for a domain, REPLACES the `*` group entirely.
+ * Dialect (RFC 9309, spec-witnessed): lines are parsed case-INsensitively
+ * with `\r\n`/`\r` normalized and `#` comments stripped; a group is one or
+ * more STACKED `User-agent:` lines followed by its rules (blank lines are
+ * not significant — the RFC's grouping, not the blank-line folk grouping);
+ * rules are `Allow:`/`Disallow:` path PATTERNS with `*` (any run of
+ * octets) and a terminal `$` (end anchor) per §2.2.3; `Crawl-delay:` is
+ * read per group (non-standard but ubiquitous; last value wins within a
+ * group, max across a merged agent's groups). Decision per RFC 9309: the
+ * most specific matching rule wins — specificity = octet length of the
+ * pattern's LITERAL PREFIX (the deterministic part before the first `*`;
+ * for wildcard-free rules this is the full "most octets" rule-length of
+ * §2.2.2) — ties break toward allow, no match means allowed; groups
+ * naming the crawler's agent token (case-insensitive exact match) REPLACE
+ * the `*` groups entirely, and multiple groups for one agent merge.
  *
  * Scale shape: robots tables are per-DOMAIN (bounded — millions of rows at
  * worst, kilobytes each), so the gate is one broadcast-ready equi-join of
- * pages against exploded rules plus one page-keyed max — no shuffle of the
- * page table beyond the aggregate, and the aggregate carries one struct
- * per (page, matching rule), bounded by rules-per-domain.
+ * pages against per-domain rule arrays plus a pure projection fold — the
+ * page table is never shuffled.
  */
 object Robots {
 
@@ -37,10 +43,24 @@ object Robots {
     *     language section);
     *   - `L % 3 == 1`: also `Disallow: /private/` (matches no fixture
     *     path — the no-op rule witness);
-    *   - `L % 4 == 0`: an additional `User-agent: graftbot` group with
-    *     `Allow: /` and no crawl-delay (the group-override witness — for
-    *     the graftbot agent these domains allow EVERYTHING, including the
-    *     casino paths the `*` group blocks).
+    *   - `L % 5 == 0`: also `Disallow: &#47;*-padding$` (the `*`+`$` WILDCARD
+    *     witness — blocks the padded long-URL paths, every one of which
+    *     the URL gate also rejects as too_long, so the composed prep
+    *     recipes are unchanged);
+    *   - `L % 5 == 1`: also `Allow: /casino-bonus/win-*0$` (the wildcard
+    *     LONGEST-MATCH witness — its literal prefix (18) outranks the
+    *     casino disallow (14), so casino pages whose id ends in 0 flip to
+    *     allowed; robots-allowing MORE never changes the prep recipes);
+    *   - `L % 4 == 0`: an additional STACKED group `User-agent:
+    *     experimental-crawler` + `User-agent: GraftBot` with `Allow: /`
+    *     and no crawl-delay (the group-override + stacked-agents +
+    *     case-insensitive-agent witness — for the graftbot agent these
+    *     domains allow EVERYTHING, including the casino paths the `*`
+    *     group blocks);
+    *   - lexical variants: even-L files are rendered all-LOWERCASE
+    *     (directive/agent case-insensitivity witness), odd-L files with
+    *     `\r\n` line endings (the canonical robots.txt ending — CRLF
+    *     parse witness). Neither changes any decision.
     *
     * Output `(registered_domain, robots_txt)`, one row per distinct
     * domain of the parsed pages. */
@@ -51,91 +71,171 @@ object Robots {
       lit("User-agent: *\nDisallow: /casino-bonus/"),
       when(l % 3 === 0, "\nDisallow: /de/\nAllow: /de/article-")
         .when(l % 3 === 1, "\nDisallow: /private/").otherwise(""),
+      when(l % 5 === 0, "\nDisallow: /*-padding$")
+        .when(l % 5 === 1, "\nAllow: /casino-bonus/win-*0$").otherwise(""),
       lit("\nCrawl-delay: "), ((l % 7) + 1).cast("string"))
-    val bot = when(l % 4 === 0, lit("\n\nUser-agent: graftbot\nAllow: /"))
+    val bot = when(l % 4 === 0, lit(
+        "\n\nUser-agent: experimental-crawler\nUser-agent: GraftBot\nAllow: /"))
       .otherwise("")
+    val txt = concat(star, bot)
+    val lex = when(l % 2 === 0, lower(txt))
+      .otherwise(regexp_replace(txt, "\n", "\r\n"))
     parsedPages.select(dom).distinct()
-      .select(dom, concat(star, bot).as("robots_txt"))
+      .select(dom, lex.as("robots_txt"))
   }
 
-  /** Parse robots.txt content into one row per rule:
+  private val RuleT = "struct<rule_type:string,prefix:string>"
+  private val GroupT =
+    s"struct<agents:array<string>,delay:int,rules:array<$RuleT>>"
+
+  /** Parse robots.txt content into one row per (agent, rule):
     * `(registered_domain, agent, rule_type 'allow'|'disallow', prefix,
-    * crawl_delay)` — group split on blank lines, the group's `User-agent:`
-    * line names the agent, `Crawl-delay:` rides on every rule row of its
-    * group (nullable). A group with no Allow/Disallow lines still yields
-    * one null-rule row so its agent + delay survive. Pure expressions —
-    * split/filter/transform/explode fused into the robots scan. */
+    * crawl_delay, has_wild, match_re, spec_len)` — RFC 9309 line-based
+    * grouping (see the object doc): `\r\n`/`\r` normalized, `#` comments
+    * stripped, directives and agent tokens matched case-insensitively
+    * (agents emit lowercased), STACKED `User-agent:` lines share one
+    * group, `Crawl-delay:` rides on every rule row of its group
+    * (nullable). A group with no Allow/Disallow lines still yields one
+    * null-rule row so its agents + delay survive. Wildcard patterns are
+    * compiled here, once per RULE on the bounded per-domain table:
+    * `match_re` is the anchored regex translation (non-null only when the
+    * pattern uses `*`/`$`), `spec_len` the literal-prefix specificity the
+    * decision fold ranks by. Pure expressions — the line fold is a single
+    * `aggregate` HOF over each file's lines (KB-bounded by nature of
+    * robots.txt), fused into the robots scan. */
   def parseRobots(robots: DataFrame): DataFrame = {
-    val grp = col("grp")
-    val lines = split(grp, "\n")
-    val agent = trim(regexp_extract(grp, "(?m)^User-agent:(.*)$", 1))
-    val delayStr = regexp_extract(grp, "(?m)^Crawl-delay: (\\d+)$", 1)
-    val delay = when(delayStr === "", lit(null).cast("int"))
-      .otherwise(delayStr.cast("int"))
-    val ruleLines = filter(lines, l =>
-      l.startsWith("Allow:") || l.startsWith("Disallow:"))
-    val rules = transform(ruleLines, l => struct(
-      when(l.startsWith("Allow:"), "allow").otherwise("disallow")
-        .as("rule_type"),
-      // strip the directive up to the FIRST colon only — a path prefix may
-      // itself contain ':' (substring_index from the right would truncate it)
-      trim(regexp_replace(l, "^[A-Za-z-]+:", "")).as("prefix")))
+    // lex: normalize line endings, strip comments, trim, classify each
+    // line into (directive lowercased, value)
+    val txt = regexp_replace(col("robots_txt"), "\r\n?", "\n")
+    val lines = transform(split(txt, "\n"), l0 => {
+      val t = trim(regexp_replace(l0, "#.*$", ""))
+      struct(
+        lower(regexp_extract(t, "^([A-Za-z-]+)\\s*:", 1)).as("d"),
+        trim(regexp_replace(t, "^[A-Za-z-]+\\s*:", "")).as("v"))
+    })
+    val init =
+      expr(s"named_struct('groups', cast(array() as array<$GroupT>), " +
+        "'in_agents', false)")
+    val emptyRules = expr(s"cast(array() as array<$RuleT>)")
+    def state(groups: Column, inAgents: Column): Column =
+      struct(groups.as("groups"), inAgents.as("in_agents"))
+    def group(agents: Column, delay: Column, rules: Column): Column =
+      struct(agents.as("agents"), delay.cast("int").as("delay"),
+        rules.as("rules"))
+    // one pass over the lines: consecutive User-agent lines stack into the
+    // open group; the first rule/delay line closes the stack; rules before
+    // any group are ignored (RFC: rules outside a group have no agent);
+    // unknown directives and blank lines are no-ops (blank lines carry no
+    // meaning in RFC 9309's grouping)
+    val folded = aggregate(lines, init, (acc, ln) => {
+      val d = ln.getField("d"); val v = ln.getField("v")
+      val groups = acc.getField("groups")
+      val inA = acc.getField("in_agents")
+      val n = size(groups)
+      val last = element_at(groups, -1)
+      def replaceLast(g: Column) = concat(slice(groups, lit(1), n - 1), array(g))
+      val onUa = when(inA && n > 0,
+          state(replaceLast(group(
+            concat(last.getField("agents"), array(lower(v))),
+            last.getField("delay"), last.getField("rules"))), lit(true)))
+        .otherwise(state(concat(groups, array(group(
+          array(lower(v)), lit(null), emptyRules))), lit(true)))
+      val rule = struct(
+        when(d === "allow", "allow").otherwise("disallow").as("rule_type"),
+        v.as("prefix"))
+      val onRule = when(n === 0, acc).otherwise(
+        state(replaceLast(group(last.getField("agents"),
+          last.getField("delay"),
+          concat(last.getField("rules"), array(rule)))), lit(false)))
+      val onDelay = when(n === 0, acc).otherwise(
+        state(replaceLast(group(last.getField("agents"), v.cast("int"),
+          last.getField("rules"))), lit(false)))
+      when(d === "user-agent" && v =!= "", onUa)
+        .when(d.isin("allow", "disallow"), onRule)
+        .when(d === "crawl-delay" && v.rlike("^\\d+$"), onDelay)
+        .otherwise(acc)
+    })
+    // flatten groups -> (agent, rule) rows, then compile each pattern:
+    // terminal `$` anchors, `*` spans, everything else regex-escaped;
+    // spec_len = octets before the first `*` (full pattern when none)
+    val anch = col("prefix").endsWith("$")
+    val core = when(anch, expr("substring(prefix, 1, length(prefix) - 1)"))
+      .otherwise(col("prefix"))
     robots
       .select(col("registered_domain"),
-        explode(split(col("robots_txt"), "\n\n")).as("grp"))
-      .select(col("registered_domain"), agent.as("agent"), delay.as("crawl_delay"),
-        explode_outer(rules).as("r"))
+        explode(folded.getField("groups")).as("g"))
+      .select(col("registered_domain"), explode(col("g.agents")).as("agent"),
+        col("g.delay").as("crawl_delay"), col("g.rules").as("rules"))
+      .select(col("registered_domain"), col("agent"), col("crawl_delay"),
+        explode_outer(col("rules")).as("r"))
       .select(col("registered_domain"), col("agent"), col("crawl_delay"),
         col("r.rule_type").as("rule_type"), col("r.prefix").as("prefix"))
+      .withColumn("has_wild", col("prefix").contains("*") || anch)
+      .withColumn("spec_len",
+        when(instr(core, "*") > 0, instr(core, "*") - 1)
+          .otherwise(length(core)).cast("int"))
+      .withColumn("match_re", when(col("has_wild"), concat(lit("^"),
+        regexp_replace(
+          regexp_replace(core, "([\\\\.\\[\\]{}()+?^$|])", "\\\\$1"),
+          "\\*", ".*"),
+        when(anch, lit("$")).otherwise(lit("")))))
   }
 
   /** Fetch-policy decision over PARSED pages (`(doc_id, url,
     * registered_domain, path, …)` — [[UrlOps.urls]]' shape) against a
-    * `(registered_domain, robots_txt)` table, for one crawler `agent`:
-    * output = pages + `robots_allowed`, the matched `robots_rule` prefix
-    * (null when no rule matched) and the governing group's `crawl_delay`.
+    * `(registered_domain, robots_txt)` table, for one crawler `agent`
+    * (matched case-insensitively per RFC 9309): output = pages +
+    * `robots_allowed`, the matched `robots_rule` pattern (null when no
+    * rule matched) and the governing group's `crawl_delay`.
     *
     * Group selection: a domain carrying an agent-exact group uses ONLY
-    * that group; otherwise the `*` group applies. Decision: longest
-    * matching prefix wins, tie → allow, no match → allowed — encoded as a
-    * fold to the `(match_len, is_allow)`-lexicographic max (allow outranks
-    * disallow at equal length).
+    * that group (all such groups, merged); otherwise the `*` groups
+    * apply. Decision: most specific matching rule wins ([[parseRobots]]'
+    * `spec_len`), tie → allow, no match → allowed — encoded as a fold to
+    * the `(spec_len, is_allow)`-lexicographic max (allow outranks
+    * disallow at equal specificity).
     *
     * Scale shape: every aggregation here runs on the DOMAIN-level rule
     * table (bounded — millions of rows at worst); the governing group's
-    * rules collapse to ONE array row per domain, that table broadcast-gates
-    * onto pages, and the decision fold is a pure PROJECTION over the
-    * joined row. The page table is never shuffled — the whole gate fuses
-    * into the page scan plus one (broadcast) join, the shape that holds at
-    * 100 TB of pages. */
+    * rules collapse to ONE array row per domain (patterns pre-compiled at
+    * parse time, not per page), that table broadcast-gates onto pages,
+    * and the decision fold is a pure PROJECTION over the joined row. The
+    * page table is never shuffled — the whole gate fuses into the page
+    * scan plus one (broadcast) join, the shape that holds at 100 TB of
+    * pages. */
   def robotsGate(parsedPages: DataFrame, robots: DataFrame,
       agent: String = "graftbot"): DataFrame = {
+    val agentLc = agent.toLowerCase(java.util.Locale.ROOT)
     val rules = parseRobots(robots)
-      .filter(col("agent").isin(agent, "*"))
-    // domains where an agent-exact group exists: that group REPLACES '*'
-    val hasExact = rules.filter(col("agent") === agent)
+      .filter(col("agent").isin(agentLc, "*"))
+    // domains where an agent-exact group exists: those groups REPLACE '*'
+    val hasExact = rules.filter(col("agent") === agentLc)
       .select(col("registered_domain")).distinct()
       .withColumn("has_exact", lit(true))
     // one row per domain: the governing group's rules as an array + delay
     val perDomain = rules.join(hasExact, Seq("registered_domain"), "left")
-      .filter(when(col("has_exact"), col("agent") === agent)
+      .filter(when(col("has_exact"), col("agent") === agentLc)
         .otherwise(col("agent") === "*"))
       .groupBy(col("registered_domain"))
       .agg(
-        // an EMPTY prefix is RFC 9309's "no restriction" form ("Disallow:"
+        // an EMPTY pattern is RFC 9309's "no restriction" form ("Disallow:"
         // with no value = everything allowed) — it must NOT enter the fold
         // as a length-0 match, or a lone empty Disallow would block the site
         collect_list(when(col("prefix").isNotNull && col("prefix") =!= "",
-          struct(col("rule_type"), col("prefix")))).as("rules"),
+          struct(col("rule_type"), col("prefix"), col("has_wild"),
+            col("match_re"), col("spec_len")))).as("rules"),
         max(col("crawl_delay")).as("crawl_delay"))
     // the decision as a fold over the matching rules — runs per PAGE ROW
-    // after the broadcast join, no page-side shuffle
+    // after the broadcast join, no page-side shuffle; wildcard rules match
+    // via their parse-time-compiled regex, plain rules via startswith
     val bestT = "struct<len:int,is_allow:boolean,prefix:string>"
-    val matching = filter(col("rules"),
-      r => startswith(col("path"), r.getField("prefix")))
+    val matching = filter(col("rules"), r =>
+      when(r.getField("has_wild"),
+          regexp_like(col("path"), r.getField("match_re")))
+        .otherwise(startswith(col("path"), r.getField("prefix"))))
     val best = aggregate(matching, lit(null).cast(bestT), (acc, r) => {
       val cand = struct(
-        length(r.getField("prefix")).as("len"),
+        r.getField("spec_len").as("len"),
         (r.getField("rule_type") === "allow").as("is_allow"),
         r.getField("prefix").as("prefix"))
       when(acc.isNull || cand > acc, cand).otherwise(acc)

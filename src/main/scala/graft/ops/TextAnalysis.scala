@@ -1633,7 +1633,7 @@ object TextAnalysis {
       minWords: Int = 30, maxWords: Int = 90,
       minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
       maxSymbolRatio: Double = 0.1, minAlphaFrac: Double = 0.8,
-      minStopHits: Int = 2): DataFrame = {
+      minStopHits: Int = 2, keep: Seq[String] = Nil): DataFrame = {
     val t = tokens(col("text"))
     val nW = size(t)
     val meanLen = when(nW === 0, lit(0.0)).otherwise(
@@ -1652,13 +1652,15 @@ object TextAnalysis {
     val rSymbol = symbolRatio <= maxSymbolRatio
     val rAlpha = alphaFrac >= minAlphaFrac
     val rStops = stops >= minStopHits
-    docs.select(col("doc_id"),
-      nW.cast("int").as("n_words"), meanLen.as("mean_word_len"),
-      symbolRatio.as("symbol_ratio"), alphaFrac.as("alpha_word_frac"),
-      stops.cast("int").as("n_stop_hits"),
-      rWords.as("r_word_count"), rMeanLen.as("r_mean_len"),
-      rSymbol.as("r_symbol"), rAlpha.as("r_alpha"), rStops.as("r_stopwords"),
-      (rWords && rMeanLen && rSymbol && rAlpha && rStops).as("kept"))
+    docs.select(col("doc_id") +:
+      nW.cast("int").as("n_words") +: meanLen.as("mean_word_len") +:
+      symbolRatio.as("symbol_ratio") +: alphaFrac.as("alpha_word_frac") +:
+      stops.cast("int").as("n_stop_hits") +:
+      rWords.as("r_word_count") +: rMeanLen.as("r_mean_len") +:
+      rSymbol.as("r_symbol") +: rAlpha.as("r_alpha") +:
+      rStops.as("r_stopwords") +:
+      (rWords && rMeanLen && rSymbol && rAlpha && rStops).as("kept") +:
+      keep.map(col): _*)
   }
 
   /** CCNet-style per-source head/middle/tail bucketing by LM score (the

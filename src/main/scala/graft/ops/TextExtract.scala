@@ -106,12 +106,15 @@ object TextExtract {
   /** Extraction over a pages table `(doc_id, source, html)` →
     * `(doc_id, source, text, n_lines_kept, n_lines_dropped)`. */
   def extract(pages: DataFrame, minWords: Int = MinWords,
-      maxLinkDensity: Double = MaxLinkDensity): DataFrame =
-    pages.select(col("doc_id"), col("source"),
-        extractHtml(col("html"), minWords, maxLinkDensity).as("ex"))
-      .select(col("doc_id"), col("source"), col("ex.text").as("text"),
-        col("ex.n_lines_kept").as("n_lines_kept"),
-        col("ex.n_lines_dropped").as("n_lines_dropped"))
+      maxLinkDensity: Double = MaxLinkDensity,
+      keep: Seq[String] = Nil): DataFrame =
+    pages.select(col("doc_id") +: col("source") +:
+        extractHtml(col("html"), minWords, maxLinkDensity).as("ex") +:
+        keep.map(col): _*)
+      .select(col("doc_id") +: col("source") +: col("ex.text").as("text") +:
+        col("ex.n_lines_kept").as("n_lines_kept") +:
+        col("ex.n_lines_dropped").as("n_lines_dropped") +:
+        keep.map(col): _*)
 
   /** Deterministic HTML rendering of the shared `documents` fixture — the
     * crawl-table STAND-IN (the driver testdata carries extracted text, not

@@ -9,7 +9,7 @@ import org.apache.spark.sql.types._
  * files into a directory (or object-store prefix) and the pipeline picks
  * each file up EXACTLY ONCE as it lands — Structured Streaming's file
  * source over the `binaryFile` format, feeding the same byte-level walker
- * ([[graft.ops.Warc.parseStream]] via `parseFilesFrame`) and the same URL
+ * ([[graft.ops.Warc.parseStream]] via `parsePaths`) and the same URL
  * gate as the batch pipeline. Everything here is STATELESS per file, so
  * recovery/replay is the file source's checkpointed offset log and nothing
  * else; chain [[StreamingDedup]] downstream for the stateful tiers.
@@ -30,14 +30,19 @@ object StreamingCrawl {
 
   /** Parsed WARC records from a WATCHED directory — the streaming twin of
     * [[graft.ops.Warc.recordsFromFiles]] (same schema, same byte-exact
-    * walker; `maxFilesPerTrigger` bounds per-batch work). */
+    * walker; `maxFilesPerTrigger` bounds per-batch work). The source frame
+    * is pruned to `path` before the parse: tasks stream each file through
+    * a Hadoop FS stream instead of materializing `content`
+    * ([[graft.ops.Warc.parsePaths]] — the bounded-memory shape), while the
+    * file source's offset log still provides exactly-once pickup. */
   def records(spark: SparkSession, path: String,
       maxFilesPerTrigger: Int = 64): DataFrame =
-    graft.ops.Warc.parseFilesFrame(
+    graft.ops.Warc.parsePaths(
       spark.readStream.format("binaryFile")
         .schema(BinaryFileSchema)
         .option("maxFilesPerTrigger", maxFilesPerTrigger)
-        .load(path))
+        .load(path)
+        .select(col("path")))
 
   /** The HTML boundary of the stream: `response` records as
     * `(doc_id, url, body)` string pages — the streaming twin of
@@ -58,4 +63,34 @@ object StreamingCrawl {
       maxFilesPerTrigger: Int = 64): DataFrame =
     responsePages(spark, path, maxFilesPerTrigger)
       .filter(graft.ops.UrlOps.filterReason(col("url")) === "ok")
+
+  /** The crawl chain composed PAST the gate, in-stream: [[gatedPages]] →
+    * HTML extraction ([[graft.ops.TextExtract.extract]]) → per-row Gopher
+    * quality rules ([[graft.ops.TextAnalysis.gopherRules]]), emitting
+    * clean `(doc_id, url, source, text)` rows (plus the per-rule quality
+    * signals) the trigger that read the file — `source` is the page's
+    * registered domain, the provenance key a crawl actually has. Every
+    * stage here is a STATELESS per-row projection/filter, so the whole
+    * chain fuses into the file-source scan and needs no watermark, no
+    * state store, and no output-mode constraint.
+    *
+    * Where the chain genuinely breaks to batch: corpus-LEVEL stages need
+    * either cross-batch state or a full pass — URL/content dedup is
+    * [[StreamingDedup]]'s stateful job downstream, while line dedup
+    * (corpus-frequency of each line) and top-fraction quality selection
+    * (a corpus quantile) are inherently full-pass and run batch over the
+    * accumulated sink ([[graft.ops.Prep]]'s crawlChain). */
+  def cleanPages(spark: SparkSession, path: String,
+      maxFilesPerTrigger: Int = 64): DataFrame = {
+    val pages = gatedPages(spark, path, maxFilesPerTrigger)
+    val src = graft.ops.UrlOps.parseNormalize(col("url"))
+      .getField("registered_domain")
+    val extracted = graft.ops.TextExtract.extract(
+      pages.select(col("doc_id"), src.as("source"),
+        col("body").as("html"), col("url")),
+      keep = Seq("url"))
+    graft.ops.TextAnalysis.gopherRules(extracted,
+        keep = Seq("url", "source", "text"))
+      .filter(col("kept"))
+  }
 }

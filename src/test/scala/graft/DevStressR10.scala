@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.forceCount
+
+/** Dev-only stress validation (r10):
+  *
+  *  1. the robots decision fold at 100× (judge r9 watch item: the
+  *     per-page `aggregate`/`filter` HOF over the joined rule array is
+  *     interpreted, and since r10 the wildcard rules add a per-(page,
+  *     wildcard-rule) regex probe) — 5M parsed pages through
+  *     [[graft.ops.Robots.robotsGate]], pages pre-materialized so the
+  *     measurement isolates the gate from the fixture render;
+  *  2. the streamed WARC file read at a larger multi-record shape (the
+  *     512 MB-heap OOM counterexample for the old whole-file buffer runs
+  *     separately via spark-shell; COVERAGE r10 records it).
+  *
+  * All timings use `forceCount`. Not part of the driver contract. */
+object DevStressR10 {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def timed[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[stress-r10] $label%-38s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      ops.CacheScope.releaseAll(spark)
+      r
+    }
+
+    val docs = SparkEntry.docs(spark, dir)
+    val big = docs.crossJoin(spark.range(100).toDF("copy"))
+      .select((col("doc_id") + col("copy") * 1000000L).as("doc_id"),
+        col("text"), col("lang"), col("source"))
+    // materialize the parsed pages FIRST: the timing below must measure
+    // the gate (join + decision fold), not the URL render/parse lineage
+    val pages = ops.CacheScope.barrier(
+      ops.UrlOps.urls(ops.UrlOps.pageUrls(big))
+        .select(col("doc_id"), col("url"), col("registered_domain"),
+          col("path")))
+    println(s"[stress-r10] pages=${pages.count()}")
+    val robots = ops.Robots.robotsTxt(pages)
+    timed("pages passthrough (baseline)")(forceCount(pages))
+    timed("robotsGate 100x (fold + wildcards)")(
+      forceCount(ops.Robots.robotsGate(pages, robots)))
+    // fold-only variant: domains stripped of wildcard rules, so the per-row
+    // work is the pure struct-compare fold (no regex) — the delta names the
+    // wildcard-regex share of the gate cost
+    val robotsNoWild = robots.withColumn("robots_txt",
+      regexp_replace(col("robots_txt"),
+        "(?im)^(dis)?allow: [^\\r\\n]*[*$][^\\r\\n]*\\r?\\n?", ""))
+    timed("robotsGate 100x (no wildcard rules)")(
+      forceCount(ops.Robots.robotsGate(pages, robotsNoWild)))
+    ops.CacheScope.releaseAll(spark)
+    spark.stop()
+  }
+}

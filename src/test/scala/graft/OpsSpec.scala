@@ -2134,7 +2134,22 @@ class OpsSpec extends SparkSpec {
       // group with no rules: agent + delay survive, everything allowed
       ("site-c.com", "User-agent: *\nCrawl-delay: 9"),
       // RFC 9309: an EMPTY Disallow means "no restriction", not "block all"
-      ("site-d.com", "User-agent: *\nDisallow:"))
+      ("site-d.com", "User-agent: *\nDisallow:"),
+      // RFC 9309 §2.2.3 wildcards (`*` any-octets, terminal `$` anchor) in
+      // a CRLF file with mixed-case directives (the RFC's field names are
+      // case-insensitive and its canonical line ending is \r\n)
+      ("site-e.com",
+        "user-AGENT: *\r\nDISALLOW: /*.php$\r\nDisallow: /fish*chips\r\n" +
+          "Allow: /fishery\r\nDisallow: /exact$\r\nCrawl-delay: 2"),
+      // STACKED User-agent lines share one group; agent tokens match
+      // case-insensitively (GRAFTBOT governs the graftbot crawler)
+      ("site-f.com",
+        "User-agent: first-bot\nUser-agent: GRAFTBOT\nDisallow: /a\n\n" +
+          "User-agent: *\nDisallow: /"),
+      // multiple groups naming the same agent MERGE (RFC 9309 §2.2.1)
+      ("site-g.com",
+        "User-agent: graftbot\nDisallow: /x\n\n" +
+          "User-agent: graftbot\nDisallow: /y"))
       .toDF("registered_domain", "robots_txt")
     val pages = Seq(
       (0L, "site-a.com", "/blog/post-1"),        // /blog/ disallow wins
@@ -2145,7 +2160,17 @@ class OpsSpec extends SparkSpec {
       (5L, "site-b.com", "/secret/doc"),         // graftbot group disallow
       (6L, "site-c.com", "/whatever"),           // ruleless group
       (7L, "unlisted.net", "/x"),                // no robots row at all
-      (8L, "site-d.com", "/anything"))           // empty Disallow -> allowed
+      (8L, "site-d.com", "/anything"),           // empty Disallow -> allowed
+      (9L, "site-e.com", "/index.php"),          // ^/.*\.php$ -> blocked
+      (10L, "site-e.com", "/index.php5"),        // $ anchor: NOT matched
+      (11L, "site-e.com", "/fish-and-chips"),    // /fish*chips -> blocked
+      (12L, "site-e.com", "/fishery/chips"),     // allow /fishery (8) beats
+                                                 //   wildcard literal (5)
+      (13L, "site-e.com", "/exact"),             // literal-$ rule -> blocked
+      (14L, "site-e.com", "/exactly"),           // $ anchor: NOT matched
+      (15L, "site-f.com", "/a/x"),               // stacked group disallow
+      (16L, "site-f.com", "/b"),                 // graftbot group replaces *
+      (17L, "site-g.com", "/y/1"))               // merged second group rule
       .toDF("doc_id", "registered_domain", "path")
       .withColumn("url", concat(lit("https://"), col("registered_domain"),
         col("path")))
@@ -2162,6 +2187,15 @@ class OpsSpec extends SparkSpec {
     assert(out(6L) == ((true, null, Some(9))))
     assert(out(7L) == ((true, null, None)))
     assert(out(8L) == ((true, null, None)))
+    assert(out(9L) == ((false, "/*.php$", Some(2))))
+    assert(out(10L) == ((true, null, Some(2))))
+    assert(out(11L) == ((false, "/fish*chips", Some(2))))
+    assert(out(12L) == ((true, "/fishery", Some(2))))
+    assert(out(13L) == ((false, "/exact$", Some(2))))
+    assert(out(14L) == ((true, null, Some(2))))
+    assert(out(15L) == ((false, "/a", None)))
+    assert(out(16L) == ((true, null, None)))
+    assert(out(17L) == ((false, "/y", None)))
   }
 
   test("webRobots fixture: group override and longest match on rendered URLs") {
@@ -2183,9 +2217,14 @@ class OpsSpec extends SparkSpec {
       val l = dom.length
       val expected =
         if (l % 4 == 0) true // graftbot group: Allow /
-        else if (path.startsWith("/casino-bonus/")) false
-        else if (l % 3 == 0 && path.startsWith("/de/") &&
-          !path.startsWith("/de/article-")) false
+        else if (path.startsWith("/casino-bonus/"))
+          // L%5==1: the wildcard Allow /casino-bonus/win-*0$ (literal
+          // prefix 18) outranks the casino disallow (14)
+          l % 5 == 1 && path.matches("/casino-bonus/win-.*0")
+        else if (l % 3 == 0 && path.startsWith("/de/article-")) true
+        else if (l % 3 == 0 && path.startsWith("/de/")) false
+        // L%5==0: the wildcard Disallow on *-padding$ blocks padded paths
+        else if (l % 5 == 0 && path.endsWith("-padding")) false
         else true
       assert(allowed == expected, s"$dom $path: got $allowed")
       // crawl_delay: star group (L%7)+1 unless the graftbot group governs
@@ -2476,6 +2515,85 @@ class OpsSpec extends SparkSpec {
     assert(pages.forall(_.getAs[String]("body") == html))
   }
 
+  private def warcResponseRec(id: Long, httpHead: String,
+      body: Array[Byte]): Array[Byte] = {
+    import java.nio.charset.StandardCharsets.UTF_8
+    val crlf = "\r\n"
+    val payload = (httpHead + crlf + crlf).getBytes(UTF_8) ++ body
+    (("WARC/1.0" + crlf + "WARC-Type: response" + crlf +
+      s"WARC-Record-ID: <urn:graft:$id>" + crlf +
+      s"WARC-Target-URI: https://x.test/$id" + crlf +
+      s"Content-Length: ${payload.length}" + crlf + crlf).getBytes(UTF_8)
+      ++ payload ++ (crlf + crlf).getBytes(UTF_8))
+  }
+
+  test("warc charset-aware decode: per-record Content-Type charset, lenient") {
+    import graft.ops.Warc
+    import java.nio.charset.StandardCharsets.UTF_8
+    val crlf = "\r\n"
+    val latin = "café déjà"
+    val r1 = warcResponseRec(1L, "HTTP/1.1 200 OK" + crlf +
+      "Content-Type: text/html; charset=ISO-8859-1",
+      latin.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    // lowercase header name, quoted + uppercase label (both legal)
+    val r2 = warcResponseRec(2L, "HTTP/1.1 200 OK" + crlf +
+      "content-type: text/html; charset=\"UTF-8\"", "寿司".getBytes(UTF_8))
+    // garbage label: UTF-8 fallback, never a crash
+    val r3 = warcResponseRec(3L, "HTTP/1.1 200 OK" + crlf +
+      "Content-Type: text/html; charset=no-such-charset-9",
+      "ok".getBytes(UTF_8))
+    // no charset parameter at all -> UTF-8
+    val r4 = warcResponseRec(4L, "HTTP/1.1 200 OK", "plain".getBytes(UTF_8))
+    // malformed bytes under the declared charset decode as U+FFFD
+    val r5 = warcResponseRec(5L, "HTTP/1.1 200 OK" + crlf +
+      "Content-Type: text/html; charset=UTF-8",
+      Array[Byte](0x61, 0xFF.toByte, 0x62))
+    val dir = java.nio.file.Files.createTempDirectory("graft-warc-charset")
+    java.nio.file.Files.write(dir.resolve("c.warc"),
+      r1 ++ r2 ++ r3 ++ r4 ++ r5)
+    val pages = Warc.responsePagesFromFiles(spark, dir.toString).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("body")).toMap
+    assert(pages(1L) == latin)
+    assert(pages(2L) == "寿司")
+    assert(pages(3L) == "ok")
+    assert(pages(4L) == "plain")
+    assert(pages(5L) == "a�b")
+    // the raw label rides on the record rows (null when absent)
+    val cs = Warc.recordsFromFiles(spark, dir.toString).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("http_charset"))
+      .toMap
+    assert(cs(1L) == "ISO-8859-1")
+    assert(cs(2L) == "UTF-8")
+    assert(cs(3L) == "no-such-charset-9")
+    assert(cs(4L) == null)
+  }
+
+  test("warc streamed file read: many records through a task-side FS stream") {
+    import graft.ops.Warc
+    import java.nio.charset.StandardCharsets.UTF_8
+    // one 2000-record .warc.gz — the parse must walk the whole file through
+    // a Hadoop FS stream (paths-only read; no whole-file content buffer)
+    // and recover every record in order, byte-exact
+    val n = 2000
+    val all = (0 until n).toArray.flatMap(i =>
+      warcResponseRec(i.toLong, "HTTP/1.1 200 OK", s"body-$i".getBytes(UTF_8)))
+    val gz = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(all); g.close(); bos.toByteArray
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-warc-stream")
+    java.nio.file.Files.write(dir.resolve("big.warc.gz"), gz)
+    val out = Warc.recordsFromFiles(spark, dir.toString).collect()
+      .sortBy(_.getAs[Int]("rec_idx"))
+    assert(out.length == n)
+    assert(out.zipWithIndex.forall { case (r, i) =>
+      r.getAs[Int]("rec_idx") == i && r.getAs[Long]("doc_id") == i.toLong &&
+        java.util.Arrays.equals(r.getAs[Array[Byte]]("body"),
+          s"body-$i".getBytes(UTF_8))
+    })
+  }
+
   test("registeredDomain runs the full PSL algorithm: wildcard + exception rules") {
     import graft.ops.UrlOps
     // judge r8 Next #7: the bounded 7-entry second-level list became the
@@ -2504,6 +2622,22 @@ class OpsSpec extends SparkSpec {
     assert(r(5L) == "x.pref.kawasaki.jp")
     assert(r(6L) == "host.unknowntld")
     assert(r(7L) == "mysite.co.jp")
+  }
+
+  test("PSL unicode rules match punycode hosts (rules IDN-normalized at parse)") {
+    import graft.functions.{Idn, PublicSuffix}
+    // the upstream dat spells IDN rules in unicode label form; hosts reach
+    // the lookup in xn-- wire form — parse() must normalize the rules or
+    // these TLDs silently fall back to the implicit '*' rule (advisor r9)
+    val rules = PublicSuffix.parse(Iterator(
+      "// unicode spellings, as the upstream dat carries them",
+      "пример.com", "*.例.jp", "!exc.пример.com"))
+    val puny = Idn.toAscii("пример.com")
+    assert(puny.startsWith("xn--")) // really the wire form
+    assert(PublicSuffix.registrable(s"a.b.$puny", rules) == s"b.$puny")
+    val punyJp = Idn.toAscii("例.jp")
+    assert(PublicSuffix.registrable(s"x.w.$punyJp", rules) == s"x.w.$punyJp")
+    assert(PublicSuffix.registrable(s"exc.$puny", rules) == s"exc.$puny")
   }
 
   test("urlDedup collapses normalization-identical aliases") {

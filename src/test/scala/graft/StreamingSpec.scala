@@ -579,4 +579,44 @@ class StreamingSpec extends SparkSpec {
       assert(body.contains("crawl page body number 28"))
     } finally q.stop()
   }
+
+  test("streaming crawl: extraction + quality gates emit clean text in-stream") {
+    val spark2 = spark
+    import spark2.implicits._
+    import graft.ops.Warc
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-stream-clean").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-stream-clean-ckpt").toString
+    // passes every Gopher rule (35 words, all-alpha, stopword-rich)
+    val good = "the quick brown fox jumps over the lazy dog and then " +
+      "runs far away to find more of the tasty food that it wants " +
+      "while the sun sets slowly behind the quiet hills of home"
+    def mk(rows: (Long, String)*) = rows
+      .map { case (i, t) => (i, t, "en", "srcA") }
+      .toDF("doc_id", "text", "lang", "source")
+    Warc.writeFixtureFiles(mk(2L -> good), dir)
+    val out = graft.streaming.StreamingCrawl.cleanPages(spark2, dir)
+    val q = out.writeStream
+      .format("memory").queryName("crawl_clean").outputMode("append")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      val b1 = spark.table("crawl_clean").collect()
+      assert(b1.map(_.getAs[Long]("doc_id")).toSeq == Seq(2L))
+      val r = b1.head
+      // clean extracted prose: tags/nav/footer gone, paragraphs kept
+      assert(r.getAs[String]("text").contains("quick brown fox"))
+      assert(!r.getAs[String]("text").contains("<"))
+      assert(r.getAs[Boolean]("kept") && r.getAs[Int]("n_words") >= 30)
+      assert(r.getAs[String]("source") == "srca-site.co.uk")
+      // mid-query landing: one clean + one junk page in a NEW file — the
+      // junk page must die at the in-stream quality gate, not downstream
+      Warc.writeFixtureFiles(mk(28L -> good, 29L -> "short page"), dir)
+      q.processAllAvailable()
+      val b2 = spark.table("crawl_clean").collect()
+        .map(_.getAs[Long]("doc_id")).sorted.toSeq
+      assert(b2 == Seq(2L, 28L), s"batch 2 got $b2")
+    } finally q.stop()
+  }
 }
