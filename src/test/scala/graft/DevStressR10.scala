@@ -28,11 +28,13 @@ object DevStressR10 {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    // NO releaseAll between timings: the measured frames share the
+    // barrier'd `pages` (localCheckpoint — truncated lineage cannot
+    // recompute after an unpersist); blocks release once at the end
     def timed[A](label: String)(f: => A): A = {
       val t0 = System.nanoTime()
       val r = f
       println(f"[stress-r10] $label%-38s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
-      ops.CacheScope.releaseAll(spark)
       r
     }
 
