@@ -2667,6 +2667,35 @@ FROM rd"""
 FROM (SELECT *, length(registered_domain) AS l
       FROM (${urlParsedOver(urlPagesOver("documents"))}))"""
 
+  /** Sitemap-listing oracle (mirrors graft.ops.Robots.webSitemaps): the
+    * fixture renders a leading Sitemap record on L%3==2 domains plus a
+    * news sitemap on L%6==2 — the oracle states the listing table in
+    * closed form; the engine must recover it through its robots parse. */
+  val webSitemaps: String = s"""WITH doms AS (
+  SELECT DISTINCT registered_domain, length(registered_domain) AS l
+  FROM (${urlParsedOver(urlPagesOver("documents"))})
+)
+SELECT registered_domain,
+  'https://' || registered_domain || '/sitemap.xml' AS sitemap_url
+FROM doms WHERE l % 3 = 2
+UNION ALL
+SELECT registered_domain,
+  'https://' || registered_domain || '/sitemap-news.xml'
+FROM doms WHERE l % 6 = 2"""
+
+  /** Crawl-budget oracle (mirrors graft.ops.Robots.webCrawlBudget):
+    * per-domain allowed-page count × governing crawl delay, built on the
+    * webRobots decision subquery so both engines derive the gate the same
+    * way. */
+  val webCrawlBudget: String = s"""WITH wr AS ($webRobots)
+SELECT registered_domain,
+  CAST(count(*) FILTER (WHERE robots_allowed) AS BIGINT) AS n_allowed,
+  max(crawl_delay) AS crawl_delay,
+  CAST(count(*) FILTER (WHERE robots_allowed) *
+    greatest(coalesce(max(crawl_delay), 1), 1) AS BIGINT)
+    AS est_fetch_seconds
+FROM wr GROUP BY registered_domain"""
+
   val webUrls: String = s"""SELECT doc_id, url, scheme, host, port, path,
   registered_domain, url_norm
 FROM (${urlParsedOver(urlPagesOver("documents"))})"""
@@ -2781,6 +2810,89 @@ SELECT * FROM info UNION ALL SELECT * FROM respout"""
     * so the oracle IS the prepWeb statement (the strongest possible
     * check: any parse/plumbing divergence breaks shard hashes). */
   def prepWarc: String = prepWeb
+
+  /** web_wet oracle (mirrors graft.ops.Warc.webWet): the WET render →
+    * parse round trip — conversion records whose payload is the page's
+    * extracted text verbatim, no HTTP block, null http_status; one
+    * warcinfo lead record per file. */
+  val webWet: String = s"""WITH up AS (
+  SELECT doc_id, url, text FROM (${urlPagesOver("documents")})
+), conv0 AS (
+  SELECT doc_id, doc_id // 25 AS warc_id, url, text,
+    '2026-01-' || lpad(CAST((doc_id % 28) + 1 AS VARCHAR), 2, '0')
+      || 'T00:00:00Z' AS warc_date
+  FROM up
+), infop AS (
+  SELECT 'software: graft-fetch/1.0' || chr(13)||chr(10)
+    || 'format: WARC File Format 1.0' AS p
+), info AS (
+  SELECT DISTINCT warc_id, 0 AS rec_idx, 'warcinfo' AS warc_type,
+    CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS VARCHAR) AS target_uri,
+    '2026-01-01T00:00:00Z' AS warc_date,
+    CAST(strlen((SELECT p FROM infop)) AS BIGINT) AS content_length,
+    CAST(NULL AS INT) AS http_status,
+    (SELECT p FROM infop) AS body
+  FROM conv0
+), convout AS (
+  SELECT warc_id,
+    CAST(row_number() OVER (PARTITION BY warc_id ORDER BY doc_id) AS INT)
+      AS rec_idx,
+    'conversion' AS warc_type, doc_id, url AS target_uri, warc_date,
+    CAST(strlen(text) AS BIGINT) AS content_length,
+    CAST(NULL AS INT) AS http_status, text AS body
+  FROM conv0
+)
+SELECT * FROM info UNION ALL SELECT * FROM convout"""
+
+  /** prep_wet oracle (mirrors graft.ops.Prep.prepWet): [[prepWeb]] minus
+    * the extraction CTE — the WET producer already extracted, so the
+    * URL-gated docs' RAW text feeds line dedup directly, then the same
+    * FineWeb tail. */
+  def prepWet: String = s"""WITH up AS (
+  SELECT doc_id, url, url_norm, registered_domain, path
+  FROM (${urlParsedOver(urlPagesOver("documents"))})
+), gok AS (
+  SELECT doc_id, url_norm FROM up
+  WHERE NOT (registered_domain IN ('spam-mirror.net')
+    OR regexp_matches(lower(path || ' ' ||
+         regexp_extract(url, '\\?([^#]*)', 1)), '(casino|viagra|porn|xxx)')
+    OR length(url) > 200)
+), gids AS (
+  SELECT min(doc_id) AS doc_id FROM gok GROUP BY url_norm
+), gated AS (
+  SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+  FROM documents d JOIN gids USING (doc_id)
+), ld AS (
+  SELECT doc_id, cleaned_text
+  FROM (${lineDedupOver("SELECT doc_id, text FROM gated")})
+), clean AS (
+  SELECT ld.doc_id, ld.cleaned_text AS text, gated.source
+  FROM ld JOIN gated USING (doc_id)
+), gph AS (
+  SELECT doc_id FROM (${textGopherOver("clean")}) WHERE kept
+), g AS (
+  SELECT c.* FROM clean c JOIN gph USING (doc_id)
+), nrm AS (
+  SELECT doc_id,
+    md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+      ' +', ' ', 'g'))) AS nh
+  FROM g
+), ncanon AS (
+  SELECT min(doc_id) AS doc_id FROM nrm GROUP BY nh
+), canon AS (
+  SELECT g.* FROM g JOIN ncanon USING (doc_id)
+), tfk AS (
+  SELECT doc_id FROM (${textQualityTopFracOver("canon")}) WHERE kept
+), selected AS (
+  SELECT c.* FROM canon c JOIN tfk USING (doc_id)
+), packed AS (
+  SELECT * FROM (${textPackOver("selected")})
+), sp AS (
+  ${textSplitOver("selected")}
+)
+SELECT packed.doc_id, sp.split, packed.shard, packed.seq,
+  packed.tok_offset, packed.n_tokens
+FROM packed JOIN sp USING (doc_id)"""
 
   val prepWeb: String = s"""WITH up AS (
   SELECT doc_id, url, url_norm, registered_domain, path

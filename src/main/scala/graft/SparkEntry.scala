@@ -463,11 +463,23 @@ object SparkEntry {
     // longest-prefix-match decision per agent group (oracle states the
     // decision generatively — the parser must reach it)
     "web_robots" -> ((s, dir) => ops.Robots.webRobots(docs(s, dir))),
+    // Sitemap records extracted from the rendered robots corpus (frontier
+    // seeding); oracle states the listing table in closed form
+    "web_sitemaps" -> ((s, dir) => ops.Robots.webSitemaps(docs(s, dir))),
+    // per-domain politeness budget: allowed pages x governing crawl delay
+    "web_crawl_budget" -> ((s, dir) => ops.Robots.webCrawlBudget(docs(s, dir))),
     "web_warc" -> ((s, dir) => ops.Warc.webWarc(docs(s, dir))),
     // the same round trip through REAL on-disk .warc.gz files (executor-side
     // write, binaryFile read, byte-level parse) — same oracle: the file hop
     // must be byte-exact
     "web_warc_files" -> ((s, dir) => ops.Warc.webWarcFiles(docs(s, dir))),
+    // Common Crawl WET dialect: conversion records carrying pre-extracted
+    // plain text — render -> parse round trip, same gate shape as web_warc
+    "web_wet" -> ((s, dir) => ops.Warc.webWet(docs(s, dir))),
+    // the WET-rooted prep pipeline: URL gate -> line dedup -> FineWeb on
+    // the record text directly (the WET producer prepaid extraction)
+    "prep_wet" -> ((s, dir) => { val d = docs(s, dir)
+      ops.Prep.prepWet(d, robots = Some(ops.Robots.fixtureRobots(d))) }),
     // the same crawl pipeline rooted at the RAW WARC files; must equal
     // prep_web bit-for-bit (the oracle IS the prep_web statement)
     "prep_warc" -> ((s, dir) => { val d = docs(s, dir)
@@ -700,10 +712,14 @@ object SparkEntry {
     "web_domains" -> OracleSqlOps.webDomains,
     "web_url_dedup" -> OracleSqlOps.webUrlDedup,
     "web_robots" -> OracleSqlOps.webRobots,
+    "web_sitemaps" -> OracleSqlOps.webSitemaps,
+    "web_crawl_budget" -> OracleSqlOps.webCrawlBudget,
     "web_warc" -> OracleSqlOps.webWarc,
     "web_warc_files" -> OracleSqlOps.webWarc,
+    "web_wet" -> OracleSqlOps.webWet,
     "prep_warc" -> OracleSqlOps.prepWarc,
     "prep_warc_files" -> OracleSqlOps.prepWarc,
+    "prep_wet" -> OracleSqlOps.prepWet,
     "prep_web" -> OracleSqlOps.prepWeb,
     "dedup_edit" -> OracleSqlOps.dedupEdit,
     "dedup_incremental" -> OracleSqlOps.dedupIncremental,

@@ -191,14 +191,43 @@ object Prep {
     * Dataset construction otherwise re-analyzes the whole mega-tree per
     * operator — the r9 measured fix, see [[CacheScope.barrier]]). */
   private def crawlChain(pages: DataFrame, keepFrac: Double,
-      budget: Int, shards: Int): DataFrame = {
-    val extracted = CacheScope.barrier(
+      budget: Int, shards: Int): DataFrame =
+    textChain(CacheScope.barrier(
       TextExtract.extract(pages)
-        .select(col("doc_id"), col("text"), col("source")))
+        .select(col("doc_id"), col("text"), col("source"))),
+      keepFrac, budget, shards)
+
+  /** Stages 2–3 over an already-extracted `(doc_id, text, source)` frame —
+    * shared by [[crawlChain]] (extraction ran here) and [[prepWet]]
+    * (extraction ran at the WET producer). `extracted` must already be a
+    * materialization barrier: it feeds two consumers below. */
+  private def textChain(extracted: DataFrame, keepFrac: Double,
+      budget: Int, shards: Int): DataFrame = {
     val clean = CacheScope.barrier(TextAnalysis.lineDedup(extracted)
       .select(col("doc_id"), col("cleaned_text").as("text"))
       .join(extracted.select(col("doc_id"), col("source")), "doc_id"))
     prepFineWeb(clean, keepFrac, budget, shards)
+  }
+
+  /** The crawl pipeline rooted at WET files (Common Crawl's pre-extracted
+    * plain-text sidecar — [[Warc.wet]]): parse the `conversion` records,
+    * URL-gate the PARSED target URI, and run line dedup + the FineWeb
+    * recipe on the record text DIRECTLY — stage-1 extraction is skipped
+    * because the WET producer already ran it, which is exactly why
+    * LLM-corpus pipelines start from WET when they can (the most
+    * expensive per-byte stage is prepaid). Oracle: closed form over the
+    * same render recipe, minus the extraction CTE. */
+  def prepWet(docs: DataFrame, keepFrac: Double = 0.3,
+      budget: Int = 2048, shards: Int = 32,
+      robots: Option[DataFrame] = None): DataFrame = {
+    val conv = Warc.records(Warc.wet(docs))
+      .filter(col("warc_type") === "conversion")
+      .select(col("doc_id"), col("target_uri").as("url"),
+        col("body").as("text"))
+    val pages = urlGateCanonical(conv, robots)
+      .select(col("doc_id"), col("text"))
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+    textChain(CacheScope.barrier(pages), keepFrac, budget, shards)
   }
 
   /** The crawl pipeline rooted one stage earlier still — at the RAW CRAWL

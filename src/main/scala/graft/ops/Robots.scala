@@ -57,6 +57,10 @@ object Robots {
     *     case-insensitive-agent witness — for the graftbot agent these
     *     domains allow EVERYTHING, including the casino paths the `*`
     *     group blocks);
+    *   - `L % 3 == 2`: a leading `Sitemap:` record (sitemaps.org;
+    *     non-group line), plus a second news sitemap on `L % 6 == 2` —
+    *     the [[sitemaps]] witness, and proof pre-group non-rule lines do
+    *     not disturb group parsing;
     *   - lexical variants: even-L files are rendered all-LOWERCASE
     *     (directive/agent case-insensitivity witness), odd-L files with
     *     `\r\n` line endings (the canonical robots.txt ending — CRLF
@@ -67,6 +71,15 @@ object Robots {
   def robotsTxt(parsedPages: DataFrame): DataFrame = {
     val dom = col("registered_domain")
     val l = length(dom)
+    // Sitemap records (sitemaps.org; non-group lines per RFC 9309 §2.2.4)
+    // lead the file — the common real-world placement, and a witness that
+    // pre-group non-rule lines do not disturb group parsing: one sitemap
+    // on L%3==2 domains, a second news sitemap on L%6==2 (⊂ L%3==2)
+    val smBase = concat(lit("Sitemap: https://"), dom, lit("/sitemap.xml\n"))
+    val sm = when(l % 6 === 2,
+        concat(smBase, lit("Sitemap: https://"), dom,
+          lit("/sitemap-news.xml\n")))
+      .when(l % 3 === 2, smBase).otherwise("")
     val star = concat(
       lit("User-agent: *\nDisallow: /casino-bonus/"),
       when(l % 3 === 0, "\nDisallow: /de/\nAllow: /de/article-")
@@ -77,7 +90,7 @@ object Robots {
     val bot = when(l % 4 === 0, lit(
         "\n\nUser-agent: experimental-crawler\nUser-agent: GraftBot\nAllow: /"))
       .otherwise("")
-    val txt = concat(star, bot)
+    val txt = concat(sm, star, bot)
     val lex = when(l % 2 === 0, lower(txt))
       .otherwise(regexp_replace(txt, "\n", "\r\n"))
     parsedPages.select(dom).distinct()
@@ -249,6 +262,47 @@ object Robots {
       .withColumn("robots_rule", col("__best.prefix"))
       .drop("__best")
   }
+
+  /** `Sitemap:` records of a robots corpus (sitemaps.org's robots.txt
+    * discovery mechanism; RFC 9309 §2.2.4 "other records"): one row per
+    * `(registered_domain, sitemap_url)` listing, case-insensitive
+    * directive, any position in the file (sitemap records live OUTSIDE
+    * groups). A crawler seeds its frontier from this table. Pure
+    * per-row regex extraction over the bounded domain table — fuses into
+    * the robots scan, no shuffle. */
+  def sitemaps(robots: DataFrame): DataFrame =
+    robots.select(col("registered_domain"),
+      explode(regexp_extract_all(col("robots_txt"),
+        lit("(?im)^\\s*sitemap\\s*:\\s*(\\S+)"), lit(1))).as("sitemap_url"))
+
+  /** The composed sitemap fixture query: render per-domain robots
+    * ([[robotsTxt]] — leading `Sitemap:` records on the L%3==2 residue, a
+    * second on L%6==2) and extract the listings back; the oracle states
+    * the listing table in closed form from the same recipe. */
+  def webSitemaps(docs: DataFrame): DataFrame =
+    sitemaps(robotsTxt(
+      UrlOps.urls(UrlOps.pageUrls(docs)).select(col("registered_domain"))))
+
+  /** Per-domain politeness budget: how many robots-ALLOWED pages a crawl
+    * of this corpus would fetch per domain, the governing `Crawl-delay`,
+    * and the serialized fetch time a single polite worker would need
+    * (`n_allowed × max(delay, 1 s)` — the scheduler's domain-sharding
+    * signal: domains whose budget exceeds the crawl window need either a
+    * delay renegotiation or must accept partial coverage). One
+    * domain-keyed aggregation over the gate output — the only shuffle,
+    * with map-side combine; output is domain-bounded. */
+  def crawlBudget(gated: DataFrame): DataFrame =
+    gated.groupBy(col("registered_domain"))
+      .agg(
+        sum(when(col("robots_allowed"), 1L).otherwise(0L)).as("n_allowed"),
+        max(col("crawl_delay")).as("crawl_delay"))
+      .withColumn("est_fetch_seconds",
+        col("n_allowed") * greatest(coalesce(col("crawl_delay"), lit(1)),
+          lit(1)).cast("long"))
+
+  /** [[crawlBudget]] over the [[webRobots]] fixture gate. */
+  def webCrawlBudget(docs: DataFrame): DataFrame =
+    crawlBudget(webRobots(docs))
 
   /** The composed fixture query: render per-domain robots, parse them
     * back, and gate the rendered page URLs for the `graftbot` agent — the

@@ -79,21 +79,55 @@ object Warc {
       lit(Crlf + "WARC-Date: "), dateOf(col("doc_id")),
       lit(Crlf + "Content-Length: "), octet_length(http),
       lit(Crlf + Crlf), http, lit(Crlf + Crlf))
+    assemble(pages.select(
+      floor(col("doc_id") / perFile).cast("long").as("warc_id"),
+      col("doc_id"), rec.as("rec")))
+  }
+
+  /** Concatenate per-page records `(warc_id, doc_id, rec)` into whole WARC
+    * files: one warcinfo lead record per file + the doc_id-ordered page
+    * records — the assembly shared by the HTML [[files]] and the WET
+    * [[wet]] renders. */
+  private def assemble(recs: DataFrame): DataFrame = {
     val info = concat(
       lit("WARC/1.0" + Crlf + "WARC-Type: warcinfo" + Crlf +
         "WARC-Record-ID: <urn:graft:info:"), col("warc_id"),
       lit(">" + Crlf + "WARC-Date: 2026-01-01T00:00:00Z" + Crlf +
         s"Content-Length: ${InfoPayload.getBytes(UTF_8).length}" +
         Crlf + Crlf + InfoPayload + Crlf + Crlf))
-    pages
-      .select(floor(col("doc_id") / perFile).cast("long").as("warc_id"),
-        col("doc_id"), rec.as("rec"))
+    recs
       .groupBy(col("warc_id"))
       .agg(array_join(
         transform(sort_array(collect_list(struct(col("doc_id"), col("rec")))),
           _.getField("rec")), "").as("responses"))
       .select(col("warc_id"), concat(info, col("responses")).as("content"))
   }
+
+  /** Render the fixture corpus as WET files `(warc_id, content)` — the
+    * public Common Crawl "WET" sidecar dialect: the same WARC/1.0
+    * container, but `conversion` records whose payload is the page's
+    * EXTRACTED PLAIN TEXT with no HTTP block (the WET producer already ran
+    * extraction). The shared testdata's `text` column IS extracted text,
+    * so it is the WET payload verbatim — which makes the parse round trip
+    * oracle-checkable in closed form ([[webWet]]). */
+  def wet(docs: DataFrame, perFile: Int = PerFile): DataFrame = {
+    val pages = UrlOps.pageUrls(docs)
+    val rec = concat(
+      lit("WARC/1.0" + Crlf + "WARC-Type: conversion" + Crlf +
+        "WARC-Record-ID: <urn:graft:"), col("doc_id"),
+      lit(">" + Crlf + "WARC-Target-URI: "), col("url"),
+      lit(Crlf + "WARC-Date: "), dateOf(col("doc_id")),
+      lit(Crlf + "Content-Length: "), octet_length(col("text")),
+      lit(Crlf + Crlf), col("text"), lit(Crlf + Crlf))
+    assemble(pages.select(
+      floor(col("doc_id") / perFile).cast("long").as("warc_id"),
+      col("doc_id"), rec.as("rec")))
+  }
+
+  /** The composed WET fixture query: render → concatenate → parse, the
+    * same round-trip gate as [[webWarc]] but over `conversion` records
+    * (plain-text payload, null http_status). */
+  def webWet(docs: DataFrame): DataFrame = records(wet(docs))
 
   /** One record out of the byte-level core parser: payloads stay BYTES —
     * real crawl payloads (images, gzip transfer encodings, non-UTF-8

@@ -2198,6 +2198,33 @@ class OpsSpec extends SparkSpec {
     assert(out(17L) == ((false, "/y", None)))
   }
 
+  test("robots sitemaps extraction and per-domain crawl budget") {
+    import graft.ops.Robots
+    val robots = Seq(
+      // sitemap records anywhere in the file, any case, CRLF tolerated
+      ("a.com", "Sitemap: https://a.com/s1.xml\r\nUser-agent: *\r\n" +
+        "Disallow: /x\r\nCrawl-delay: 5\r\nsitemap: https://a.com/s2.xml"),
+      ("b.net", "User-agent: *\nDisallow:"))
+      .toDF("registered_domain", "robots_txt")
+    val sm = Robots.sitemaps(robots).collect()
+      .map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    assert(sm == Seq("a.com" -> "https://a.com/s1.xml",
+      "a.com" -> "https://a.com/s2.xml"))
+    val pages = Seq(
+      (0L, "a.com", "/x/blocked"), (1L, "a.com", "/ok"),
+      (2L, "a.com", "/ok2"), (3L, "b.net", "/y"))
+      .toDF("doc_id", "registered_domain", "path")
+      .withColumn("url",
+        concat(lit("https://"), col("registered_domain"), col("path")))
+    val budget = Robots.crawlBudget(Robots.robotsGate(pages, robots))
+      .collect().map(r => r.getAs[String]("registered_domain") ->
+        ((r.getAs[Long]("n_allowed"), Option(r.getAs[Any]("crawl_delay")),
+          r.getAs[Long]("est_fetch_seconds")))).toMap
+    assert(budget("a.com") == ((2L, Some(5), 10L)))
+    // no delay declared: a 1 s politeness floor prices the fetch
+    assert(budget("b.net") == ((1L, None, 1L)))
+  }
+
   test("webRobots fixture: group override and longest match on rendered URLs") {
     import graft.ops.Robots
     // sources of DIFFERENT lengths so the rendered registered domains hit
@@ -2436,6 +2463,25 @@ class OpsSpec extends SparkSpec {
     assert(resp(4L).getAs[String]("body").contains("<p>one two three"))
     assert(resp(26L).getAs[Long]("warc_id") == 1L)
     assert(resp(26L).getAs[String]("target_uri").nonEmpty)
+  }
+
+  test("wet round trip: conversion records carry the extracted text verbatim") {
+    import graft.ops.Warc
+    val d = Seq(
+      (2L, "alpha beta gamma", "en", "srcA"),
+      (26L, "lorem ipsum dolor", "de", "srcB"))
+      .toDF("doc_id", "text", "lang", "source")
+    val out = Warc.webWet(d).collect()
+    val conv = out.filter(_.getAs[String]("warc_type") == "conversion")
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(conv.keySet == Set(2L, 26L))
+    // no HTTP block: the payload IS the text, status is null
+    assert(conv(2L).getAs[String]("body") == "alpha beta gamma")
+    assert(conv(2L).getAs[Any]("http_status") == null)
+    assert(conv(2L).getAs[Long]("content_length") == 16L)
+    assert(conv(26L).getAs[Long]("warc_id") == 1L)
+    assert(conv(26L).getAs[String]("target_uri").nonEmpty)
+    assert(out.count(_.getAs[String]("warc_type") == "warcinfo") == 2)
   }
 
   test("warc file round trip: gzipped on-disk files reproduce the in-memory parse") {

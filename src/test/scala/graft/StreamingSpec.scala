@@ -619,4 +619,46 @@ class StreamingSpec extends SparkSpec {
       assert(b2 == Seq(2L, 28L), s"batch 2 got $b2")
     } finally q.stop()
   }
+
+  test("streaming crawl end-to-end: clean pages feed cross-batch content dedup") {
+    // the FULL streaming pipeline composed from its stages: file lands ->
+    // WARC parse -> URL gate -> extraction -> quality gate -> stateful
+    // first-seen content dedup — a byte-identical re-crawl arriving in a
+    // LATER trigger must be suppressed by state, not re-emitted
+    val spark2 = spark
+    import spark2.implicits._
+    import graft.ops.Warc
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-stream-e2e").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-stream-e2e-ckpt").toString
+    val good = "the quick brown fox jumps over the lazy dog and then " +
+      "runs far away to find more of the tasty food that it wants " +
+      "while the sun sets slowly behind the quiet hills of home"
+    def mk(rows: (Long, String)*) = rows
+      .map { case (i, t) => (i, t, "en", "srcA") }
+      .toDF("doc_id", "text", "lang", "source")
+    Warc.writeFixtureFiles(mk(2L -> good), dir)
+    val clean = graft.streaming.StreamingCrawl.cleanPages(spark2, dir)
+    val out = graft.streaming.StreamingDedup.firstSeen(clean,
+      md5(col("text")), orderBy = Some(col("doc_id")))
+    val q = out.writeStream
+      .format("memory").queryName("crawl_e2e").outputMode("append")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("crawl_e2e").collect()
+        .map(_.getAs[Long]("doc_id")).toSeq == Seq(2L))
+      // doc 29 renders DIFFERENT html (other url/nav) around the SAME
+      // text -> extraction yields byte-identical clean text -> the dedup
+      // state must drop it; doc 28 carries new text and must pass (27
+      // would die at the URL gate — 27%9==0 is the blocked-domain residue)
+      Warc.writeFixtureFiles(
+        mk(29L -> good, 28L -> (good + " with a different ending")), dir)
+      q.processAllAvailable()
+      val ids = spark.table("crawl_e2e").collect()
+        .map(_.getAs[Long]("doc_id")).sorted.toSeq
+      assert(ids == Seq(2L, 28L), s"e2e got $ids")
+    } finally q.stop()
+  }
 }
