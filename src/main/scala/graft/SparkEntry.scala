@@ -562,6 +562,11 @@ object SparkEntry {
     // rerank to top-3 (the composition the rerank-30 recall metric rates)
     "ann_pq_rerank" -> ((s, dir) =>
       ops.Similarity.ivfPqRerankTopK(emb(s, dir), col("vec_id") % 100 === 0)),
+    // the DURABLE twin: build the IVF-PQ index, write it to parquet, read
+    // it back, probe — held to the same oracle as the inline rerank, so
+    // the disk round trip sits inside the correctness gate
+    "ann_index_probe" -> ((s, dir) =>
+      ops.Similarity.annIndexProbe(emb(s, dir))),
     // radius search: every neighbor above the threshold, not a fixed k —
     // t=0.3 is the regime where this synthetic corpus HAS range neighbors
     "ann_range" -> ((s, dir) =>
@@ -738,6 +743,7 @@ object SparkEntry {
     "emb_ivfpq_codes" -> OracleSqlOps.ivfPqCodes,
     "ann_ivfpq" -> OracleSqlOps.ivfPqAdcTopK,
     "ann_pq_rerank" -> OracleSqlOps.ivfPqRerank,
+    "ann_index_probe" -> OracleSqlOps.ivfPqRerank,
     "ann_range" -> OracleSqlOps.annRange(0.3),
     "emb_kmeans" -> OracleSqlOps.embKmeans,
     "emb_purity" -> OracleSqlOps.embPurity,

@@ -753,7 +753,6 @@ object Similarity {
   def ivfPqAdcTopK(embeddings: DataFrame, queryPred: Column, k: Int = 3,
       nprobe: Int = 2, subspaces: Int = IvfPqSubspaces, codes: Int = PqCodes,
       lloydIters: Int = 0, maxCells: Int = IvfMaxCells): DataFrame = {
-    val subDim = 64 / subspaces
     val corpus = CacheScope.track(withNorm2(embeddings))
     // centroids and the residual codebook are each referenced by several
     // joins below (residualize + probe ranking; corpus encode + query
@@ -765,10 +764,23 @@ object Similarity {
     val resid = CacheScope.trackEager(residualized(corpus, centroids))
     val cb = CacheScope.track(residualCodebook(resid, subspaces, codes))
     val ccodes = encodeResiduals(resid, cb, subspaces)
-    // nprobe nearest cells per query, with the query's residual per cell
     val queries = corpus.filter(queryPred)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
         col("n2").as("qn2"))
+    ivfPqProbe(centroids, cb, ccodes, queries, k, nprobe, subspaces)
+  }
+
+  /** The ONLINE half of IVF-PQ retrieval, over already-built artifacts —
+    * shared verbatim by [[ivfPqAdcTopK]] (artifacts derived inline) and
+    * [[probeAnnIndex]] (artifacts loaded from a durable [[AnnIndex]]):
+    * nprobe nearest coarse cells per query, per-cell query-residual
+    * distance tables against the residual codebook (tiny broadcast), ADC
+    * over the cell-equi-joined corpus codes, top-k window over the
+    * candidate rows only. `queries` = `(query_id, qe, qn2)`. */
+  private def ivfPqProbe(centroids: DataFrame, cb: DataFrame,
+      ccodes: DataFrame, queries: DataFrame, k: Int, nprobe: Int,
+      subspaces: Int): DataFrame = {
+    val subDim = 64 / subspaces
     val probeW = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("pcos").desc, col("cid"))
@@ -862,6 +874,118 @@ object Similarity {
       .withColumn("rank", row_number().over(rw))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
+  /** A durable IVF-PQ retrieval index — the OFFLINE artifacts of a
+    * deployed ANN service, the retrieval twin of
+    * [[Dedup.IncrementalIndex]]: coarse `centroids` (≤ maxCells rows),
+    * the residual PQ `codebook` (subspaces × codesPerSub rows), and the
+    * per-vector `codes` table. `codes` carries the RAW embedding + its
+    * norm alongside the PQ code so probes can exact-rerank from the index
+    * alone — the standard memory-for-recall trade (an ADC-only deployment
+    * drops the column and skips rerank). Build once over the corpus,
+    * write with [[writeAnnIndex]], probe query batches forever after via
+    * [[readAnnIndex]] + [[probeAnnIndex]] — the corpus-scale encode is
+    * never re-paid. */
+  final case class AnnIndex(centroids: DataFrame, codebook: DataFrame,
+      codes: DataFrame, subspaces: Int, codesPerSub: Int)
+
+  /** Build the IVF-PQ artifacts for a corpus (the offline half). Same
+    * codebook derivations as [[ivfPqAdcTopK]], so a probe over the built
+    * index reproduces the inline operator's results exactly. */
+  def buildAnnIndex(embeddings: DataFrame, subspaces: Int = IvfPqSubspaces,
+      codes: Int = PqCodes, lloydIters: Int = 0,
+      maxCells: Int = IvfMaxCells): AnnIndex = {
+    val corpus = CacheScope.track(withNorm2(embeddings))
+    val centroids = CacheScope.track((1 to lloydIters)
+      .foldLeft(sampleCentroids(corpus, maxCells))((c, _) => lloydStep(corpus, c)))
+    val resid = CacheScope.trackEager(residualized(corpus, centroids))
+    val cb = CacheScope.track(residualCodebook(resid, subspaces, codes))
+    val ccodes = encodeResiduals(resid, cb, subspaces)
+      .join(corpus.select(col("vec_id"), col("embedding"), col("n2")),
+        "vec_id")
+    AnnIndex(centroids, cb, ccodes, subspaces, codes)
+  }
+
+  /** Persist an [[AnnIndex]] as parquet under `dir` (three tables + a
+    * one-row meta table, the [[Dedup.writeIndex]] convention). The codes
+    * table is the only corpus-scale artifact; a cluster deployment would
+    * additionally partition it by `cell` so a probe's nprobe cells prune
+    * to nprobe/C of the files at scan time. */
+  def writeAnnIndex(index: AnnIndex, dir: String): Unit = {
+    val s = index.codes.sparkSession
+    import s.implicits._
+    index.centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+    index.codebook.write.mode("overwrite").parquet(s"$dir/codebook")
+    index.codes.write.mode("overwrite").parquet(s"$dir/codes")
+    Seq((index.subspaces, index.codesPerSub)).toDF("subspaces", "codes")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  def readAnnIndex(s: org.apache.spark.sql.SparkSession,
+      dir: String): AnnIndex = {
+    val m = s.read.parquet(s"$dir/meta").head()
+    AnnIndex(s.read.parquet(s"$dir/centroids"),
+      s.read.parquet(s"$dir/codebook"), s.read.parquet(s"$dir/codes"),
+      m.getAs[Int]("subspaces"), m.getAs[Int]("codes"))
+  }
+
+  /** The ONLINE half: score a batch of query vectors `(vec_id, embedding)`
+    * — corpus members or external vectors — against a built/loaded index:
+    * [[ivfPqProbe]] ADC shortlist over the index's coded corpus, exact
+    * cosine rerank from the index's stored raw vectors (the
+    * [[ivfPqRerankTopK]] composition, which a probe over a same-corpus
+    * index reproduces row-for-row). Queries sharing a `vec_id` with a
+    * corpus vector are treated as that vector (self-match excluded) —
+    * give external queries ids outside the corpus id space.
+    *
+    * Scale shape: the index tables never re-derive (the whole point);
+    * the only corpus-scale touches are the cell-equi-joined ADC scan and
+    * the final shortlist id-join, both gated broadcasts on the small
+    * (query) side with partitioned fallbacks. */
+  def probeAnnIndex(index: AnnIndex, queries: DataFrame, k: Int = 3,
+      shortlist: Int = 30, nprobe: Int = 2): DataFrame = {
+    val q = CacheScope.track(withNorm2(queries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("n2").as("qn2")))
+    val sl = ivfPqProbe(index.centroids, index.codebook, index.codes, q,
+      shortlist, nprobe, index.subspaces)
+    val slq = CacheScope.trackEager(
+      sl.select(col("query_id"), col("neighbor_id")).join(q, "query_id"))
+    val n = index.codes.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("ne"), col("n2").as("nn2"))
+    val cos = cosineWithNorms(col("qe"), col("ne"), col("qn2"), col("nn2"))
+    val rw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    n.join(Par.maybeBroadcast(slq), "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"), cos.as("cosine"))
+      .withColumn("rank", row_number().over(rw))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
+  // one durable index per (session, embeddings plan) — the bench/verify
+  // loops invoke the round-trip query repeatedly; a deployment builds
+  // once, so the harness must too (the Warc.fixtureFilesDir rationale)
+  private val annIndexDirCache = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, Int), String]()
+
+  /** The composed durable-ANN fixture query: build the index over the
+    * corpus, write it to parquet, READ IT BACK, and probe the fixture
+    * query subset — held to the SAME oracle as the inline
+    * [[ivfPqRerankTopK]], so the whole disk round trip sits inside the
+    * correctness gate (the [[Warc.webWarcFiles]] pattern). */
+  def annIndexProbe(embeddings: DataFrame,
+      queryPred: Column = col("vec_id") % 100 === 0): DataFrame = {
+    val spark = embeddings.sparkSession
+    val dir = annIndexDirCache.computeIfAbsent(
+      (spark, embeddings.queryExecution.analyzed.semanticHash()), { _ =>
+        val d = TempDirs.scratch("graft-ann-index")
+        writeAnnIndex(buildAnnIndex(embeddings), d)
+        d
+      })
+    probeAnnIndex(readAnnIndex(spark, dir), embeddings.filter(queryPred))
   }
 
   /** The coarse-quantizer cell per vector — the [[semanticDedup]]/[[ivfTopK]]

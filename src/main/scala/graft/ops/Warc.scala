@@ -351,20 +351,31 @@ object Warc {
     * collected to the driver), so the same code lays crawl shards onto
     * HDFS/object storage on a cluster as onto the local FS here. */
   def writeFixtureFiles(docs: DataFrame, dir: String,
-      gzip: Boolean = true, perFile: Int = PerFile): Unit = {
-    val spark = docs.sparkSession
+      gzip: Boolean = true, perFile: Int = PerFile): Unit =
+    writeFrameFiles(files(docs, perFile), dir, gzip)
+
+  /** [[writeFixtureFiles]] for the WET render — `.warc.wet.gz` files of
+    * `conversion` records ([[wet]]), the on-disk shape a Common Crawl-
+    * style text sidecar lands in. */
+  def writeWetFiles(docs: DataFrame, dir: String, gzip: Boolean = true,
+      perFile: Int = PerFile): Unit =
+    writeFrameFiles(wet(docs, perFile), dir, gzip, ext0 = ".warc.wet")
+
+  private def writeFrameFiles(frames: DataFrame, dir: String,
+      gzip: Boolean, ext0: String = ".warc"): Unit = {
+    val spark = frames.sparkSession
     import spark.implicits._
     // the SESSION Hadoop conf rides to the tasks (not a default
     // Configuration): object-store credentials / fs impls / defaultFS all
     // live there on a real cluster
     val confSer = org.apache.spark.sql.graftbridge
       .serializableHadoopConf(spark)
-    files(docs, perFile).select(col("warc_id"), col("content"))
+    frames.select(col("warc_id"), col("content"))
       .as[(Long, String)]
       .foreachPartition { it: Iterator[(Long, String)] =>
         val conf = confSer.value
         it.foreach { case (wid, content) =>
-          val ext = if (gzip) ".warc.gz" else ".warc"
+          val ext = if (gzip) ext0 + ".gz" else ext0
           val p = new org.apache.hadoop.fs.Path(dir, f"part-$wid%05d$ext")
           val raw = p.getFileSystem(conf).create(p, true)
           val out: java.io.OutputStream =
@@ -383,34 +394,21 @@ object Warc {
   // same directory; every created dir is deleted at JVM exit.
   private val fixtureDirCache = new java.util.concurrent.ConcurrentHashMap[
     (org.apache.spark.sql.SparkSession, Int, Int, Boolean), String]()
-  private val createdDirs =
-    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
-  locally {
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      createdDirs.forEach { d =>
-        try {
-          import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(d).iterator.asScala.toSeq.reverseIterator
-            .foreach(p => java.nio.file.Files.deleteIfExists(p))
-        } catch { case _: Throwable => () }
-      }
-    }, "graft-warc-fixture-cleanup"))
-  }
 
   /** Materialize (once per session + docs plan) the fixture render as real
     * on-disk files and return the directory — shared by [[webWarcFiles]]
     * and [[graft.ops.Prep.prepWarcFiles]] so repeated invocations in one
     * session (bench warm-up + timed loop + verify) reuse one write instead
-    * of accumulating temp dirs. Dirs are deleted on JVM exit. */
+    * of accumulating temp dirs. Dirs are deleted on JVM exit
+    * ([[TempDirs]]). */
   private[graft] def fixtureFilesDir(docs: DataFrame, gzip: Boolean = true,
       perFile: Int = PerFile): String =
     fixtureDirCache.computeIfAbsent(
       (docs.sparkSession, docs.queryExecution.analyzed.semanticHash(),
         perFile, gzip), { _ =>
-        val dir = java.nio.file.Files.createTempDirectory("graft-warc-fixture")
-        createdDirs.add(dir)
-        writeFixtureFiles(docs, dir.toString, gzip, perFile)
-        dir.toString
+        val dir = TempDirs.scratch("graft-warc-fixture")
+        writeFixtureFiles(docs, dir, gzip, perFile)
+        dir
       })
 
   /** [[webWarc]] through REAL on-disk `.warc.gz` files: render → write

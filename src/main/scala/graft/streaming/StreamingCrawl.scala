@@ -93,4 +93,24 @@ object StreamingCrawl {
         keep = Seq("url", "source", "text"))
       .filter(col("kept"))
   }
+
+  /** The WET twin of [[cleanPages]]: `conversion` records (pre-extracted
+    * plain text — [[graft.ops.Warc.wet]]'s dialect) from a watched
+    * directory, URL-gated and Gopher-quality-gated in-stream; extraction
+    * is skipped because the WET producer already ran it. Same batch
+    * boundary notes as [[cleanPages]]. */
+  def wetCleanPages(spark: SparkSession, path: String,
+      maxFilesPerTrigger: Int = 64): DataFrame = {
+    val src = graft.ops.UrlOps.parseNormalize(col("url"))
+      .getField("registered_domain")
+    val conv = records(spark, path, maxFilesPerTrigger)
+      .filter(col("warc_type") === "conversion")
+      .select(col("doc_id"), col("target_uri").as("url"),
+        decode(col("body"), "UTF-8").as("text"))
+      .filter(graft.ops.UrlOps.filterReason(col("url")) === "ok")
+      .withColumn("source", src)
+    graft.ops.TextAnalysis.gopherRules(conv,
+        keep = Seq("url", "source", "text"))
+      .filter(col("kept"))
+  }
 }

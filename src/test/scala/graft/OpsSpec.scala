@@ -295,6 +295,37 @@ class OpsSpec extends SparkSpec {
     graft.ops.CacheScope.releaseAll(spark)
   }
 
+  test("durable ANN index: write/read/probe reproduces the inline rerank") {
+    import graft.ops.Similarity
+    // the PQ-ADC two-cluster fixture; the round trip must be invisible
+    val vecs = (0L to 49L).map { i =>
+      val v = Array.tabulate(64) { d =>
+        val base = if ((i < 25) == (d < 32)) 1f else 0f
+        base + ((i * 7 + d) % 5) * 0.01f
+      }
+      (i, v, 0)
+    }.toDF("vec_id", "embedding", "label")
+    val pred = col("vec_id").isin(0L, 30L)
+    val inline = Similarity.ivfPqRerankTopK(vecs, pred)
+      .collect().map(_.toString).sorted.toSeq
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ann-idx-spec").toString
+    Similarity.writeAnnIndex(Similarity.buildAnnIndex(vecs), dir)
+    val loaded = Similarity.readAnnIndex(spark, dir)
+    val probed = Similarity.probeAnnIndex(loaded, vecs.filter(pred))
+      .collect().map(_.toString).sorted.toSeq
+    // row-for-row identical to the never-persisted operator
+    assert(probed == inline)
+    // an EXTERNAL query vector (id outside the corpus) probes the loaded
+    // index and retrieves its own cluster
+    val ext = Seq((1000L, Array.tabulate(64)(d => if (d < 32) 1f else 0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val extTop = Similarity.probeAnnIndex(loaded, ext, k = 3).collect()
+    assert(extTop.length == 3)
+    assert(extTop.forall(_.getAs[Long]("neighbor_id") < 25L))
+    graft.ops.CacheScope.releaseAll(spark)
+  }
+
   test("pii scrub counts and redacts planted emails, IPs, and phones") {
     val d = Seq(
       (0L, "contact bob.smith+x@example.co.uk or 10.0.0.1 now"),

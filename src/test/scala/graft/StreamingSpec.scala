@@ -661,4 +661,38 @@ class StreamingSpec extends SparkSpec {
       assert(ids == Seq(2L, 28L), s"e2e got $ids")
     } finally q.stop()
   }
+
+  test("streaming WET ingest: conversion records gate and quality-filter in-stream") {
+    val spark2 = spark
+    import spark2.implicits._
+    import graft.ops.Warc
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-stream-wet").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-stream-wet-ckpt").toString
+    val good = "the quick brown fox jumps over the lazy dog and then " +
+      "runs far away to find more of the tasty food that it wants " +
+      "while the sun sets slowly behind the quiet hills of home"
+    def mk(rows: (Long, String)*) = rows
+      .map { case (i, t) => (i, t, "en", "srcA") }
+      .toDF("doc_id", "text", "lang", "source")
+    Warc.writeWetFiles(mk(2L -> good), dir)
+    val out = graft.streaming.StreamingCrawl.wetCleanPages(spark2, dir)
+    val q = out.writeStream
+      .format("memory").queryName("wet_clean").outputMode("append")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      val b1 = spark.table("wet_clean").collect()
+      assert(b1.map(_.getAs[Long]("doc_id")).toSeq == Seq(2L))
+      // WET text arrives verbatim — no extraction ran
+      assert(b1.head.getAs[String]("text") == good)
+      // mid-query file: quality junk dies in-stream, clean text passes
+      Warc.writeWetFiles(mk(28L -> good, 29L -> "short page"), dir)
+      q.processAllAvailable()
+      val ids = spark.table("wet_clean").collect()
+        .map(_.getAs[Long]("doc_id")).sorted.toSeq
+      assert(ids == Seq(2L, 28L, 29L).filter(_ != 29L), s"wet got $ids")
+    } finally q.stop()
+  }
 }
