@@ -217,7 +217,18 @@ object Robots {
     * scan plus one (broadcast) join, the shape that holds at 100 TB of
     * pages. */
   def robotsGate(parsedPages: DataFrame, robots: DataFrame,
-      agent: String = "graftbot"): DataFrame = {
+      agent: String = "graftbot", query: Option[Column] = None): DataFrame = {
+    // RFC 9309 §2.2.2 matches rules against the path AND query of the
+    // target URI — pass the pages' query column to get that form
+    // (`Disallow: /*?sid=`-style rules need it). The fixture queries pass
+    // None because the render recipe keys its decisions on path alone
+    // (stated dialect); spec-witnessed either way.
+    val target = query match {
+      case Some(q) => concat(col("path"),
+        when(q.isNull || q === "", lit(""))
+          .otherwise(concat(lit("?"), q)))
+      case None => col("path")
+    }
     val agentLc = agent.toLowerCase(java.util.Locale.ROOT)
     val rules = parseRobots(robots)
       .filter(col("agent").isin(agentLc, "*"))
@@ -244,8 +255,8 @@ object Robots {
     val bestT = "struct<len:int,is_allow:boolean,prefix:string>"
     val matching = filter(col("rules"), r =>
       when(r.getField("has_wild"),
-          regexp_like(col("path"), r.getField("match_re")))
-        .otherwise(startswith(col("path"), r.getField("prefix"))))
+          regexp_like(target, r.getField("match_re")))
+        .otherwise(startswith(target, r.getField("prefix"))))
     val best = aggregate(matching, lit(null).cast(bestT), (acc, r) => {
       val cand = struct(
         r.getField("spec_len").as("len"),

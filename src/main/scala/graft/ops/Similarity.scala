@@ -976,17 +976,25 @@ object Similarity {
     * query subset — held to the SAME oracle as the inline
     * [[ivfPqRerankTopK]], so the whole disk round trip sits inside the
     * correctness gate (the [[Warc.webWarcFiles]] pattern). */
-  def annIndexProbe(embeddings: DataFrame,
-      queryPred: Column = col("vec_id") % 100 === 0): DataFrame = {
+  /** The session's durable-index directory for an embeddings plan —
+    * built + written on first use, reused after (a deployment builds the
+    * index ONCE offline; the bench prewarm calls this so the per-query
+    * timing measures the steady state, read+probe, the same rationale as
+    * the shared dl_* parse cache). */
+  private[graft] def annIndexDir(embeddings: DataFrame): String = {
     val spark = embeddings.sparkSession
-    val dir = annIndexDirCache.computeIfAbsent(
+    annIndexDirCache.computeIfAbsent(
       (spark, embeddings.queryExecution.analyzed.semanticHash()), { _ =>
         val d = TempDirs.scratch("graft-ann-index")
         writeAnnIndex(buildAnnIndex(embeddings), d)
         d
       })
-    probeAnnIndex(readAnnIndex(spark, dir), embeddings.filter(queryPred))
   }
+
+  def annIndexProbe(embeddings: DataFrame,
+      queryPred: Column = col("vec_id") % 100 === 0): DataFrame =
+    probeAnnIndex(readAnnIndex(embeddings.sparkSession,
+      annIndexDir(embeddings)), embeddings.filter(queryPred))
 
   /** The coarse-quantizer cell per vector — the [[semanticDedup]]/[[ivfTopK]]
     * assignment, exposed so harnesses can measure cell-capture rates

@@ -2229,6 +2229,42 @@ class OpsSpec extends SparkSpec {
     assert(out(17L) == ((false, "/y", None)))
   }
 
+  test("robots parser edges: comments, pre-group rules, bare *, query matching") {
+    import graft.ops.Robots
+    val robots = Seq(
+      // rules BEFORE any group are agent-less and ignored (RFC 9309);
+      // '#' comments strip mid-line; a bare '*' pattern matches everything
+      ("a.com", "Disallow: /orphan\nUser-agent: * # the wildcard agent\n" +
+        "Disallow: /x # block the x section\n# full comment line\n" +
+        "Allow: /x/pub"),
+      ("b.com", "User-agent: *\nDisallow: *"),
+      // query-targeting wildcard rule (session-id URLs)
+      ("q.com", "User-agent: *\nDisallow: /*?sid="))
+      .toDF("registered_domain", "robots_txt")
+    val pages = Seq(
+      (0L, "a.com", "/orphan/doc", ""),  // pre-group rule must NOT apply
+      (1L, "a.com", "/x/private", ""),
+      (2L, "a.com", "/x/pub/1", ""),
+      (3L, "b.com", "/anything", ""),    // bare * blocks all
+      (4L, "q.com", "/a", "sid=123"),    // query matches the rule
+      (5L, "q.com", "/a", "page=2"),
+      (6L, "q.com", "/a", ""))
+      .toDF("doc_id", "registered_domain", "path", "query")
+      .withColumn("url",
+        concat(lit("https://"), col("registered_domain"), col("path")))
+    val out = Robots.robotsGate(pages, robots, query = Some(col("query")))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Boolean]("robots_allowed"), r.getAs[String]("robots_rule"))))
+      .toMap
+    assert(out(0L) == ((true, null)))
+    assert(out(1L) == ((false, "/x")))
+    assert(out(2L) == ((true, "/x/pub")))
+    assert(out(3L) == ((false, "*")))
+    assert(out(4L) == ((false, "/*?sid=")))
+    assert(out(5L) == ((true, null)))
+    assert(out(6L) == ((true, null)))
+  }
+
   test("robots sitemaps extraction and per-domain crawl budget") {
     import graft.ops.Robots
     val robots = Seq(
