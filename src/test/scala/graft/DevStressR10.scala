@@ -62,6 +62,31 @@ object DevStressR10 {
     timed("robotsGate 100x (no wildcard rules)")(
       forceCount(ops.Robots.robotsGate(pages, robotsNoWild)))
     ops.CacheScope.releaseAll(spark)
+
+    // 3. the durable ANN index at 100×: build+write once over the
+    // replicated corpus (the offline cost a deployment pays once), then
+    // probe the fixture query batch twice from the on-disk artifacts —
+    // the steady-state read+probe is what scales with query traffic
+    val bigEmb = SparkEntry.emb(spark, dir)
+      .crossJoin(spark.range(100).toDF("copy"))
+      .select((col("vec_id") + col("copy") * 1000000L).as("vec_id"),
+        col("embedding"), col("label"))
+    val idxDir = "/tmp/stress100annidx"
+    val t0 = System.nanoTime()
+    if (!new java.io.File(s"$idxDir/meta").isDirectory) {
+      ops.Similarity.writeAnnIndex(
+        ops.Similarity.buildAnnIndex(bigEmb), idxDir)
+      println(f"[stress-r10] ann index build+write 100x (400k vecs) " +
+        f"${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    }
+    ops.CacheScope.releaseAll(spark)
+    val loaded = ops.Similarity.readAnnIndex(spark, idxDir)
+    val queries = bigEmb.filter(col("vec_id") % 100000 === 0)
+    timed("ann index probe 100x (cold read)")(
+      forceCount(ops.Similarity.probeAnnIndex(loaded, queries)))
+    timed("ann index probe 100x (repeat)")(
+      forceCount(ops.Similarity.probeAnnIndex(
+        ops.Similarity.readAnnIndex(spark, idxDir), queries)))
     spark.stop()
   }
 }
