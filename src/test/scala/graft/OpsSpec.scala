@@ -2265,6 +2265,41 @@ class OpsSpec extends SparkSpec {
     assert(out(6L) == ((true, null)))
   }
 
+  test("robots crawl-delay: position-independent in its group, max across merged groups") {
+    import graft.ops.Robots
+    val robots = Seq(
+      // delay BEFORE the rules: still rides on every rule of the group
+      ("a.com", "User-agent: *\nCrawl-delay: 3\nDisallow: /x"),
+      // same agent in two groups with different delays: max governs
+      ("b.com", "User-agent: graftbot\nCrawl-delay: 2\nDisallow: /x\n\n" +
+        "User-agent: graftbot\nCrawl-delay: 8\nDisallow: /y"))
+      .toDF("registered_domain", "robots_txt")
+    val pages = Seq((0L, "a.com", "/x/1"), (1L, "b.com", "/z"))
+      .toDF("doc_id", "registered_domain", "path")
+      .withColumn("url",
+        concat(lit("https://"), col("registered_domain"), col("path")))
+    val out = Robots.robotsGate(pages, robots).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Boolean]("robots_allowed"), Option(r.getAs[Any]("crawl_delay")))))
+      .toMap
+    assert(out(0L) == ((false, Some(3))))
+    assert(out(1L) == ((true, Some(8))))
+  }
+
+  test("warc streamed read fails loudly, naming the malformed file") {
+    import graft.ops.Warc
+    val dir = java.nio.file.Files.createTempDirectory("graft-warc-bad")
+    java.nio.file.Files.write(dir.resolve("bad.warc"),
+      "NOT-A-WARC-RECORD\r\n".getBytes("UTF-8"))
+    val e = intercept[org.apache.spark.SparkException] {
+      Warc.recordsFromFiles(spark, dir.toString).count()
+    }
+    // the walker's error carries the file path (its per-file tag), so a
+    // 100 TB ingest points straight at the bad segment
+    assert(e.getMessage.contains("bad.warc") ||
+      Option(e.getCause).exists(_.getMessage.contains("bad.warc")))
+  }
+
   test("robots sitemaps extraction and per-domain crawl budget") {
     import graft.ops.Robots
     val robots = Seq(
