@@ -46,13 +46,29 @@ case class CharsetDecode(left: Expression, right: Expression)
   @transient private lazy val cache =
     new java.util.concurrent.ConcurrentHashMap[String, Charset]()
 
-  private def charsetFor(label: String): Charset =
-    cache.computeIfAbsent(label, { l =>
-      val t = l.trim
-      if (t.isEmpty) StandardCharsets.UTF_8
-      else try Charset.forName(t)
-        catch { case _: Exception => StandardCharsets.UTF_8 }
-    })
+  private def resolve(label: String): Charset = {
+    val t = label.trim
+    if (t.isEmpty) StandardCharsets.UTF_8
+    else try Charset.forName(t)
+      catch { case _: Exception => StandardCharsets.UTF_8 }
+  }
+
+  private def charsetFor(label: String): Charset = {
+    // normalize before caching (charset labels are case-insensitive, RFC
+    // 2978 §2.3) and CAP the cache: the label is untrusted crawl input, and
+    // a response fleet emitting high-cardinality garbage labels must not
+    // grow an executor-lifetime map without bound — past the cap, garbage
+    // labels resolve uncached (the legitimate charset universe is far
+    // below the cap, so real labels stay one hash probe)
+    val key = label.trim.toLowerCase(java.util.Locale.ROOT)
+    val hit = cache.get(key)
+    if (hit != null) hit
+    else {
+      val cs = resolve(key)
+      if (cache.size < CharsetDecode.MaxCachedLabels) cache.putIfAbsent(key, cs)
+      cs
+    }
+  }
 
   def decodeBytes(b: Array[Byte], cs: UTF8String): UTF8String = {
     val dec = charsetFor(if (cs == null) "UTF-8" else cs.toString).newDecoder()
@@ -74,6 +90,11 @@ case class CharsetDecode(left: Expression, right: Expression)
 }
 
 object CharsetDecode {
+  /** Per-expression charset-label cache cap — comfortably above every
+    * legitimate charset+alias the JVM knows, small enough that an
+    * adversarial label stream cannot matter. */
+  private[functions] val MaxCachedLabels = 2048
+
   /** Column form: decode `bytes` under the per-row `charset` label (null
     * label → UTF-8; see the class doc for the lenient semantics). */
   def decodeWith(bytes: Column, charset: Column): Column = {

@@ -968,8 +968,10 @@ object Similarity {
   // one durable index per (session, embeddings plan) — the bench/verify
   // loops invoke the round-trip query repeatedly; a deployment builds
   // once, so the harness must too (the Warc.fixtureFilesDir rationale)
+  // keyed on the 256-bit canonical-plan digest, stopped sessions purged on
+  // access — the Warc.fixtureDirCache hardening (advisor r10)
   private val annIndexDirCache = new java.util.concurrent.ConcurrentHashMap[
-    (org.apache.spark.sql.SparkSession, Int), String]()
+    (org.apache.spark.sql.SparkSession, String), String]()
 
   /** The composed durable-ANN fixture query: build the index over the
     * corpus, write it to parquet, READ IT BACK, and probe the fixture
@@ -983,8 +985,10 @@ object Similarity {
     * the shared dl_* parse cache). */
   private[graft] def annIndexDir(embeddings: DataFrame): String = {
     val spark = embeddings.sparkSession
+    TempDirs.purgeStopped(annIndexDirCache)
     annIndexDirCache.computeIfAbsent(
-      (spark, embeddings.queryExecution.analyzed.semanticHash()), { _ =>
+      (spark, TempDirs.planDigest(
+        embeddings.queryExecution.analyzed.canonicalized)), { _ =>
         val d = TempDirs.scratch("graft-ann-index")
         writeAnnIndex(buildAnnIndex(embeddings), d)
         d

@@ -30,4 +30,54 @@ object TempDirs {
     created.add(dir)
     dir.toString
   }
+
+  /** 256-bit hex digest of a CANONICALIZED logical plan — the fixture-cache
+    * plan key. The 32-bit `semanticHash` the caches first used could
+    * collide two DIFFERENT plans onto one fixture directory and silently
+    * corrupt results (advisor r10); at 256 bits collision is not a
+    * realistic event.
+    *
+    * The digest covers the structural tree string PLUS every
+    * `LocalRelation`'s row data: a LocalRelation's `toString` prints only
+    * its output schema, so two same-schema in-memory frames with different
+    * ROWS would otherwise collide — the exact corruption the digest exists
+    * to prevent (caught by the webWarcFiles round-trip spec). UnsafeRow
+    * data digests by its backing bytes; other row classes fall back to
+    * `toString` (deterministic per row OBJECT, so a re-used Dataset still
+    * hits the cache and a merely plan-equal one re-renders — a safe miss,
+    * never a wrong hit). */
+  def planDigest(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    def add(s: String): Unit =
+      md.update(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    add(plan.toString)
+    plan.foreach {
+      case lr: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        lr.data.foreach {
+          case u: org.apache.spark.sql.catalyst.expressions.UnsafeRow =>
+            md.update(u.getBytes)
+          case r => add(r.toString)
+        }
+      case _ => ()
+    }
+    md.digest().map(b => f"$b%02x").mkString
+  }
+
+  /** Drop cache entries whose SparkSession has been stopped — session-keyed
+    * fixture caches must not pin dead sessions (and their scratch dirs'
+    * liveness bookkeeping) for the JVM lifetime in a JVM that cycles
+    * sessions. The DIRS are reclaimed at JVM exit regardless (`created`
+    * keeps its own list); this only unpins the map entries. */
+  def purgeStopped[K <: Product, V](
+      cache: java.util.concurrent.ConcurrentHashMap[K, V]): Unit = {
+    val it = cache.keySet.iterator
+    while (it.hasNext) {
+      it.next().productElement(0) match {
+        case s: org.apache.spark.sql.SparkSession
+            if s.sparkContext.isStopped => it.remove()
+        case _ => ()
+      }
+    }
+  }
 }

@@ -310,10 +310,18 @@ object Warc {
         it.flatMap { p =>
           val hp = new org.apache.hadoop.fs.Path(p)
           val raw = hp.getFileSystem(conf).open(hp)
+          // GZIPInputStream's ctor eagerly reads the gzip header — a
+          // corrupt/empty .gz throws HERE, before closing() exists to own
+          // the stream, so the FS handle must be closed on that path; and
+          // closing() wraps the OUTERMOST stream so the gzip wrapper's
+          // native Inflater is ended deterministically (close() cascades
+          // to `raw`), not left to finalization
           val in: java.io.InputStream =
-            if (p.endsWith(".gz")) new java.util.zip.GZIPInputStream(raw)
+            if (p.endsWith(".gz"))
+              try new java.util.zip.GZIPInputStream(raw)
+              catch { case e: Throwable => raw.close(); throw e }
             else raw
-          closing(raw, parseStream(p, in).map(r => FileRec(p, r.rec_idx,
+          closing(in, parseStream(p, in).map(r => FileRec(p, r.rec_idx,
             r.warc_type, r.doc_id, r.target_uri, r.warc_date,
             r.content_length, r.http_status, r.http_charset, r.body)))
         }
@@ -393,23 +401,31 @@ object Warc {
   // bench divergence). `semanticHash` keys plan-identical docs frames to the
   // same directory; every created dir is deleted at JVM exit.
   private val fixtureDirCache = new java.util.concurrent.ConcurrentHashMap[
-    (org.apache.spark.sql.SparkSession, Int, Int, Boolean), String]()
+    (org.apache.spark.sql.SparkSession, String, Int, Boolean), String]()
 
   /** Materialize (once per session + docs plan) the fixture render as real
     * on-disk files and return the directory — shared by [[webWarcFiles]]
     * and [[graft.ops.Prep.prepWarcFiles]] so repeated invocations in one
     * session (bench warm-up + timed loop + verify) reuse one write instead
     * of accumulating temp dirs. Dirs are deleted on JVM exit
-    * ([[TempDirs]]). */
+    * ([[TempDirs]]). The plan key is a 256-bit digest of the CANONICALIZED
+    * plan string, not the 32-bit `semanticHash` — a 32-bit collision
+    * between two different docs plans would silently serve the wrong
+    * fixture directory (advisor r10). Entries of stopped sessions are
+    * purged on access so a long-lived JVM cycling sessions doesn't pin
+    * them (their dirs still vanish at JVM exit via [[TempDirs]]). */
   private[graft] def fixtureFilesDir(docs: DataFrame, gzip: Boolean = true,
-      perFile: Int = PerFile): String =
+      perFile: Int = PerFile): String = {
+    TempDirs.purgeStopped(fixtureDirCache)
     fixtureDirCache.computeIfAbsent(
-      (docs.sparkSession, docs.queryExecution.analyzed.semanticHash(),
+      (docs.sparkSession,
+        TempDirs.planDigest(docs.queryExecution.analyzed.canonicalized),
         perFile, gzip), { _ =>
         val dir = TempDirs.scratch("graft-warc-fixture")
         writeFixtureFiles(docs, dir, gzip, perFile)
         dir
       })
+  }
 
   /** [[webWarc]] through REAL on-disk `.warc.gz` files: render → write
     * gzipped crawl files (executor-side) → `binaryFile` read → byte-level
@@ -425,6 +441,12 @@ object Warc {
           .cast("long").as("warc_id"),
         col("rec_idx"), col("warc_type"), col("doc_id"), col("target_uri"),
         col("warc_date"), col("content_length"), col("http_status"),
+        // STRICT decode is deliberate here and only here: this is the
+        // fixture-dialect round trip (bodies are rendered by `files` as
+        // valid UTF-8 by construction), and strictness makes the oracle
+        // catch any write/read byte corruption loudly. Real-crawl paths
+        // (responsePagesFromFiles, StreamingCrawl) use the lenient
+        // CharsetDecode — never copy this line into one of those.
         decode(col("body"), "UTF-8").as("body"))
   }
 }

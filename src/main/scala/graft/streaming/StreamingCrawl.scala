@@ -46,13 +46,22 @@ object StreamingCrawl {
 
   /** The HTML boundary of the stream: `response` records as
     * `(doc_id, url, body)` string pages — the streaming twin of
-    * [[graft.ops.Warc.responsePagesFromFiles]]. */
+    * [[graft.ops.Warc.responsePagesFromFiles]], including its LENIENT
+    * charset-aware decode ([[graft.functions.CharsetDecode]]): the decode
+    * branches on the per-record HTTP `Content-Type` charset the walker
+    * captured, falls back to UTF-8, and renders malformed bytes as U+FFFD.
+    * Strictness matters MORE here than in batch — a strict decode raising
+    * `MALFORMED_CHARACTER_CODING` would not fail one query but kill the
+    * continuous pipeline on whatever trigger the mojibake page lands in,
+    * and the file source's offset log would replay the same file at
+    * restart (a poison-pill loop). */
   def responsePages(spark: SparkSession, path: String,
       maxFilesPerTrigger: Int = 64): DataFrame =
     records(spark, path, maxFilesPerTrigger)
       .filter(col("warc_type") === "response")
       .select(col("doc_id"), col("target_uri").as("url"),
-        decode(col("body"), "UTF-8").as("body"))
+        graft.functions.CharsetDecode.decodeWith(col("body"),
+          coalesce(col("http_charset"), lit("UTF-8"))).as("body"))
 
   /** [[responsePages]] with the URL gate applied in-stream (the pure
     * per-row [[graft.ops.UrlOps.filterReason]] filter — fuses into the
@@ -103,10 +112,14 @@ object StreamingCrawl {
       maxFilesPerTrigger: Int = 64): DataFrame = {
     val src = graft.ops.UrlOps.parseNormalize(col("url"))
       .getField("registered_domain")
+    // lenient decode, same rationale as [[responsePages]]: WET payloads are
+    // nominally UTF-8 but real sidecars carry stray malformed bytes, and a
+    // strict decode would poison-pill the stream (replay loop at restart)
     val conv = records(spark, path, maxFilesPerTrigger)
       .filter(col("warc_type") === "conversion")
       .select(col("doc_id"), col("target_uri").as("url"),
-        decode(col("body"), "UTF-8").as("text"))
+        graft.functions.CharsetDecode.decodeWith(col("body"),
+          coalesce(col("http_charset"), lit("UTF-8"))).as("text"))
       .filter(graft.ops.UrlOps.filterReason(col("url")) === "ok")
       .withColumn("source", src)
     graft.ops.TextAnalysis.gopherRules(conv,

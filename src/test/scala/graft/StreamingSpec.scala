@@ -662,6 +662,72 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming crawl survives non-UTF-8 and malformed pages (lenient decode)") {
+    // the poison-pill scenario the lenient boundary exists for: in batch a
+    // strict decode fails one query; in streaming it kills the continuous
+    // pipeline on whatever trigger the page lands in, and the file source's
+    // offset log replays the same file at restart — a crash loop. An
+    // ISO-8859-1 page and a malformed-bytes page must both FLOW THROUGH
+    // cleanPages (charset honored, bad bytes as U+FFFD), and the query must
+    // keep processing later files.
+    import java.nio.charset.StandardCharsets.UTF_8
+    val crlf = "\r\n"
+    def rec(id: Long, charset: Option[String], body: Array[Byte]): Array[Byte] = {
+      val head = "HTTP/1.1 200 OK" +
+        charset.map(c => crlf + s"Content-Type: text/html; charset=$c")
+          .getOrElse("")
+      val payload = (head + crlf + crlf).getBytes(UTF_8) ++ body
+      (("WARC/1.0" + crlf + "WARC-Type: response" + crlf +
+        s"WARC-Record-ID: <urn:graft:$id>" + crlf +
+        s"WARC-Target-URI: https://x.test/en/article-$id" + crlf +
+        s"Content-Length: ${payload.length}" + crlf + crlf).getBytes(UTF_8)
+        ++ payload ++ (crlf + crlf).getBytes(UTF_8))
+    }
+    // 35 words, stopword-rich — passes every Gopher rule after extraction
+    val good = "the quick brown fox jumps over the lazy dog and then " +
+      "runs far away to find more of the tasty food that it wants " +
+      "while the sun sets slowly behind the quiet hills of home"
+    def html(text: String) = s"<html><body><p>$text</p></body></html>"
+    // page 101: declared ISO-8859-1, body contains 0xE9 (é) — invalid UTF-8
+    val latin = html(good.replace("dog", "café dog"))
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    // page 102: declared UTF-8 with a raw 0xFF inside a word — malformed
+    val pre = html(good + " and the story ends here")
+      .getBytes(UTF_8)
+    val cut = pre.indexOfSlice("food".getBytes(UTF_8))
+    val broken = pre.take(cut + 2) ++ Array(0xFF.toByte) ++ pre.drop(cut + 2)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-stream-mojibake")
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-stream-mojibake-ckpt").toString
+    java.nio.file.Files.write(dir.resolve("b1.warc"),
+      rec(101L, Some("ISO-8859-1"), latin) ++ rec(102L, Some("UTF-8"), broken))
+    val out = graft.streaming.StreamingCrawl.cleanPages(spark, dir.toString)
+    val q = out.writeStream
+      .format("memory").queryName("mojibake_clean").outputMode("append")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      assert(q.exception.isEmpty, s"stream died: ${q.exception}")
+      val rows = spark.table("mojibake_clean").collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+      assert(rows.keySet == Set(101L, 102L), s"got ${rows.keySet}")
+      // the charset label was honored, not guessed: é decoded correctly
+      assert(rows(101L).contains("café"), rows(101L))
+      // the malformed byte became U+FFFD instead of killing the trigger
+      assert(rows(102L).contains("fo�od"), rows(102L))
+      // and the stream LIVES ON: a later file (with another bad page in it)
+      // is picked up and processed by the same query
+      java.nio.file.Files.write(dir.resolve("b2.warc"),
+        rec(103L, None, broken))
+      q.processAllAvailable()
+      assert(q.exception.isEmpty, s"stream died on batch 2: ${q.exception}")
+      val ids = spark.table("mojibake_clean").collect()
+        .map(_.getAs[Long]("doc_id")).sorted.toSeq
+      assert(ids == Seq(101L, 102L, 103L), s"after batch 2: $ids")
+    } finally q.stop()
+  }
+
   test("streaming WET ingest: conversion records gate and quality-filter in-stream") {
     val spark2 = spark
     import spark2.implicits._
