@@ -2683,6 +2683,53 @@ SELECT registered_domain,
   'https://' || registered_domain || '/sitemap-news.xml'
 FROM doms WHERE l % 6 = 2"""
 
+  /** Sitemap-document oracle (mirrors graft.ops.Robots.webSitemapDocs):
+    * the fixture renders each listed sitemap as XML — even-L domains (all
+    * sitemap domains have L%3==2, so even ⟺ L%6==2) get a sitemapindex of
+    * two /sitemap-part{k}.xml shards, odd-L a direct urlset of (L%4)+2
+    * pages; part shards carry (L%5)+1 items; news sitemaps 2 items;
+    * lastmod omitted on the %5==0 residues. The oracle states the
+    * discovered page table in closed form; the engine must reach it
+    * through its real XML parse + the one-hop index recursion. */
+  val webSitemapDocs: String = s"""WITH doms AS (
+  SELECT DISTINCT registered_domain, length(registered_domain) AS l
+  FROM (${urlParsedOver(urlPagesOver("documents"))})
+), sdoms AS (SELECT * FROM doms WHERE l % 3 = 2),
+direct AS (
+  SELECT registered_domain, l,
+    unnest(generate_series(1, (l % 4) + 2)) AS i
+  FROM sdoms WHERE l % 2 = 1
+), parts AS (
+  SELECT registered_domain, l, k,
+    unnest(generate_series(1, (l % 5) + 1)) AS i
+  FROM (SELECT registered_domain, l, unnest(generate_series(1, 2)) AS k
+        FROM sdoms WHERE l % 2 = 0)
+), news AS (
+  SELECT registered_domain, l, unnest(generate_series(1, 2)) AS i
+  FROM sdoms WHERE l % 6 = 2
+)
+SELECT registered_domain,
+  'https://' || registered_domain || '/sitemap.xml' AS sitemap_url,
+  'https://' || registered_domain || '/page/' || i AS loc,
+  CASE WHEN (l + i) % 5 = 0 THEN NULL
+       ELSE '2026-02-' || lpad(CAST((l + i) % 28 + 1 AS VARCHAR), 2, '0')
+       END AS lastmod
+FROM direct
+UNION ALL
+SELECT registered_domain,
+  'https://' || registered_domain || '/sitemap-part' || k || '.xml',
+  'https://' || registered_domain || '/part' || k || '/item-' || i,
+  CASE WHEN (l + i + k) % 5 = 0 THEN NULL
+       ELSE '2026-03-' || lpad(CAST((l + i + k) % 28 + 1 AS VARCHAR), 2, '0')
+       END
+FROM parts
+UNION ALL
+SELECT registered_domain,
+  'https://' || registered_domain || '/sitemap-news.xml',
+  'https://' || registered_domain || '/news/' || i,
+  '2026-04-0' || i
+FROM news"""
+
   /** Crawl-budget oracle (mirrors graft.ops.Robots.webCrawlBudget):
     * per-domain allowed-page count × governing crawl delay, built on the
     * webRobots decision subquery so both engines derive the gate the same

@@ -472,6 +472,9 @@ object SparkEntry {
     // Sitemap records extracted from the rendered robots corpus (frontier
     // seeding); oracle states the listing table in closed form
     "web_sitemaps" -> ((s, dir) => ops.Robots.webSitemaps(docs(s, dir))),
+    // sitemap DOCUMENTS parsed to page URLs: urlset entries + the
+    // sitemapindex one-hop recursion (spec forbids index-of-index)
+    "web_sitemap_docs" -> ((s, dir) => ops.Robots.webSitemapDocs(docs(s, dir))),
     // per-domain politeness budget: allowed pages x governing crawl delay
     "web_crawl_budget" -> ((s, dir) => ops.Robots.webCrawlBudget(docs(s, dir))),
     "web_warc" -> ((s, dir) => ops.Warc.webWarc(docs(s, dir))),
@@ -724,6 +727,7 @@ object SparkEntry {
     "web_url_dedup" -> OracleSqlOps.webUrlDedup,
     "web_robots" -> OracleSqlOps.webRobots,
     "web_sitemaps" -> OracleSqlOps.webSitemaps,
+    "web_sitemap_docs" -> OracleSqlOps.webSitemapDocs,
     "web_crawl_budget" -> OracleSqlOps.webCrawlBudget,
     "web_warc" -> OracleSqlOps.webWarc,
     "web_warc_files" -> OracleSqlOps.webWarc,

@@ -2327,6 +2327,131 @@ class OpsSpec extends SparkSpec {
     assert(budget("b.net") == ((1L, None, 1L)))
   }
 
+  test("sitemap XML parse: urlset entries, index recursion, limits audit") {
+    import graft.ops.Robots
+    // a urlset with the spec's shapes: whitespace inside <loc> (trimmed),
+    // optional <lastmod> (null when absent), attributes on the root, an
+    // entry with NO loc (dropped — loc is the one required field)
+    val urlset = """<?xml version="1.0" encoding="UTF-8"?>
+      |<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+      |  <url><loc> https://a.com/p1 </loc><lastmod>2026-01-02</lastmod></url>
+      |  <url>
+      |    <loc>https://a.com/p2</loc>
+      |  </url>
+      |  <url><lastmod>2026-01-03</lastmod></url>
+      |</urlset>""".stripMargin
+    // an index of two shards — one with lastmod, one without
+    val index = """<?xml version="1.0"?>
+      |<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+      |  <sitemap><loc>https://b.org/shard1.xml</loc>
+      |    <lastmod>2026-02-01</lastmod></sitemap>
+      |  <sitemap><loc>https://b.org/shard2.xml</loc></sitemap>
+      |</sitemapindex>""".stripMargin
+    val parsed = Robots.parseSitemapXml(Seq(
+        ("a.com", "https://a.com/sitemap.xml", urlset),
+        ("b.org", "https://b.org/sitemap.xml", index))
+      .toDF("registered_domain", "sitemap_url", "xml")).collect()
+      .map(r => (r.getAs[String]("registered_domain"),
+        r.getAs[String]("kind"), r.getAs[String]("loc"),
+        r.getAs[String]("lastmod"))).sortBy(_.toString).toSeq
+    assert(parsed == Seq(
+      ("a.com", "url", "https://a.com/p1", "2026-01-02"),
+      ("a.com", "url", "https://a.com/p2", null),
+      ("b.org", "sitemap", "https://b.org/shard1.xml", "2026-02-01"),
+      ("b.org", "sitemap", "https://b.org/shard2.xml", null)))
+
+    // the tree walk: index shards fetched and parsed one more level; an
+    // index-of-index at level 1 (spec violation) is dropped, not recursed
+    val shard1 = """<urlset><url><loc>https://b.org/s1/x</loc></url>
+      |<url><loc>https://b.org/s1/y</loc><lastmod>2026-03-01</lastmod></url>
+      |</urlset>""".stripMargin
+    val shard2 = // producer bug: a shard that is itself an index
+      "<sitemapindex><sitemap><loc>https://b.org/evil.xml</loc></sitemap></sitemapindex>"
+    val content = Map(
+      "https://a.com/sitemap.xml" -> urlset,
+      "https://b.org/sitemap.xml" -> index,
+      "https://b.org/shard1.xml" -> shard1,
+      "https://b.org/shard2.xml" -> shard2)
+    val contentDf = content.toSeq.toDF("sitemap_url", "xml")
+    def fetch(listings: org.apache.spark.sql.DataFrame) =
+      listings.join(contentDf, Seq("sitemap_url"))
+        .select(col("registered_domain"), col("sitemap_url"), col("xml"))
+    val docs = Robots.sitemapDocs(Seq(
+        ("a.com", "https://a.com/sitemap.xml"),
+        ("b.org", "https://b.org/sitemap.xml"))
+      .toDF("registered_domain", "sitemap_url"), fetch).collect()
+      .map(r => (r.getAs[String]("sitemap_url"), r.getAs[String]("loc")))
+      .sorted.toSeq
+    assert(docs == Seq(
+      ("https://a.com/sitemap.xml", "https://a.com/p1"),
+      ("https://a.com/sitemap.xml", "https://a.com/p2"),
+      ("https://b.org/shard1.xml", "https://b.org/s1/x"),
+      ("https://b.org/shard1.xml", "https://b.org/s1/y")))
+
+    // limits audit: the spec's 50k-entry cap flags a violating document
+    val big = "<urlset>" + "<url><loc>x</loc></url>" * 50001 + "</urlset>"
+    val audit = Robots.sitemapLimitAudit(Seq(
+        ("a.com", "https://a.com/sitemap.xml", urlset),
+        ("c.io", "https://c.io/big.xml", big))
+      .toDF("registered_domain", "sitemap_url", "xml")).collect()
+      .map(r => r.getAs[String]("sitemap_url") ->
+        ((r.getAs[Int]("n_entries"), r.getAs[Boolean]("within_limits")))).toMap
+    assert(audit("https://a.com/sitemap.xml") == ((2, true)))
+    assert(audit("https://c.io/big.xml") == ((50001, false)))
+  }
+
+  test("webSitemapDocs fixture: rendered XML parses back to the closed form") {
+    import graft.ops.Robots
+    // sources of different lengths (the webRobots spec's rationale) so the
+    // rendered domains hit both the even-L (index of shards) and odd-L
+    // (direct urlset) branches plus the news sitemap (L%6==2)
+    def good(i: Long) = (i, s"body $i", if (i % 2 == 0) "en" else "de",
+      Seq("a", "bb", "ccc")((i % 3).toInt))
+    val d = (0L until 78L).map(good).toDF("doc_id", "text", "lang", "source")
+    val out = Robots.webSitemapDocs(d).collect()
+    assert(out.nonEmpty)
+    val byDom = out.groupBy(_.getAs[String]("registered_domain"))
+    for ((dom, rows) <- byDom) {
+      val l = dom.length
+      assert(l % 3 == 2, s"$dom listed a sitemap but L%3 != 2")
+      val bySm = rows.groupBy(_.getAs[String]("sitemap_url"))
+      if (l % 2 == 0) {
+        // index domain: pages come from the two shards (never sitemap.xml),
+        // (L%5)+1 items each, plus the news sitemap (L%6==2 ⟺ even here)
+        assert(!bySm.contains(s"https://$dom/sitemap.xml"))
+        for (k <- 1 to 2) {
+          val shard = bySm(s"https://$dom/sitemap-part$k.xml")
+          assert(shard.length == (l % 5) + 1, s"$dom part$k")
+          val locs = shard.map(_.getAs[String]("loc")).sorted.toSeq
+          assert(locs == (1 to (l % 5) + 1)
+            .map(i => s"https://$dom/part$k/item-$i").sorted)
+          // lastmod omitted exactly on the %5==0 residue
+          for (r <- shard) {
+            val i = r.getAs[String]("loc").split("-").last.toInt
+            val lm = r.getAs[String]("lastmod")
+            if ((l + i + k) % 5 == 0) assert(lm == null)
+            else assert(lm == f"2026-03-${(l + i + k) % 28 + 1}%02d")
+          }
+        }
+        val news = bySm(s"https://$dom/sitemap-news.xml")
+        assert(news.map(r => (r.getAs[String]("loc"),
+          r.getAs[String]("lastmod"))).sorted.toSeq ==
+          (1 to 2).map(i => (s"https://$dom/news/$i", s"2026-04-0$i")))
+      } else {
+        // direct domain: one urlset of (L%4)+2 pages, no shards, no news
+        assert(bySm.keySet == Set(s"https://$dom/sitemap.xml"))
+        val pages = bySm(s"https://$dom/sitemap.xml")
+        assert(pages.length == (l % 4) + 2, s"$dom direct")
+        for (r <- pages) {
+          val i = r.getAs[String]("loc").split("/").last.toInt
+          val lm = r.getAs[String]("lastmod")
+          if ((l + i) % 5 == 0) assert(lm == null)
+          else assert(lm == f"2026-02-${(l + i) % 28 + 1}%02d")
+        }
+      }
+    }
+  }
+
   test("webRobots fixture: group override and longest match on rendered URLs") {
     import graft.ops.Robots
     // sources of DIFFERENT lengths so the rendered registered domains hit
@@ -2714,6 +2839,24 @@ class OpsSpec extends SparkSpec {
     assert(cs(2L) == "UTF-8")
     assert(cs(3L) == "no-such-charset-9")
     assert(cs(4L) == null)
+  }
+
+  test("charset decode stays correct past the label-cache cap (untrusted labels)") {
+    // the charset label is untrusted crawl input: a fleet emitting
+    // high-cardinality garbage labels must not grow the per-expression
+    // cache without bound (advisor r10) — past the cap, labels resolve
+    // uncached and decode still succeeds (UTF-8 fallback), and real labels
+    // (mixed case — the cache key is normalized) keep decoding correctly
+    val spark2 = spark
+    import spark2.implicits._
+    val n = 3000 // > CharsetDecode.MaxCachedLabels (2048)
+    val rows = (0 until n).map(i => ("ok", s"no-such-charset-$i")) ++
+      Seq(("latin", "iso-8859-1"), ("latin", "ISO-8859-1"))
+    val out = rows.toDF("tag", "label")
+      .select(col("tag"), graft.functions.CharsetDecode.decodeWith(
+        encode(lit("abc"), "UTF-8"), col("label")).as("s"))
+      .collect()
+    assert(out.length == n + 2 && out.forall(_.getAs[String]("s") == "abc"))
   }
 
   test("warc streamed file read: many records through a task-side FS stream") {
