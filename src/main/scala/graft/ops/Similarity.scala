@@ -777,24 +777,32 @@ object Similarity {
     * distance tables against the residual codebook (tiny broadcast), ADC
     * over the cell-equi-joined corpus codes, top-k window over the
     * candidate rows only. `queries` = `(query_id, qe, qn2)`. */
-  private def ivfPqProbe(centroids: DataFrame, cb: DataFrame,
-      ccodes: DataFrame, queries: DataFrame, k: Int, nprobe: Int,
-      subspaces: Int): DataFrame = {
-    val subDim = 64 / subspaces
+  /** The nprobe nearest coarse cells per query `(query_id, cid)` — shared
+    * by [[ivfPqProbe]]'s candidate join and [[probeAnnIndex]]'s static
+    * partition pruning so both derive the probed-cell set identically.
+    * Ranks on NARROW rows (query_id, cid, pcos): the ranking window
+    * shuffles Q×C rows, and carrying the full query/centroid vectors
+    * through that sort multiplies its width ~200×. */
+  private def rankedProbeCells(centroids: DataFrame, queries: DataFrame,
+      nprobe: Int): DataFrame = {
     val probeW = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("pcos").desc, col("cid"))
-    // rank cells on NARROW rows (query_id, cid, pcos) — the ranking window
-    // shuffles Q×C rows, and carrying the full query/centroid vectors
-    // through that sort multiplies its width ~200×; the chosen Q×nprobe
-    // rows re-attach both vectors via one small join + the centroid
-    // broadcast before the residual projection
-    val ranked = queries.crossJoin(broadcast(centroids))
+    queries.crossJoin(broadcast(centroids))
       .select(col("query_id"), col("cid"),
         cosineWithNorms(col("qe"), col("ce"), col("qn2"), col("cn2")).as("pcos"))
       .withColumn("prank", row_number().over(probeW))
       .filter(col("prank") <= nprobe)
       .select(col("query_id"), col("cid"))
+  }
+
+  private def ivfPqProbe(centroids: DataFrame, cb: DataFrame,
+      ccodes: DataFrame, queries: DataFrame, k: Int, nprobe: Int,
+      subspaces: Int): DataFrame = {
+    val subDim = 64 / subspaces
+    // the chosen Q×nprobe rows re-attach both vectors via one small join +
+    // the centroid broadcast before the residual projection
+    val ranked = rankedProbeCells(centroids, queries, nprobe)
     val probes = ranked
       .join(queries.select(col("query_id"), col("qe")), "query_id")
       .join(broadcast(centroids.select(col("cid"), col("ce"))), "cid")
@@ -909,15 +917,19 @@ object Similarity {
 
   /** Persist an [[AnnIndex]] as parquet under `dir` (three tables + a
     * one-row meta table, the [[Dedup.writeIndex]] convention). The codes
-    * table is the only corpus-scale artifact; a cluster deployment would
-    * additionally partition it by `cell` so a probe's nprobe cells prune
-    * to nprobe/C of the files at scan time. */
+    * table — the only corpus-scale artifact — is PARTITIONED BY `cell`
+    * (pre-shuffled onto its cells so each cell's rows land in that cell's
+    * directory as few files, not one file per task×cell), which is what
+    * lets a probe's nprobe cells prune the file listing to ~nprobe/C of
+    * the corpus at scan time ([[probeAnnIndex]] pushes the static cell
+    * filter). */
   def writeAnnIndex(index: AnnIndex, dir: String): Unit = {
     val s = index.codes.sparkSession
     import s.implicits._
     index.centroids.write.mode("overwrite").parquet(s"$dir/centroids")
     index.codebook.write.mode("overwrite").parquet(s"$dir/codebook")
-    index.codes.write.mode("overwrite").parquet(s"$dir/codes")
+    index.codes.repartition(col("cell")).write.mode("overwrite")
+      .partitionBy("cell").parquet(s"$dir/codes")
     Seq((index.subspaces, index.codesPerSub)).toDF("subspaces", "codes")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
   }
@@ -925,9 +937,45 @@ object Similarity {
   def readAnnIndex(s: org.apache.spark.sql.SparkSession,
       dir: String): AnnIndex = {
     val m = s.read.parquet(s"$dir/meta").head()
+    // restore the written column order and the cell's LONG type (partition
+    // directory values re-infer as int) so a loaded index is
+    // indistinguishable from a freshly built one
+    val codes = s.read.parquet(s"$dir/codes")
+      .select(col("vec_id"), col("cell").cast("long").as("cell"),
+        col("codes"), col("embedding"), col("n2"))
     AnnIndex(s.read.parquet(s"$dir/centroids"),
-      s.read.parquet(s"$dir/codebook"), s.read.parquet(s"$dir/codes"),
+      s.read.parquet(s"$dir/codebook"), codes,
       m.getAs[Int]("subspaces"), m.getAs[Int]("codes"))
+  }
+
+  /** Append a NEW vector batch to a durable index under its FROZEN
+    * quantizers — the [[Dedup.IncrementalIndex]] twin operation, and the
+    * standard incremental-ANN move (add onto a trained index): each new
+    * vector is assigned to its nearest EXISTING coarse cell and its
+    * residual PQ-encoded against the EXISTING codebook, and the coded rows
+    * (+ raw vector for rerank) append to the partitioned `codes` table —
+    * no corpus re-encode (the 100×-stress build was 160 s at 400k vectors
+    * and is hours at corpus scale; the append pays only the batch).
+    *
+    * Recall caveat (standard for frozen quantizers): centroids/codebook
+    * were trained on the ORIGINAL corpus, so if the new data's
+    * distribution drifts, its residual quantization error grows and
+    * probe recall on the appended region degrades — deployments re-train
+    * and re-encode periodically (a fresh [[buildAnnIndex]]) once the
+    * appended fraction is material. When the appended batch would not
+    * have entered the build's deterministic codebook samples, the
+    * appended index is BIT-IDENTICAL to a full rebuild (spec-witnessed,
+    * and how [[annIndexAppendProbe]] stays inside the inline oracle). */
+  def appendAnnIndex(dir: String, newVectors: DataFrame): Unit = {
+    val s = newVectors.sparkSession
+    val idx = readAnnIndex(s, dir)
+    val corpus = CacheScope.trackEager(withNorm2(newVectors))
+    val resid = residualized(corpus, idx.centroids)
+    encodeResiduals(resid, idx.codebook, idx.subspaces)
+      .join(corpus.select(col("vec_id"), col("embedding"), col("n2")),
+        "vec_id")
+      .repartition(col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$dir/codes")
   }
 
   /** The ONLINE half: score a batch of query vectors `(vec_id, embedding)`
@@ -942,17 +990,31 @@ object Similarity {
     * Scale shape: the index tables never re-derive (the whole point);
     * the only corpus-scale touches are the cell-equi-joined ADC scan and
     * the final shortlist id-join, both gated broadcasts on the small
-    * (query) side with partitioned fallbacks. */
+    * (query) side with partitioned fallbacks — and with `pruneScan` (the
+    * default) BOTH scans carry a STATIC `cell IN (probed cells)` filter:
+    * the probe batch is bounded by nature (an online request batch), so
+    * its ≤ |Q|·nprobe cell set collects driver-side (gate-bounded,
+    * documented) and pushes as a partition filter into the
+    * cell-partitioned codes layout ([[writeAnnIndex]]) — the file listing
+    * prunes to ~nprobe/C of the corpus files, the read shape a deployed
+    * ANN service runs. Result rows are identical either way (the ADC join
+    * is already cell-equi and shortlist neighbors live in probed cells). */
   def probeAnnIndex(index: AnnIndex, queries: DataFrame, k: Int = 3,
-      shortlist: Int = 30, nprobe: Int = 2): DataFrame = {
+      shortlist: Int = 30, nprobe: Int = 2,
+      pruneScan: Boolean = true): DataFrame = {
     val q = CacheScope.track(withNorm2(queries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
         col("n2").as("qn2")))
-    val sl = ivfPqProbe(index.centroids, index.codebook, index.codes, q,
+    val codes0 = if (pruneScan) {
+      val cells = rankedProbeCells(index.centroids, q, nprobe)
+        .select(col("cid")).distinct().collect().map(_.getLong(0)).toSeq
+      index.codes.filter(col("cell").isin(cells: _*))
+    } else index.codes
+    val sl = ivfPqProbe(index.centroids, index.codebook, codes0, q,
       shortlist, nprobe, index.subspaces)
     val slq = CacheScope.trackEager(
       sl.select(col("query_id"), col("neighbor_id")).join(q, "query_id"))
-    val n = index.codes.select(col("vec_id").as("neighbor_id"),
+    val n = codes0.select(col("vec_id").as("neighbor_id"),
       col("embedding").as("ne"), col("n2").as("nn2"))
     val cos = cosineWithNorms(col("qe"), col("ne"), col("qn2"), col("nn2"))
     val rw = org.apache.spark.sql.expressions.Window
@@ -999,6 +1061,34 @@ object Similarity {
       queryPred: Column = col("vec_id") % 100 === 0): DataFrame =
     probeAnnIndex(readAnnIndex(embeddings.sparkSession,
       annIndexDir(embeddings)), embeddings.filter(queryPred))
+
+  /** The composed INCREMENTAL fixture query: build + write the index over
+    * the corpus MINUS the `vec_id % 10 == 0` batch, [[appendAnnIndex]]
+    * that batch against the frozen quantizers, read back, probe — held to
+    * the SAME oracle as the inline [[ivfPqRerankTopK]]. That works
+    * because the held-out batch is chosen OUTSIDE both deterministic
+    * codebook samples (`% 10 == 0` ids are even — never in the odd-id PQ
+    * sample — and never ≡ [[IvfCentroidResidue]] mod
+    * [[IvfCentroidStride]]), so the base-corpus quantizers equal the
+    * full-corpus ones and the appended index is bit-identical to a full
+    * rebuild — the strongest correctness statement an append path can
+    * make, with the general frozen-quantizer recall caveat documented on
+    * [[appendAnnIndex]]. */
+  def annIndexAppendProbe(embeddings: DataFrame,
+      queryPred: Column = col("vec_id") % 100 === 0): DataFrame = {
+    val spark = embeddings.sparkSession
+    TempDirs.purgeStopped(annIndexDirCache)
+    val dir = annIndexDirCache.computeIfAbsent(
+      (spark, TempDirs.planDigest(
+        embeddings.queryExecution.analyzed.canonicalized) + "#append"), { _ =>
+        val d = TempDirs.scratch("graft-ann-index-append")
+        writeAnnIndex(
+          buildAnnIndex(embeddings.filter(col("vec_id") % 10 =!= 0)), d)
+        appendAnnIndex(d, embeddings.filter(col("vec_id") % 10 === 0))
+        d
+      })
+    probeAnnIndex(readAnnIndex(spark, dir), embeddings.filter(queryPred))
+  }
 
   /** The coarse-quantizer cell per vector — the [[semanticDedup]]/[[ivfTopK]]
     * assignment, exposed so harnesses can measure cell-capture rates

@@ -326,6 +326,88 @@ class OpsSpec extends SparkSpec {
     graft.ops.CacheScope.releaseAll(spark)
   }
 
+  test("durable ANN index: cell-partitioned layout prunes the probe's file scan") {
+    import graft.ops.Similarity
+    val vecs = (0L to 49L).map { i =>
+      val v = Array.tabulate(64) { d =>
+        val base = if ((i < 25) == (d < 32)) 1f else 0f
+        base + ((i * 7 + d) % 5) * 0.01f
+      }
+      (i, v, 0)
+    }.toDF("vec_id", "embedding", "label")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ann-prune-spec").toString
+    Similarity.writeAnnIndex(Similarity.buildAnnIndex(vecs), dir)
+    // the on-disk codes layout is hive-partitioned by cell
+    val cellDirs = new java.io.File(s"$dir/codes").list()
+      .filter(_.startsWith("cell=")).toSeq
+    assert(cellDirs.size > 1, s"expected cell=* dirs, got $cellDirs")
+    val loaded = Similarity.readAnnIndex(spark, dir)
+    val pred = col("vec_id").isin(0L, 30L)
+    val pruned = Similarity.probeAnnIndex(loaded, vecs.filter(pred))
+    // the probe's codes scans carry a STATIC partition filter on cell —
+    // the file listing prunes to the probed cells, not the corpus
+    val planStr = pruned.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(planStr.contains("PartitionFilters"), planStr.take(2000))
+    val pf = planStr.linesIterator
+      .filter(_.contains("PartitionFilters")).toSeq
+    assert(pf.exists(l => l.contains("cell") && l.contains("IN")),
+      pf.mkString("\n"))
+    // and pruning changes no rows vs the unpruned probe
+    val unpruned = Similarity.probeAnnIndex(loaded, vecs.filter(pred),
+      pruneScan = false).collect().map(_.toString).sorted.toSeq
+    assert(pruned.collect().map(_.toString).sorted.toSeq == unpruned)
+    graft.ops.CacheScope.releaseAll(spark)
+  }
+
+  test("ANN index append under frozen quantizers equals a full rebuild") {
+    import graft.ops.Similarity
+    // base corpus: two clusters, ids 0..599 — large enough that BOTH
+    // deterministic codebook samples saturate inside it (odd-id PQ sample:
+    // 256 ≤ 300 odd ids; centroid residue sample: ids ≡ 7 mod 25)
+    def baseVec(i: Long) = Array.tabulate(64) { d =>
+      val b = if ((i % 2 == 0) == (d < 32)) 1f else 0f
+      b + ((i * 7 + d) % 5) * 0.01f
+    }
+    // appended batch: a THIRD direction, ids ≡ 0 mod 10 beyond the samples
+    // (even → never in the odd-id PQ sample; ≡ 0/5 mod 25 → never the
+    // centroid residue 7) — so frozen quantizers == full-rebuild quantizers
+    def newVec(i: Long) = Array.tabulate(64) { d =>
+      val b = if (d >= 16 && d < 48) 1f else 0f
+      b + ((i * 7 + d) % 5) * 0.01f
+    }
+    val base = (0L to 599L).map(i => (i, baseVec(i), 0))
+      .toDF("vec_id", "embedding", "label")
+    val appended = (2000L to 2090L by 10).map(i => (i, newVec(i), 0))
+      .toDF("vec_id", "embedding", "label")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ann-append-spec").toString
+    Similarity.writeAnnIndex(Similarity.buildAnnIndex(base), dir)
+    Similarity.appendAnnIndex(dir, appended)
+    val incr = Similarity.readAnnIndex(spark, dir)
+    val rebuilt = Similarity.buildAnnIndex(base.unionByName(appended))
+    // the appended codes are bit-identical to the full rebuild's
+    def codesStr(i: Similarity.AnnIndex) = i.codes
+      .select(col("vec_id"), col("cell"), col("codes"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(codesStr(incr) == codesStr(rebuilt))
+    // ...and so is the probe, for a query identical to an appended vector
+    // (rank 1 must be its twin at cosine 1.0 — the appended region is
+    // actually retrievable, not just stored)
+    val q = Seq((9999L, newVec(2000L), 0)).toDF("vec_id", "embedding", "label")
+    val pIncr = Similarity.probeAnnIndex(incr, q, k = 5)
+      .collect().map(_.toString).sorted.toSeq
+    val pFull = Similarity.probeAnnIndex(rebuilt, q, k = 5)
+      .collect().map(_.toString).sorted.toSeq
+    assert(pIncr == pFull)
+    val top = Similarity.probeAnnIndex(incr, q, k = 5)
+      .filter(col("rank") === 1).head()
+    assert(top.getAs[Long]("neighbor_id") == 2000L)
+    assert(math.abs(top.getAs[Double]("cosine") - 1.0) < 1e-9)
+    graft.ops.CacheScope.releaseAll(spark)
+  }
+
   test("pii scrub counts and redacts planted emails, IPs, and phones") {
     val d = Seq(
       (0L, "contact bob.smith+x@example.co.uk or 10.0.0.1 now"),
