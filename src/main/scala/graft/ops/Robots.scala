@@ -153,9 +153,16 @@ object Robots {
             last.getField("delay"), last.getField("rules"))), lit(true)))
         .otherwise(state(concat(groups, array(group(
           array(lower(v)), lit(null), emptyRules))), lit(true)))
+      // patterns canonicalize their percent-encoding at parse time (RFC
+      // 9309 §2.2.2 compares octets in ONE spelling: unreserved escapes
+      // decoded, others uppercase-hex, non-ASCII encoded — see
+      // [[graft.functions.PercentCanon]]); the gate canonicalizes the
+      // match target the same way, so /caf%C3%A9 and /café match either
+      // direction. ASCII escape-free patterns (the fixture dialect) are
+      // untouched.
       val rule = struct(
         when(d === "allow", "allow").otherwise("disallow").as("rule_type"),
-        v.as("prefix"))
+        graft.functions.PercentCanon.canonize(v).as("prefix"))
       val onRule = when(n === 0, acc).otherwise(
         state(replaceLast(group(last.getField("agents"),
           last.getField("delay"),
@@ -223,12 +230,15 @@ object Robots {
     // (`Disallow: /*?sid=`-style rules need it). The fixture queries pass
     // None because the render recipe keys its decisions on path alone
     // (stated dialect); spec-witnessed either way.
-    val target = query match {
+    // the match target canonicalizes its percent-encoding to the same
+    // form the parse gave the rule patterns (RFC 9309 §2.2.2; identity on
+    // escape-free ASCII paths, i.e. the whole fixture corpus)
+    val target = graft.functions.PercentCanon.canonize(query match {
       case Some(q) => concat(col("path"),
         when(q.isNull || q === "", lit(""))
           .otherwise(concat(lit("?"), q)))
       case None => col("path")
-    }
+    })
     val agentLc = agent.toLowerCase(java.util.Locale.ROOT)
     val rules = parseRobots(robots)
       .filter(col("agent").isin(agentLc, "*"))

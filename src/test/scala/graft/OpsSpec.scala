@@ -2409,6 +2409,38 @@ class OpsSpec extends SparkSpec {
     assert(budget("b.net") == ((1L, None, 1L)))
   }
 
+  test("robots percent-encoding equivalence: encoded and decoded spellings match") {
+    import graft.ops.Robots
+    val robots = Seq(
+      // encoded rule (lowercase hex) must block the raw-unicode path
+      ("enc.com", "User-agent: *\nDisallow: /caf%c3%a9/"),
+      // raw-unicode rule must block the percent-encoded path
+      ("raw.com", "User-agent: *\nDisallow: /café/"),
+      // over-encoded UNRESERVED octets decode before comparison (§2.2.2)
+      ("dec.com", "User-agent: *\nDisallow: /%61bc/"),
+      // reserved octets stay encoded: %2F (/) must NOT decode into a path
+      // separator and start matching /a/b/
+      ("res.com", "User-agent: *\nDisallow: /a%2Fb/"))
+      .toDF("registered_domain", "robots_txt")
+    val pages = Seq(
+      (0L, "enc.com", "/café/menu"),        // raw vs encoded rule
+      (1L, "enc.com", "/cafe/menu"),        // control: plain ASCII allowed
+      (2L, "raw.com", "/caf%C3%A9/menu"),   // encoded vs raw rule
+      (3L, "raw.com", "/caf%c3%a9/menu"),   // lowercase hex spelling too
+      (4L, "dec.com", "/abc/x"),            // decoded form of %61bc
+      (5L, "dec.com", "/%61bc/y"),          // encoded form matches itself
+      (6L, "res.com", "/a%2Fb/z"),          // encoded / matches encoded rule
+      (7L, "res.com", "/a/b/z"))            // real path separator: allowed
+      .toDF("doc_id", "registered_domain", "path")
+      .withColumn("url",
+        concat(lit("https://"), col("registered_domain"), col("path")))
+    val out = Robots.robotsGate(pages, robots).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("robots_allowed"))
+      .toMap
+    assert(out == Map(0L -> false, 1L -> true, 2L -> false, 3L -> false,
+      4L -> false, 5L -> false, 6L -> false, 7L -> true), out.toString)
+  }
+
   test("sitemap XML parse: urlset entries, index recursion, limits audit") {
     import graft.ops.Robots
     // a urlset with the spec's shapes: whitespace inside <loc> (trimmed),
