@@ -2743,6 +2743,18 @@ SELECT registered_domain,
     AS est_fetch_seconds
 FROM wr GROUP BY registered_domain"""
 
+  /** Politeness-schedule oracle (mirrors graft.ops.Robots.webCrawlSchedule):
+    * allowed pages sequence per domain in doc_id order; earliest fetch
+    * offset = (seq-1) x max(delay, 1 s). Built on the webRobots decision
+    * subquery like the budget oracle. */
+  val webCrawlSchedule: String = s"""WITH wr AS ($webRobots)
+SELECT registered_domain, doc_id, url,
+  CAST(row_number() OVER (PARTITION BY registered_domain ORDER BY doc_id)
+    AS INT) AS fetch_seq,
+  CAST((row_number() OVER (PARTITION BY registered_domain ORDER BY doc_id)
+    - 1) * greatest(coalesce(crawl_delay, 1), 1) AS BIGINT) AS fetch_at_s
+FROM wr WHERE robots_allowed"""
+
   val webUrls: String = s"""SELECT doc_id, url, scheme, host, port, path,
   registered_domain, url_norm
 FROM (${urlParsedOver(urlPagesOver("documents"))})"""

@@ -481,6 +481,10 @@ object SparkEntry {
     "web_sitemap_docs" -> ((s, dir) => ops.Robots.webSitemapDocs(docs(s, dir))),
     // per-domain politeness budget: allowed pages x governing crawl delay
     "web_crawl_budget" -> ((s, dir) => ops.Robots.webCrawlBudget(docs(s, dir))),
+    // the schedule that budget prices: per-domain fetch sequence + earliest
+    // fetch second under the governing delay
+    "web_crawl_schedule" -> ((s, dir) =>
+      ops.Robots.webCrawlSchedule(docs(s, dir))),
     "web_warc" -> ((s, dir) => ops.Warc.webWarc(docs(s, dir))),
     // the same round trip through REAL on-disk .warc.gz files (executor-side
     // write, binaryFile read, byte-level parse) — same oracle: the file hop
@@ -738,6 +742,7 @@ object SparkEntry {
     "web_sitemaps" -> OracleSqlOps.webSitemaps,
     "web_sitemap_docs" -> OracleSqlOps.webSitemapDocs,
     "web_crawl_budget" -> OracleSqlOps.webCrawlBudget,
+    "web_crawl_schedule" -> OracleSqlOps.webCrawlSchedule,
     "web_warc" -> OracleSqlOps.webWarc,
     "web_warc_files" -> OracleSqlOps.webWarc,
     "web_wet" -> OracleSqlOps.webWet,

@@ -477,6 +477,38 @@ object Robots {
   def webCrawlBudget(docs: DataFrame): DataFrame =
     crawlBudget(webRobots(docs))
 
+  /** The politeness SCHEDULE a single-worker-per-domain fetcher executes —
+    * the step after [[crawlBudget]] prices it: every robots-ALLOWED page
+    * gets its per-domain fetch sequence number (deterministic `doc_id`
+    * order) and the earliest second it may be fetched,
+    * `(fetch_seq − 1) × max(crawl_delay, 1 s)` — domain politeness is a
+    * PER-DOMAIN serial constraint, so the cross-domain schedule is just
+    * these per-domain lanes running in parallel (the scheduler shards by
+    * domain; [[crawlBudget]]'s `est_fetch_seconds` is each lane's length).
+    * Disallowed pages carry no schedule slot.
+    *
+    * Scale shape: ONE window partitioned by `registered_domain` — the
+    * same key (and thus the same shuffle) as the budget aggregation; no
+    * other movement of the page table. Skew note: a mega-domain makes a
+    * long lane, not a hot partition — the window carries only that
+    * domain's allowed rows, and the schedule for a lane longer than the
+    * crawl window is exactly what [[crawlBudget]] exists to flag. */
+  def crawlSchedule(gated: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("registered_domain")).orderBy(col("doc_id"))
+    gated.filter(col("robots_allowed"))
+      .withColumn("fetch_seq", row_number().over(w))
+      .withColumn("fetch_at_s",
+        (col("fetch_seq") - 1).cast("long") *
+          greatest(coalesce(col("crawl_delay"), lit(1)), lit(1)).cast("long"))
+      .select(col("registered_domain"), col("doc_id"), col("url"),
+        col("fetch_seq"), col("fetch_at_s"))
+  }
+
+  /** [[crawlSchedule]] over the [[webRobots]] fixture gate. */
+  def webCrawlSchedule(docs: DataFrame): DataFrame =
+    crawlSchedule(webRobots(docs))
+
   /** The composed fixture query: render per-domain robots, parse them
     * back, and gate the rendered page URLs for the `graftbot` agent — the
     * render→parse→decide round trip the oracle checks (the oracle states

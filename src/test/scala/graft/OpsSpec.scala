@@ -2407,6 +2407,13 @@ class OpsSpec extends SparkSpec {
     assert(budget("a.com") == ((2L, Some(5), 10L)))
     // no delay declared: a 1 s politeness floor prices the fetch
     assert(budget("b.net") == ((1L, None, 1L)))
+    // the schedule the budget prices: allowed pages sequence per domain in
+    // doc order; fetch_at = (seq-1) x max(delay, 1); blocked pages get no
+    // slot; the last slot + one delay reproduces the budget's lane length
+    val sched = Robots.crawlSchedule(Robots.robotsGate(pages, robots))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Int]("fetch_seq"), r.getAs[Long]("fetch_at_s")))).toMap
+    assert(sched == Map(1L -> ((1, 0L)), 2L -> ((2, 5L)), 3L -> ((1, 0L))))
   }
 
   test("robots percent-encoding equivalence: encoded and decoded spellings match") {
