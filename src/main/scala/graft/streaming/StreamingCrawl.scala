@@ -73,6 +73,30 @@ object StreamingCrawl {
     responsePages(spark, path, maxFilesPerTrigger)
       .filter(graft.ops.UrlOps.filterReason(col("url")) === "ok")
 
+  /** [[gatedPages]] with the robots POLICY gate composed in-stream: the
+    * per-domain rule table (`(registered_domain, robots_txt)` — a fetched
+    * robots corpus) is a bounded STATIC side, so
+    * [[graft.ops.Robots.robotsGate]]'s broadcast equi-join + per-row
+    * decision fold apply to the streaming page frame unchanged —
+    * stream-static joins are Structured Streaming's supported stateless
+    * shape, so the policy gate adds no watermark, no state store, and no
+    * output-mode constraint; a disallowed page dies in the trigger that
+    * read it, before extraction spends anything on it. Emits the gated
+    * pages (robots-allowed only) with `crawl_delay` riding along for a
+    * downstream politeness scheduler. */
+  def policyGatedPages(spark: SparkSession, path: String,
+      robots: DataFrame, agent: String = "graftbot",
+      maxFilesPerTrigger: Int = 64): DataFrame = {
+    val u = graft.ops.UrlOps.parseNormalize(col("url"))
+    val parsed = gatedPages(spark, path, maxFilesPerTrigger)
+      .withColumn("registered_domain", u.getField("registered_domain"))
+      .withColumn("path", u.getField("path"))
+    graft.ops.Robots.robotsGate(parsed, robots, agent)
+      .filter(col("robots_allowed"))
+      .select(col("doc_id"), col("url"), col("body"),
+        col("registered_domain"), col("crawl_delay"))
+  }
+
   /** The crawl chain composed PAST the gate, in-stream: [[gatedPages]] →
     * HTML extraction ([[graft.ops.TextExtract.extract]]) → per-row Gopher
     * quality rules ([[graft.ops.TextAnalysis.gopherRules]]), emitting

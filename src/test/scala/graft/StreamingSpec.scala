@@ -580,6 +580,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming crawl: robots policy gate drops disallowed pages in-stream") {
+    val spark2 = spark
+    import spark2.implicits._
+    import graft.ops.Warc
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-stream-robots").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-stream-robots-ckpt").toString
+    // docs 2 and 4 render onto DIFFERENT registered domains
+    // (srca-site.co.uk and srca-site.com); the static robots corpus
+    // disallows doc 2's exact article path on its domain and carries a
+    // crawl delay — the policy gate must drop 2 and pass 4 INSIDE the
+    // trigger, with the delay riding along for the scheduler
+    def mk(ids: Long*) = ids.map(i =>
+      (i, s"crawl page body number $i with words", "en", "srcA"))
+      .toDF("doc_id", "text", "lang", "source")
+    Warc.writeFixtureFiles(mk(2L, 4L), dir)
+    val robots = Seq(("srca-site.co.uk",
+      "User-agent: *\nDisallow: /en/article-2\nCrawl-delay: 3"))
+      .toDF("registered_domain", "robots_txt")
+    val out = graft.streaming.StreamingCrawl.policyGatedPages(
+      spark2, dir, robots)
+    val q = out.writeStream
+      .format("memory").queryName("policy_pages").outputMode("append")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      assert(q.exception.isEmpty, s"stream died: ${q.exception}")
+      val rows = spark.table("policy_pages").collect()
+      assert(rows.map(_.getAs[Long]("doc_id")).toSeq == Seq(4L),
+        rows.mkString(","))
+      // no robots row for doc 4's domain -> allowed, delay null
+      assert(rows.head.isNullAt(rows.head.fieldIndex("crawl_delay")))
+      // a later file lands mid-query: the gate keeps applying (doc 28
+      // renders on srca-site.com — no robots row, allowed)
+      Warc.writeFixtureFiles(mk(28L), dir)
+      q.processAllAvailable()
+      val ids = spark.table("policy_pages").collect()
+        .map(_.getAs[Long]("doc_id")).sorted.toSeq
+      assert(ids == Seq(4L, 28L), s"batch 2 got $ids")
+    } finally q.stop()
+  }
+
   test("streaming crawl: extraction + quality gates emit clean text in-stream") {
     val spark2 = spark
     import spark2.implicits._
