@@ -48,6 +48,16 @@ object SparkEntry {
     // the probe query times the steady state) — dir construction inside
     // annIndexAppendProbe is the eager side effect
     ops.Similarity.annIndexAppendProbe(emb(s, dir))
+    // and the durable dedup index (dedup_index_probe's artifact)
+    val d = docs(s, dir)
+    val e = emb(s, dir).select(col("vec_id").as("doc_id"), col("embedding"))
+    ops.Dedup.indexDir(d.filter(col("doc_id") % 5 =!= 0),
+      Some(e.filter(col("doc_id") % 5 =!= 0)), 0.45)
+    // and the on-disk WARC fixture (prep_warc_files / web_warc_files):
+    // the write is fixture-RENDER scaffolding, not the operator — a real
+    // deployment reads crawl files it never wrote, so the timed queries
+    // should measure the read+parse+chain path
+    ops.Warc.fixtureFilesDir(d)
     ()
   }
 
@@ -531,6 +541,20 @@ object SparkEntry {
         batchEmb = Some(e.filter(col("doc_id") % 5 === 0)),
         embThreshold = 0.45)
     }),
+    // the steady-state daily-ingest probe: the 3-tier index is durable
+    // (built + written once per session via prewarm, as a deployment
+    // builds once per day) and the query reads + probes — same rows as
+    // dedup_incremental_emb (lossless parquet round trip), same oracle;
+    // what changes is what is TIMED (the per-increment cost alone)
+    "dedup_index_probe" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val e = emb(s, dir).select(col("vec_id").as("doc_id"), col("embedding"))
+      ops.Dedup.indexProbe(
+        d.filter(col("doc_id") % 5 =!= 0), d.filter(col("doc_id") % 5 === 0),
+        histEmb = Some(e.filter(col("doc_id") % 5 =!= 0)),
+        batchEmb = Some(e.filter(col("doc_id") % 5 === 0)),
+        embThreshold = 0.45)
+    }),
     // t=0.45 is the stress case (sign-LSH can't prune at θ≈63°, candidates
     // approach all-pairs — the operator's honesty note); t=0.8 is the
     // production near-dup regime where the s-curve actually prunes.
@@ -753,6 +777,7 @@ object SparkEntry {
     "dedup_edit" -> OracleSqlOps.dedupEdit,
     "dedup_incremental" -> OracleSqlOps.dedupIncremental,
     "dedup_incremental_emb" -> OracleSqlOps.dedupIncrementalEmb,
+    "dedup_index_probe" -> OracleSqlOps.dedupIncrementalEmb,
     "dedup_embedding" -> OracleSqlOps.embeddingNearDup(0.45),
     "dedup_embedding_t08" -> OracleSqlOps.embeddingNearDup(0.8),
     "dedup_semantic" -> OracleSqlOps.dedupSemantic,

@@ -37,27 +37,45 @@ object TempDirs {
     * corrupt results (advisor r10); at 256 bits collision is not a
     * realistic event.
     *
-    * The digest covers the structural tree string PLUS every
-    * `LocalRelation`'s row data: a LocalRelation's `toString` prints only
-    * its output schema, so two same-schema in-memory frames with different
-    * ROWS would otherwise collide — the exact corruption the digest exists
-    * to prevent (caught by the webWarcFiles round-trip spec). UnsafeRow
-    * data digests by its backing bytes; other row classes fall back to
-    * `toString` (deterministic per row OBJECT, so a re-used Dataset still
-    * hits the cache and a merely plan-equal one re-renders — a safe miss,
-    * never a wrong hit). */
+    * The plan's tree STRING alone is NOT a sufficient key — it elides two
+    * things that distinguish plans, each caught live as a wrong-fixture
+    * bug while building this:
+    *
+    *  - a `LocalRelation` prints only its output schema, not its ROWS —
+    *    two same-schema in-memory frames with different data collided
+    *    (caught by the webWarcFiles round-trip spec). The digest folds in
+    *    every LocalRelation's row data (UnsafeRow by its backing bytes;
+    *    other row classes by `toString` — deterministic per row OBJECT,
+    *    so a re-used Dataset still hits and a merely plan-equal one
+    *    re-renders: a safe miss, never a wrong hit);
+    *  - a file-source `LogicalRelation` prints only `Relation[cols]
+    *    parquet`, not its PATHS — reads of two different directories with
+    *    the same schema collided (caught by a cross-scale oracle diff:
+    *    an sf0.001-built dedup index silently served an sf0.01 probe in
+    *    one session — and the same hole let the bench's sf0.001 warm-up
+    *    fixture serve the sf0.1 timed loop). The digest folds in every
+    *    HadoopFsRelation's root paths, and `semanticHash()` of the whole
+    *    tree as a catch-all for any other relation type whose identity
+    *    its string elides (the case-class hash covers relation objects). */
   def planDigest(
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): String = {
     val md = java.security.MessageDigest.getInstance("SHA-256")
     def add(s: String): Unit =
       md.update(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     add(plan.toString)
+    add(plan.semanticHash().toString)
     plan.foreach {
       case lr: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
         lr.data.foreach {
           case u: org.apache.spark.sql.catalyst.expressions.UnsafeRow =>
             md.update(u.getBytes)
           case r => add(r.toString)
+        }
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.foreach(p => add(p.toString))
+          case other => add(String.valueOf(other))
         }
       case _ => ()
     }

@@ -408,6 +408,28 @@ class OpsSpec extends SparkSpec {
     graft.ops.CacheScope.releaseAll(spark)
   }
 
+  test("planDigest distinguishes local-relation data and file-source paths") {
+    import graft.ops.TempDirs
+    // the two collision classes caught live in r11: the canonicalized
+    // plan STRING elides LocalRelation rows and file-source paths, so a
+    // string-only digest served wrong fixture dirs (same schema, other
+    // data). Both must key differently; a re-read of the SAME path must
+    // key identically.
+    def dig(df: org.apache.spark.sql.DataFrame) =
+      TempDirs.planDigest(df.queryExecution.analyzed.canonicalized)
+    val a = Seq((1L, "x")).toDF("id", "t")
+    val b = Seq((2L, "y")).toDF("id", "t")
+    assert(dig(a) != dig(b), "local-relation data must enter the digest")
+    val d1 = java.nio.file.Files.createTempDirectory("graft-dig1").toString
+    val d2 = java.nio.file.Files.createTempDirectory("graft-dig2").toString
+    a.write.mode("overwrite").parquet(d1)
+    b.write.mode("overwrite").parquet(d2)
+    val r1 = dig(spark.read.parquet(d1))
+    val r2 = dig(spark.read.parquet(d2))
+    assert(r1 != r2, "file-source paths must enter the digest")
+    assert(dig(spark.read.parquet(d1)) == r1, "same path must key stably")
+  }
+
   test("pii scrub counts and redacts planted emails, IPs, and phones") {
     val d = Seq(
       (0L, "contact bob.smith+x@example.co.uk or 10.0.0.1 now"),
