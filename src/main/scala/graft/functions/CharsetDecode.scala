@@ -46,27 +46,27 @@ case class CharsetDecode(left: Expression, right: Expression)
   @transient private lazy val cache =
     new java.util.concurrent.ConcurrentHashMap[String, Charset]()
 
-  private def resolve(label: String): Charset = {
-    val t = label.trim
-    if (t.isEmpty) StandardCharsets.UTF_8
-    else try Charset.forName(t)
-      catch { case _: Exception => StandardCharsets.UTF_8 }
-  }
-
   private def charsetFor(label: String): Charset = {
     // normalize before caching (charset labels are case-insensitive, RFC
-    // 2978 §2.3) and CAP the cache: the label is untrusted crawl input, and
-    // a response fleet emitting high-cardinality garbage labels must not
-    // grow an executor-lifetime map without bound — past the cap, garbage
-    // labels resolve uncached (the legitimate charset universe is far
-    // below the cap, so real labels stay one hash probe)
+    // 2978 §2.3), admit only labels that RESOLVE to a real charset, and
+    // CAP the cache: the label is untrusted crawl input, and a response
+    // fleet emitting high-cardinality garbage labels must not grow an
+    // executor-lifetime map without bound — nor fill a capped one so that
+    // legitimate labels seen later can never cache (the legitimate
+    // charset+alias universe the JVM knows is a few hundred entries, far
+    // below the cap, so real labels always find room and stay one hash
+    // probe; garbage labels pay their forName miss per row, bounded work)
     val key = label.trim.toLowerCase(java.util.Locale.ROOT)
+    if (key.isEmpty) return StandardCharsets.UTF_8
     val hit = cache.get(key)
     if (hit != null) hit
     else {
-      val cs = resolve(key)
-      if (cache.size < CharsetDecode.MaxCachedLabels) cache.putIfAbsent(key, cs)
-      cs
+      try {
+        val cs = Charset.forName(key)
+        if (cache.size < CharsetDecode.MaxCachedLabels)
+          cache.putIfAbsent(key, cs)
+        cs
+      } catch { case _: Exception => StandardCharsets.UTF_8 }
     }
   }
 

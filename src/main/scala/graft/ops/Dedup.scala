@@ -1012,19 +1012,15 @@ object Dedup {
     * reused after (bench prewarm calls this). */
   private[graft] def indexDir(history: DataFrame,
       embeddings: Option[DataFrame], embThreshold: Double): String = {
-    val spark = history.sparkSession
-    TempDirs.purgeStopped(indexDirCache)
     val key = TempDirs.planDigest(
       history.queryExecution.analyzed.canonicalized) + "#" +
       embeddings.map(e => TempDirs.planDigest(
         e.queryExecution.analyzed.canonicalized)).getOrElse("none") +
       "#" + embThreshold
-    indexDirCache.computeIfAbsent((spark, key), { _ =>
-      val d = TempDirs.scratch("graft-dedup-index")
+    TempDirs.cachedScratchDir(indexDirCache, history.sparkSession, key,
+      "graft-dedup-index")(d =>
       writeIndex(buildIndex(history, embeddings = embeddings,
-        embThreshold = embThreshold), d)
-      d
-    })
+        embThreshold = embThreshold), d))
   }
 
   /** The steady-state daily-ingest probe as a query: read the durable

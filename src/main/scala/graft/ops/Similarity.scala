@@ -798,11 +798,15 @@ object Similarity {
 
   private def ivfPqProbe(centroids: DataFrame, cb: DataFrame,
       ccodes: DataFrame, queries: DataFrame, k: Int, nprobe: Int,
-      subspaces: Int): DataFrame = {
+      subspaces: Int, rankedOverride: Option[DataFrame] = None): DataFrame = {
     val subDim = 64 / subspaces
     // the chosen Q×nprobe rows re-attach both vectors via one small join +
-    // the centroid broadcast before the residual projection
-    val ranked = rankedProbeCells(centroids, queries, nprobe)
+    // the centroid broadcast before the residual projection.
+    // rankedOverride lets probeAnnIndex hand in its already-computed (and
+    // cached) cell ranking instead of re-running the Q×C ranking window a
+    // second time in the same plan.
+    val ranked = rankedOverride.getOrElse(
+      rankedProbeCells(centroids, queries, nprobe))
     val probes = ranked
       .join(queries.select(col("query_id"), col("qe")), "query_id")
       .join(broadcast(centroids.select(col("cid"), col("ce"))), "cid")
@@ -969,7 +973,18 @@ object Similarity {
   def appendAnnIndex(dir: String, newVectors: DataFrame): Unit = {
     val s = newVectors.sparkSession
     val idx = readAnnIndex(s, dir)
-    val corpus = CacheScope.trackEager(withNorm2(newVectors))
+    val batch = CacheScope.trackEager(withNorm2(newVectors))
+    // idempotence guard: ids already in the index are skipped, so a
+    // retried append (the parquet commit landed, the job died before
+    // acking) cannot write duplicate vec_id rows that would occupy two
+    // top-k slots per probe. Shape: ONE column-pruned scan of codes
+    // semi-filtered by the broadcast batch ids (bounded ≤ |batch|, no
+    // shuffle of the corpus-scale codes table), anti-joined back against
+    // the batch as a broadcast hash join.
+    val already = idx.codes.select(col("vec_id"))
+      .join(broadcast(batch.select(col("vec_id"))), Seq("vec_id"),
+        "left_semi")
+    val corpus = batch.join(broadcast(already), Seq("vec_id"), "left_anti")
     val resid = residualized(corpus, idx.centroids)
     encodeResiduals(resid, idx.codebook, idx.subspaces)
       .join(corpus.select(col("vec_id"), col("embedding"), col("n2")),
@@ -1005,13 +1020,24 @@ object Similarity {
     val q = CacheScope.track(withNorm2(queries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
         col("n2").as("qn2")))
-    val codes0 = if (pruneScan) {
-      val cells = rankedProbeCells(index.centroids, q, nprobe)
-        .select(col("cid")).distinct().collect().map(_.getLong(0)).toSeq
-      index.codes.filter(col("cell").isin(cells: _*))
-    } else index.codes
+    // the Q×nprobe cell ranking is computed ONCE (eager-cached): its
+    // collected cell set drives the static partition filter, and the same
+    // cached frame feeds ivfPqProbe's candidate join — not a second
+    // ranking-window execution in the same plan
+    val ranked =
+      if (pruneScan)
+        Some(CacheScope.trackEager(
+          rankedProbeCells(index.centroids, q, nprobe)))
+      else None
+    val codes0 = ranked match {
+      case Some(r) =>
+        val cells = r.select(col("cid")).distinct()
+          .collect().map(_.getLong(0)).toSeq
+        index.codes.filter(col("cell").isin(cells: _*))
+      case None => index.codes
+    }
     val sl = ivfPqProbe(index.centroids, index.codebook, codes0, q,
-      shortlist, nprobe, index.subspaces)
+      shortlist, nprobe, index.subspaces, rankedOverride = ranked)
     val slq = CacheScope.trackEager(
       sl.select(col("query_id"), col("neighbor_id")).join(q, "query_id"))
     val n = codes0.select(col("vec_id").as("neighbor_id"),
@@ -1045,17 +1071,10 @@ object Similarity {
     * index ONCE offline; the bench prewarm calls this so the per-query
     * timing measures the steady state, read+probe, the same rationale as
     * the shared dl_* parse cache). */
-  private[graft] def annIndexDir(embeddings: DataFrame): String = {
-    val spark = embeddings.sparkSession
-    TempDirs.purgeStopped(annIndexDirCache)
-    annIndexDirCache.computeIfAbsent(
-      (spark, TempDirs.planDigest(
-        embeddings.queryExecution.analyzed.canonicalized)), { _ =>
-        val d = TempDirs.scratch("graft-ann-index")
-        writeAnnIndex(buildAnnIndex(embeddings), d)
-        d
-      })
-  }
+  private[graft] def annIndexDir(embeddings: DataFrame): String =
+    TempDirs.cachedScratchDir(annIndexDirCache, embeddings.sparkSession,
+      TempDirs.planDigest(embeddings.queryExecution.analyzed.canonicalized),
+      "graft-ann-index")(d => writeAnnIndex(buildAnnIndex(embeddings), d))
 
   def annIndexProbe(embeddings: DataFrame,
       queryPred: Column = col("vec_id") % 100 === 0): DataFrame =
@@ -1077,16 +1096,13 @@ object Similarity {
   def annIndexAppendProbe(embeddings: DataFrame,
       queryPred: Column = col("vec_id") % 100 === 0): DataFrame = {
     val spark = embeddings.sparkSession
-    TempDirs.purgeStopped(annIndexDirCache)
-    val dir = annIndexDirCache.computeIfAbsent(
-      (spark, TempDirs.planDigest(
-        embeddings.queryExecution.analyzed.canonicalized) + "#append"), { _ =>
-        val d = TempDirs.scratch("graft-ann-index-append")
-        writeAnnIndex(
-          buildAnnIndex(embeddings.filter(col("vec_id") % 10 =!= 0)), d)
-        appendAnnIndex(d, embeddings.filter(col("vec_id") % 10 === 0))
-        d
-      })
+    val dir = TempDirs.cachedScratchDir(annIndexDirCache, spark,
+      TempDirs.planDigest(embeddings.queryExecution.analyzed.canonicalized) +
+        "#append", "graft-ann-index-append") { d =>
+      writeAnnIndex(
+        buildAnnIndex(embeddings.filter(col("vec_id") % 10 =!= 0)), d)
+      appendAnnIndex(d, embeddings.filter(col("vec_id") % 10 === 0))
+    }
     probeAnnIndex(readAnnIndex(spark, dir), embeddings.filter(queryPred))
   }
 

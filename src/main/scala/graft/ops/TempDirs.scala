@@ -82,6 +82,27 @@ object TempDirs {
     md.digest().map(b => f"$b%02x").mkString
   }
 
+  /** The shared durable-fixture-dir idiom: one scratch dir per (session,
+    * key), built by `build` exactly once on first use, reused after,
+    * stopped-session entries purged on access, the dir itself reclaimed at
+    * JVM exit. All fixture/index caches (WARC files, ANN index, ANN
+    * append, dedup index) go through HERE so a key-hardening fix (r11 had
+    * two) lands once, not four times. `key` must encode EVERYTHING the
+    * artifact depends on — use [[planDigest]] for frames plus literal
+    * knobs. */
+  def cachedScratchDir(
+      cache: java.util.concurrent.ConcurrentHashMap[
+        (org.apache.spark.sql.SparkSession, String), String],
+      spark: org.apache.spark.sql.SparkSession, key: String,
+      prefix: String)(build: String => Unit): String = {
+    purgeStopped(cache)
+    cache.computeIfAbsent((spark, key), { _ =>
+      val d = scratch(prefix)
+      build(d)
+      d
+    })
+  }
+
   /** Drop cache entries whose SparkSession has been stopped — session-keyed
     * fixture caches must not pin dead sessions (and their scratch dirs'
     * liveness bookkeeping) for the JVM lifetime in a JVM that cycles

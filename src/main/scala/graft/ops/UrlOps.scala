@@ -61,7 +61,9 @@ object UrlOps {
   private def pathOf(url: Column): Column =
     regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
 
-  private def queryOf(url: Column): Column =
+  /** The query component of a URL string (empty when absent) — exposed for
+    * callers feeding [[Robots.robotsGate]]'s path+query match target. */
+  private[graft] def queryOf(url: Column): Column =
     regexp_extract(url, "\\?([^#]*)", 1)
 
   /** The registered (registrable) domain of an already-lowercased host —

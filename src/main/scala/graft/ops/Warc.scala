@@ -401,7 +401,7 @@ object Warc {
   // bench divergence). `semanticHash` keys plan-identical docs frames to the
   // same directory; every created dir is deleted at JVM exit.
   private val fixtureDirCache = new java.util.concurrent.ConcurrentHashMap[
-    (org.apache.spark.sql.SparkSession, String, Int, Boolean), String]()
+    (org.apache.spark.sql.SparkSession, String), String]()
 
   /** Materialize (once per session + docs plan) the fixture render as real
     * on-disk files and return the directory — shared by [[webWarcFiles]]
@@ -415,17 +415,11 @@ object Warc {
     * purged on access so a long-lived JVM cycling sessions doesn't pin
     * them (their dirs still vanish at JVM exit via [[TempDirs]]). */
   private[graft] def fixtureFilesDir(docs: DataFrame, gzip: Boolean = true,
-      perFile: Int = PerFile): String = {
-    TempDirs.purgeStopped(fixtureDirCache)
-    fixtureDirCache.computeIfAbsent(
-      (docs.sparkSession,
-        TempDirs.planDigest(docs.queryExecution.analyzed.canonicalized),
-        perFile, gzip), { _ =>
-        val dir = TempDirs.scratch("graft-warc-fixture")
-        writeFixtureFiles(docs, dir, gzip, perFile)
-        dir
-      })
-  }
+      perFile: Int = PerFile): String =
+    TempDirs.cachedScratchDir(fixtureDirCache, docs.sparkSession,
+      TempDirs.planDigest(docs.queryExecution.analyzed.canonicalized) +
+        s"#$perFile#$gzip", "graft-warc-fixture")(
+      writeFixtureFiles(docs, _, gzip, perFile))
 
   /** [[webWarc]] through REAL on-disk `.warc.gz` files: render → write
     * gzipped crawl files (executor-side) → `binaryFile` read → byte-level

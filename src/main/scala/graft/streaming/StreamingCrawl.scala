@@ -83,7 +83,11 @@ object StreamingCrawl {
     * output-mode constraint; a disallowed page dies in the trigger that
     * read it, before extraction spends anything on it. Emits the gated
     * pages (robots-allowed only) with `crawl_delay` riding along for a
-    * downstream politeness scheduler. */
+    * downstream politeness scheduler. Rules match against PATH + QUERY
+    * (RFC 9309 §2.2.2's full match target — real crawl URLs carry query
+    * strings and `Disallow: &#47;*?sid=`-style rules exist to match
+    * them; the batch fixture's path-only form is a stated fixture
+    * dialect). */
   def policyGatedPages(spark: SparkSession, path: String,
       robots: DataFrame, agent: String = "graftbot",
       maxFilesPerTrigger: Int = 64): DataFrame = {
@@ -91,7 +95,8 @@ object StreamingCrawl {
     val parsed = gatedPages(spark, path, maxFilesPerTrigger)
       .withColumn("registered_domain", u.getField("registered_domain"))
       .withColumn("path", u.getField("path"))
-    graft.ops.Robots.robotsGate(parsed, robots, agent)
+    graft.ops.Robots.robotsGate(parsed, robots, agent,
+        query = Some(graft.ops.UrlOps.queryOf(col("url"))))
       .filter(col("robots_allowed"))
       .select(col("doc_id"), col("url"), col("body"),
         col("registered_domain"), col("crawl_delay"))

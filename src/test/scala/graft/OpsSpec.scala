@@ -405,6 +405,15 @@ class OpsSpec extends SparkSpec {
       .filter(col("rank") === 1).head()
     assert(top.getAs[Long]("neighbor_id") == 2000L)
     assert(math.abs(top.getAs[Double]("cosine") - 1.0) < 1e-9)
+    // idempotence: a RETRIED append of the same batch (the operational
+    // failure mode mode("append") invites) writes no duplicate rows —
+    // codes and probe output are unchanged
+    val nCodes = Similarity.readAnnIndex(spark, dir).codes.count()
+    Similarity.appendAnnIndex(dir, appended)
+    val again = Similarity.readAnnIndex(spark, dir)
+    assert(again.codes.count() == nCodes, "re-append duplicated rows")
+    assert(Similarity.probeAnnIndex(again, q, k = 5)
+      .collect().map(_.toString).sorted.toSeq == pIncr)
     graft.ops.CacheScope.releaseAll(spark)
   }
 

@@ -588,17 +588,20 @@ class StreamingSpec extends SparkSpec {
       .createTempDirectory("graft-stream-robots").toString
     val ckpt = java.nio.file.Files
       .createTempDirectory("graft-stream-robots-ckpt").toString
-    // docs 2 and 4 render onto DIFFERENT registered domains
-    // (srca-site.co.uk and srca-site.com); the static robots corpus
-    // disallows doc 2's exact article path on its domain and carries a
-    // crawl delay — the policy gate must drop 2 and pass 4 INSIDE the
-    // trigger, with the delay riding along for the scheduler
+    // the rendered docs land on three registered domains: 2 and 38 on
+    // srca-site.co.uk (path rule + crawl delay), 4 and 28 on
+    // srca-site.com (QUERY-matching wildcard rule — their rendered URLs
+    // carry ?utm_source=feed), 3 and 31 on srca-site.net (no robots row).
+    // The gate must drop 2 (path) and 4 (query) INSIDE the trigger, pass
+    // 38 with the delay riding along and 3 with a null delay.
     def mk(ids: Long*) = ids.map(i =>
       (i, s"crawl page body number $i with words", "en", "srcA"))
       .toDF("doc_id", "text", "lang", "source")
-    Warc.writeFixtureFiles(mk(2L, 4L), dir)
-    val robots = Seq(("srca-site.co.uk",
-      "User-agent: *\nDisallow: /en/article-2\nCrawl-delay: 3"))
+    Warc.writeFixtureFiles(mk(2L, 3L, 4L, 38L), dir)
+    val robots = Seq(
+      ("srca-site.co.uk",
+        "User-agent: *\nDisallow: /en/article-2\nCrawl-delay: 3"),
+      ("srca-site.com", "User-agent: *\nDisallow: /*?utm_source="))
       .toDF("registered_domain", "robots_txt")
     val out = graft.streaming.StreamingCrawl.policyGatedPages(
       spark2, dir, robots)
@@ -609,17 +612,18 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       assert(q.exception.isEmpty, s"stream died: ${q.exception}")
       val rows = spark.table("policy_pages").collect()
-      assert(rows.map(_.getAs[Long]("doc_id")).toSeq == Seq(4L),
-        rows.mkString(","))
-      // no robots row for doc 4's domain -> allowed, delay null
-      assert(rows.head.isNullAt(rows.head.fieldIndex("crawl_delay")))
-      // a later file lands mid-query: the gate keeps applying (doc 28
-      // renders on srca-site.com — no robots row, allowed)
-      Warc.writeFixtureFiles(mk(28L), dir)
+        .map(r => r.getAs[Long]("doc_id") ->
+          Option(r.getAs[Any]("crawl_delay"))).toMap
+      assert(rows == Map(3L -> None, 38L -> Some(3)), rows.toString)
+      // a later file lands mid-query (ids 50+ -> a NEW part-00002 file;
+      // re-using a batch-1 warc_id would collide on the already-consumed
+      // path): the gate keeps applying — 56's utm query dies on the
+      // srca-site.com wildcard, 58 (srca-site.co.uk, clean path) passes
+      Warc.writeFixtureFiles(mk(56L, 58L), dir)
       q.processAllAvailable()
       val ids = spark.table("policy_pages").collect()
         .map(_.getAs[Long]("doc_id")).sorted.toSeq
-      assert(ids == Seq(4L, 28L), s"batch 2 got $ids")
+      assert(ids == Seq(3L, 38L, 58L), s"batch 2 got $ids")
     } finally q.stop()
   }
 
