@@ -116,10 +116,25 @@ object Robots {
     * decision fold ranks by. Pure expressions — the line fold is a single
     * `aggregate` HOF over each file's lines (KB-bounded by nature of
     * robots.txt), fused into the robots scan. */
+  /** RFC 9309 §2.4 parse limit: a crawler MUST parse at least 500 KiB and
+    * MAY truncate beyond its limit — 512 Ki CHARS here (≥ the 500 KiB
+    * octet floor for any content; multi-byte content truncates later,
+    * i.e. MORE is parsed, which stays compliant). Without a limit an
+    * adversarial/broken multi-MB robots.txt materializes as one giant
+    * line array inside the parse fold on every executor. */
+  val MaxRobotsChars: Int = 512 * 1024
+
   def parseRobots(robots: DataFrame): DataFrame = {
+    // parse limit first (§2.4): truncate oversized files and DROP the
+    // trailing partial line — a mid-line cut could otherwise turn
+    // "Disallow: /private-x" into the BROADER "Disallow: /priv"
+    val raw = col("robots_txt")
+    val limited = when(length(raw) > MaxRobotsChars,
+        regexp_replace(substring(raw, 1, MaxRobotsChars), "[^\n]*$", ""))
+      .otherwise(raw)
     // lex: normalize line endings, strip comments, trim, classify each
     // line into (directive lowercased, value)
-    val txt = regexp_replace(col("robots_txt"), "\r\n?", "\n")
+    val txt = regexp_replace(limited, "\r\n?", "\n")
     val lines = transform(split(txt, "\n"), l0 => {
       val t = trim(regexp_replace(l0, "#.*$", ""))
       struct(

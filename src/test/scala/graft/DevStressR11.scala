@@ -88,6 +88,33 @@ object DevStressR11 {
       timed(f"front end 10x: files perFile=$perFile%-5d n_files=$n%5d")(
         forceCount(fromFiles))
     }
+    // new-operator scale witnesses at 100x pages (the DevStressR10 robots
+    // shape): the politeness schedule is ONE window on registered_domain
+    // over the gate output; the sitemap document parse is regex explode
+    // over the bounded domain table (here inflated 100x in DOCUMENT count
+    // via synthetic per-copy domains to stress the parse itself)
+    val big100 = ops.CacheScope.barrier(docs
+      .crossJoin(spark.range(100).toDF("copy"))
+      .select((col("doc_id") + col("copy") * 1000000L).as("doc_id"),
+        col("text"), col("lang"), col("source")))
+    val pages100 = ops.CacheScope.barrier(
+      ops.UrlOps.urls(ops.UrlOps.pageUrls(big100))
+        .select(col("doc_id"), col("url"), col("registered_domain"),
+          col("path")))
+    println(s"[stress-r11] pages100=${pages100.count()}")
+    val gated = ops.CacheScope.barrier(
+      ops.Robots.robotsGate(pages100, ops.Robots.robotsTxt(pages100)))
+    println(s"[stress-r11] gated=${gated.count()}")
+    timed("crawlSchedule 100x (domain window)")(
+      forceCount(ops.Robots.crawlSchedule(gated)))
+    val listings = ops.CacheScope.barrier(
+      ops.Robots.webSitemaps(big100)
+        .crossJoin(spark.range(100).toDF("c"))
+        .select(concat(col("registered_domain"), lit("-"), col("c"))
+          .as("registered_domain"), col("sitemap_url")))
+    println(s"[stress-r11] sitemap listings=${listings.count()}")
+    timed("sitemapDocs 100x (render+parse+1 hop)")(
+      forceCount(ops.Robots.sitemapDocs(listings, ops.Robots.sitemapXmlFixture)))
     ops.CacheScope.releaseAll(spark)
     spark.stop()
   }

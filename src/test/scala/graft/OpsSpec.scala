@@ -2447,6 +2447,40 @@ class OpsSpec extends SparkSpec {
     assert(sched == Map(1L -> ((1, 0L)), 2L -> ((2, 5L)), 3L -> ((1, 0L))))
   }
 
+  test("robots parse limit: rules past 512 Ki apply never; a mid-line cut cannot broaden") {
+    import graft.ops.Robots
+    // filler of comment lines pushes the tail past the RFC 9309 §2.4
+    // limit; the head rule applies, the beyond-limit rule is ignored, and
+    // the line SPLIT by the cut ("Disallow: /private-zone" whose tail
+    // falls outside) must NOT become a broader "Disallow: /priv..." —
+    // the truncation drops the partial line
+    val filler = ("# pad\n" * (Robots.MaxRobotsChars / 6 + 1))
+    val head = "User-agent: *\nDisallow: /blocked\n"
+    // whole 6-char filler lines only (a partial "# pa" would glue the
+    // private rule onto a comment line); the cut then lands 12-17 chars
+    // into "Disallow: /private-zone" — a valid-looking broader prefix if
+    // the partial line were kept
+    val keep0 = Robots.MaxRobotsChars - head.length - 12
+    val keep = keep0 - (keep0 % 6)
+    val txt = head + filler.take(keep) +
+      "Disallow: /private-zone\nDisallow: /late\n"
+    assert(txt.length > Robots.MaxRobotsChars)
+    val robots = Seq(("big.com", txt)).toDF("registered_domain", "robots_txt")
+    val pages = Seq(
+      (0L, "big.com", "/blocked/x"),      // head rule: disallowed
+      (1L, "big.com", "/late/x"),         // past the limit: allowed
+      (2L, "big.com", "/private-zone/x"), // split by the cut: allowed
+      (3L, "big.com", "/ok"))
+      .toDF("doc_id", "registered_domain", "path")
+      .withColumn("url",
+        concat(lit("https://"), col("registered_domain"), col("path")))
+    val out = Robots.robotsGate(pages, robots).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("robots_allowed"))
+      .toMap
+    assert(out == Map(0L -> false, 1L -> true, 2L -> true, 3L -> true),
+      out.toString)
+  }
+
   test("robots percent-encoding equivalence: encoded and decoded spellings match") {
     import graft.ops.Robots
     val robots = Seq(
