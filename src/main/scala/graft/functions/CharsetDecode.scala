@@ -45,28 +45,34 @@ case class CharsetDecode(left: Expression, right: Expression)
 
   @transient private lazy val cache =
     new java.util.concurrent.ConcurrentHashMap[String, Charset]()
+  @transient private lazy val negative =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   private def charsetFor(label: String): Charset = {
     // normalize before caching (charset labels are case-insensitive, RFC
-    // 2978 §2.3), admit only labels that RESOLVE to a real charset, and
-    // CAP the cache: the label is untrusted crawl input, and a response
-    // fleet emitting high-cardinality garbage labels must not grow an
-    // executor-lifetime map without bound — nor fill a capped one so that
-    // legitimate labels seen later can never cache (the legitimate
-    // charset+alias universe the JVM knows is a few hundred entries, far
-    // below the cap, so real labels always find room and stay one hash
-    // probe; garbage labels pay their forName miss per row, bounded work)
+    // 2978 §2.3) and use TWO capped caches: the positive cache admits only
+    // labels that RESOLVE (so high-cardinality garbage can never fill it
+    // and lock a legitimate late-arriving charset out — its universe is
+    // the few hundred charsets+aliases the JVM knows), while the negative
+    // set remembers failed labels so the COMMON real-crawl garbage
+    // ('x-user-defined', 'none', '8bit', …, repeated millions of times)
+    // stays one hash probe instead of a thrown-and-caught forName
+    // exception per row; only UNSEEN garbage past the negative cap pays
+    // the exception — bounded, adversarial-only work.
     val key = label.trim.toLowerCase(java.util.Locale.ROOT)
     if (key.isEmpty) return StandardCharsets.UTF_8
     val hit = cache.get(key)
-    if (hit != null) hit
-    else {
-      try {
-        val cs = Charset.forName(key)
-        if (cache.size < CharsetDecode.MaxCachedLabels)
-          cache.putIfAbsent(key, cs)
-        cs
-      } catch { case _: Exception => StandardCharsets.UTF_8 }
+    if (hit != null) return hit
+    if (negative.contains(key)) return StandardCharsets.UTF_8
+    try {
+      val cs = Charset.forName(key)
+      if (cache.size < CharsetDecode.MaxCachedLabels)
+        cache.putIfAbsent(key, cs)
+      cs
+    } catch {
+      case _: Exception =>
+        if (negative.size < CharsetDecode.MaxCachedLabels) negative.add(key)
+        StandardCharsets.UTF_8
     }
   }
 

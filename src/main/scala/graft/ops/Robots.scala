@@ -125,16 +125,23 @@ object Robots {
   val MaxRobotsChars: Int = 512 * 1024
 
   def parseRobots(robots: DataFrame): DataFrame = {
-    // parse limit first (§2.4): truncate oversized files and DROP the
-    // trailing partial line — a mid-line cut could otherwise turn
-    // "Disallow: /private-x" into the BROADER "Disallow: /priv"
-    val raw = col("robots_txt")
-    val limited = when(length(raw) > MaxRobotsChars,
-        regexp_replace(substring(raw, 1, MaxRobotsChars), "[^\n]*$", ""))
-      .otherwise(raw)
-    // lex: normalize line endings, strip comments, trim, classify each
-    // line into (directive lowercased, value)
-    val txt = regexp_replace(limited, "\r\n?", "\n")
+    // normalize line endings FIRST (truncating a CR-only file before
+    // normalization would leave no '\n' for the partial-line drop to key
+    // on — it deleted the ENTIRE file, reviewer r11), then impose the
+    // §2.4 parse limit: truncate oversized files and DROP the trailing
+    // partial line — a mid-line cut could otherwise turn "Disallow:
+    // /private-x" into the BROADER "Disallow: /priv". The drop is
+    // LINEAR (reverse+instr+substring, no regex — an anchored
+    // "[^\n]*$" replace is quadratic on a long adversarial line, a DoS
+    // inside the very guard) and keeps a final COMPLETE line when the
+    // cut lands exactly on its newline; a single >limit line with no
+    // newline at all is entirely partial and drops to empty.
+    val normalized = regexp_replace(col("robots_txt"), "\r\n?", "\n")
+    val cut = substring(normalized, 1, MaxRobotsChars)
+    val lastNl = length(cut) - instr(reverse(cut), "\n") + 1
+    val txt = when(length(normalized) <= MaxRobotsChars, normalized)
+      .when(instr(reverse(cut), "\n") === 0, lit(""))
+      .otherwise(substring(cut, lit(1), lastNl))
     val lines = transform(split(txt, "\n"), l0 => {
       val t = trim(regexp_replace(l0, "#.*$", ""))
       struct(

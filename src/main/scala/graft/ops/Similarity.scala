@@ -977,10 +977,13 @@ object Similarity {
     // idempotence guard: ids already in the index are skipped, so a
     // retried append (the parquet commit landed, the job died before
     // acking) cannot write duplicate vec_id rows that would occupy two
-    // top-k slots per probe. Shape: ONE column-pruned scan of codes
-    // semi-filtered by the broadcast batch ids (bounded ≤ |batch|, no
-    // shuffle of the corpus-scale codes table), anti-joined back against
-    // the batch as a broadcast hash join.
+    // top-k slots per probe. The identity is the ID alone — appending a
+    // CHANGED embedding under an existing vec_id is a silent no-op, not
+    // an update (corrections re-build; an id-keyed index cannot tell a
+    // retry from new content under a reused id). Shape: ONE column-pruned
+    // scan of codes semi-filtered by the broadcast batch ids (bounded ≤
+    // |batch|, no shuffle of the corpus-scale codes table), anti-joined
+    // back against the batch as a broadcast hash join.
     val already = idx.codes.select(col("vec_id"))
       .join(broadcast(batch.select(col("vec_id"))), Seq("vec_id"),
         "left_semi")

@@ -2479,6 +2479,36 @@ class OpsSpec extends SparkSpec {
       .toMap
     assert(out == Map(0L -> false, 1L -> true, 2L -> true, 3L -> true),
       out.toString)
+
+    // reviewer r11 regressions: (a) an oversized CR-ONLY file must still
+    // parse its in-limit rules (truncating before normalization left no
+    // \n and deleted the whole file); (b) a cut landing EXACTLY on a
+    // newline keeps that final complete line, dropping nothing
+    val crTxt = "User-agent: *\rDisallow: /blocked\r" +
+      ("# pad\r" * (Robots.MaxRobotsChars / 6 + 1)) + "Disallow: /late\r"
+    assert(crTxt.length > Robots.MaxRobotsChars && !crTxt.contains("\n"))
+    val edge = "Disallow: /edge\n"
+    val head2 = "User-agent: *\nDisallow: /blocked\n"
+    val pad = Robots.MaxRobotsChars - head2.length - edge.length
+    val edgeTxt = head2 + ("#" * (pad - 1)) + "\n" + edge +
+      "Disallow: /late\n"
+    assert(edgeTxt.length > Robots.MaxRobotsChars &&
+      edgeTxt.charAt(Robots.MaxRobotsChars - 1) == '\n')
+    val robots2 = Seq(("cr.com", crTxt), ("edge.com", edgeTxt))
+      .toDF("registered_domain", "robots_txt")
+    val pages2 = Seq(
+      (0L, "cr.com", "/blocked/x"),   // CR-only, in-limit: disallowed
+      (1L, "cr.com", "/late/x"),      // CR-only, past limit: allowed
+      (2L, "edge.com", "/edge/x"),    // complete line AT the cut: disallowed
+      (3L, "edge.com", "/late/x"))    // past limit: allowed
+      .toDF("doc_id", "registered_domain", "path")
+      .withColumn("url",
+        concat(lit("https://"), col("registered_domain"), col("path")))
+    val out2 = Robots.robotsGate(pages2, robots2).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("robots_allowed"))
+      .toMap
+    assert(out2 == Map(0L -> false, 1L -> true, 2L -> false, 3L -> true),
+      out2.toString)
   }
 
   test("robots percent-encoding equivalence: encoded and decoded spellings match") {
