@@ -102,6 +102,49 @@ object StreamingCrawl {
         col("registered_domain"), col("crawl_delay"))
   }
 
+  /** The streaming twin of [[graft.ops.Robots.crawlSchedule]]: assign each
+    * arriving robots-allowed page its PER-DOMAIN fetch sequence number and
+    * earliest fetch second, CONTINUING across triggers — the batch
+    * operator sequences a finished corpus; a live fetcher needs the next
+    * slot as pages arrive, and the politeness lane position must survive
+    * the trigger boundary (and restarts, via the checkpointed state
+    * store). One `flatMapGroupsWithState` keyed on `registered_domain`
+    * holding a single long (the lane's next sequence number) per domain —
+    * state is O(domains), not O(pages). Within a trigger the group's rows
+    * order by `doc_id` (the group iterator is unordered; determinism needs
+    * a key). `fetch_at_s = (seq − 1) × max(crawl_delay, 1 s)`, the batch
+    * operator's formula on the same columns [[policyGatedPages]] emits.
+    *
+    * Memory shape: a group's rows buffer per trigger for the sort —
+    * bounded by `maxFilesPerTrigger` upstream, never by corpus size. */
+  def scheduleFetches(pages: DataFrame): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.types.LongType
+    val outSchema = pages.schema
+      .add("fetch_seq", LongType).add("fetch_at_s", LongType)
+    val domIdx = pages.schema.fieldIndex("registered_domain")
+    val docIdx = pages.schema.fieldIndex("doc_id")
+    val delayIdx = pages.schema.fieldIndex("crawl_delay")
+    pages.as(Encoders.row(pages.schema))
+      .groupByKey(r =>
+        if (r.isNullAt(domIdx)) "" else r.getString(domIdx))(Encoders.STRING)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[Row], state: GroupState[Long]) =>
+          val sorted = rows.toArray.sortBy(r =>
+            if (r.isNullAt(docIdx)) Long.MaxValue else r.getLong(docIdx))
+          var seq = state.getOption.getOrElse(0L)
+          val out = sorted.map { r =>
+            seq += 1
+            val delay = if (r.isNullAt(delayIdx)) 1L
+              else math.max(r.getInt(delayIdx).toLong, 1L)
+            Row.fromSeq(r.toSeq :+ seq :+ (seq - 1) * delay)
+          }
+          state.update(seq)
+          out.iterator
+      }(Encoders.scalaLong, Encoders.row(outSchema))
+  }
+
   /** The crawl chain composed PAST the gate, in-stream: [[gatedPages]] →
     * HTML extraction ([[graft.ops.TextExtract.extract]]) → per-row Gopher
     * quality rules ([[graft.ops.TextAnalysis.gopherRules]]), emitting

@@ -627,6 +627,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming fetch scheduler: per-domain sequence continues across triggers") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark2.sqlContext
+    val stream = MemoryStream[(Long, String, String, Option[Int])]
+    val pages = stream.toDF()
+      .toDF("doc_id", "url", "registered_domain", "crawl_delay")
+    val out = graft.streaming.StreamingCrawl.scheduleFetches(pages)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-sched-ckpt").toString
+    val q = out.writeStream
+      .format("memory").queryName("fetch_sched").outputMode("append")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      // trigger 1: two a.com pages (delay 5) arrive UNORDERED plus one
+      // b.net page (no delay -> 1 s floor): a.com sequences by doc_id
+      stream.addData((2L, "u2", "a.com", Some(5)),
+        (1L, "u1", "a.com", Some(5)), (10L, "u10", "b.net", None))
+      q.processAllAvailable()
+      def slots() = spark.table("fetch_sched").collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("fetch_seq"), r.getAs[Long]("fetch_at_s")))).toMap
+      assert(slots() == Map(1L -> ((1L, 0L)), 2L -> ((2L, 5L)),
+        10L -> ((1L, 0L))), slots().toString)
+      // trigger 2: a LATER a.com page continues the lane from state —
+      // seq 3, earliest second (3-1)*5; b.net's lane is untouched
+      stream.addData((3L, "u3", "a.com", Some(5)))
+      q.processAllAvailable()
+      assert(slots() == Map(1L -> ((1L, 0L)), 2L -> ((2L, 5L)),
+        3L -> ((3L, 10L)), 10L -> ((1L, 0L))), slots().toString)
+    } finally q.stop()
+  }
+
   test("streaming crawl: extraction + quality gates emit clean text in-stream") {
     val spark2 = spark
     import spark2.implicits._
