@@ -71,7 +71,12 @@ case class CharsetDecode(left: Expression, right: Expression)
       cs
     } catch {
       case _: Exception =>
-        if (negative.size < CharsetDecode.MaxCachedLabels) negative.add(key)
+        // length-bound the retained key: the label comes from an untrusted
+        // header capture with no length cap, and 2048 crafted multi-MB
+        // tokens would pin GBs per executor — no real charset name is
+        // anywhere near 64 chars, so longer garbage just stays uncached
+        if (key.length <= CharsetDecode.MaxNegativeKeyLen &&
+            negative.size < CharsetDecode.MaxCachedLabels) negative.add(key)
         StandardCharsets.UTF_8
     }
   }
@@ -100,6 +105,10 @@ object CharsetDecode {
     * legitimate charset+alias the JVM knows, small enough that an
     * adversarial label stream cannot matter. */
   private[functions] val MaxCachedLabels = 2048
+
+  /** Longest label the NEGATIVE cache retains (the entry-count cap alone
+    * would let 2048 crafted multi-MB tokens pin GBs per executor). */
+  private[functions] val MaxNegativeKeyLen = 64
 
   /** Column form: decode `bytes` under the per-row `charset` label (null
     * label → UTF-8; see the class doc for the lenient semantics). */

@@ -101,6 +101,37 @@ object Robots {
   private val GroupT =
     s"struct<agents:array<string>,delay:int,rules:array<$RuleT>>"
 
+  /** RFC 9309 §2.4 parse limit: a crawler MUST parse at least 500 KiB and
+    * MAY truncate beyond its limit — 512 Ki CHARS here (≥ the 500 KiB
+    * octet floor for any content; multi-byte content truncates later,
+    * i.e. MORE is parsed, which stays compliant). Without a limit an
+    * adversarial/broken multi-MB robots.txt materializes as one giant
+    * line array inside the parse fold on every executor. */
+  val MaxRobotsChars: Int = 512 * 1024
+
+  /** Line-ending-normalized, §2.4-limited robots text — the shared front
+    * of [[parseRobots]] AND [[sitemaps]] (a record extractor that read the
+    * UNlimited text would hand the adversarial multi-MB file the limit
+    * exists for a second way in: millions of `Sitemap:` rows from one
+    * hostile domain). Normalization runs FIRST (truncating a CR-only file
+    * before it would leave no '\n' for the partial-line drop to key on —
+    * it deleted the ENTIRE file, reviewer r11); the truncation then DROPS
+    * the trailing partial line — a mid-line cut could otherwise turn
+    * "Disallow: /private-x" into the BROADER "Disallow: /priv". The drop
+    * is LINEAR (reverse+instr+substring, no regex — an anchored
+    * "[^\n]*$" replace is quadratic on a long adversarial line, a DoS
+    * inside the very guard) and keeps a final COMPLETE line when the cut
+    * lands exactly on its newline; a single >limit line with no newline
+    * at all is entirely partial and drops to empty. */
+  private def limitedRobotsText(raw: Column): Column = {
+    val normalized = regexp_replace(raw, "\r\n?", "\n")
+    val cut = substring(normalized, 1, MaxRobotsChars)
+    val lastNl = length(cut) - instr(reverse(cut), "\n") + 1
+    when(length(normalized) <= MaxRobotsChars, normalized)
+      .when(instr(reverse(cut), "\n") === 0, lit(""))
+      .otherwise(substring(cut, lit(1), lastNl))
+  }
+
   /** Parse robots.txt content into one row per (agent, rule):
     * `(registered_domain, agent, rule_type 'allow'|'disallow', prefix,
     * crawl_delay, has_wild, match_re, spec_len)` — RFC 9309 line-based
@@ -116,32 +147,8 @@ object Robots {
     * decision fold ranks by. Pure expressions — the line fold is a single
     * `aggregate` HOF over each file's lines (KB-bounded by nature of
     * robots.txt), fused into the robots scan. */
-  /** RFC 9309 §2.4 parse limit: a crawler MUST parse at least 500 KiB and
-    * MAY truncate beyond its limit — 512 Ki CHARS here (≥ the 500 KiB
-    * octet floor for any content; multi-byte content truncates later,
-    * i.e. MORE is parsed, which stays compliant). Without a limit an
-    * adversarial/broken multi-MB robots.txt materializes as one giant
-    * line array inside the parse fold on every executor. */
-  val MaxRobotsChars: Int = 512 * 1024
-
   def parseRobots(robots: DataFrame): DataFrame = {
-    // normalize line endings FIRST (truncating a CR-only file before
-    // normalization would leave no '\n' for the partial-line drop to key
-    // on — it deleted the ENTIRE file, reviewer r11), then impose the
-    // §2.4 parse limit: truncate oversized files and DROP the trailing
-    // partial line — a mid-line cut could otherwise turn "Disallow:
-    // /private-x" into the BROADER "Disallow: /priv". The drop is
-    // LINEAR (reverse+instr+substring, no regex — an anchored
-    // "[^\n]*$" replace is quadratic on a long adversarial line, a DoS
-    // inside the very guard) and keeps a final COMPLETE line when the
-    // cut lands exactly on its newline; a single >limit line with no
-    // newline at all is entirely partial and drops to empty.
-    val normalized = regexp_replace(col("robots_txt"), "\r\n?", "\n")
-    val cut = substring(normalized, 1, MaxRobotsChars)
-    val lastNl = length(cut) - instr(reverse(cut), "\n") + 1
-    val txt = when(length(normalized) <= MaxRobotsChars, normalized)
-      .when(instr(reverse(cut), "\n") === 0, lit(""))
-      .otherwise(substring(cut, lit(1), lastNl))
+    val txt = limitedRobotsText(col("robots_txt"))
     val lines = transform(split(txt, "\n"), l0 => {
       val t = trim(regexp_replace(l0, "#.*$", ""))
       struct(
@@ -315,7 +322,7 @@ object Robots {
     * the robots scan, no shuffle. */
   def sitemaps(robots: DataFrame): DataFrame =
     robots.select(col("registered_domain"),
-      explode(regexp_extract_all(col("robots_txt"),
+      explode(regexp_extract_all(limitedRobotsText(col("robots_txt")),
         lit("(?im)^\\s*sitemap\\s*:\\s*(\\S+)"), lit(1))).as("sitemap_url"))
 
   /** The composed sitemap fixture query: render per-domain robots

@@ -109,14 +109,23 @@ object StreamingCrawl {
     * slot as pages arrive, and the politeness lane position must survive
     * the trigger boundary (and restarts, via the checkpointed state
     * store). One `flatMapGroupsWithState` keyed on `registered_domain`
-    * holding a single long (the lane's next sequence number) per domain —
-    * state is O(domains), not O(pages). Within a trigger the group's rows
-    * order by `doc_id` (the group iterator is unordered; determinism needs
-    * a key). `fetch_at_s = (seq − 1) × max(crawl_delay, 1 s)`, the batch
-    * operator's formula on the same columns [[policyGatedPages]] emits.
+    * holding two longs per domain (the lane's next sequence number and its
+    * LAST SCHEDULED SECOND) — state is O(domains), not O(pages). Within a
+    * trigger the group's rows order by `doc_id` (the group iterator is
+    * unordered; determinism needs a key). Slots advance as `fetch_at =
+    * previous slot + max(crawl_delay, 1 s)` — carrying the last slot (not
+    * just the count) keeps a lane MONOTONIC when the domain's delay
+    * changes mid-stream (robots refresh, restart against an updated
+    * corpus): a shrunk delay must not schedule seq N EARLIER than the
+    * already-emitted seq N−1. Under a constant delay this is exactly the
+    * batch operator's `(seq − 1) × max(delay, 1 s)`.
     *
     * Memory shape: a group's rows buffer per trigger for the sort —
-    * bounded by `maxFilesPerTrigger` upstream, never by corpus size. */
+    * bounded by `maxFilesPerTrigger` upstream, never by corpus size.
+    * The operator shuffles whatever columns its input carries: if only
+    * the schedule is needed downstream, project `(doc_id, url,
+    * registered_domain, crawl_delay)` first rather than shipping page
+    * BODIES through the state shuffle. */
   def scheduleFetches(pages: DataFrame): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -127,22 +136,31 @@ object StreamingCrawl {
     val docIdx = pages.schema.fieldIndex("doc_id")
     val delayIdx = pages.schema.fieldIndex("crawl_delay")
     pages.as(Encoders.row(pages.schema))
+      // null and empty-string domains are DISTINCT lanes (the batch
+      // window's null partition is separate from "") — prefix-tag the key
       .groupByKey(r =>
-        if (r.isNullAt(domIdx)) "" else r.getString(domIdx))(Encoders.STRING)
+        if (r.isNullAt(domIdx)) "n" else "d" + r.getString(domIdx))(
+        Encoders.STRING)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (_: String, rows: Iterator[Row], state: GroupState[Long]) =>
+        (_: String, rows: Iterator[Row], state: GroupState[(Long, Long)]) =>
           val sorted = rows.toArray.sortBy(r =>
             if (r.isNullAt(docIdx)) Long.MaxValue else r.getLong(docIdx))
-          var seq = state.getOption.getOrElse(0L)
+          var (seq, lastAt) = state.getOption.getOrElse((0L, 0L))
           val out = sorted.map { r =>
-            seq += 1
+            // width-tolerant delay read: callers cast delay columns for
+            // arithmetic, and a LongType here must not poison-pill the
+            // stream with a ClassCastException replay loop
             val delay = if (r.isNullAt(delayIdx)) 1L
-              else math.max(r.getInt(delayIdx).toLong, 1L)
-            Row.fromSeq(r.toSeq :+ seq :+ (seq - 1) * delay)
+              else math.max(
+                r.get(delayIdx).asInstanceOf[Number].longValue, 1L)
+            val at = if (seq == 0L) 0L else lastAt + delay
+            seq += 1; lastAt = at
+            Row.fromSeq(r.toSeq :+ seq :+ at)
           }
-          state.update(seq)
+          state.update((seq, lastAt))
           out.iterator
-      }(Encoders.scalaLong, Encoders.row(outSchema))
+      }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong),
+        Encoders.row(outSchema))
   }
 
   /** The crawl chain composed PAST the gate, in-stream: [[gatedPages]] →

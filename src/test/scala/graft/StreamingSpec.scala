@@ -657,6 +657,12 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       assert(slots() == Map(1L -> ((1L, 0L)), 2L -> ((2L, 5L)),
         3L -> ((3L, 10L)), 10L -> ((1L, 0L))), slots().toString)
+      // trigger 3: the domain's delay SHRINKS mid-stream (robots refresh):
+      // the lane stays monotonic — seq 4 lands at 10+1, never before the
+      // already-emitted seq 3
+      stream.addData((4L, "u4", "a.com", Some(1)))
+      q.processAllAvailable()
+      assert(slots()(4L) == ((4L, 11L)), slots().toString)
     } finally q.stop()
   }
 
