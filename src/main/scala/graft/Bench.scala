@@ -57,8 +57,33 @@ object Bench {
     // every rep's complete JSON accumulates into the on-disk twin, so a
     // multi-rep A/B run leaves one parseable {"runs":[...]} artifact
     val repRuns = scala.collection.mutable.ListBuffer[String]()
+    def loadavg1: Double = try {
+      val s = scala.io.Source.fromFile("/proc/loadavg")
+      try s.mkString.trim.split("\\s+")(0).toDouble finally s.close()
+    } catch { case _: Throwable => -1.0 }
+    // Quiesce guard (judge r11 wrong #2): a run whose START 1-min loadavg
+    // exceeds the threshold must not be adopted as the round's clean
+    // number — the r11 "clean" artifact was captured at loadavg 16.4 and
+    // the four-run spread (178–206 s) was all ambient load. The threshold
+    // (default cpus/4) and the start loadavg ride in every rep's JSON as
+    // loadavg_limit/loadavg_start/quiesced; with SPARK_GRAFT_QUIESCE_WAIT_S
+    // the bench additionally WAITS up to that many seconds for the host to
+    // drop under the threshold before each rep's timed loop starts.
+    val loadLimit = sys.env.get("SPARK_GRAFT_LOADAVG_MAX").map(_.toDouble)
+      .getOrElse(cpus.toInt / 4.0)
+    val quiesceWaitS = sys.env.getOrElse("SPARK_GRAFT_QUIESCE_WAIT_S", "0").toInt
     for (rep <- 1 to reps) {
     if (reps > 1) println(s"[bench] === rep $rep/$reps ===")
+    val quiesceDeadline = System.nanoTime() + quiesceWaitS * 1000000000L
+    while (loadavg1 > loadLimit && System.nanoTime() < quiesceDeadline) {
+      println(f"[bench] waiting for quiesce: loadavg=$loadavg1%.1f > limit=$loadLimit%.1f")
+      Thread.sleep(10000)
+    }
+    val loadStart = loadavg1
+    val quiesced = loadStart >= 0 && loadStart <= loadLimit
+    if (!quiesced)
+      println(f"[bench] WARNING: start loadavg $loadStart%.1f exceeds limit " +
+        f"$loadLimit%.1f — this run must NOT be adopted as a clean number")
     failed.clear()
     results = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime(); val g0 = gcMillis
@@ -100,6 +125,8 @@ object Bench {
       try s.mkString.trim finally s.close()
     } catch { case _: Throwable => "" }
     val envF = s""""rep":$rep,"reps":$reps,"loadavg":"$loadavg",""" +
+      s""""loadavg_start":${ms(loadStart)},"loadavg_limit":${ms(loadLimit)},""" +
+      s""""quiesced":$quiesced,""" +
       s""""gc_total_ms":$gcMillis,"cpus":"$cpus""""
     // The driver captures a TAIL of stdout with a per-line width cap: one
     // giant JSON line truncates (r9: 68/116, r10 again: 89/121 per-query
@@ -123,8 +150,14 @@ object Bench {
     }
     val fullJson = s"""{"metric":"total","value":${ms(total)},"unit":"sec","errors":${failed.size},"failed":$errs,"queries":$qs,"sf":"$sfDir",$envF}"""
     repRuns += fullJson
+    // default under target/ (untracked): the repo-root default left stray
+    // artifacts in the working tree (advisor r11); the resolved path rides
+    // in the contract line's queries_file so it is never ambiguous
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      "BENCH_clean_latest.json")
+      "target/BENCH_clean_latest.json")
+    try java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(outPath).toAbsolutePath.getParent)
+    catch { case _: Throwable => () }
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       repRuns.mkString("{\"runs\":[", ",", "]}")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))

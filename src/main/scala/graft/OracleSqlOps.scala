@@ -2645,7 +2645,12 @@ FROM rd"""
     * allow (12) beats /de/ (4) and the padding wildcard (1);
     * /casino-bonus/ (14) beats the padding wildcard on padded casino
     * paths. */
-  val webRobots: String = s"""SELECT doc_id, url, registered_domain, path,
+  /** The robots decision columns over a relation carrying
+    * `l = length(registered_domain)` and normalized `path` — shared
+    * between [[webRobots]] and the frontier oracles so the generative
+    * decision statement lives in ONE place. CASE order encodes rule
+    * specificity (see the [[webRobots]] doc above). */
+  private val robotsDecisionCols: String = s"""
   CASE WHEN l % 4 = 0 THEN TRUE
        WHEN path LIKE '/casino-bonus/%' THEN
             (l % 5 = 1 AND path LIKE '/casino-bonus/win-%0')
@@ -2663,7 +2668,10 @@ FROM rd"""
        WHEN l % 3 = 1 AND path LIKE '/private/%' THEN '/private/'
        ELSE NULL END AS robots_rule,
   CAST(CASE WHEN l % 4 = 0 THEN NULL ELSE (l % 7) + 1 END AS INT)
-    AS crawl_delay
+    AS crawl_delay"""
+
+  val webRobots: String = s"""SELECT doc_id, url, registered_domain, path,
+  $robotsDecisionCols
 FROM (SELECT *, length(registered_domain) AS l
       FROM (${urlParsedOver(urlPagesOver("documents"))}))"""
 
@@ -2754,6 +2762,157 @@ SELECT registered_domain, doc_id, url,
   CAST((row_number() OVER (PARTITION BY registered_domain ORDER BY doc_id)
     - 1) * greatest(coalesce(crawl_delay, 1), 1) AS BIGINT) AS fetch_at_s
 FROM wr WHERE robots_allowed"""
+
+  /** The [[urlParsedOver]] normalization with ARBITRARY columns carried
+    * through (mirrors graft.ops.UrlOps.parseNormalize applied as a
+    * column): adds `registered_domain`, normalized `path`, and `url_norm`
+    * to whatever `src` selects (which must carry `url` and no conflicting
+    * names). The frontier oracles need src/lastmod riding along, which
+    * the fixed-column variant drops. */
+  private def urlNormCols(src: String): String = s"""WITH fn_in AS (
+  SELECT * FROM ($src)
+), fn_hp AS (
+  SELECT *, regexp_replace(regexp_extract(url,
+    '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), '^[^/@]*@', '') AS __hp
+  FROM fn_in
+), fn_p AS (
+  SELECT *,
+    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS __scheme,
+    CASE WHEN __hp LIKE '[%'
+         THEN '[' || lower(regexp_extract(__hp, '^\\[([^\\]]*)\\]', 1)) || ']'
+         ELSE lower(regexp_extract(__hp, '^([^:]*)', 1)) END AS __rawhost,
+    CASE WHEN __hp LIKE '[%'
+         THEN regexp_extract(__hp, '^\\[[^\\]]*\\]:([0-9]+)$$', 1)
+         ELSE regexp_extract(__hp, ':([0-9]+)$$', 1) END AS __portstr,
+    regexp_extract(url,
+      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS __rawpath,
+    regexp_extract(url, '\\?([^#]*)', 1) AS __q
+  FROM fn_hp
+), fn_n AS (
+  SELECT *,
+    regexp_replace(__rawhost, '^www\\.', '') AS __host,
+    CASE WHEN __portstr = '' THEN NULL ELSE CAST(__portstr AS INT) END AS __port,
+    CASE WHEN __rawpath = '' THEN '/' ELSE __rawpath END AS __path,
+    list_filter(string_split(__q, '&'), p ->
+      NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid)(=.*)?$$')
+      AND p <> '') AS __kp
+  FROM fn_p
+), fn_rd AS (
+  SELECT *,
+    CASE WHEN __host LIKE '[%' THEN __host
+         WHEN len(__labels) <= 2 THEN __host
+         WHEN __labels[-2] || '.' || __labels[-1] IN
+             ('co.uk','org.uk','ac.uk','com.au','co.jp','com.br','co.in')
+           AND len(__labels) >= 3
+           THEN __labels[-3] || '.' || __labels[-2] || '.' || __labels[-1]
+         ELSE __labels[-2] || '.' || __labels[-1] END AS registered_domain
+  FROM (SELECT *, string_split(__host, '.') AS __labels FROM fn_n)
+)
+SELECT * EXCLUDE (__hp, __scheme, __rawhost, __portstr, __rawpath, __q,
+    __host, __port, __path, __kp, __labels),
+  __path AS path,
+  __scheme || '://' || __host ||
+  (CASE WHEN __port IS NULL OR (__scheme = 'http' AND __port = 80)
+        OR (__scheme = 'https' AND __port = 443) THEN ''
+        ELSE ':' || CAST(__port AS VARCHAR) END) || __path ||
+  (CASE WHEN len(__kp) > 0 THEN '?' || array_to_string(__kp, '&')
+        ELSE '' END) AS url_norm
+FROM fn_rd"""
+
+  /** The frontier's unioned URL surface: corpus pages, the sitemap tree's
+    * discovered pages ([[webSitemapDocs]]'s closed form), and the
+    * relisting sitemap's decorated corpus aliases (mirrors
+    * graft.ops.Robots.relistSitemapXml: doc_id % 20 == 10 pages with
+    * uppercased scheme + '#relist' fragment — normalization-identical to
+    * their corpus URLs — and lastmod 2026-03-((doc_id % 28) + 1)). */
+  private val frontierUnion: String = s"""
+SELECT doc_id, url, CAST(NULL AS VARCHAR) AS lastmod, 'corpus' AS src
+FROM (${urlPagesOver("documents")})
+UNION ALL
+SELECT CAST(NULL AS BIGINT), loc, lastmod, 'sitemap'
+FROM ($webSitemapDocs)
+UNION ALL
+SELECT CAST(NULL AS BIGINT),
+  'HTTPS' || regexp_replace(substr(url, 6), '#.*$$', '#relist'),
+  '2026-03-' || lpad(CAST((doc_id % 28) + 1 AS VARCHAR), 2, '0'),
+  'sitemap'
+FROM (${urlPagesOver("documents")}) WHERE doc_id % 20 = 10"""
+
+  /** Crawl-frontier oracle (mirrors graft.ops.Robots.webFrontier): the
+    * unioned URL surface collapses per url_norm (min corpus URL as the
+    * representative — else min sitemap loc; min corpus doc_id; provenance
+    * corpus/sitemap/both; max lastmod), then the generative robots
+    * decision applies per normalized path. The engine must reach these
+    * rows through the real XML parses, the url_norm collapse, and the
+    * robots render→parse→decide round trip. */
+  val webFrontier: String = s"""WITH fp AS (
+  ${urlNormCols(frontierUnion)}
+), fr AS (
+  SELECT url_norm,
+    coalesce(min(url) FILTER (WHERE src = 'corpus'), min(url)) AS url,
+    min(registered_domain) AS registered_domain,
+    min(path) AS path,
+    min(doc_id) AS doc_id,
+    CASE WHEN bool_or(src = 'corpus') AND bool_or(src = 'sitemap')
+           THEN 'both'
+         WHEN bool_or(src = 'corpus') THEN 'corpus'
+         ELSE 'sitemap' END AS provenance,
+    max(lastmod) AS lastmod
+  FROM fp GROUP BY url_norm
+)
+SELECT url_norm, url, registered_domain, path, doc_id, provenance, lastmod,
+  $robotsDecisionCols
+FROM (SELECT *, length(registered_domain) AS l FROM fr)"""
+
+  /** Freshness-recrawl oracle (mirrors graft.ops.Robots.webRecrawl): the
+    * frontier left-joins the fixture fetch history (every corpus url_norm
+    * last crawled 2026-03-15) and the snapshot-diff-changed domains
+    * (old = doc_id % 10 <> 3, new = <> 7; digests added/changed → new-
+    * snapshot docs → domains), takes the 5-level priority (0 changed
+    * page, 1 never crawled, 2 no signal + changed domain, 3 no signal,
+    * 4 unchanged page), and schedules allowed rows per domain lane
+    * ordered by (priority, doc_id NULLS LAST, url_norm). */
+  val webRecrawl: String = s"""WITH wf AS ($webFrontier),
+lc AS (
+  SELECT DISTINCT url_norm, '2026-03-15' AS last_crawled
+  FROM (${urlParsedOver(urlPagesOver("documents"))})
+), chgh AS (
+  SELECT coalesce(o.h, n.h) AS h
+  FROM (SELECT md5(text) AS h, count(*) AS c FROM documents
+        WHERE doc_id % 10 <> 3 GROUP BY 1) o
+  FULL JOIN (SELECT md5(text) AS h, count(*) AS c FROM documents
+        WHERE doc_id % 10 <> 7 GROUP BY 1) n ON o.h = n.h
+  WHERE o.h IS NULL OR (n.h IS NOT NULL AND o.c <> n.c)
+), chgdom AS (
+  SELECT DISTINCT registered_domain, TRUE AS __chg
+  FROM (${urlParsedOver(urlPagesOver("documents"))})
+  WHERE doc_id IN (
+    SELECT doc_id FROM (SELECT doc_id, md5(text) AS h FROM documents
+                        WHERE doc_id % 10 <> 7)
+    WHERE h IN (SELECT h FROM chgh))
+), pr AS (
+  SELECT wf.*, lc.last_crawled, coalesce(cd.__chg, FALSE) AS domain_changed
+  FROM wf LEFT JOIN lc USING (url_norm)
+  LEFT JOIN chgdom cd USING (registered_domain)
+), pp AS (
+  SELECT *,
+    CASE WHEN lastmod IS NOT NULL AND last_crawled IS NOT NULL
+              AND lastmod > last_crawled THEN 0
+         WHEN last_crawled IS NULL THEN 1
+         WHEN lastmod IS NULL AND domain_changed THEN 2
+         WHEN lastmod IS NULL THEN 3
+         ELSE 4 END AS recrawl_priority
+  FROM pr
+)
+SELECT registered_domain, url_norm, url, doc_id, provenance, lastmod,
+  recrawl_priority, domain_changed,
+  CAST(row_number() OVER (PARTITION BY registered_domain
+    ORDER BY recrawl_priority, doc_id ASC NULLS LAST, url_norm)
+    AS INT) AS fetch_seq,
+  CAST((row_number() OVER (PARTITION BY registered_domain
+    ORDER BY recrawl_priority, doc_id ASC NULLS LAST, url_norm) - 1) *
+    greatest(coalesce(crawl_delay, 1), 1) AS BIGINT) AS fetch_at_s
+FROM pp WHERE robots_allowed"""
 
   val webUrls: String = s"""SELECT doc_id, url, scheme, host, port, path,
   registered_domain, url_norm

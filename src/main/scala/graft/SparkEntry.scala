@@ -495,6 +495,14 @@ object SparkEntry {
     // fetch second under the governing delay
     "web_crawl_schedule" -> ((s, dir) =>
       ops.Robots.webCrawlSchedule(docs(s, dir))),
+    // frontier assembly — the daily crawl composition: corpus URLs ∪
+    // sitemap-discovered pages (incl. a relisting sitemap whose decorated
+    // aliases must collapse by url_norm), robots-gated with provenance
+    "web_frontier" -> ((s, dir) => ops.Robots.webFrontier(docs(s, dir))),
+    // freshness-prioritized recrawl: the frontier ranked by staleness
+    // (sitemap lastmod vs fetch history; snapshot-diff-changed domains
+    // first among unsignaled rows) and scheduled per domain lane
+    "web_recrawl" -> ((s, dir) => ops.Robots.webRecrawl(docs(s, dir))),
     "web_warc" -> ((s, dir) => ops.Warc.webWarc(docs(s, dir))),
     // the same round trip through REAL on-disk .warc.gz files (executor-side
     // write, binaryFile read, byte-level parse) — same oracle: the file hop
@@ -767,6 +775,8 @@ object SparkEntry {
     "web_sitemap_docs" -> OracleSqlOps.webSitemapDocs,
     "web_crawl_budget" -> OracleSqlOps.webCrawlBudget,
     "web_crawl_schedule" -> OracleSqlOps.webCrawlSchedule,
+    "web_frontier" -> OracleSqlOps.webFrontier,
+    "web_recrawl" -> OracleSqlOps.webRecrawl,
     "web_warc" -> OracleSqlOps.webWarc,
     "web_warc_files" -> OracleSqlOps.webWarc,
     "web_wet" -> OracleSqlOps.webWet,

@@ -538,6 +538,141 @@ object Robots {
   def webCrawlSchedule(docs: DataFrame): DataFrame =
     crawlSchedule(webRobots(docs))
 
+  /** Crawl-frontier assembly — the composition a crawl deployment runs
+    * daily, joining the discovery surfaces into the one table the
+    * scheduler consumes: frontier = (known corpus URLs ∪ sitemap-listed
+    * URLs), url_norm-deduped ([[UrlOps.parseNormalize]] — both spellings
+    * of one location collapse to ONE frontier row), then robots-gated.
+    * Inputs: `corpusPages` as `(doc_id, url)` (link-discovered/known
+    * pages), `sitemapPages` as [[sitemapDocs]]' output (`loc` is the URL,
+    * `lastmod` the producer's freshness claim). Per frontier row:
+    *
+    *   - `url_norm` — the frontier key; `url` — a representative original
+    *     spelling (the min corpus URL when the location is known to the
+    *     corpus, else the min sitemap loc — deterministic);
+    *   - `registered_domain`/`path` re-derived from `url_norm` (a sitemap
+    *     may list cross-host URLs; robots policy follows the TARGET host,
+    *     not the listing domain);
+    *   - `doc_id` — the min corpus id (null for a sitemap-only discovery:
+    *     a URL the crawler has never fetched);
+    *   - `provenance` — `'corpus'` / `'sitemap'` / `'both'`;
+    *   - `lastmod` — the max sitemap `lastmod` across listings (null when
+    *     unlisted or unclaimed) — max = the freshest claim wins when
+    *     shards disagree;
+    *   - `robots_allowed`/`robots_rule`/`crawl_delay` — [[robotsGate]]
+    *     for `agent` (path-only match target, the [[webRobots]] fixture
+    *     dialect; pass the query through [[robotsGate]] directly for the
+    *     RFC 9309 §2.2.2 path+query form).
+    *
+    * The output feeds [[crawlBudget]]/[[crawlSchedule]] unchanged (both
+    * key on `registered_domain`; the schedule needs allowed rows), and
+    * [[recrawlPriority]] for freshness-ranked recrawl.
+    *
+    * Scale shape: ONE `groupBy(url_norm)` over the unioned URL table (the
+    * [[UrlOps.urlDedup]] digest-shuffle shape — map-side combine, rows
+    * are (url_norm, small scalars)); the robots gate joins as a bounded
+    * broadcast; nothing else moves. At 100 TB of frontier the shuffle
+    * carries one slim row per URL — the minimum any global URL dedup can
+    * pay. */
+  def crawlFrontier(corpusPages: DataFrame, sitemapPages: DataFrame,
+      robots: DataFrame, agent: String = "graftbot"): DataFrame = {
+    val c = UrlOps.urls(corpusPages.select(col("doc_id"), col("url")))
+      .select(col("doc_id"), col("url"), col("url_norm"),
+        lit(null).cast("string").as("lastmod"), lit("corpus").as("src"))
+    val sm = sitemapPages
+      .select(lit(null).cast("long").as("doc_id"), col("loc").as("url"),
+        UrlOps.parseNormalize(col("loc")).getField("url_norm").as("url_norm"),
+        col("lastmod").cast("string").as("lastmod"), lit("sitemap").as("src"))
+    val hasC = max(when(col("src") === "corpus", 1).otherwise(0)) === 1
+    val hasS = max(when(col("src") === "sitemap", 1).otherwise(0)) === 1
+    val merged = c.unionByName(sm)
+      .groupBy(col("url_norm"))
+      .agg(
+        coalesce(min(when(col("src") === "corpus", col("url"))),
+          min(col("url"))).as("url"),
+        min(col("doc_id")).as("doc_id"),
+        when(hasC && hasS, "both").when(hasC, "corpus")
+          .otherwise("sitemap").as("provenance"),
+        max(col("lastmod")).as("lastmod"))
+    val u = UrlOps.parseNormalize(col("url_norm"))
+    robotsGate(merged
+        .withColumn("registered_domain", u.getField("registered_domain"))
+        .withColumn("path", u.getField("path")),
+      robots, agent)
+      .select(col("url_norm"), col("url"), col("registered_domain"),
+        col("path"), col("doc_id"), col("provenance"), col("lastmod"),
+        col("robots_allowed"), col("robots_rule"), col("crawl_delay"))
+  }
+
+  /** Freshness-ranked recrawl priority over a [[crawlFrontier]] output —
+    * which frontier rows a refresh crawl should fetch FIRST. `lastCrawl`
+    * is the crawler's own fetch history `(url_norm, last_crawled)` (ISO
+    * date/timestamp strings — zero-padded ISO compares chronologically as
+    * strings, the sitemap `lastmod` convention); `changedDomains` is an
+    * optional bounded table of `registered_domain`s known changed (the
+    * [[Dedup.snapshotDiff]] signal mapped to domains: a domain whose
+    * content digests moved since the last snapshot is worth re-checking
+    * even where no per-page `lastmod` exists). `recrawl_priority`
+    * (smaller = fetch sooner):
+    *
+    *   - 0 — CHANGED page: sitemap `lastmod` newer than `last_crawled`
+    *     (the producer says the page moved — the strongest signal);
+    *   - 1 — NEVER CRAWLED: no fetch history (a new discovery);
+    *   - 2 — no per-page signal, domain changed per `changedDomains`;
+    *   - 3 — no per-page signal, domain quiet (periodic recrawl tier);
+    *   - 4 — UNCHANGED page: `lastmod` ≤ `last_crawled` (the producer
+    *     says nothing moved — fetch last).
+    *
+    * Scale shape: the `lastCrawl` join keys on `url_norm` — the SAME key
+    * as [[crawlFrontier]]'s dedup shuffle, so the exchange is reused; the
+    * domain table joins as a bounded broadcast. `lastCrawl` is
+    * max-aggregated per `url_norm` first, so a history with multiple
+    * fetches per URL ranks by its LATEST fetch. */
+  def recrawlPriority(frontier: DataFrame, lastCrawl: DataFrame,
+      changedDomains: Option[DataFrame] = None): DataFrame = {
+    val lc = lastCrawl.groupBy(col("url_norm"))
+      .agg(max(col("last_crawled")).as("last_crawled"))
+    val cd = changedDomains.getOrElse(
+        frontier.sparkSession.emptyDataFrame
+          .withColumn("registered_domain", lit(null).cast("string")))
+      .select(col("registered_domain")).distinct()
+      .withColumn("__chg", lit(true))
+    frontier.join(lc, Seq("url_norm"), "left")
+      .join(Par.maybeBroadcast(cd), Seq("registered_domain"), "left")
+      .withColumn("domain_changed", coalesce(col("__chg"), lit(false)))
+      .drop("__chg")
+      .withColumn("recrawl_priority",
+        when(col("lastmod").isNotNull && col("last_crawled").isNotNull &&
+          col("lastmod") > col("last_crawled"), 0)
+        .when(col("last_crawled").isNull, 1)
+        .when(col("lastmod").isNull && col("domain_changed"), 2)
+        .when(col("lastmod").isNull, 3)
+        .otherwise(4))
+  }
+
+  /** The politeness schedule over a freshness-ranked frontier
+    * ([[recrawlPriority]] output): robots-allowed rows sequence per
+    * domain lane ordered by `recrawl_priority` FIRST (fetch what changed
+    * before what didn't), then `doc_id` (nulls LAST — known pages before
+    * unidentified discoveries at equal priority), then `url_norm` (total
+    * determinism). Same slot arithmetic and same single-window shape as
+    * [[crawlSchedule]] — one shuffle on `registered_domain`. */
+  def recrawlSchedule(prioritized: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("registered_domain"))
+      .orderBy(col("recrawl_priority"), col("doc_id").asc_nulls_last,
+        col("url_norm"))
+    prioritized.filter(col("robots_allowed"))
+      .withColumn("fetch_seq", row_number().over(w))
+      .withColumn("fetch_at_s",
+        (col("fetch_seq") - 1).cast("long") *
+          greatest(coalesce(col("crawl_delay"), lit(1)), lit(1)).cast("long"))
+      .select(col("registered_domain"), col("url_norm"), col("url"),
+        col("doc_id"), col("provenance"), col("lastmod"),
+        col("recrawl_priority"), col("domain_changed"),
+        col("fetch_seq"), col("fetch_at_s"))
+  }
+
   /** The composed fixture query: render per-domain robots, parse them
     * back, and gate the rendered page URLs for the `graftbot` agent — the
     * render→parse→decide round trip the oracle checks (the oracle states
@@ -555,4 +690,92 @@ object Robots {
   def fixtureRobots(docs: DataFrame): DataFrame =
     robotsTxt(UrlOps.urls(UrlOps.pageUrls(docs))
       .select(col("registered_domain")))
+
+  /** Deterministic "relisting" sitemap render — the fixture's
+    * corpus-overlap surface (the shared sitemap fixture's locs are all
+    * NEW pages, so without this the frontier's `'both'` branch and its
+    * normalization collapse would go unwitnessed in the gate): every
+    * domain re-lists its corpus pages with `doc_id % 20 == 10` in a
+    * `/sitemap-relist.xml` urlset, each loc a DECORATED alias of the
+    * corpus URL (uppercased scheme + a rewritten fragment — textually
+    * distinct, normalization-identical, the [[UrlOps.webUrlDedup]] mirror
+    * idiom; `% 20 == 10` ids carry no query string, so the raw `&` XML
+    * escaping question never arises in the fixture) with `lastmod =
+    * 2026-03-((doc_id % 28) + 1)` — straddling the fixture last-crawl
+    * date, so BOTH freshness branches (changed/unchanged) get rows. One
+    * bounded per-domain aggregation (entries sort by doc_id inside the
+    * array — deterministic XML). Parsed back through the REAL
+    * [[parseSitemapXml]] path in [[webFrontier]]. */
+  def relistSitemapXml(docs: DataFrame): DataFrame = {
+    val pages = UrlOps.urls(UrlOps.pageUrls(docs))
+      .filter(col("doc_id") % 20 === 10)
+    val loc = concat(lit("HTTPS"), regexp_replace(
+      regexp_extract(col("url"), "^[a-z]+(.*)$", 1), "#.*$", "#relist"))
+    val lastmod = concat(lit("2026-03-"),
+      lpad(((col("doc_id") % 28) + 1).cast("string"), 2, "0"))
+    val entry = concat(lit("  <url>\n    <loc> "), loc,
+      lit(" </loc>\n    <lastmod>"), lastmod,
+      lit("</lastmod>\n  </url>\n"))
+    pages.select(col("registered_domain"),
+        struct(col("doc_id"), entry.as("e")).as("s"))
+      .groupBy(col("registered_domain"))
+      .agg(array_join(transform(sort_array(collect_list(col("s"))),
+        s => s.getField("e")), "").as("body"))
+      .select(col("registered_domain"),
+        concat(lit("https://"), col("registered_domain"),
+          lit("/sitemap-relist.xml")).as("sitemap_url"),
+        concat(lit(XmlHeader + s"""<urlset xmlns="$SitemapNs">""" + "\n"),
+          col("body"), lit("</urlset>\n")).as("xml"))
+  }
+
+  /** The composed frontier fixture query: corpus pages ∪ the sitemap tree
+    * ([[webSitemapDocs]] — new-page discoveries) ∪ the relisting sitemap
+    * ([[relistSitemapXml]] parsed through the REAL XML path — corpus
+    * overlap), assembled by [[crawlFrontier]] under the fixture robots.
+    * The oracle states the frontier in closed form from the same recipes;
+    * the engine must earn it through the XML parses, the url_norm
+    * collapse, and the robots round trip. */
+  def webFrontier(docs: DataFrame): DataFrame = {
+    val relisted = parseSitemapXml(relistSitemapXml(docs))
+      .filter(col("kind") === "url")
+      .select(col("registered_domain"), col("sitemap_url"),
+        col("loc"), col("lastmod"))
+    crawlFrontier(
+      UrlOps.pageUrls(docs).select(col("doc_id"), col("url")),
+      webSitemapDocs(docs).unionByName(relisted),
+      fixtureRobots(docs))
+  }
+
+  /** Registered domains whose content digests moved between the fixture's
+    * two snapshot views (the [[Dedup.snapshotDiff]] `corpus_snapshot_diff`
+    * recipe: old = `doc_id % 10 ≠ 3`, new = `≠ 7`): digests with status
+    * `added`/`changed` map back to the NEW snapshot's docs, then to their
+    * rendered domains — the domain-level "something moved here" signal
+    * [[recrawlPriority]] consumes. Bounded output (≤ |domains|). */
+  def fixtureChangedDomains(docs: DataFrame): DataFrame = {
+    val newDocs = docs.filter(col("doc_id") % 10 =!= 7)
+    val moved = Dedup.snapshotDiff(docs.filter(col("doc_id") % 10 =!= 3),
+        newDocs)
+      .filter(col("status").isin("added", "changed"))
+      .select(col("text_hash"))
+    val changedIds = Dedup.fingerprints(newDocs)
+      .join(Par.maybeBroadcast(moved), Seq("text_hash"), "left_semi")
+      .select(col("doc_id"))
+    UrlOps.urls(UrlOps.pageUrls(docs))
+      .join(Par.maybeBroadcast(changedIds), Seq("doc_id"), "left_semi")
+      .select(col("registered_domain")).distinct()
+  }
+
+  /** The composed freshness-recrawl fixture query: the [[webFrontier]]
+    * ranked by [[recrawlPriority]] — fetch history = every corpus page
+    * last crawled `2026-03-15` (the relist `lastmod`s straddle it),
+    * changed domains from the real snapshot-diff composition
+    * ([[fixtureChangedDomains]]) — and scheduled by [[recrawlSchedule]].
+    * The oracle states the priorities and slots in closed form. */
+  def webRecrawl(docs: DataFrame): DataFrame = {
+    val lastCrawl = UrlOps.urls(UrlOps.pageUrls(docs))
+      .select(col("url_norm"), lit("2026-03-15").as("last_crawled"))
+    recrawlSchedule(recrawlPriority(webFrontier(docs), lastCrawl,
+      Some(fixtureChangedDomains(docs))))
+  }
 }

@@ -969,8 +969,20 @@ object Similarity {
     * appended fraction is material. When the appended batch would not
     * have entered the build's deterministic codebook samples, the
     * appended index is BIT-IDENTICAL to a full rebuild (spec-witnessed,
-    * and how [[annIndexAppendProbe]] stays inside the inline oracle). */
-  def appendAnnIndex(dir: String, newVectors: DataFrame): Unit = {
+    * and how [[annIndexAppendProbe]] stays inside the inline oracle).
+    *
+    * Concurrency contract: SINGLE WRITER per index directory. The
+    * idempotence guard below is a non-atomic read-then-append — it
+    * protects a sequential retry, not two concurrent appends of the same
+    * batch racing past the anti-join (both would commit, duplicating
+    * vec_id rows that then occupy two top-k slots per probe). Within one
+    * JVM (this driver, the fixture paths) appends serialize on a per-dir
+    * lock; ACROSS drivers the deployment must serialize appends itself
+    * (one writer job per index, the normal shape for a daily batch). */
+  def appendAnnIndex(dir: String, newVectors: DataFrame): Unit =
+    TempDirs.dirLock(dir).synchronized { appendAnnIndexLocked(dir, newVectors) }
+
+  private def appendAnnIndexLocked(dir: String, newVectors: DataFrame): Unit = {
     val s = newVectors.sparkSession
     val idx = readAnnIndex(s, dir)
     val batch = CacheScope.trackEager(withNorm2(newVectors))
@@ -1016,7 +1028,13 @@ object Similarity {
     * cell-partitioned codes layout ([[writeAnnIndex]]) — the file listing
     * prunes to ~nprobe/C of the corpus files, the read shape a deployed
     * ANN service runs. Result rows are identical either way (the ADC join
-    * is already cell-equi and shortlist neighbors live in probed cells). */
+    * is already cell-equi and shortlist neighbors live in probed cells).
+    *
+    * NOTE: with `pruneScan` this is EAGER at plan-construction time — the
+    * Q×nprobe cell ranking caches and its cell set collects driver-side
+    * while this method builds the returned DataFrame (the static partition
+    * filter cannot be deferred into the lazy plan). Callers constructing
+    * plans speculatively should pass `pruneScan = false`. */
   def probeAnnIndex(index: AnnIndex, queries: DataFrame, k: Int = 3,
       shortlist: Int = 30, nprobe: Int = 2,
       pruneScan: Boolean = true): DataFrame = {
@@ -1034,8 +1052,10 @@ object Similarity {
       else None
     val codes0 = ranked match {
       case Some(r) =>
+        // width-tolerant cid read: a caller-built centroid table may carry
+        // IntegerType ids and must not ClassCastException the probe
         val cells = r.select(col("cid")).distinct()
-          .collect().map(_.getLong(0)).toSeq
+          .collect().map(_.getAs[Number](0).longValue).toSeq
         index.codes.filter(col("cell").isin(cells: _*))
       case None => index.codes
     }

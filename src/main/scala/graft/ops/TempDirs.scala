@@ -103,6 +103,18 @@ object TempDirs {
     })
   }
 
+  private val dirLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** A JVM-wide lock object keyed on a directory path — serializes
+    * read-then-write mutations of an on-disk artifact (durable-index
+    * append/compact) WITHIN one driver JVM. Cross-driver writers must
+    * still serialize externally (single-writer contract, stated at each
+    * call site). The map only ever holds one small Object per distinct
+    * index dir a session touches — no cleanup needed. */
+  def dirLock(dir: String): Object =
+    dirLocks.computeIfAbsent(dir, _ => new Object)
+
   /** Drop cache entries whose SparkSession has been stopped — session-keyed
     * fixture caches must not pin dead sessions (and their scratch dirs'
     * liveness bookkeeping) for the JVM lifetime in a JVM that cycles

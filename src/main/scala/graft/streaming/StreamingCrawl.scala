@@ -143,8 +143,12 @@ object StreamingCrawl {
         Encoders.STRING)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (_: String, rows: Iterator[Row], state: GroupState[(Long, Long)]) =>
+          // width-tolerant doc_id read, same rationale as the delay read
+          // below: an IntegerType doc_id (caller cast, test frame) must not
+          // poison-pill the stream with a ClassCastException replay loop
           val sorted = rows.toArray.sortBy(r =>
-            if (r.isNullAt(docIdx)) Long.MaxValue else r.getLong(docIdx))
+            if (r.isNullAt(docIdx)) Long.MaxValue
+            else r.get(docIdx).asInstanceOf[Number].longValue)
           var (seq, lastAt) = state.getOption.getOrElse((0L, 0L))
           val out = sorted.map { r =>
             // width-tolerant delay read: callers cast delay columns for

@@ -3160,6 +3160,86 @@ class OpsSpec extends SparkSpec {
     assert(r(2L) == ((2L, true)))
   }
 
+  test("crawlFrontier: url_norm collapse, provenance, robots gate, sitemap-only slot") {
+    import graft.ops.Robots
+    val corpus = Seq(
+      (1L, "https://a.com/x"),
+      (2L, "https://a.com/blocked/p"),
+      (3L, "https://b.com/y")).toDF("doc_id", "url")
+    val sm = Seq(
+      // decorated alias of corpus page 1: uppercased scheme + fragment —
+      // textually distinct, normalization-identical → ONE frontier row
+      ("a.com", "https://a.com/s.xml", "HTTPS://a.com/x#frag", "2026-05-01"),
+      ("a.com", "https://a.com/s.xml", "https://a.com/new", null),
+      // sitemap-only discovery in a robots-disallowed section
+      ("a.com", "https://a.com/s.xml", "https://a.com/blocked/s", "2026-01-01"))
+      .toDF("registered_domain", "sitemap_url", "loc", "lastmod")
+    val robots = Seq(
+      ("a.com", "User-agent: *\nDisallow: /blocked/\nCrawl-delay: 3"))
+      .toDF("registered_domain", "robots_txt")
+    val fr = Robots.crawlFrontier(corpus, sm, robots)
+    val rows = fr.collect().map(r => r.getAs[String]("url_norm") -> r).toMap
+    assert(rows.size == 5) // the alias collapsed once — no sixth row
+    val x = rows("https://a.com/x")
+    assert(x.getAs[String]("provenance") == "both")
+    assert(x.getAs[Long]("doc_id") == 1L)
+    assert(x.getAs[String]("url") == "https://a.com/x") // corpus spelling
+    assert(x.getAs[String]("lastmod") == "2026-05-01")
+    assert(x.getAs[Boolean]("robots_allowed"))
+    val nw = rows("https://a.com/new")
+    assert(nw.getAs[String]("provenance") == "sitemap")
+    assert(nw.isNullAt(nw.fieldIndex("doc_id"))) // never crawled
+    assert(nw.getAs[Boolean]("robots_allowed"))
+    // the gate applies to BOTH provenances
+    assert(!rows("https://a.com/blocked/p").getAs[Boolean]("robots_allowed"))
+    assert(!rows("https://a.com/blocked/s").getAs[Boolean]("robots_allowed"))
+    assert(rows("https://b.com/y").getAs[Boolean]("robots_allowed"))
+    // a sitemap-only URL gets a real schedule slot in its domain lane
+    val empty = Seq.empty[(String, String)].toDF("url_norm", "last_crawled")
+    val sched = Robots.recrawlSchedule(Robots.recrawlPriority(fr, empty))
+      .collect().map(r => r.getAs[String]("url_norm") ->
+        (r.getAs[Int]("fetch_seq"), r.getAs[Long]("fetch_at_s"))).toMap
+    assert(sched("https://a.com/x") == ((1, 0L)))      // known page first
+    assert(sched("https://a.com/new") == ((2, 3L)))    // slot under delay 3
+    assert(!sched.contains("https://a.com/blocked/s")) // disallowed: no slot
+    // and the frontier feeds crawlBudget unchanged
+    val bud = Robots.crawlBudget(fr).collect()
+      .map(r => r.getAs[String]("registered_domain") ->
+        r.getAs[Long]("n_allowed")).toMap
+    assert(bud("a.com") == 2L && bud("b.com") == 1L)
+  }
+
+  test("recrawl priority: lastmod-newer outranks unchanged within a domain lane") {
+    import graft.ops.Robots
+    val corpus = Seq(
+      (1L, "https://d.com/stale"), (2L, "https://d.com/fresh"),
+      (3L, "https://d.com/nosig"), (4L, "https://e.com/nosig"))
+      .toDF("doc_id", "url")
+    val sm = Seq(
+      ("d.com", "https://d.com/s.xml", "https://d.com/stale", "2026-03-10"),
+      ("d.com", "https://d.com/s.xml", "https://d.com/fresh", "2026-03-20"),
+      ("d.com", "https://d.com/s.xml", "https://d.com/new", "2026-03-25"))
+      .toDF("registered_domain", "sitemap_url", "loc", "lastmod")
+    val robots = Seq.empty[(String, String)].toDF("registered_domain", "robots_txt")
+    val fr = Robots.crawlFrontier(corpus, sm, robots)
+    val lastCrawl = corpus.select(col("url").as("url_norm"),
+      lit("2026-03-15").as("last_crawled"))
+    val chg = Seq("e.com").toDF("registered_domain")
+    val out = Robots.recrawlSchedule(
+        Robots.recrawlPriority(fr, lastCrawl, Some(chg)))
+      .collect().map(r => r.getAs[String]("url_norm") ->
+        ((r.getAs[Int]("recrawl_priority"), r.getAs[Boolean]("domain_changed"),
+          r.getAs[Int]("fetch_seq")))).toMap
+    // d.com lane: changed page (0) < new discovery (1) < no-signal quiet
+    // domain (3) < producer-says-unchanged (4)
+    assert(out("https://d.com/fresh") == ((0, false, 1)))
+    assert(out("https://d.com/new") == ((1, false, 2)))
+    assert(out("https://d.com/nosig") == ((3, false, 3)))
+    assert(out("https://d.com/stale") == ((4, false, 4)))
+    // e.com: no per-page signal but the snapshot diff says the domain moved
+    assert(out("https://e.com/nosig") == ((2, true, 1)))
+  }
+
   test("webDomains shares sum to one; domains are normalized") {
     import graft.ops.UrlOps
     val d = Seq(
