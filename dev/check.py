@@ -26,7 +26,8 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def main(sf_dir: str, out_dir: str, json_out: str | None = None) -> int:
+def main(sf_dir: str, out_dir: str, json_out: str | None = None,
+         only: set[str] | None = None) -> int:
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
@@ -35,6 +36,8 @@ def main(sf_dir: str, out_dir: str, json_out: str | None = None) -> int:
     failures = 0
     record = {}
     for name, sql in sorted(oracles.items()):
+        if only is not None and name not in only:
+            continue
         rec = {"rows_match": False, "schema_match": False,
                "hash_match": False, "err": None}
         try:
@@ -91,8 +94,13 @@ def main(sf_dir: str, out_dir: str, json_out: str | None = None) -> int:
 if __name__ == "__main__":
     argv = [a for a in sys.argv[1:]]
     jout = None
+    only = None
     if "--json" in argv:
         i = argv.index("--json")
         jout = argv[i + 1]
         del argv[i:i + 2]
-    sys.exit(main(argv[0], argv[1], jout))
+    if "--only" in argv:
+        i = argv.index("--only")
+        only = {q.strip() for q in argv[i + 1].split(",")}
+        del argv[i:i + 2]
+    sys.exit(main(argv[0], argv[1], jout, only))

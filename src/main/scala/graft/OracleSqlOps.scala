@@ -2090,7 +2090,14 @@ FROM ranked WHERE rank <= 3"""
     * assignment by cosine, residual v − centroid(cell) elementwise,
     * residual-sample PQ codebooks, nearest squared-L2 code per
     * (vector, subspace). Ends with `ccodes` (vec_id, cell, sub, code). */
-  private val ivfPqCte: String = {
+  private val ivfPqCte: String = ivfPqCteFiltered("")
+
+  /** [[ivfPqCte]] over a filtered corpus (`corpusWhere` a full
+    * `WHERE ...` clause or "") — the survivor-corpus oracle for the
+    * takedown query: with the deleted ids outside both deterministic
+    * quantizer samples, this chain's centroids/codebook equal the
+    * full-corpus ones and only the coded corpus shrinks. */
+  private def ivfPqCteFiltered(corpusWhere: String): String = {
     val (m, codes, stride, residue) =
       (graft.ops.Similarity.IvfPqSubspaces, graft.ops.Similarity.PqCodes,
         graft.ops.Similarity.IvfCentroidStride,
@@ -2101,7 +2108,7 @@ FROM ranked WHERE rank <= 3"""
     s"""WITH e AS MATERIALIZED (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
     list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) AS n2
-  FROM embeddings
+  FROM embeddings$corpusWhere
 ), c AS (
   SELECT vec_id AS cid, v AS cv, n2 AS cn2 FROM e WHERE vec_id % $stride = $residue
   ORDER BY vec_id LIMIT ${graft.ops.Similarity.IvfMaxCells}
@@ -2147,16 +2154,22 @@ FROM ccodes GROUP BY vec_id, cell"""
     * (equi-join on cell); fixed-order 4-column ADC sum. */
   /** The IVF-PQ probe/ADC chain through the `ranked` CTE, shared by
     * [[ivfPqAdcTopK]] and [[ivfPqRerank]]. */
-  private def ivfPqRankedChain: String = {
+  private def ivfPqRankedChain: String =
+    ivfPqRankedChainFor("", "vec_id % 100 = 0")
+
+  /** [[ivfPqRankedChain]] over a filtered corpus and a custom query
+    * predicate (the takedown oracle probes survivors). */
+  private def ivfPqRankedChainFor(corpusWhere: String,
+      queryWhere: String): String = {
     val m = graft.ops.Similarity.IvfPqSubspaces
     val sd = 64 / m
     val pivots = (0 until m)
       .map(si => s"max(CASE WHEN cc.sub = $si THEN dt.dq END) AS d$si")
       .mkString(",\n    ")
     val adcSum = (0 until m).map(si => s"d$si").mkString(" + ")
-    ivfPqCte + s""",
+    ivfPqCteFiltered(corpusWhere) + s""",
 q AS (
-  SELECT vec_id AS qid, v AS qv, n2 AS qn2 FROM e WHERE vec_id % 100 = 0
+  SELECT vec_id AS qid, v AS qv, n2 AS qn2 FROM e WHERE $queryWhere
 ), probes AS (
   SELECT qid, cid AS cell,
     list_transform(range(64), i -> qv[i + 1] - cv[i + 1]) AS qrv
@@ -2193,9 +2206,9 @@ q AS (
 SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, adc
 FROM ranked WHERE rank <= 3"""
 
-  /** Two-stage rerank oracle (mirrors graft.ops.Similarity.ivfPqRerankTopK,
-    * shortlist 30, k 3): the ADC chain's top-30, exact-cosine rescored. */
-  val ivfPqRerank: String = ivfPqRankedChain + """, sl AS (
+  /** The exact-cosine rerank tail shared by [[ivfPqRerank]] and
+    * [[ivfPqRerankSurvivors]] (shortlist 30, k 3). */
+  private val ivfPqRerankTail: String = """, sl AS (
   SELECT query_id, neighbor_id FROM ranked WHERE rank <= 30
 ), rr AS (
   SELECT sl.query_id, sl.neighbor_id,
@@ -2208,6 +2221,22 @@ FROM ranked WHERE rank <= 3"""
 )
 SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cosine
 FROM rr WHERE rank <= 3"""
+
+  /** Two-stage rerank oracle (mirrors graft.ops.Similarity.ivfPqRerankTopK,
+    * shortlist 30, k 3): the ADC chain's top-30, exact-cosine rescored. */
+  val ivfPqRerank: String = ivfPqRankedChain + ivfPqRerankTail
+
+  /** The takedown oracle (mirrors graft.ops.Similarity.annIndexDeleteProbe):
+    * the SAME two-stage rerank, run over the corpus minus the deleted
+    * `vec_id % 10 = 0` batch with survivor queries (`% 100 = 4`). The
+    * engine must earn these rows through the real tombstone + compaction
+    * round trip; the oracle states the surviving-corpus answer directly
+    * — valid because the deleted ids fall outside both deterministic
+    * quantizer samples, so full-corpus quantizers equal survivor-corpus
+    * ones and the compacted index is bit-identical to a fresh build. */
+  val ivfPqRerankSurvivors: String =
+    ivfPqRankedChainFor(" WHERE vec_id % 10 <> 0", "vec_id % 100 = 4") +
+      ivfPqRerankTail
 
   /** Conversion funnel (mirrors the ev_funnel composition): per user, the
     * first purchase within 7 days of its as-of signup. */

@@ -48,6 +48,9 @@ object SparkEntry {
     // the probe query times the steady state) — dir construction inside
     // annIndexAppendProbe is the eager side effect
     ops.Similarity.annIndexAppendProbe(emb(s, dir))
+    // the takedown-path index likewise: build + tombstone + compaction are
+    // offline maintenance; ann_index_delete times the post-compaction probe
+    ops.Similarity.annIndexDeleteProbe(emb(s, dir))
     // and the durable dedup index (dedup_index_probe's artifact)
     val d = docs(s, dir)
     val e = emb(s, dir).select(col("vec_id").as("doc_id"), col("embedding"))
@@ -621,6 +624,12 @@ object SparkEntry {
     // full rebuild by sample-exclusion construction, same oracle
     "ann_index_append" -> ((s, dir) =>
       ops.Similarity.annIndexAppendProbe(emb(s, dir))),
+    // takedown path: build the full index, tombstone the %10 batch,
+    // compact, probe the survivors — bit-identical to a fresh build on
+    // the surviving corpus by sample-exclusion construction, so the
+    // oracle is the inline rerank over that filtered corpus
+    "ann_index_delete" -> ((s, dir) =>
+      ops.Similarity.annIndexDeleteProbe(emb(s, dir))),
     // radius search: every neighbor above the threshold, not a fixed k —
     // t=0.3 is the regime where this synthetic corpus HAS range neighbors
     "ann_range" -> ((s, dir) =>
@@ -804,6 +813,7 @@ object SparkEntry {
     "ann_pq_rerank" -> OracleSqlOps.ivfPqRerank,
     "ann_index_probe" -> OracleSqlOps.ivfPqRerank,
     "ann_index_append" -> OracleSqlOps.ivfPqRerank,
+    "ann_index_delete" -> OracleSqlOps.ivfPqRerankSurvivors,
     "ann_range" -> OracleSqlOps.annRange(0.3),
     "emb_kmeans" -> OracleSqlOps.embKmeans,
     "emb_purity" -> OracleSqlOps.embPurity,

@@ -15,7 +15,13 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // dev-loop filter: SPARK_GRAFT_ONLY=q1,q2 dumps just those queries
+    // (pair with dev/check.py --only); unset = the full gate
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -31,8 +37,9 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // sketch-parameter recall vs exact no-sketch baselines (see graft.Recall:
-    // CORRECTNESS alone is self-consistency for oracle-mirrored LSH ops)
-    try {
+    // CORRECTNESS alone is self-consistency for oracle-mirrored LSH ops);
+    // skipped under the dev-loop filter (full-gate runs only)
+    if (only.isEmpty) try {
       val recallJson = Recall.toJson(Recall.metrics(spark, sfDir))
       Files.writeString(Paths.get(s"$outDir/recall.json"), recallJson)
       println(s"[verify] recall: $recallJson")

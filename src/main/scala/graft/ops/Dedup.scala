@@ -975,10 +975,20 @@ object Dedup {
       prefix: String): IncrementalIndex = {
     val m = s.read.parquet(s"$dir/meta").head()
     val er = m.getAs[Int]("emb_rows")
+    // same live view as [[readIndex]]: pending tombstones anti-join out
+    // (broadcast — adds no exchange, so the bucketed scan's hash
+    // partitioning still satisfies the probe join's requirement)
+    val ts = dedupTombstones(s, dir)
+    def live(df: DataFrame, idCol: String): DataFrame = ts match {
+      case Some(t) => df.join(
+        broadcast(t.select(col("doc_id").as(idCol))), Seq(idCol), "left_anti")
+      case None => df
+    }
     IncrementalIndex(
-      s.table(s"${prefix}_digests"), s.table(s"${prefix}_banded"),
+      live(s.table(s"${prefix}_digests"), "hid"),
+      live(s.table(s"${prefix}_banded"), "doc_id"),
       m.getAs[Int]("k"), m.getAs[Int]("bands"),
-      if (er > 0) Some(s.read.parquet(s"$dir/emb")) else None,
+      if (er > 0) Some(live(s.read.parquet(s"$dir/emb"), "hid")) else None,
       er, m.getAs[Int]("emb_bands"))
   }
 
@@ -991,11 +1001,90 @@ object Dedup {
   def readIndex(s: org.apache.spark.sql.SparkSession, dir: String): IncrementalIndex = {
     val m = s.read.parquet(s"$dir/meta").head()
     val er = m.getAs[Int]("emb_rows")
+    val ts = dedupTombstones(s, dir)
+    def live(df: DataFrame, idCol: String): DataFrame = ts match {
+      case Some(t) => df.join(
+        broadcast(t.select(col("doc_id").as(idCol))), Seq(idCol), "left_anti")
+      case None => df
+    }
     IncrementalIndex(
-      s.read.parquet(s"$dir/digests"), s.read.parquet(s"$dir/banded"),
+      live(s.read.parquet(s"$dir/digests"), "hid"),
+      live(s.read.parquet(s"$dir/banded"), "doc_id"),
       m.getAs[Int]("k"), m.getAs[Int]("bands"),
-      if (er > 0) Some(s.read.parquet(s"$dir/emb")) else None,
+      if (er > 0) Some(live(s.read.parquet(s"$dir/emb"), "hid")) else None,
       er, m.getAs[Int]("emb_bands"))
+  }
+
+  /** Pending-takedown doc ids, if any deletes are uncompacted — the
+    * [[Similarity.annTombstones]] twin: bounded by nature, so probes
+    * afford a broadcast anti-join per table read until compaction. */
+  private def dedupTombstones(s: org.apache.spark.sql.SparkSession,
+      dir: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(s.read.parquet(p.toString)) else None
+  }
+
+  /** Delete history docs from a durable dedup index WITHOUT rewriting its
+    * tables — the takedown/opt-out path (an append-only index cannot honor
+    * a removal short of a rebuild): ids append to a small `tombstones`
+    * side table, [[readIndex]] anti-joins it into every loaded view (a
+    * deleted doc can never label a probe batch from the moment this
+    * returns — not as an `exact_id`, a near-dup id, nor an embedding-tier
+    * id), and [[compactIndex]] later folds the deletes into the files.
+    *
+    * NEAR-TIER CAVEAT (information-theoretic, not a bug): `banded`/`emb`
+    * hold ONE representative row per distinct sketch ([[buildIndex]]'s
+    * collapse — the artifact-size and skew win), so tombstoning a
+    * REPRESENTATIVE removes its whole sketch class from the near tier
+    * even when same-sketch siblings survive in history — the collapsed
+    * artifact does not record who the siblings were. EXACT duplicates of
+    * survivors still label via the per-doc `digests` table (never
+    * collapsed), and the periodic full [[buildIndex]] rebuild a
+    * deployment already runs (the frozen-sketch staleness remedy)
+    * re-elects representatives from the surviving history. Deleting docs
+    * whose sketch class is a singleton — the common takedown shape —
+    * loses nothing, and the compacted index is then bit-identical to a
+    * fresh build on the surviving history (spec-witnessed).
+    * Single-writer-per-directory contract, as [[Similarity.appendAnnIndex]]. */
+  def deleteFromIndex(dir: String, ids: DataFrame): Unit =
+    TempDirs.dirLock(dir).synchronized {
+      ids.select(col("doc_id")).distinct()
+        .coalesce(1).write.mode("append").parquet(s"$dir/tombstones")
+    }
+
+  /** Fold pending tombstones into the index files: rewrite each table
+    * keeping live rows (write-aside + rename — rewriting in place would
+    * overwrite the files being read), then drop the tombstone table.
+    * Applies to the plain [[writeIndex]] layout; a [[writeIndexBucketed]]
+    * catalog layout compacts by re-running `writeIndexBucketed` over the
+    * surviving history (the bucket spec lives in the catalog, not the
+    * files, so a file-level rewrite would orphan it). */
+  def compactIndex(s: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = TempDirs.dirLock(dir).synchronized {
+    dedupTombstones(s, dir).foreach { t0 =>
+      val t = t0.select(col("doc_id"))
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      def rewrite(name: String, idCol: String): Unit = {
+        val p = new org.apache.hadoop.fs.Path(s"$dir/$name")
+        if (fs.exists(p)) {
+          s.read.parquet(p.toString)
+            .join(broadcast(t.withColumnRenamed("doc_id", idCol)),
+              Seq(idCol), "left_anti")
+            .write.mode("overwrite").parquet(s"$dir/${name}_compacting")
+          fs.delete(p, true)
+          fs.rename(new org.apache.hadoop.fs.Path(s"$dir/${name}_compacting"), p)
+          // invalidate the session-wide cached file listing for the
+          // swapped path (the Similarity.compactAnnIndex rationale)
+          s.catalog.refreshByPath(p.toString)
+        }
+      }
+      rewrite("digests", "hid")
+      rewrite("banded", "doc_id")
+      rewrite("emb", "hid")
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/tombstones"), true)
+    }
   }
 
   // one durable dedup index per (session, history plan, embeddings plan,

@@ -373,8 +373,14 @@ object Robots {
   /** Per-document audit against sitemaps.org's hard limits (50,000
     * entries, 50 MB uncompressed): entry count, byte size, and the
     * verdict — a crawler rejects (or truncates, policy-dependent)
-    * violating documents rather than trusting a malformed producer. Pure
-    * per-row projection over the bounded sitemap table. */
+    * violating documents rather than trusting a malformed producer.
+    * `<loc>` occurrences of BOTH entry kinds count against the same bar
+    * deliberately: sitemaps.org caps a `<urlset>` at 50k `<url>` entries
+    * AND a `<sitemapindex>` at 50k `<sitemap>` entries — the same number,
+    * and exactly one kind appears per well-formed document, so one count
+    * audits either kind (an over-limit INDEX is flagged the same as an
+    * over-limit urlset, spec-witnessed). Pure per-row projection over the
+    * bounded sitemap table. */
   def sitemapLimitAudit(sitemapDocs: DataFrame): DataFrame =
     sitemapDocs.select(col("registered_domain"), col("sitemap_url"),
         size(regexp_extract_all(col("xml"), lit("(?is)<loc[^>]*>"), lit(0)))

@@ -941,15 +941,90 @@ object Similarity {
   def readAnnIndex(s: org.apache.spark.sql.SparkSession,
       dir: String): AnnIndex = {
     val m = s.read.parquet(s"$dir/meta").head()
-    // restore the written column order and the cell's LONG type (partition
-    // directory values re-infer as int) so a loaded index is
-    // indistinguishable from a freshly built one
-    val codes = s.read.parquet(s"$dir/codes")
-      .select(col("vec_id"), col("cell").cast("long").as("cell"),
-        col("codes"), col("embedding"), col("n2"))
+    // live view: tombstoned ids (if any takedowns are pending compaction)
+    // are anti-joined out HERE, so every reader — probe, rerank join,
+    // idempotence scan — sees the post-delete corpus without each call
+    // site having to remember the tombstone table exists
+    val codes = annTombstones(s, dir) match {
+      case Some(t) => rawAnnCodes(s, dir)
+        .join(broadcast(t.select(col("vec_id"))), Seq("vec_id"), "left_anti")
+      case None => rawAnnCodes(s, dir)
+    }
     AnnIndex(s.read.parquet(s"$dir/centroids"),
       s.read.parquet(s"$dir/codebook"), codes,
       m.getAs[Int]("subspaces"), m.getAs[Int]("codes"))
+  }
+
+  /** The codes table as WRITTEN (tombstones NOT applied) — the compaction
+    * and append-guard view; restores the written column order and the
+    * cell's LONG type (partition directory values re-infer as int) so a
+    * loaded index is indistinguishable from a freshly built one. */
+  private def rawAnnCodes(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    s.read.parquet(s"$dir/codes")
+      .select(col("vec_id"), col("cell").cast("long").as("cell"),
+        col("codes"), col("embedding"), col("n2"))
+
+  /** The index's pending-takedown table, if any deletes are uncompacted.
+    * Bounded by nature — takedown/opt-out sets are tiny next to the corpus
+    * — so probes afford a broadcast anti-join per read until compaction
+    * folds the deletes into the partitioned layout. */
+  private def annTombstones(s: org.apache.spark.sql.SparkSession,
+      dir: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(s.read.parquet(p.toString)) else None
+  }
+
+  /** Delete vectors from a durable index WITHOUT rewriting the
+    * corpus-scale codes table — the takedown/opt-out path a training-data
+    * deployment must have (an append-only index cannot honor a removal
+    * short of a full rebuild): the ids append to a small `tombstones`
+    * side table, [[readAnnIndex]] anti-joins it into every loaded view
+    * (a deleted vector can never appear in a probe result from the moment
+    * this returns), and a later [[compactAnnIndex]] folds the deletes
+    * into the partitioned layout. Deletion wins over append: a tombstoned
+    * id cannot be re-introduced by [[appendAnnIndex]] until the index is
+    * compacted (takedown semantics — the id-is-identity contract means a
+    * reused id is indistinguishable from the removed content's retry).
+    * Same single-writer-per-directory contract as [[appendAnnIndex]]. */
+  def deleteFromAnnIndex(dir: String, ids: DataFrame): Unit =
+    TempDirs.dirLock(dir).synchronized {
+      ids.select(col("vec_id")).distinct()
+        .coalesce(1).write.mode("append").parquet(s"$dir/tombstones")
+    }
+
+  /** Fold pending tombstones into the codes layout: rewrite the
+    * partitioned table keeping only live rows, then drop the tombstone
+    * table. The rewrite lands in a sibling directory and swaps in by
+    * rename (rewriting in place would overwrite the very files being
+    * read); quantizers are untouched — centroids/codebook were trained on
+    * samples, not the deleted rows, so when the deleted ids fall outside
+    * the deterministic training samples the compacted index is
+    * BIT-IDENTICAL to a fresh [[buildAnnIndex]] over the surviving corpus
+    * (spec-witnessed); when a SAMPLE member is deleted the quantizers
+    * drift from what a fresh build would train, and the periodic re-train
+    * the [[appendAnnIndex]] caveat already prescribes is the remedy.
+    * Cost: one column-complete scan+write of the codes table — the
+    * offline maintenance job, amortized over many takedowns. */
+  def compactAnnIndex(s: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = TempDirs.dirLock(dir).synchronized {
+    annTombstones(s, dir).foreach { t =>
+      val live = rawAnnCodes(s, dir)
+        .join(broadcast(t.select(col("vec_id"))), Seq("vec_id"), "left_anti")
+      live.repartition(col("cell")).write.mode("overwrite")
+        .partitionBy("cell").parquet(s"$dir/codes_compacting")
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/codes"), true)
+      fs.rename(new org.apache.hadoop.fs.Path(s"$dir/codes_compacting"),
+        new org.apache.hadoop.fs.Path(s"$dir/codes"))
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/tombstones"), true)
+      // the swap invalidates any cached file listing for the path (Spark's
+      // FileStatusCache is shared session-wide) — without this a later
+      // read plans against the pre-compaction file set and fails mid-scan
+      s.catalog.refreshByPath(s"$dir/codes")
+    }
   }
 
   /** Append a NEW vector batch to a durable index under its FROZEN
@@ -995,8 +1070,16 @@ object Similarity {
     // retry from new content under a reused id). Shape: ONE column-pruned
     // scan of codes semi-filtered by the broadcast batch ids (bounded ≤
     // |batch|, no shuffle of the corpus-scale codes table), anti-joined
-    // back against the batch as a broadcast hash join.
-    val already = idx.codes.select(col("vec_id"))
+    // back against the batch as a broadcast hash join. The guard reads the
+    // RAW codes plus any pending tombstones — a tombstoned id counts as
+    // existing, so a takedown cannot be undone by a later append (see
+    // [[deleteFromAnnIndex]]; the id frees only at compaction).
+    val rawIds = rawAnnCodes(s, dir).select(col("vec_id"))
+    val guardIds = annTombstones(s, dir) match {
+      case Some(t) => rawIds.unionByName(t.select(col("vec_id")))
+      case None => rawIds
+    }
+    val already = guardIds
       .join(broadcast(batch.select(col("vec_id"))), Seq("vec_id"),
         "left_semi")
     val corpus = batch.join(broadcast(already), Seq("vec_id"), "left_anti")
@@ -1125,6 +1208,32 @@ object Similarity {
       writeAnnIndex(
         buildAnnIndex(embeddings.filter(col("vec_id") % 10 =!= 0)), d)
       appendAnnIndex(d, embeddings.filter(col("vec_id") % 10 === 0))
+    }
+    probeAnnIndex(readAnnIndex(spark, dir), embeddings.filter(queryPred))
+  }
+
+  /** The composed TAKEDOWN fixture query: build + write the full-corpus
+    * index, [[deleteFromAnnIndex]] the `vec_id % 10 == 0` batch,
+    * [[compactAnnIndex]], read back, probe the surviving corpus — held to
+    * the inline [[ivfPqRerankTopK]] oracle RUN OVER THE SURVIVING CORPUS.
+    * That is exact (not approximate) because the deleted batch is chosen
+    * OUTSIDE both deterministic quantizer samples (the
+    * [[annIndexAppendProbe]] construction in reverse): centroids and
+    * codebook trained on the full corpus equal those a fresh build on the
+    * survivors would train, so the compacted index is bit-identical to
+    * that fresh build and the probe reproduces the inline operator on the
+    * survivor table row-for-row. Queries take `vec_id % 100 == 4` —
+    * survivors by construction (`% 100 == 0` ids are all deleted here). */
+  def annIndexDeleteProbe(embeddings: DataFrame,
+      queryPred: Column = col("vec_id") % 100 === 4): DataFrame = {
+    val spark = embeddings.sparkSession
+    val dir = TempDirs.cachedScratchDir(annIndexDirCache, spark,
+      TempDirs.planDigest(embeddings.queryExecution.analyzed.canonicalized) +
+        "#delete", "graft-ann-index-delete") { d =>
+      writeAnnIndex(buildAnnIndex(embeddings), d)
+      deleteFromAnnIndex(d,
+        embeddings.filter(col("vec_id") % 10 === 0).select(col("vec_id")))
+      compactAnnIndex(spark, d)
     }
     probeAnnIndex(readAnnIndex(spark, dir), embeddings.filter(queryPred))
   }

@@ -167,6 +167,44 @@ object StreamingCrawl {
         Encoders.row(outSchema))
   }
 
+  /** The WHOLE streaming crawl as ONE continuous query: file lands →
+    * parse → URL gate → robots policy gate ([[policyGatedPages]]) → HTML
+    * extraction → Gopher quality rules → per-domain politeness schedule
+    * ([[scheduleFetches]]) — a page that survives every gate emerges with
+    * its clean `text`, its per-rule quality signals, and its lane slot
+    * (`fetch_seq`, `fetch_at_s`), all in the trigger that read its file.
+    *
+    * Stage order is the scale decision: extraction and quality run BEFORE
+    * the schedule — they are stateless per-row stages that fuse into the
+    * file-source scan, so page BODIES never enter the scheduler's state
+    * shuffle (what ships to the `flatMapGroupsWithState` exchange is the
+    * extracted text plus scalar columns, not raw HTML — the projection the
+    * r11 in-code note prescribed, now the default path rather than a
+    * caller obligation; quality-dropped pages also die before paying any
+    * shuffle). `source` doubles as the schedule's `registered_domain` key
+    * — the policy gate already derived it once. */
+  def crawlPipeline(spark: SparkSession, path: String, robots: DataFrame,
+      agent: String = "graftbot", maxFilesPerTrigger: Int = 64): DataFrame = {
+    val gated = policyGatedPages(spark, path, robots, agent,
+      maxFilesPerTrigger)
+    val extracted = graft.ops.TextExtract.extract(
+      gated.select(col("doc_id"), col("registered_domain").as("source"),
+        col("body").as("html"), col("url"), col("crawl_delay")),
+      keep = Seq("url", "crawl_delay"))
+    val clean = graft.ops.TextAnalysis.gopherRules(extracted,
+        keep = Seq("url", "source", "text", "crawl_delay"))
+      .filter(col("kept"))
+    // the state-shuffle projection: doc_id, url, domain key, delay, text +
+    // the quality signals — no html/body column exists past this point
+    val slim = clean.select(col("doc_id"), col("url"),
+      col("source").as("registered_domain"), col("crawl_delay"),
+      col("text"), col("n_words"))
+    scheduleFetches(slim)
+      .select(col("doc_id"), col("url"),
+        col("registered_domain").as("source"), col("text"), col("n_words"),
+        col("fetch_seq"), col("fetch_at_s"))
+  }
+
   /** The crawl chain composed PAST the gate, in-stream: [[gatedPages]] →
     * HTML extraction ([[graft.ops.TextExtract.extract]]) → per-row Gopher
     * quality rules ([[graft.ops.TextAnalysis.gopherRules]]), emitting

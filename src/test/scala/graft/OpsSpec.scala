@@ -417,6 +417,78 @@ class OpsSpec extends SparkSpec {
     graft.ops.CacheScope.releaseAll(spark)
   }
 
+  test("ANN index takedown: tombstone excludes immediately, compaction equals a fresh build") {
+    import graft.ops.Similarity
+    // the append spec's 600-vector corpus; the DELETED batch is ids ≡ 0
+    // mod 10 — outside both deterministic quantizer samples (even → never
+    // in the odd-id PQ sample; ≡ 0/5 mod 25 → never centroid residue 7),
+    // so full-corpus quantizers equal survivor-corpus ones and compaction
+    // must reproduce a fresh build bit-for-bit
+    def vec(i: Long) = Array.tabulate(64) { d =>
+      val b = if ((i % 2 == 0) == (d < 32)) 1f else 0f
+      b + ((i * 7 + d) % 5) * 0.01f
+    }
+    val all = (0L to 599L).map(i => (i, vec(i), 0))
+      .toDF("vec_id", "embedding", "label")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ann-delete-spec").toString
+    Similarity.writeAnnIndex(Similarity.buildAnnIndex(all), dir)
+    // an external query identical to vector 40 — whose exact twins are
+    // precisely the ids ≡ 0 mod 10 (the noise term (i·7+d)%5 repeats at
+    // that stride), i.e. the soon-deleted batch: before the takedown the
+    // ENTIRE top-5 is deleted content at cosine 1.0
+    val q = Seq((9999L, vec(40L), 0)).toDF("vec_id", "embedding", "label")
+    val pre = Similarity.probeAnnIndex(Similarity.readAnnIndex(spark, dir),
+      q, k = 5).collect()
+    assert(pre.length == 5)
+    pre.foreach { r =>
+      assert(r.getAs[Long]("neighbor_id") % 10 == 0, r.toString)
+      assert(math.abs(r.getAs[Double]("cosine") - 1.0) < 1e-9, r.toString)
+    }
+    Similarity.deleteFromAnnIndex(dir,
+      all.filter(col("vec_id") % 10 === 0).select(col("vec_id")))
+    // pre-compaction: the tombstone anti-join hides every deleted id from
+    // the probe THE MOMENT the delete returns
+    val tombstoned = Similarity.probeAnnIndex(
+      Similarity.readAnnIndex(spark, dir), q, k = 5).collect()
+    assert(tombstoned.nonEmpty)
+    assert(tombstoned.forall(_.getAs[Long]("neighbor_id") % 10 != 0),
+      tombstoned.mkString(", "))
+    // takedown wins over append: re-adding a deleted id (even with new
+    // content) is a no-op until the index is compacted
+    Similarity.appendAnnIndex(dir,
+      Seq((40L, vec(41L), 0)).toDF("vec_id", "embedding", "label"))
+    assert(Similarity.readAnnIndex(spark, dir).codes
+      .filter(col("vec_id") === 40L).isEmpty)
+    Similarity.compactAnnIndex(spark, dir)
+    assert(!new java.io.File(s"$dir/tombstones").exists(),
+      "compaction must clear the tombstone table")
+    val compacted = Similarity.readAnnIndex(spark, dir)
+    assert(compacted.codes.filter(col("vec_id") % 10 === 0).isEmpty,
+      "deleted rows survived compaction")
+    // post-compaction probe rows equal the tombstoned-view rows exactly
+    assert(Similarity.probeAnnIndex(compacted, q, k = 5)
+      .collect().map(_.toString).sorted.toSeq ==
+      tombstoned.map(_.toString).sorted.toSeq)
+    // ...and the whole compacted index is bit-identical to a fresh build
+    // over the surviving corpus
+    val fresh = Similarity.buildAnnIndex(all.filter(col("vec_id") % 10 =!= 0))
+    // name-sorted projection: the loaded codes restore the written column
+    // order, which differs from the in-memory build's
+    def tbl(df: org.apache.spark.sql.DataFrame) = {
+      val cs = df.columns.sorted.map(col(_))
+      df.select(cs: _*).collect().map(_.toString).sorted.toSeq
+    }
+    assert(tbl(compacted.codes) == tbl(fresh.codes))
+    assert(tbl(compacted.centroids) == tbl(fresh.centroids))
+    assert(tbl(compacted.codebook) == tbl(fresh.codebook))
+    assert(Similarity.probeAnnIndex(compacted, q, k = 5)
+      .collect().map(_.toString).sorted.toSeq ==
+      Similarity.probeAnnIndex(fresh, q, k = 5)
+        .collect().map(_.toString).sorted.toSeq)
+    graft.ops.CacheScope.releaseAll(spark)
+  }
+
   test("planDigest distinguishes local-relation data and file-source paths") {
     import graft.ops.TempDirs
     // the two collision classes caught live in r11: the canonicalized
@@ -1287,6 +1359,57 @@ class OpsSpec extends SparkSpec {
     val loaded = Dedup.readIndex(spark, dir)
     assert(loaded.k == 16 && loaded.bands == 4) // second write wins
     assert(loaded.digests.count() == 2)
+    graft.ops.CacheScope.releaseAll(spark)
+  }
+
+  test("dedup index takedown: tombstoned history never labels; compaction equals a fresh build") {
+    // history of sketch-SINGLETON docs (pairwise-distinct token sets) —
+    // the common takedown shape, where deleteFromIndex's collapse-class
+    // caveat loses nothing and compaction must equal a fresh build
+    val history = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+      (2L, "one two three four five six seven eight nine ten eleven twelve"),
+      (3L, "red orange yellow green blue indigo violet cyan magenta pink"),
+      (4L, "north south east west up down")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-idx-del").toString
+    Dedup.writeIndex(Dedup.buildIndex(history), dir)
+    // the probe batch: one exact copy of doc 2 (to be deleted), one
+    // NEAR-dup of doc 2 (one word swapped: Jaccard 11/13 ≈ 0.846 ≥ 0.8),
+    // one exact copy of doc 3
+    val batch = Seq(
+      (10L, "one two three four five six seven eight nine ten eleven twelve"),
+      (11L, "one two three four five six seven eight nine ten eleven dozen"),
+      (12L, "red orange yellow green blue indigo violet cyan magenta pink")).toDF("doc_id", "text")
+    def probe() = Dedup.incrementalWithIndex(
+      Dedup.readIndex(spark, dir), batch).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((Option(r.getAs[Any]("dup_of")), r.getAs[Boolean]("is_new")))).toMap
+    // pre-delete: 10 exact-matches 2, 11 near-matches 2, 12 matches 3
+    assert(probe() == Map(10L -> ((Some(2L), false)),
+      11L -> ((Some(2L), false)), 12L -> ((Some(3L), false))))
+    graft.ops.CacheScope.releaseAll(spark)
+    val spark2 = spark; import spark2.implicits._
+    Dedup.deleteFromIndex(dir, Seq(2L).toDF("doc_id"))
+    // pre-compaction: doc 2 can no longer label ANY tier's output — its
+    // exact copy and near-dup both come back new; doc 3 still labels
+    val afterDelete = probe()
+    assert(afterDelete == Map(10L -> ((None, true)), 11L -> ((None, true)),
+      12L -> ((Some(3L), false))), afterDelete.toString)
+    graft.ops.CacheScope.releaseAll(spark)
+    Dedup.compactIndex(spark, dir)
+    assert(!new java.io.File(s"$dir/tombstones").exists())
+    assert(probe() == afterDelete, "compaction changed probe labels")
+    graft.ops.CacheScope.releaseAll(spark)
+    // the compacted artifact is bit-identical to a fresh build on the
+    // surviving history
+    val compacted = Dedup.readIndex(spark, dir)
+    val fresh = Dedup.buildIndex(history.filter(col("doc_id") =!= 2L))
+    def tbl(df: org.apache.spark.sql.DataFrame) = {
+      val cs = df.columns.sorted.map(col(_))
+      df.select(cs: _*).collect().map(_.toString).sorted.toSeq
+    }
+    assert(tbl(compacted.digests) == tbl(fresh.digests))
+    assert(tbl(compacted.banded) == tbl(fresh.banded))
     graft.ops.CacheScope.releaseAll(spark)
   }
 
@@ -2604,16 +2727,24 @@ class OpsSpec extends SparkSpec {
       ("https://b.org/shard1.xml", "https://b.org/s1/x"),
       ("https://b.org/shard1.xml", "https://b.org/s1/y")))
 
-    // limits audit: the spec's 50k-entry cap flags a violating document
+    // limits audit: the spec's 50k-entry cap flags a violating document —
+    // for BOTH entry kinds (sitemaps.org caps a urlset at 50k <url>
+    // entries and a sitemapindex at 50k <sitemap> entries, same number)
     val big = "<urlset>" + "<url><loc>x</loc></url>" * 50001 + "</urlset>"
+    val bigIndex = "<sitemapindex>" +
+      "<sitemap><loc>s</loc></sitemap>" * 50001 + "</sitemapindex>"
     val audit = Robots.sitemapLimitAudit(Seq(
         ("a.com", "https://a.com/sitemap.xml", urlset),
-        ("c.io", "https://c.io/big.xml", big))
+        ("b.org", "https://b.org/sitemap.xml", index),
+        ("c.io", "https://c.io/big.xml", big),
+        ("d.net", "https://d.net/bigindex.xml", bigIndex))
       .toDF("registered_domain", "sitemap_url", "xml")).collect()
       .map(r => r.getAs[String]("sitemap_url") ->
         ((r.getAs[Int]("n_entries"), r.getAs[Boolean]("within_limits")))).toMap
     assert(audit("https://a.com/sitemap.xml") == ((2, true)))
+    assert(audit("https://b.org/sitemap.xml") == ((2, true)))
     assert(audit("https://c.io/big.xml") == ((50001, false)))
+    assert(audit("https://d.net/bigindex.xml") == ((50001, false)))
   }
 
   test("webSitemapDocs fixture: rendered XML parses back to the closed form") {
