@@ -33,6 +33,12 @@ def main(sf_dir: str, out_dir: str, json_out: str | None = None,
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     with open(f"{out_dir}/oracle_sql.json") as fh:
         oracles = json.load(fh)
+    if only is not None:
+        unknown = only - set(oracles)
+        if unknown:
+            # a typo'd --only must not print ALL PASS over zero queries
+            print(f"ERROR: --only names not in oracle_sql.json: {sorted(unknown)}")
+            return 2
     failures = 0
     record = {}
     for name, sql in sorted(oracles.items()):
@@ -93,14 +99,18 @@ def main(sf_dir: str, out_dir: str, json_out: str | None = None,
 
 if __name__ == "__main__":
     argv = [a for a in sys.argv[1:]]
-    jout = None
-    only = None
-    if "--json" in argv:
-        i = argv.index("--json")
-        jout = argv[i + 1]
+    def flag(name: str) -> str | None:
+        if name not in argv:
+            return None
+        i = argv.index(name)
+        if i + 1 >= len(argv):
+            sys.exit(f"{name} requires a value")
+        v = argv[i + 1]
         del argv[i:i + 2]
-    if "--only" in argv:
-        i = argv.index("--only")
-        only = {q.strip() for q in argv[i + 1].split(",")}
-        del argv[i:i + 2]
+        return v
+    jout = flag("--json")
+    onlyv = flag("--only")
+    only = {q.strip() for q in onlyv.split(",")} if onlyv else None
+    if len(argv) != 2:
+        sys.exit("usage: check.py <sfDir> <verifyOutDir> [--json out.json] [--only q1,q2]")
     sys.exit(main(argv[0], argv[1], jout, only))

@@ -80,8 +80,14 @@ object Bench {
       Thread.sleep(10000)
     }
     val loadStart = loadavg1
+    // -1.0 is the "no /proc/loadavg" sentinel: unknown load is NOT clean
+    // (quiesced stays false — an unadoptable run), but gets its own honest
+    // message instead of "loadavg -1.0 exceeds limit"
     val quiesced = loadStart >= 0 && loadStart <= loadLimit
-    if (!quiesced)
+    if (loadStart < 0)
+      println("[bench] WARNING: loadavg unavailable on this host — the run " +
+        "cannot self-certify quiesced (loadavg_start is the -1 sentinel)")
+    else if (!quiesced)
       println(f"[bench] WARNING: start loadavg $loadStart%.1f exceeds limit " +
         f"$loadLimit%.1f — this run must NOT be adopted as a clean number")
     failed.clear()

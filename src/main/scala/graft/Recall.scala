@@ -140,20 +140,13 @@ object Recall {
   private[graft] def appendDriftMetricsAt(s: SparkSession,
       delta: Double): (Metric, Metric) = {
     import s.implicits._
-    val k = 12; val perCluster = 25; val dim = 64
+    val k = FixtureK; val perCluster = 25; val dim = FixtureDim
     val base = ops.CacheScope.track(clusteredFixture(s))
-    // drifted centers: the SAME fixture centers, each perturbed and
-    // renormalized (seed differs from the fixture's so the perturbation is
-    // independent of the member noise)
+    // drifted centers: the SAME fixture centers ([[fixtureCenters]], same
+    // seed and stream position), each perturbed and renormalized (the
+    // perturbation seed differs so it is independent of the member noise)
     val rnd = new scala.util.Random(20260816L)
-    val baseCenters = {
-      val r0 = new scala.util.Random(20260813L)
-      Array.fill(k) {
-        val g = Array.fill(dim)(r0.nextGaussian())
-        val n = math.sqrt(g.map(x => x * x).sum)
-        g.map(x => (x / n).toFloat)
-      }
-    }
+    val baseCenters = fixtureCenters(new scala.util.Random(FixtureSeed))
     val drifted = baseCenters.map { c =>
       val g = Array.fill(dim)(rnd.nextGaussian())
       val v = c.indices.map(d => c(d) + (delta * g(d)).toFloat)
@@ -179,8 +172,10 @@ object Recall {
     val queryPred = col("vec_id") >= 1000L && col("vec_id") % 25 === 3
     val bf = ops.CacheScope.track(
       ops.Similarity.bruteForceTopK(combined, queryPred, k = 3))
-    val dir = java.nio.file.Files
-      .createTempDirectory("graft-ann-drift").toString
+    // TempDirs.scratch, not a bare createTempDirectory: the dir registers
+    // with the JVM-exit cleanup list instead of leaking one written index
+    // per Verify run / sweep step
+    val dir = ops.TempDirs.scratch("graft-ann-drift")
     ops.Similarity.writeAnnIndex(ops.Similarity.buildAnnIndex(base), dir)
     ops.Similarity.appendAnnIndex(dir, batch)
     val appended = ops.Similarity.readAnnIndex(s, dir)
@@ -274,15 +269,27 @@ object Recall {
     fixtureSeq
   }
 
-  /** 600 vectors in 12 well-separated Gaussian clusters, fixed seed. */
-  private[graft] def clusteredFixture(s: SparkSession): org.apache.spark.sql.DataFrame = {
-    val k = 12; val perCluster = 50; val dim = 64
-    val rnd = new scala.util.Random(20260813L)
-    val centers = Array.fill(k) {
-      val g = Array.fill(dim)(rnd.nextGaussian())
+  private[graft] val FixtureK = 12
+  private[graft] val FixtureDim = 64
+  private[graft] val FixtureSeed = 20260813L
+
+  /** The fixture's unit-norm cluster centers, drawn from `rnd` — ONE
+    * derivation shared by [[clusteredFixture]] (which keeps consuming the
+    * same stream for member noise) and [[appendDriftMetricsAt]] (which
+    * perturbs these exact centers; a drifted copy of re-derived-elsewhere
+    * centers would silently measure drift against the wrong geometry). */
+  private def fixtureCenters(rnd: scala.util.Random): Array[Array[Float]] =
+    Array.fill(FixtureK) {
+      val g = Array.fill(FixtureDim)(rnd.nextGaussian())
       val n = math.sqrt(g.map(x => x * x).sum)
       g.map(x => (x / n).toFloat)
     }
+
+  /** 600 vectors in 12 well-separated Gaussian clusters, fixed seed. */
+  private[graft] def clusteredFixture(s: SparkSession): org.apache.spark.sql.DataFrame = {
+    val k = FixtureK; val perCluster = 50
+    val rnd = new scala.util.Random(FixtureSeed)
+    val centers = fixtureCenters(rnd)
     val rows = (0 until k * perCluster).map { i =>
       val c = centers(i % k)
       (i.toLong, c.map(x => x + 0.04f * rnd.nextGaussian().toFloat).toSeq, i % k)

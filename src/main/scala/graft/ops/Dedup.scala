@@ -965,6 +965,12 @@ object Dedup {
       index.banded, s"${prefix}_banded", s"$dir/banded", "band0", buckets)
     index.emb.foreach(_.write.mode("overwrite").parquet(s"$dir/emb"))
     writeIndexMeta(index, dir)
+    // layout marker: [[compactIndex]] must refuse this directory — a plain
+    // rewrite would drop the bucket-id file naming while the catalog still
+    // declares the spec, corrupting every later bucketed probe
+    val s = index.digests.sparkSession
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_bucketed_layout")
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).create(p, true).close()
   }
 
   /** Load an index written by [[writeIndexBucketed]] THROUGH the catalog —
@@ -1056,33 +1062,53 @@ object Dedup {
   /** Fold pending tombstones into the index files: rewrite each table
     * keeping live rows (write-aside + rename — rewriting in place would
     * overwrite the files being read), then drop the tombstone table.
-    * Applies to the plain [[writeIndex]] layout; a [[writeIndexBucketed]]
-    * catalog layout compacts by re-running `writeIndexBucketed` over the
-    * surviving history (the bucket spec lives in the catalog, not the
-    * files, so a file-level rewrite would orphan it). */
+    * Applies to the plain [[writeIndex]] layout ONLY and throws on a
+    * [[writeIndexBucketed]] directory (detected by its layout marker): a
+    * plain rewrite would drop the bucket-id file naming while the catalog
+    * still declares the spec, corrupting every later bucketed probe — a
+    * bucketed layout compacts by re-running `writeIndexBucketed` over the
+    * surviving history. Also throws (before mutating anything — the
+    * tombstones survive) when compaction would leave a table EMPTY: a
+    * full-corpus takedown is "delete the index", not a compaction, and an
+    * empty parquet dir would brick every later [[readIndex]]. */
   def compactIndex(s: org.apache.spark.sql.SparkSession,
       dir: String): Unit = TempDirs.dirLock(dir).synchronized {
     dedupTombstones(s, dir).foreach { t0 =>
-      val t = t0.select(col("doc_id"))
+      val t = CacheScope.trackEager(t0.select(col("doc_id")))
       val fs = new org.apache.hadoop.fs.Path(dir)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
-      def rewrite(name: String, idCol: String): Unit = {
+      require(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_bucketed_layout")),
+        s"$dir holds a writeIndexBucketed layout: compact it by re-running " +
+          "writeIndexBucketed over the surviving history, not compactIndex")
+      def live(name: String, idCol: String): Option[DataFrame] = {
         val p = new org.apache.hadoop.fs.Path(s"$dir/$name")
-        if (fs.exists(p)) {
-          s.read.parquet(p.toString)
-            .join(broadcast(t.withColumnRenamed("doc_id", idCol)),
-              Seq(idCol), "left_anti")
-            .write.mode("overwrite").parquet(s"$dir/${name}_compacting")
-          fs.delete(p, true)
-          fs.rename(new org.apache.hadoop.fs.Path(s"$dir/${name}_compacting"), p)
-          // invalidate the session-wide cached file listing for the
-          // swapped path (the Similarity.compactAnnIndex rationale)
-          s.catalog.refreshByPath(p.toString)
-        }
+        if (!fs.exists(p)) None
+        else Some(s.read.parquet(p.toString)
+          .join(broadcast(t.withColumnRenamed("doc_id", idCol)),
+            Seq(idCol), "left_anti"))
       }
-      rewrite("digests", "hid")
-      rewrite("banded", "doc_id")
-      rewrite("emb", "hid")
+      val tables = Seq("digests" -> "hid", "banded" -> "doc_id",
+        "emb" -> "hid").flatMap { case (n, id) =>
+        live(n, id).map(df => (n, df))
+      }
+      // isEmpty short-circuits on the first live row — the guard never
+      // scans a table it is about to pass (the corpus-scale frames stay
+      // uncached; the write below re-scans, the normal offline-job shape)
+      tables.foreach { case (n, df) =>
+        require(!df.isEmpty,
+          s"compaction would empty $dir/$n — a full-corpus takedown should " +
+            "delete the index (or rebuild over the surviving history), not " +
+            "compact it; tombstones left intact")
+      }
+      tables.foreach { case (name, df) =>
+        val p = new org.apache.hadoop.fs.Path(s"$dir/$name")
+        df.write.mode("overwrite").parquet(s"$dir/${name}_compacting")
+        fs.delete(p, true)
+        fs.rename(new org.apache.hadoop.fs.Path(s"$dir/${name}_compacting"), p)
+        // invalidate the session-wide cached file listing for the
+        // swapped path (the Similarity.compactAnnIndex rationale)
+        s.catalog.refreshByPath(p.toString)
+      }
       fs.delete(new org.apache.hadoop.fs.Path(s"$dir/tombstones"), true)
     }
   }

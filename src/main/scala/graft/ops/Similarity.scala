@@ -1012,6 +1012,14 @@ object Similarity {
     annTombstones(s, dir).foreach { t =>
       val live = rawAnnCodes(s, dir)
         .join(broadcast(t.select(col("vec_id"))), Seq("vec_id"), "left_anti")
+      // guard BEFORE mutating (tombstones survive a refusal): a full-corpus
+      // takedown must delete the index, not compact it — an empty
+      // partitionBy write has no schema/partition dirs and would brick
+      // every later readAnnIndex. isEmpty short-circuits on one live row.
+      require(!live.isEmpty,
+        s"compaction would empty $dir/codes — a full-corpus takedown " +
+          "should delete the index directory, not compact it; tombstones " +
+          "left intact")
       live.repartition(col("cell")).write.mode("overwrite")
         .partitionBy("cell").parquet(s"$dir/codes_compacting")
       val fs = new org.apache.hadoop.fs.Path(dir)

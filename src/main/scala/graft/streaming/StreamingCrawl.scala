@@ -195,14 +195,18 @@ object StreamingCrawl {
         keep = Seq("url", "source", "text", "crawl_delay"))
       .filter(col("kept"))
     // the state-shuffle projection: doc_id, url, domain key, delay, text +
-    // the quality signals — no html/body column exists past this point
-    val slim = clean.select(col("doc_id"), col("url"),
+    // the per-rule quality signals (scalar booleans + the word count — the
+    // columns a downstream selector reads) — no html/body column exists
+    // past this point
+    val signals = Seq("n_words", "r_word_count", "r_mean_len", "r_symbol",
+      "r_alpha", "r_stopwords").map(col)
+    val slim = clean.select(Seq(col("doc_id"), col("url"),
       col("source").as("registered_domain"), col("crawl_delay"),
-      col("text"), col("n_words"))
+      col("text")) ++ signals: _*)
     scheduleFetches(slim)
-      .select(col("doc_id"), col("url"),
-        col("registered_domain").as("source"), col("text"), col("n_words"),
-        col("fetch_seq"), col("fetch_at_s"))
+      .select(Seq(col("doc_id"), col("url"),
+        col("registered_domain").as("source"), col("text")) ++ signals ++
+        Seq(col("fetch_seq"), col("fetch_at_s")): _*)
   }
 
   /** The crawl chain composed PAST the gate, in-stream: [[gatedPages]] →

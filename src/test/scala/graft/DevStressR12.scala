@@ -53,8 +53,7 @@ object DevStressR12 {
       .crossJoin(spark.range(100).toDF("copy"))
       .select((col("vec_id") + col("copy") * 1000000L).as("vec_id"),
         col("embedding"), col("label"))
-    val idxDir = java.nio.file.Files
-      .createTempDirectory("stress-r12-annidx").toString
+    val idxDir = ops.TempDirs.scratch("stress-r12-annidx")
     timed("ann index build+write 100x (400k vecs)")(
       ops.Similarity.writeAnnIndex(ops.Similarity.buildAnnIndex(bigEmb), idxDir))
     ops.CacheScope.releaseAll(spark)

@@ -486,6 +486,15 @@ class OpsSpec extends SparkSpec {
       .collect().map(_.toString).sorted.toSeq ==
       Similarity.probeAnnIndex(fresh, q, k = 5)
         .collect().map(_.toString).sorted.toSeq)
+    // full-corpus takedown REFUSED before any mutation: compacting an
+    // index whose every row is tombstoned must throw (delete the index,
+    // don't brick it) and leave the tombstone table intact
+    Similarity.deleteFromAnnIndex(dir, all.select(col("vec_id")))
+    intercept[IllegalArgumentException] {
+      Similarity.compactAnnIndex(spark, dir)
+    }
+    assert(new java.io.File(s"$dir/tombstones").exists(),
+      "refused compaction must keep the tombstones")
     graft.ops.CacheScope.releaseAll(spark)
   }
 
@@ -1410,6 +1419,14 @@ class OpsSpec extends SparkSpec {
     }
     assert(tbl(compacted.digests) == tbl(fresh.digests))
     assert(tbl(compacted.banded) == tbl(fresh.banded))
+    // a writeIndexBucketed layout REFUSES file-level compaction (a plain
+    // rewrite would drop the bucket-id naming the catalog still declares);
+    // the tombstones survive the refusal so the deletes stay enforced
+    val bdir = java.nio.file.Files.createTempDirectory("graft-idx-del-bk").toString
+    Dedup.writeIndexBucketed(Dedup.buildIndex(history), bdir, "delbkidx", 4)
+    Dedup.deleteFromIndex(bdir, Seq(2L).toDF("doc_id"))
+    intercept[IllegalArgumentException] { Dedup.compactIndex(spark, bdir) }
+    assert(new java.io.File(s"$bdir/tombstones").exists())
     graft.ops.CacheScope.releaseAll(spark)
   }
 
