@@ -1231,12 +1231,28 @@ FROM bat b LEFT JOIN ex ON ex.doc_id = b.doc_id
     * query: exact digest > minhash near > sign-LSH embedding near at
     * t=0.45, over the doc_id % 5 batch/history split; embeddings keyed by
     * vec_id = doc_id). */
-  val dedupIncrementalEmb: String = {
+  val dedupIncrementalEmb: String =
+    dedupIncrementalEmbFor(c => s"$c % 5 <> 0", c => s"$c % 5 = 0")
+
+  /** [[dedupIncrementalEmb]] for the APPENDED index fixture: history′ =
+    * build history (`%5 != 0`) plus the appended `%10 == 5` batch, i.e.
+    * `%10 != 0`; probe batch `%10 == 0`. The engine must earn these rows
+    * through the real parquet append; the oracle states the
+    * history′-vs-batch answer directly (exact by the min-preservation
+    * argument on graft.ops.Dedup.appendToIndex). */
+  val dedupIndexAppend: String =
+    dedupIncrementalEmbFor(c => s"$c % 10 <> 0", c => s"$c % 10 = 0")
+
+  /** The 3-tier incremental oracle over parameterized history/batch
+    * predicates (each a SQL condition builder applied to a doc_id
+    * column reference). */
+  private def dedupIncrementalEmbFor(histCond: String => String,
+      batCond: String => String): String = {
     val (r, b) = graft.ops.Similarity.lshParams(0.45)
     s"""WITH ${hyperplaneCte(r * b)}, hist AS (
-  SELECT * FROM documents WHERE doc_id % 5 <> 0
+  SELECT * FROM documents WHERE ${histCond("doc_id")}
 ), bat AS (
-  SELECT * FROM documents WHERE doc_id % 5 = 0
+  SELECT * FROM documents WHERE ${batCond("doc_id")}
 ), ${bandedCtes("hist", "h")},
 ${bandedCtes("bat", "b")},
 ex AS (
@@ -1267,7 +1283,7 @@ ex AS (
 ), ecand AS (
   SELECT DISTINCT bb.doc_id AS bd, hh.doc_id AS hd
   FROM esigs bb JOIN esigs hh ON bb.band = hh.band AND bb.key = hh.key
-  WHERE bb.doc_id % 5 = 0 AND hh.doc_id % 5 <> 0
+  WHERE ${batCond("bb.doc_id")} AND ${histCond("hh.doc_id")}
 ), em AS (
   SELECT c.bd AS doc_id, min(c.hd) AS emb_id
   FROM ecand c JOIN ee be ON be.doc_id = c.bd

@@ -56,6 +56,9 @@ object SparkEntry {
     val e = emb(s, dir).select(col("vec_id").as("doc_id"), col("embedding"))
     ops.Dedup.indexDir(d.filter(col("doc_id") % 5 =!= 0),
       Some(e.filter(col("doc_id") % 5 =!= 0)), 0.45)
+    // the appended-index fixture builds once too (build + append are the
+    // offline daily jobs; dedup_index_append times the steady-state probe)
+    ops.Dedup.indexAppendProbe(d, e)
     // and the on-disk WARC fixture (prep_warc_files / web_warc_files):
     // the write is fixture-RENDER scaffolding, not the operator — a real
     // deployment reads crawl files it never wrote, so the timed queries
@@ -566,6 +569,16 @@ object SparkEntry {
         batchEmb = Some(e.filter(col("doc_id") % 5 === 0)),
         embThreshold = 0.45)
     }),
+    // the index lifecycle's fold-in step: build on %5!=0 history, APPEND
+    // the %10==5 batch's sketches under frozen params (no rebuild pass),
+    // probe the %10==0 batch — exact vs a fresh build on history' for ANY
+    // batch (min-preserving collapse), so the oracle states history'
+    // (%10!=0) vs batch directly
+    "dedup_index_append" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val e = emb(s, dir).select(col("vec_id").as("doc_id"), col("embedding"))
+      ops.Dedup.indexAppendProbe(d, e)
+    }),
     // t=0.45 is the stress case (sign-LSH can't prune at θ≈63°, candidates
     // approach all-pairs — the operator's honesty note); t=0.8 is the
     // production near-dup regime where the s-curve actually prunes.
@@ -797,6 +810,7 @@ object SparkEntry {
     "dedup_incremental" -> OracleSqlOps.dedupIncremental,
     "dedup_incremental_emb" -> OracleSqlOps.dedupIncrementalEmb,
     "dedup_index_probe" -> OracleSqlOps.dedupIncrementalEmb,
+    "dedup_index_append" -> OracleSqlOps.dedupIndexAppend,
     "dedup_embedding" -> OracleSqlOps.embeddingNearDup(0.45),
     "dedup_embedding_t08" -> OracleSqlOps.embeddingNearDup(0.8),
     "dedup_semantic" -> OracleSqlOps.dedupSemantic,

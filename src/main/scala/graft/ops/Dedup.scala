@@ -1021,6 +1021,80 @@ object Dedup {
       er, m.getAs[Int]("emb_bands"))
   }
 
+  /** Append a NEW doc batch's sketches to a durable index under its
+    * FROZEN parameters — the [[Similarity.appendAnnIndex]] twin, and the
+    * missing half of the daily-ingest story: [[incrementalWithIndex]]
+    * labels today's batch against yesterday's index; this folds the batch
+    * INTO the index so tomorrow's probe sees it, without the full-corpus
+    * rebuild pass ([[buildIndex]]) the deployment would otherwise pay
+    * per day. `k`/`bands`/emb params load from the index meta; the
+    * TOKENIZER is a caller contract (not in meta) and must match the
+    * build's.
+    *
+    * Exactness (unlike the ANN append, NO sample-exclusion caveat): the
+    * batch's own collapsed sketch reps append WITHOUT cross-checking
+    * existing classes. Per sketch class the table then holds the build's
+    * rep plus at most one rep per append that touched the class — still
+    * bounded (the skew guard collapse exists for is per-PROBE quadratic
+    * blowup, which ≤1 extra row per append cannot recreate) — and because
+    * the collapse is MIN-PRESERVING (identical `tks` ⇒ identical match
+    * results, so the probe's min(hid) over rep rows equals the min over
+    * all matched docs), a probe of the appended index returns row-for-row
+    * what a fresh build over history ∪ batch returns, for ANY batch.
+    *
+    * Retry idempotence: docs whose ids are already in `digests` (or
+    * tombstoned — takedown wins until compaction, as
+    * [[Similarity.appendAnnIndex]]) are skipped via one column-pruned
+    * broadcast-semi scan; the sketch tables write FIRST and `digests`
+    * LAST, so a mid-append crash retries into at worst duplicate rep rows
+    * — harmless by min-preservation — never lost sketches. Single-writer
+    * per directory; plain [[writeIndex]] layout only (a bucketed catalog
+    * layout appends by re-running [[writeIndexBucketed]]). */
+  def appendToIndex(s: org.apache.spark.sql.SparkSession, dir: String,
+      newDocs: DataFrame, newEmb: Option[DataFrame] = None,
+      tokenizer: Tokenizer = Tokenizer.Whitespace): Unit =
+    TempDirs.dirLock(dir).synchronized {
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      require(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_bucketed_layout")),
+        s"$dir holds a writeIndexBucketed layout: append by re-running " +
+          "writeIndexBucketed over history + batch, not appendToIndex")
+      val m = s.read.parquet(s"$dir/meta").head()
+      val k = m.getAs[Int]("k"); val bands = m.getAs[Int]("bands")
+      val er = m.getAs[Int]("emb_rows"); val eb = m.getAs[Int]("emb_bands")
+      // an emb-carrying index appended WITHOUT the batch's vectors would
+      // silently exempt the batch from every later embedding-tier probe —
+      // refuse rather than corrupt coverage
+      require(er == 0 || newEmb.isDefined,
+        s"$dir carries the embedding sketch tier: appendToIndex needs the " +
+          "batch's embeddings (newEmb) so appended docs stay probeable")
+      val batchIds = CacheScope.trackEager(
+        newDocs.select(col("doc_id")).distinct())
+      val existing = s.read.parquet(s"$dir/digests")
+        .select(col("hid").as("doc_id"))
+        .join(broadcast(batchIds), Seq("doc_id"), "left_semi")
+      val skip = dedupTombstones(s, dir) match {
+        case Some(t) => existing.unionByName(t.select(col("doc_id"))
+          .join(broadcast(batchIds), Seq("doc_id"), "left_semi"))
+        case None => existing
+      }
+      val docs = CacheScope.trackEager(
+        newDocs.join(broadcast(skip), Seq("doc_id"), "left_anti"))
+      collapseBanded(bandedWithSets(docs, k, bands, tokenizer), bands)
+        .write.mode("append").parquet(s"$dir/banded")
+      if (er > 0) newEmb.foreach { e =>
+        val live = e.join(broadcast(docs.select(col("doc_id"))),
+          Seq("doc_id"), "left_semi")
+        collapseEmbSketch(embSketch(live, "doc_id", er, eb), "doc_id")
+          .withColumnRenamed("doc_id", "hid")
+          .write.mode("append").parquet(s"$dir/emb")
+      }
+      docs.select(col("doc_id").as("hid"), md5(col("text")).as("__h"))
+        .write.mode("append").parquet(s"$dir/digests")
+      Seq("digests", "banded", "emb").foreach(n =>
+        s.catalog.refreshByPath(s"$dir/$n"))
+    }
+
   /** Pending-takedown doc ids, if any deletes are uncompacted — the
     * [[Similarity.annTombstones]] twin: bounded by nature, so probes
     * afford a broadcast anti-join per table read until compaction. */
@@ -1154,6 +1228,36 @@ object Dedup {
     val idx = idx0.copy(banded = CacheScope.track(idx0.banded),
       emb = idx0.emb.map(CacheScope.track))
     incrementalWithIndex(idx, batch, batchEmb = batchEmb,
+      embThreshold = embThreshold)
+  }
+
+  /** The composed dedup-index APPEND fixture query: build + write the
+    * 3-tier index over the `%5 != 0` history, [[appendToIndex]] the
+    * `%10 == 5` batch (docs + embeddings) under the frozen parameters,
+    * read back, probe the `%10 == 0` batch — held to the SAME 3-tier
+    * oracle run over history′ = `%10 != 0`. Exact for ANY appended batch
+    * (no sample-exclusion construction needed): see the min-preservation
+    * argument on [[appendToIndex]]. */
+  def indexAppendProbe(docs: DataFrame, emb: DataFrame,
+      embThreshold: Double = 0.45): DataFrame = {
+    val spark = docs.sparkSession
+    val key = TempDirs.planDigest(
+      docs.queryExecution.analyzed.canonicalized) + "#" +
+      TempDirs.planDigest(emb.queryExecution.analyzed.canonicalized) +
+      "#" + embThreshold + "#append"
+    val dir = TempDirs.cachedScratchDir(indexDirCache, spark, key,
+      "graft-dedup-index-append") { d =>
+      writeIndex(buildIndex(docs.filter(col("doc_id") % 5 =!= 0),
+        embeddings = Some(emb.filter(col("doc_id") % 5 =!= 0)),
+        embThreshold = embThreshold), d)
+      appendToIndex(spark, d, docs.filter(col("doc_id") % 10 === 5),
+        Some(emb.filter(col("doc_id") % 10 === 5)))
+    }
+    val idx0 = readIndex(spark, dir)
+    val idx = idx0.copy(banded = CacheScope.track(idx0.banded),
+      emb = idx0.emb.map(CacheScope.track))
+    incrementalWithIndex(idx, docs.filter(col("doc_id") % 10 === 0),
+      batchEmb = Some(emb.filter(col("doc_id") % 10 === 0)),
       embThreshold = embThreshold)
   }
 

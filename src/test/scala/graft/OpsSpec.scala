@@ -1430,6 +1430,61 @@ class OpsSpec extends SparkSpec {
     graft.ops.CacheScope.releaseAll(spark)
   }
 
+  test("dedup index append under frozen params probes like a fresh build") {
+    val spark2 = spark; import spark2.implicits._
+    val history = Seq(
+      (10L, "one two three four five six seven eight nine ten eleven twelve"),
+      (20L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"))
+      .toDF("doc_id", "text")
+    // the appended batch: doc 2 shares doc 10's exact class with a SMALLER
+    // id (the min-preservation witness — a fresh build would elect 2 as
+    // the class rep; the append must yield the same probe answer without
+    // rewriting the build's rep row), doc 30 is brand-new content
+    val appended = Seq(
+      (2L, "one two three four five six seven eight nine ten eleven twelve"),
+      (30L, "red orange yellow green blue indigo violet cyan magenta pink"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-idx-app").toString
+    Dedup.writeIndex(Dedup.buildIndex(history), dir)
+    Dedup.appendToIndex(spark, dir, appended)
+    val batch = Seq(
+      (100L, "one two three four five six seven eight nine ten eleven twelve"),
+      (101L, "red orange yellow green blue indigo violet cyan magenta dozen"),
+      (102L, "genuinely novel nothing matches this sentence at all today"))
+      .toDF("doc_id", "text")
+    def probe() = Dedup.incrementalWithIndex(
+      Dedup.readIndex(spark, dir), batch).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((Option(r.getAs[Any]("dup_of")), r.getAs[String]("dup_kind")))).toMap
+    val appendedRows = probe()
+    graft.ops.CacheScope.releaseAll(spark)
+    // row-for-row the inline incremental over history ∪ batch — including
+    // exact_id 2 for doc 100 (the appended smaller id wins the min even
+    // though the build-time rep row for its class says 10)
+    val rebuilt = Dedup.incremental(history.unionByName(appended), batch)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((Option(r.getAs[Any]("dup_of")), r.getAs[String]("dup_kind")))).toMap
+    assert(appendedRows == rebuilt, s"$appendedRows vs $rebuilt")
+    assert(appendedRows(100L) == ((Some(2L), "exact")))
+    assert(appendedRows(101L) == ((Some(30L), "near")))
+    assert(appendedRows(102L) == ((None, null)))
+    graft.ops.CacheScope.releaseAll(spark)
+    // retry idempotence: a re-append of the same batch changes nothing
+    val nDigests = Dedup.readIndex(spark, dir).digests.count()
+    Dedup.appendToIndex(spark, dir, appended)
+    assert(Dedup.readIndex(spark, dir).digests.count() == nDigests)
+    assert(probe() == appendedRows)
+    graft.ops.CacheScope.releaseAll(spark)
+    // takedown wins: a tombstoned doc cannot be re-introduced by append
+    Dedup.deleteFromIndex(dir, Seq(30L).toDF("doc_id"))
+    Dedup.appendToIndex(spark, dir,
+      Seq((30L, "red orange yellow green blue indigo violet cyan magenta pink"))
+        .toDF("doc_id", "text"))
+    val afterDelete = probe()
+    assert(afterDelete(101L) == ((None, null)), afterDelete.toString)
+    graft.ops.CacheScope.releaseAll(spark)
+  }
+
   test("CacheScope.releaseAll drops tracked frames but not untracked long-lived caches") {
     // the documented contract (CacheScope scaladoc): release scope is the
     // session's TRACKED set; frames a harness persists itself (the
