@@ -57,8 +57,9 @@ object SparkEntry {
     ops.Dedup.indexDir(d.filter(col("doc_id") % 5 =!= 0),
       Some(e.filter(col("doc_id") % 5 =!= 0)), 0.45)
     // the appended-index fixture builds once too (build + append are the
-    // offline daily jobs; dedup_index_append times the steady-state probe)
-    ops.Dedup.indexAppendProbe(d, e)
+    // offline daily jobs; dedup_index_append times the steady-state probe —
+    // the dir-only entry point avoids discarded probe jobs at prewarm)
+    ops.Dedup.indexAppendDir(d, e)
     // and the on-disk WARC fixture (prep_warc_files / web_warc_files):
     // the write is fixture-RENDER scaffolding, not the operator — a real
     // deployment reads crawl files it never wrote, so the timed queries

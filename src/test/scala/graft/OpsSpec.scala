@@ -1483,6 +1483,20 @@ class OpsSpec extends SparkSpec {
     val afterDelete = probe()
     assert(afterDelete(101L) == ((None, null)), afterDelete.toString)
     graft.ops.CacheScope.releaseAll(spark)
+    // the tokenizer is part of the artifact (meta since r12): appending
+    // under a different tokenizer is refused — it would sketch the batch
+    // under incomparable tokenization and silently blind the near tier
+    import graft.ops.Tokenizer
+    val tdir = java.nio.file.Files
+      .createTempDirectory("graft-idx-app-tok").toString
+    Dedup.writeIndex(
+      Dedup.buildIndex(history, tokenizer = Tokenizer.BpeIsh), tdir)
+    intercept[IllegalArgumentException] {
+      Dedup.appendToIndex(spark, tdir, appended)
+    }
+    // ...and the probe needs no tokenizer knob: the loaded index carries it
+    assert(Dedup.readIndex(spark, tdir).tokenizer == Tokenizer.BpeIsh)
+    graft.ops.CacheScope.releaseAll(spark)
   }
 
   test("CacheScope.releaseAll drops tracked frames but not untracked long-lived caches") {
