@@ -2254,6 +2254,52 @@ FROM rr WHERE rank <= 3"""
     ivfPqRankedChainFor(" WHERE vec_id % 10 <> 0", "vec_id % 100 = 4") +
       ivfPqRerankTail
 
+  /** Drift-check oracle (mirrors graft.ops.Similarity.annQuantizationCheck
+    * over the ann_index_drift fixture batch): the batch is the `%10 == 0`
+    * corpus rows PLUS their NEGATIONS under fresh ids (negation is exact
+    * in IEEE floats, so engine-side float negate == oracle-side double
+    * negate — maximal drift with zero rounding ambiguity); each batch
+    * vector assigns to its nearest existing cell, residualizes, and takes
+    * the per-subspace min squared distance to the existing codebook,
+    * summed in fixed subspace order. The quantizer CTEs are the shared
+    * IVF-PQ chain's; the corpus-encode CTEs it also defines go unused and
+    * DuckDB dead-code-eliminates them. */
+  val annIndexDrift: String = {
+    val m = graft.ops.Similarity.IvfPqSubspaces
+    val sd = 64 / m
+    val pivots = (0 until m)
+      .map(si => s"max(CASE WHEN sub = $si THEN d END) AS d$si")
+      .mkString(",\n    ")
+    val qerrSum = (0 until m).map(si => s"d$si").mkString(" + ")
+    ivfPqCte + s""",
+bat AS (
+  SELECT vec_id, v, n2 FROM e WHERE vec_id % 10 = 0
+  UNION ALL
+  SELECT vec_id + 10000000, list_transform(v, x -> -x), n2
+  FROM e WHERE vec_id % 10 = 0
+), ${assignSql("c", "basg", "bat")},
+bresid AS (
+  SELECT bat.vec_id, a.cell,
+    list_transform(range(64), i -> bat.v[i + 1] - c.cv[i + 1]) AS rv
+  FROM bat JOIN basg a ON a.vec_id = bat.vec_id JOIN c ON c.cid = a.cell
+), bsub AS (
+  SELECT vec_id, cell, sub, rv[sub * $sd + 1 : sub * $sd + $sd] AS sv
+  FROM bresid, range($m) t(sub)
+), bsubn AS (
+  SELECT *, list_dot_product(sv, sv) AS sn2 FROM bsub
+), bd AS (
+  SELECT bsubn.vec_id, bsubn.cell, bsubn.sub,
+    min(bsubn.sn2 - 2.0 * list_dot_product(bsubn.sv, rcbn.ce) + rcbn.cn2) AS d
+  FROM bsubn JOIN rcbn ON bsubn.sub = rcbn.sub
+  GROUP BY 1, 2, 3
+), pv AS (
+  SELECT vec_id, cell,
+    $pivots
+  FROM bd GROUP BY vec_id, cell
+)
+SELECT vec_id, cell, $qerrSum AS qerr FROM pv"""
+  }
+
   /** Conversion funnel (mirrors the ev_funnel composition): per user, the
     * first purchase within 7 days of its as-of signup. */
   /** Tumbling-window counts (mirrors the ev_windowed query; Spark window()

@@ -644,6 +644,20 @@ object SparkEntry {
     // oracle is the inline rerank over that filtered corpus
     "ann_index_delete" -> ((s, dir) =>
       ops.Similarity.annIndexDeleteProbe(emb(s, dir))),
+    // the pre-append drift check: quantization error of a batch (the %10
+    // corpus rows + their NEGATIONS under fresh ids — maximal drift, exact
+    // in IEEE) under the durable index's frozen quantizers — the re-train
+    // signal, measured with zero ground-truth neighbors and zero corpus
+    // contact (bounded quantizer artifacts only)
+    "ann_index_drift" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val idx = ops.Similarity.readAnnIndex(s, ops.Similarity.annIndexDir(e))
+      val base = e.filter(col("vec_id") % 10 === 0)
+        .select(col("vec_id"), col("embedding"))
+      val drifted = base.select((col("vec_id") + 10000000L).as("vec_id"),
+        transform(col("embedding"), x => -x).as("embedding"))
+      ops.Similarity.annQuantizationCheck(idx, base.unionByName(drifted))
+    }),
     // radius search: every neighbor above the threshold, not a fixed k —
     // t=0.3 is the regime where this synthetic corpus HAS range neighbors
     "ann_range" -> ((s, dir) =>
@@ -829,6 +843,7 @@ object SparkEntry {
     "ann_index_probe" -> OracleSqlOps.ivfPqRerank,
     "ann_index_append" -> OracleSqlOps.ivfPqRerank,
     "ann_index_delete" -> OracleSqlOps.ivfPqRerankSurvivors,
+    "ann_index_drift" -> OracleSqlOps.annIndexDrift,
     "ann_range" -> OracleSqlOps.annRange(0.3),
     "emb_kmeans" -> OracleSqlOps.embKmeans,
     "emb_purity" -> OracleSqlOps.embPurity,

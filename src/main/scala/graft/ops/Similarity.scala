@@ -1246,6 +1246,56 @@ object Similarity {
     probeAnnIndex(readAnnIndex(spark, dir), embeddings.filter(queryPred))
   }
 
+  /** Quantization-health check of a vector batch against an index's FROZEN
+    * quantizers — the production re-train signal for the drift the recall
+    * harness quantified (`fixture_ann_append_drift`: append recall is
+    * lossless to center-cosine ≈ 0.5 and degrades past ≈ 0.4 while a
+    * rebuild holds 1.0): per batch vector, nearest-EXISTING-cell
+    * assignment, residual against that centroid, and the per-subspace
+    * minimum squared distance to the EXISTING codebook, summed in fixed
+    * subspace order as `qerr` — the reconstruction error an
+    * [[appendAnnIndex]] of this vector would bake into the index. Run it
+    * BEFORE the append commits: recall lost to a drifted append is
+    * invisible at probe time (a vector the ADC stage misquantized never
+    * reaches the rerank that would have scored it correctly), but it is
+    * fully visible here, without ground-truth neighbors. With `tau` the
+    * output adds a `high_err` flag; a deployment re-trains (fresh
+    * [[buildAnnIndex]]) when the flagged fraction of its daily batch is
+    * material, and sizes `tau` from this operator's output on a known
+    * in-distribution batch (e.g. a p99).
+    *
+    * Scale shape: identical to the encoder it shadows —
+    * broadcast-codebook map-side `min(struct)` scans, one (vector ×
+    * subspace) partial aggregation, no corpus contact at all (the batch is
+    * checked against the bounded quantizer artifacts alone). Deterministic
+    * and oracle-mirrored (fixed-order subspace sum). */
+  def annQuantizationCheck(index: AnnIndex, batch: DataFrame,
+      tau: Option[Double] = None): DataFrame = {
+    val subspaces = index.subspaces
+    val subDim = 64 / subspaces
+    val b = CacheScope.track(withNorm2(batch))
+    val resid = residualized(b, index.centroids)
+    val vecSub = resid.select(col("vec_id"), col("cell"),
+        posexplode(transform(sequence(lit(0), lit(subspaces - 1)),
+          si => slice(col("rv"), si * subDim + 1, lit(subDim))))
+          .as(Seq("sub", "sv")))
+      .withColumn("sn2", dot(col("sv"), col("sv")))
+    val perSub = vecSub.join(broadcast(index.codebook), "sub")
+      .select(col("vec_id"), col("cell"),
+        struct(
+          (col("sn2") - lit(2.0) * dot(col("sv"), col("ce")) + col("cn2"))
+            .as("d"),
+          col("code")).as("dc"), col("sub"))
+      .groupBy(col("vec_id"), col("cell"))
+      .agg(min(when(col("sub") === 0, col("dc"))).as("b0"),
+        (1 until subspaces).map(si =>
+          min(when(col("sub") === si, col("dc"))).as(s"b$si")): _*)
+    val qerr = (1 until subspaces).map(si => col(s"b$si").getField("d"))
+      .foldLeft(col("b0").getField("d"))(_ + _)
+    val out = perSub.select(col("vec_id"), col("cell"), qerr.as("qerr"))
+    tau.fold(out)(t => out.withColumn("high_err", col("qerr") > t))
+  }
+
   /** The coarse-quantizer cell per vector — the [[semanticDedup]]/[[ivfTopK]]
     * assignment, exposed so harnesses can measure cell-capture rates
     * (what fraction of true near-dup pairs share a cell). */

@@ -417,6 +417,36 @@ class OpsSpec extends SparkSpec {
     graft.ops.CacheScope.releaseAll(spark)
   }
 
+  test("ANN drift check separates in-distribution from drifted batches") {
+    import graft.ops.Similarity
+    // the clustered fixture's quantizers know its 12 clusters; an
+    // in-distribution batch (one member per cluster) must read LOW
+    // quantization error and its negations (maximal drift) HIGH, with a
+    // clean margin a deployment can put tau inside — the pre-append
+    // re-train signal, measured without ground-truth neighbors
+    val f = Recall.clusteredFixture(spark)
+    val idx = Similarity.buildAnnIndex(f, lloydIters = 2, maxCells = 12)
+    val base = f.filter(col("vec_id") % 50 === 3)
+      .select(col("vec_id"), col("embedding"))
+    val drifted = base.select((col("vec_id") + 100000L).as("vec_id"),
+      transform(col("embedding"), x => -x).as("embedding"))
+    val out = Similarity.annQuantizationCheck(idx, base.unionByName(drifted))
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("qerr"))
+    val (inDist, drift) = out.partition(_._1 < 100000L)
+    assert(inDist.length == 12 && drift.length == 12)
+    val maxIn = inDist.map(_._2).max
+    val minDr = drift.map(_._2).min
+    assert(maxIn < minDr / 10,
+      f"no margin: in-dist max $maxIn%.4f vs drifted min $minDr%.4f")
+    // tau inside the margin flags exactly the drifted half
+    val tau = (maxIn + minDr) / 2
+    val flagged = Similarity.annQuantizationCheck(idx,
+        base.unionByName(drifted), tau = Some(tau))
+      .filter(col("high_err")).collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(flagged == drift.map(_._1).toSet, flagged.toString)
+    graft.ops.CacheScope.releaseAll(spark)
+  }
+
   test("ANN index takedown: tombstone excludes immediately, compaction equals a fresh build") {
     import graft.ops.Similarity
     // the append spec's 600-vector corpus; the DELETED batch is ids ≡ 0
