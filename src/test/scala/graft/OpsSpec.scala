@@ -1527,6 +1527,21 @@ class OpsSpec extends SparkSpec {
     // ...and the probe needs no tokenizer knob: the loaded index carries it
     assert(Dedup.readIndex(spark, tdir).tokenizer == Tokenizer.BpeIsh)
     graft.ops.CacheScope.releaseAll(spark)
+    // an emb-carrying index refuses an append without the batch's vectors
+    // (appended docs would silently fall out of the embedding tier)
+    def v(seed: Int) = {
+      val r = new scala.util.Random(seed)
+      Array.fill(64)(r.nextGaussian().toFloat).toSeq
+    }
+    val edir = java.nio.file.Files
+      .createTempDirectory("graft-idx-app-emb").toString
+    Dedup.writeIndex(Dedup.buildIndex(history,
+      embeddings = Some(Seq((10L, v(1)), (20L, v(2)))
+        .toDF("doc_id", "embedding"))), edir)
+    intercept[IllegalArgumentException] {
+      Dedup.appendToIndex(spark, edir, appended)
+    }
+    graft.ops.CacheScope.releaseAll(spark)
   }
 
   test("CacheScope.releaseAll drops tracked frames but not untracked long-lived caches") {
