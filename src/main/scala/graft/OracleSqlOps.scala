@@ -2665,6 +2665,56 @@ SELECT doc_id,
   text
 FROM up"""
 
+  /** Outlink oracle (mirrors graft.ops.TextExtract.webOutlinks): the
+    * closed FORM of the two render recipes — every fixture page's HTML
+    * carries exactly seven root-relative links (nav /, /s/{source}, /tags;
+    * share /share, /like; footer /tos, /privacy), and root-relative
+    * resolution is origin || link, with the origin exactly as the URL
+    * recipe renders it (uppercased host on %5, explicit :443/:8080 ports —
+    * resolution does NOT normalize; that is url_norm's job downstream).
+    * The engine must earn these rows through the real href extraction and
+    * the general RFC 3986 resolver; the relative/dot-segment cases that
+    * resolver also handles are spec-pinned (the fixture links are dotless,
+    * deliberately — DuckDB's RE2 could not mirror the lookahead unroll). */
+  val webOutlinks: String = s"""WITH ub AS (
+  SELECT doc_id, source,
+    (CASE WHEN doc_id % 3 = 0 THEN 'www.' WHEN doc_id % 3 = 1 THEN 'blog.'
+          ELSE '' END) || source || '-site' ||
+    (CASE WHEN doc_id % 4 = 0 THEN '.com' WHEN doc_id % 4 = 1 THEN '.org'
+          WHEN doc_id % 4 = 2 THEN '.co.uk' ELSE '.net' END) AS base_host,
+    (CASE WHEN doc_id % 13 = 0
+          THEN '/casino-bonus/win-' || CAST(doc_id AS VARCHAR)
+          ELSE '/' || lang || '/article-' || CAST(doc_id AS VARCHAR)
+     END) AS p0
+  FROM documents
+), o AS (
+  SELECT doc_id, source,
+    (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END) || '://' ||
+    (CASE WHEN doc_id % 5 = 0 THEN upper(h0) ELSE h0 END) ||
+    (CASE WHEN doc_id % 6 = 0 THEN ':443' WHEN doc_id % 6 = 3 THEN ':8080'
+          ELSE '' END) AS origin,
+    (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END) || '://' ||
+    (CASE WHEN doc_id % 5 = 0 THEN upper(h0) ELSE h0 END) ||
+    (CASE WHEN doc_id % 6 = 0 THEN ':443' WHEN doc_id % 6 = 3 THEN ':8080'
+          ELSE '' END) ||
+    (CASE WHEN doc_id % 17 = 0
+          THEN p0 || repeat('/long-segment-padding', 20) ELSE p0 END) ||
+    (CASE WHEN doc_id % 4 = 0
+          THEN '?utm_source=feed&id=' || CAST(doc_id % 97 AS VARCHAR)
+          WHEN doc_id % 4 = 1 THEN '?id=' || CAST(doc_id % 97 AS VARCHAR)
+          ELSE '' END) ||
+    (CASE WHEN doc_id % 5 = 0 THEN '#section2' ELSE '' END) AS url
+  FROM (SELECT doc_id, source, p0,
+          CASE WHEN doc_id % 9 = 0 THEN 'spam-mirror.net' ELSE base_host END AS h0
+        FROM ub)
+), l AS (
+  SELECT doc_id, url, origin,
+    unnest(['/', '/s/' || source, '/tags', '/share', '/like',
+            '/tos', '/privacy']) AS link_raw
+  FROM o
+)
+SELECT doc_id, url, link_raw, origin || link_raw AS link FROM l"""
+
   /** URL parse + normalize over a (doc_id, url, text) relation (mirrors
     * graft.ops.UrlOps.parseNormalize): lowercased scheme/host, www strip,
     * default-port strip, tracking-param removal, fragment drop,
@@ -2931,23 +2981,33 @@ FROM (${urlPagesOver("documents")}) WHERE doc_id % 20 = 10"""
 
   /** Crawl-frontier oracle (mirrors graft.ops.Robots.webFrontier): the
     * unioned URL surface collapses per url_norm (min corpus URL as the
-    * representative — else min sitemap loc; min corpus doc_id; provenance
-    * corpus/sitemap/both; max lastmod), then the generative robots
-    * decision applies per normalized path. The engine must reach these
-    * rows through the real XML parses, the url_norm collapse, and the
-    * robots render→parse→decide round trip. */
-  val webFrontier: String = s"""WITH fp AS (
-  ${urlNormCols(frontierUnion)}
+    * representative — else min of the discovery spellings; min corpus
+    * doc_id; provenance = the sorted '+'-joined source set; max lastmod),
+    * then the generative robots decision applies per normalized path. The
+    * engine must reach these rows through the real XML parses, the
+    * url_norm collapse, and the robots render→parse→decide round trip. */
+  val webFrontier: String = frontierSqlOver(frontierUnion)
+
+  /** [[webFrontier]] plus the LINK discovery surface (mirrors
+    * graft.ops.Robots.webFrontierLinks): the outlink oracle's resolved
+    * links union in as src='link' rows with no doc_id and no freshness
+    * claim. */
+  val webFrontierLinks: String = frontierSqlOver(frontierUnion + s"""
+UNION ALL
+SELECT CAST(NULL AS BIGINT), link, CAST(NULL AS VARCHAR), 'link'
+FROM ($webOutlinks)""")
+
+  /** The frontier collapse + robots decision over a unioned
+    * `(doc_id, url, lastmod, src)` URL surface. */
+  private def frontierSqlOver(union: String): String = s"""WITH fp AS (
+  ${urlNormCols(union)}
 ), fr AS (
   SELECT url_norm,
     coalesce(min(url) FILTER (WHERE src = 'corpus'), min(url)) AS url,
     min(registered_domain) AS registered_domain,
     min(path) AS path,
     min(doc_id) AS doc_id,
-    CASE WHEN bool_or(src = 'corpus') AND bool_or(src = 'sitemap')
-           THEN 'both'
-         WHEN bool_or(src = 'corpus') THEN 'corpus'
-         ELSE 'sitemap' END AS provenance,
+    array_to_string(list_sort(list_distinct(list(src))), '+') AS provenance,
     max(lastmod) AS lastmod
   FROM fp GROUP BY url_norm
 )

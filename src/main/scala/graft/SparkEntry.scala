@@ -473,6 +473,15 @@ object SparkEntry {
     // spam/length gate, and per-registered-domain corpus stats over
     // deterministically rendered fixture URLs
     "web_urls" -> ((s, dir) => ops.UrlOps.webUrls(docs(s, dir))),
+    // link discovery: every <a href> of the rendered pages, resolved to an
+    // absolute URL against the page's own URL (RFC 3986 §5) — the third
+    // frontier source next to the known corpus and sitemap listings
+    "web_outlinks" -> ((s, dir) =>
+      ops.TextExtract.webOutlinks(docs(s, dir))),
+    // the COMPLETE frontier: known corpus ∪ sitemap-listed ∪ link-
+    // discovered, url_norm-deduped with set provenance, robots-gated
+    "web_frontier_links" -> ((s, dir) =>
+      ops.Robots.webFrontierLinks(docs(s, dir))),
     "web_url_filter" -> ((s, dir) => ops.UrlOps.webUrlFilter(docs(s, dir))),
     "web_domains" -> ((s, dir) => ops.UrlOps.webDomains(docs(s, dir))),
     // URL-level exact dedup (the cheapest crawl dedup tier): aliases that
@@ -804,6 +813,8 @@ object SparkEntry {
     "prep_fineweb_html" -> OracleSqlOps.prepFinewebHtml,
     "text_line_dedup" -> OracleSqlOps.textLineDedup,
     "web_urls" -> OracleSqlOps.webUrls,
+    "web_outlinks" -> OracleSqlOps.webOutlinks,
+    "web_frontier_links" -> OracleSqlOps.webFrontierLinks,
     "web_url_filter" -> OracleSqlOps.webUrlFilter,
     "web_domains" -> OracleSqlOps.webDomains,
     "web_url_dedup" -> OracleSqlOps.webUrlDedup,

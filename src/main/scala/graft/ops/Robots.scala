@@ -561,7 +561,9 @@ object Robots {
     *     not the listing domain);
     *   - `doc_id` — the min corpus id (null for a sitemap-only discovery:
     *     a URL the crawler has never fetched);
-    *   - `provenance` — `'corpus'` / `'sitemap'` / `'both'`;
+    *   - `provenance` — the sorted `'+'`-joined set of sources listing
+    *     the location (`'corpus'`, `'sitemap'`, `'link'`,
+    *     `'corpus+sitemap'`, ...);
     *   - `lastmod` — the max sitemap `lastmod` across listings (null when
     *     unlisted or unclaimed) — max = the freshest claim wins when
     *     shards disagree;
@@ -581,7 +583,8 @@ object Robots {
     * carries one slim row per URL — the minimum any global URL dedup can
     * pay. */
   def crawlFrontier(corpusPages: DataFrame, sitemapPages: DataFrame,
-      robots: DataFrame, agent: String = "graftbot"): DataFrame = {
+      robots: DataFrame, agent: String = "graftbot",
+      linkPages: Option[DataFrame] = None): DataFrame = {
     val c = UrlOps.urls(corpusPages.select(col("doc_id"), col("url")))
       .select(col("doc_id"), col("url"), col("url_norm"),
         lit(null).cast("string").as("lastmod"), lit("corpus").as("src"))
@@ -589,16 +592,24 @@ object Robots {
       .select(lit(null).cast("long").as("doc_id"), col("loc").as("url"),
         UrlOps.parseNormalize(col("loc")).getField("url_norm").as("url_norm"),
         col("lastmod").cast("string").as("lastmod"), lit("sitemap").as("src"))
-    val hasC = max(when(col("src") === "corpus", 1).otherwise(0)) === 1
-    val hasS = max(when(col("src") === "sitemap", 1).otherwise(0)) === 1
-    val merged = c.unionByName(sm)
+    // the third discovery surface: resolved outlinks of fetched pages
+    // ([[TextExtract.outlinks]]' `link` column) — no fetch history, no
+    // freshness claim, just locations the crawl has SEEN referenced
+    val lk = linkPages.map(_.select(
+      lit(null).cast("long").as("doc_id"), col("link").as("url"),
+      UrlOps.parseNormalize(col("link")).getField("url_norm").as("url_norm"),
+      lit(null).cast("string").as("lastmod"), lit("link").as("src")))
+    val merged = lk.foldLeft(c.unionByName(sm))(_ unionByName _)
       .groupBy(col("url_norm"))
       .agg(
         coalesce(min(when(col("src") === "corpus", col("url"))),
           min(col("url"))).as("url"),
         min(col("doc_id")).as("doc_id"),
-        when(hasC && hasS, "both").when(hasC, "corpus")
-          .otherwise("sitemap").as("provenance"),
+        // provenance as the sorted '+'-joined source SET — uniform over
+        // any source combination ('corpus+sitemap' where r12-early said
+        // 'both'; 'corpus+link+sitemap' when all three list a location)
+        array_join(array_sort(collect_set(col("src"))), "+")
+          .as("provenance"),
         max(col("lastmod")).as("lastmod"))
     val u = UrlOps.parseNormalize(col("url_norm"))
     robotsGate(merged
@@ -778,6 +789,26 @@ object Robots {
     * changed domains from the real snapshot-diff composition
     * ([[fixtureChangedDomains]]) — and scheduled by [[recrawlSchedule]].
     * The oracle states the priorities and slots in closed form. */
+  /** [[webFrontier]] with the THIRD discovery surface wired in: the
+    * rendered pages' resolved outlinks ([[TextExtract.webOutlinks]] —
+    * seven root-relative links per page, so each fixture domain
+    * contributes a handful of link-only locations that collapse across
+    * its many pages). The engine earns the rows through href extraction,
+    * RFC 3986 resolution, the three-way union's url_norm collapse, and
+    * the robots gate. */
+  def webFrontierLinks(docs: DataFrame): DataFrame = {
+    val relisted = parseSitemapXml(relistSitemapXml(docs))
+      .filter(col("kind") === "url")
+      .select(col("registered_domain"), col("sitemap_url"),
+        col("loc"), col("lastmod"))
+    crawlFrontier(
+      UrlOps.pageUrls(docs).select(col("doc_id"), col("url")),
+      webSitemapDocs(docs).unionByName(relisted),
+      fixtureRobots(docs),
+      linkPages = Some(
+        TextExtract.webOutlinks(docs).select(col("link"))))
+  }
+
   def webRecrawl(docs: DataFrame): DataFrame = {
     val lastCrawl = UrlOps.urls(UrlOps.pageUrls(docs))
       .select(col("url_norm"), lit("2026-03-15").as("last_crawled"))

@@ -159,4 +159,33 @@ object TextExtract {
 
   /** The composed stage-zero query: render the fixture pages, extract. */
   def textExtract(docs: DataFrame): DataFrame = extract(htmlPages(docs))
+
+  /** Outlink extraction over fetched pages `(doc_id, url, html)` — the
+    * LINK-DISCOVERY surface of a crawl (the third frontier source next to
+    * the known corpus and sitemap listings): every `<a href>` value,
+    * resolved to an absolute fetchable URL against the page's own URL
+    * ([[UrlOps.resolveUrl]] — RFC 3986 §5; fragments, mailto:/javascript:
+    * and unresolvable values drop). Emits `(doc_id, url, link_raw, link)`
+    * — the raw value kept for audits, the resolved `link` being what
+    * [[graft.ops.Robots.crawlFrontier]] consumes. Pure per-row expression
+    * work (regex extraction + expression resolution), fuses into the page
+    * scan — zero shuffles; link volume is O(pages × links-per-page), the
+    * same order as the extraction pass that already reads every page. */
+  def outlinks(pages: DataFrame): DataFrame = {
+    val hrefs = regexp_extract_all(col("html"),
+      lit("(?is)<a\\b[^>]*?href\\s*=\\s*[\"']([^\"']*)[\"']"), lit(1))
+    pages.select(col("doc_id"), col("url"), explode(hrefs).as("link_raw"))
+      .withColumn("link", graft.ops.UrlOps.resolveUrl(col("url"),
+        col("link_raw")))
+      .filter(col("link").isNotNull)
+  }
+
+  /** The composed fixture query: rendered pages ([[htmlPages]], whose
+    * nav/share/footer carry seven root-relative links) against their
+    * rendered URLs ([[UrlOps.pageUrls]]) — each page yields its seven
+    * links resolved onto its own origin. Closed-form oracle from the two
+    * render recipes; the engine earns the rows through the real href
+    * extraction + the general resolver. */
+  def webOutlinks(docs: DataFrame): DataFrame =
+    outlinks(htmlPages(graft.ops.UrlOps.pageUrls(docs), keep = Seq("url")))
 }

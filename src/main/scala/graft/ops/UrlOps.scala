@@ -294,6 +294,68 @@ object UrlOps {
       col("text"), col("lang"), col("source"))
   }
 
+  /** RFC 3986 §5 reference resolution for crawl outlinks, expression-only
+    * (fuses into the extraction scan — no UDF): resolve `link` (an `href`
+    * value) against the absolute `base` URL the page was fetched from.
+    *
+    *   - empty / pure-fragment links → null (same-document references are
+    *     not frontier candidates);
+    *   - absolute http(s) links pass through (fragment stripped);
+    *   - other schemes (mailto:, javascript:, data:, tel:) → null — not
+    *     fetchable page URLs;
+    *   - protocol-relative `//host/p` inherits the base scheme (§4.2);
+    *   - root-relative `/p` joins the base origin;
+    *   - query-only `?q` replaces the base query on the base path (§5.3);
+    *   - path-relative `p`, `./p`, `../p` merge with the base directory
+    *     (§5.3) and dot segments are removed (§5.2.4) by a BOUNDED unroll
+    *     (8 `../` hops — deeper nesting resolves conservatively with the
+    *     residue left in place; real links never approach it), with
+    *     above-root `../` clamped to `/` as the RFC prescribes.
+    *
+    * Returns null for a base that is not an absolute URL (no origin to
+    * resolve against). The fragment is always dropped — [[parseNormalize]]
+    * would strip it anyway; doing it here keeps raw outlink rows joinable
+    * on equality. */
+  def resolveUrl(base: Column, link: Column): Column = {
+    val noFrag = regexp_replace(trim(link), "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag,
+      "^([A-Za-z][A-Za-z0-9+.\\-]*):", 1))
+    val origin = regexp_extract(base,
+      "^([A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]+)", 1)
+    val baseScheme = regexp_extract(base,
+      "^([A-Za-z][A-Za-z0-9+.\\-]*)://", 1)
+    val basePath = regexp_extract(base,
+      "^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]+([^?#]*)", 1)
+    // the base's directory: path up to and including the last slash; an
+    // origin-only base resolves relatives against "/"
+    val baseDir = when(basePath === "", lit("/"))
+      .otherwise(regexp_replace(basePath, "/[^/]*$", "/"))
+    val relPath = regexp_extract(noFrag, "^([^?]*)", 1)
+    val relQuery = regexp_extract(noFrag, "(\\?.*)$", 1)
+    val mergedPath = when(relPath.startsWith("/"), relPath)
+      .otherwise(concat(baseDir, relPath))
+    // §5.2.4 dot-segment removal, bounded unroll. The /seg/../ collapse
+    // must not treat ".." itself as the consumed segment — hence the Java
+    // lookahead (RE2-less DuckDB never evaluates this: the fixture's links
+    // are dotless, so removal is identity there and the oracle states the
+    // origin+path concatenation directly — the engine still earns it
+    // through this general path).
+    val dots1 = (1 to 4).foldLeft(mergedPath)((c, _) =>
+      regexp_replace(c, "/\\./", "/"))
+    val dots2 = regexp_replace(dots1, "/\\.$", "/")
+    val dots3 = (1 to 8).foldLeft(dots2)((c, _) =>
+      regexp_replace(c, "/(?!\\.\\./)[^/]+/\\.\\./", "/"))
+    val dots4 = regexp_replace(dots3, "/(?!\\.\\./)[^/]+/\\.\\.$", "/")
+    val cleanPath = regexp_replace(dots4, "^(/\\.\\.)+(/|$)", "/")
+    when(origin === "" || noFrag === "", lit(null).cast("string"))
+      .when(scheme === "http" || scheme === "https", noFrag)
+      .when(scheme =!= "", lit(null).cast("string"))
+      .when(noFrag.startsWith("//"), concat(baseScheme, lit(":"), noFrag))
+      .when(noFrag.startsWith("?"),
+        concat(origin, when(basePath === "", "/").otherwise(basePath), noFrag))
+      .otherwise(concat(origin, cleanPath, relQuery))
+  }
+
   /** The composed fixture queries: render the stand-in URLs, then apply
     * each verb. */
   def webUrls(docs: DataFrame): DataFrame = urls(pageUrls(docs))

@@ -3422,6 +3422,45 @@ class OpsSpec extends SparkSpec {
     assert(r(2L) == ((2L, true)))
   }
 
+  test("resolveUrl: RFC 3986 reference resolution cases") {
+    import graft.ops.UrlOps
+    val base = "https://h.example:8080/a/b/c?x=1#frag"
+    val cases = Seq(
+      // absolute http(s) passes through, fragment stripped; scheme match
+      // is case-insensitive
+      ("https://other.com/p#z", "https://other.com/p"),
+      ("HTTP://up.example/p", "HTTP://up.example/p"),
+      // protocol-relative inherits the base scheme (§4.2)
+      ("//cdn.example/lib.js", "https://cdn.example/lib.js"),
+      // root-relative joins the origin (port kept as spelled)
+      ("/root", "https://h.example:8080/root"),
+      // query-only replaces the query on the base PATH (§5.3)
+      ("?y=2", "https://h.example:8080/a/b/c?y=2"),
+      // path-relative merges with the base DIRECTORY (§5.3) and dot
+      // segments are removed (§5.2.4), above-root ../ clamped
+      ("d", "https://h.example:8080/a/b/d"),
+      ("./d", "https://h.example:8080/a/b/d"),
+      ("../d", "https://h.example:8080/a/d"),
+      ("../../d", "https://h.example:8080/d"),
+      ("../../../d", "https://h.example:8080/d"),
+      ("d/e/../f?q=1#s", "https://h.example:8080/a/b/d/f?q=1"),
+      // non-frontier references drop
+      ("#frag", null), ("", null),
+      ("mailto:x@y.example", null), ("javascript:void(0)", null))
+    val got = cases.map(_._1).toDF("link")
+      .select(col("link"),
+        UrlOps.resolveUrl(lit(base), col("link")).as("resolved"))
+      .collect().map(r => r.getAs[String]("link") ->
+        Option(r.getAs[String]("resolved"))).toMap
+    cases.foreach { case (l, e) =>
+      assert(got(l) == Option(e), s"link '$l': got ${got(l)}, want $e")
+    }
+    // a base that is not an absolute URL cannot anchor a resolution
+    val rel = Seq("x").toDF("l").select(
+      UrlOps.resolveUrl(lit("not-a-url"), col("l"))).head()
+    assert(rel.isNullAt(0))
+  }
+
   test("crawlFrontier: url_norm collapse, provenance, robots gate, sitemap-only slot") {
     import graft.ops.Robots
     val corpus = Seq(
@@ -3439,11 +3478,16 @@ class OpsSpec extends SparkSpec {
     val robots = Seq(
       ("a.com", "User-agent: *\nDisallow: /blocked/\nCrawl-delay: 3"))
       .toDF("registered_domain", "robots_txt")
-    val fr = Robots.crawlFrontier(corpus, sm, robots)
+    // the link surface: one outlink relisting corpus page 3 (provenance
+    // must read corpus+link), one link-only discovery
+    val links = Seq("https://b.com/y#seen", "https://b.com/linked")
+      .toDF("link")
+    val fr = Robots.crawlFrontier(corpus, sm, robots,
+      linkPages = Some(links))
     val rows = fr.collect().map(r => r.getAs[String]("url_norm") -> r).toMap
-    assert(rows.size == 5) // the alias collapsed once — no sixth row
+    assert(rows.size == 6) // aliases collapsed — no seventh row
     val x = rows("https://a.com/x")
-    assert(x.getAs[String]("provenance") == "both")
+    assert(x.getAs[String]("provenance") == "corpus+sitemap")
     assert(x.getAs[Long]("doc_id") == 1L)
     assert(x.getAs[String]("url") == "https://a.com/x") // corpus spelling
     assert(x.getAs[String]("lastmod") == "2026-05-01")
@@ -3456,6 +3500,15 @@ class OpsSpec extends SparkSpec {
     assert(!rows("https://a.com/blocked/p").getAs[Boolean]("robots_allowed"))
     assert(!rows("https://a.com/blocked/s").getAs[Boolean]("robots_allowed"))
     assert(rows("https://b.com/y").getAs[Boolean]("robots_allowed"))
+    // link rows: a link relisting a corpus page merges into its row
+    // (set provenance), a link-only discovery enters with no doc_id
+    assert(rows("https://b.com/y").getAs[String]("provenance")
+      == "corpus+link")
+    assert(rows("https://b.com/y").getAs[Long]("doc_id") == 3L)
+    val lo = rows("https://b.com/linked")
+    assert(lo.getAs[String]("provenance") == "link")
+    assert(lo.isNullAt(lo.fieldIndex("doc_id")))
+    assert(lo.getAs[Boolean]("robots_allowed")) // no b.com robots row
     // a sitemap-only URL gets a real schedule slot in its domain lane
     val empty = Seq.empty[(String, String)].toDF("url_norm", "last_crawled")
     val sched = Robots.recrawlSchedule(Robots.recrawlPriority(fr, empty))
@@ -3468,7 +3521,8 @@ class OpsSpec extends SparkSpec {
     val bud = Robots.crawlBudget(fr).collect()
       .map(r => r.getAs[String]("registered_domain") ->
         r.getAs[Long]("n_allowed")).toMap
-    assert(bud("a.com") == 2L && bud("b.com") == 1L)
+    // b.com now carries the corpus page plus the link-only discovery
+    assert(bud("a.com") == 2L && bud("b.com") == 2L)
   }
 
   test("recrawl priority: lastmod-newer outranks unchanged within a domain lane") {
