@@ -74,6 +74,31 @@ object DevStressR12 {
     timed("probe 100x (post-compaction)")(
       forceCount(ops.Similarity.probeAnnIndex(
         ops.Similarity.readAnnIndex(spark, idxDir), queries)))
+    ops.CacheScope.releaseAll(spark)
+
+    // the three-source frontier at 100×: 500k corpus pages, their 3.5M
+    // resolved outlinks, and the sitemap tree, through the url_norm
+    // collapse + robots gate, then freshness-ranked into politeness lanes
+    // — the full daily crawl-planning pass. One slim-row shuffle for the
+    // collapse, one window for the lanes; everything else is broadcast.
+    val docs100 = SparkEntry.docs(spark, dir)
+      .crossJoin(spark.range(100).toDF("copy"))
+      .select((col("doc_id") + col("copy") * 1000000L).as("doc_id"),
+        col("text"), col("lang"), col("source"))
+    val pages100 = ops.UrlOps.pageUrls(docs100)
+      .select(col("doc_id"), col("url"))
+    val links100 = ops.TextExtract.webOutlinks(docs100).select(col("link"))
+    val sm100 = ops.Robots.webSitemapDocs(docs100)
+    val robots100 = ops.Robots.fixtureRobots(docs100)
+    val frontier = ops.Robots.crawlFrontier(pages100, sm100, robots100,
+      linkPages = Some(links100))
+    timed("crawlFrontier 100x (500k pages + 3.5M links)")(
+      forceCount(frontier))
+    val lastCrawl = ops.UrlOps.urls(pages100)
+      .select(col("url_norm"), lit("2026-03-15").as("last_crawled"))
+    timed("recrawlSchedule 100x over the frontier")(
+      forceCount(ops.Robots.recrawlSchedule(
+        ops.Robots.recrawlPriority(frontier, lastCrawl))))
     spark.stop()
   }
 }
