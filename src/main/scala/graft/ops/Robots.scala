@@ -752,7 +752,25 @@ object Robots {
     * The oracle states the frontier in closed form from the same recipes;
     * the engine must earn it through the XML parses, the url_norm
     * collapse, and the robots round trip. */
-  def webFrontier(docs: DataFrame): DataFrame = {
+  def webFrontier(docs: DataFrame): DataFrame =
+    fixtureFrontier(docs, linkPages = None)
+
+  /** [[webFrontier]] with the THIRD discovery surface wired in: the
+    * rendered pages' resolved outlinks ([[TextExtract.webOutlinks]] —
+    * seven root-relative links per page, so each fixture domain
+    * contributes a handful of link-only locations that collapse across
+    * its many pages). The engine earns the rows through href extraction,
+    * RFC 3986 resolution, the three-way union's url_norm collapse, and
+    * the robots gate. */
+  def webFrontierLinks(docs: DataFrame): DataFrame =
+    fixtureFrontier(docs,
+      linkPages = Some(TextExtract.webOutlinks(docs).select(col("link"))))
+
+  /** The shared fixture assembly behind [[webFrontier]] and
+    * [[webFrontierLinks]] — ONE place wires the relisting sitemap, the
+    * sitemap tree, and the robots corpus. */
+  private def fixtureFrontier(docs: DataFrame,
+      linkPages: Option[DataFrame]): DataFrame = {
     val relisted = parseSitemapXml(relistSitemapXml(docs))
       .filter(col("kind") === "url")
       .select(col("registered_domain"), col("sitemap_url"),
@@ -760,7 +778,7 @@ object Robots {
     crawlFrontier(
       UrlOps.pageUrls(docs).select(col("doc_id"), col("url")),
       webSitemapDocs(docs).unionByName(relisted),
-      fixtureRobots(docs))
+      fixtureRobots(docs), linkPages = linkPages)
   }
 
   /** Registered domains whose content digests moved between the fixture's
@@ -789,26 +807,6 @@ object Robots {
     * changed domains from the real snapshot-diff composition
     * ([[fixtureChangedDomains]]) — and scheduled by [[recrawlSchedule]].
     * The oracle states the priorities and slots in closed form. */
-  /** [[webFrontier]] with the THIRD discovery surface wired in: the
-    * rendered pages' resolved outlinks ([[TextExtract.webOutlinks]] —
-    * seven root-relative links per page, so each fixture domain
-    * contributes a handful of link-only locations that collapse across
-    * its many pages). The engine earns the rows through href extraction,
-    * RFC 3986 resolution, the three-way union's url_norm collapse, and
-    * the robots gate. */
-  def webFrontierLinks(docs: DataFrame): DataFrame = {
-    val relisted = parseSitemapXml(relistSitemapXml(docs))
-      .filter(col("kind") === "url")
-      .select(col("registered_domain"), col("sitemap_url"),
-        col("loc"), col("lastmod"))
-    crawlFrontier(
-      UrlOps.pageUrls(docs).select(col("doc_id"), col("url")),
-      webSitemapDocs(docs).unionByName(relisted),
-      fixtureRobots(docs),
-      linkPages = Some(
-        TextExtract.webOutlinks(docs).select(col("link"))))
-  }
-
   def webRecrawl(docs: DataFrame): DataFrame = {
     val lastCrawl = UrlOps.urls(UrlOps.pageUrls(docs))
       .select(col("url_norm"), lit("2026-03-15").as("last_crawled"))

@@ -172,9 +172,23 @@ object TextExtract {
     * scan — zero shuffles; link volume is O(pages × links-per-page), the
     * same order as the extraction pass that already reads every page. */
   def outlinks(pages: DataFrame): DataFrame = {
-    val hrefs = regexp_extract_all(col("html"),
-      lit("(?is)<a\\b[^>]*?href\\s*=\\s*[\"']([^\"']*)[\"']"), lit(1))
-    pages.select(col("doc_id"), col("url"), explode(hrefs).as("link_raw"))
+    // dead markup first (the extractHtml strip chain): an anchor inside a
+    // comment, <script> (document.write soup) or <style> block is not a
+    // navigable link and must not become a frontier candidate
+    val noScript = regexp_replace(col("html"),
+      "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val live = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    // quote-PAIRED extraction (a backreference, not a [\"'] class: an
+    // apostrophe inside a double-quoted value must not truncate it) plus
+    // the legal HTML5 unquoted form; the two matchers are disjoint — an
+    // unquoted value cannot begin with a quote character
+    val quoted = regexp_extract_all(live,
+      lit("(?is)<a\\b[^>]*?href\\s*=\\s*([\"'])([\\s\\S]*?)\\1"), lit(2))
+    val unquoted = regexp_extract_all(live,
+      lit("(?is)<a\\b[^>]*?href\\s*=\\s*([^\\s\"'>][^\\s>]*)"), lit(1))
+    pages.select(col("doc_id"), col("url"),
+        explode(concat(quoted, unquoted)).as("link_raw"))
       .withColumn("link", graft.ops.UrlOps.resolveUrl(col("url"),
         col("link_raw")))
       .filter(col("link").isNotNull)

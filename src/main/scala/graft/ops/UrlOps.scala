@@ -317,7 +317,9 @@ object UrlOps {
     * would strip it anyway; doing it here keeps raw outlink rows joinable
     * on equality. */
   def resolveUrl(base: Column, link: Column): Column = {
-    val noFrag = regexp_replace(trim(link), "#.*$", "")
+    // newline-tolerant strips throughout ([\s\S], not .): a multi-line
+    // href attribute value must not smuggle its fragment past the strip
+    val noFrag = regexp_replace(trim(link), "#[\\s\\S]*", "")
     val scheme = lower(regexp_extract(noFrag,
       "^([A-Za-z][A-Za-z0-9+.\\-]*):", 1))
     val origin = regexp_extract(base,
@@ -326,34 +328,55 @@ object UrlOps {
       "^([A-Za-z][A-Za-z0-9+.\\-]*)://", 1)
     val basePath = regexp_extract(base,
       "^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]+([^?#]*)", 1)
+    // §5.2.4 dot-segment removal, bounded unroll, applied to EVERY
+    // branch's path — absolute links included: a dotted spelling
+    // (https://x.com/a/../secret/) must not evade a robots prefix rule or
+    // duplicate a frontier row the clean spelling already owns. The
+    // /seg/../ collapse must not treat ".." itself as the consumed
+    // segment — hence the Java lookahead (RE2-less DuckDB never evaluates
+    // this: the fixture's links are dotless, so removal is identity there
+    // and the oracle states the origin+path concatenation directly — the
+    // engine still earns it through this general path).
+    def removeDots(p: Column): Column = {
+      val dots1 = (1 to 4).foldLeft(p)((c, _) =>
+        regexp_replace(c, "/\\./", "/"))
+      val dots2 = regexp_replace(dots1, "/\\.$", "/")
+      val dots3 = (1 to 8).foldLeft(dots2)((c, _) =>
+        regexp_replace(c, "/(?!\\.\\./)[^/]+/\\.\\./", "/"))
+      val dots4 = regexp_replace(dots3, "/(?!\\.\\./)[^/]+/\\.\\.$", "/")
+      regexp_replace(dots4, "^(/\\.\\.)+(/|$)", "/")
+    }
+    // absolute target (an absolute http(s) link, or a protocol-relative
+    // one re-anchored on the base scheme): decompose, clean the path,
+    // reassemble — origin and query pass through untouched
+    def absClean(target: Column): Column = {
+      val o = regexp_extract(target,
+        "^([A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]+)", 1)
+      val p = regexp_extract(target,
+        "^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]+([^?]*)", 1)
+      val q = regexp_extract(target, "(\\?[\\s\\S]*)$", 1)
+      concat(o, removeDots(p), q)
+    }
     // the base's directory: path up to and including the last slash; an
     // origin-only base resolves relatives against "/"
     val baseDir = when(basePath === "", lit("/"))
       .otherwise(regexp_replace(basePath, "/[^/]*$", "/"))
     val relPath = regexp_extract(noFrag, "^([^?]*)", 1)
-    val relQuery = regexp_extract(noFrag, "(\\?.*)$", 1)
+    val relQuery = regexp_extract(noFrag, "(\\?[\\s\\S]*)$", 1)
     val mergedPath = when(relPath.startsWith("/"), relPath)
       .otherwise(concat(baseDir, relPath))
-    // §5.2.4 dot-segment removal, bounded unroll. The /seg/../ collapse
-    // must not treat ".." itself as the consumed segment — hence the Java
-    // lookahead (RE2-less DuckDB never evaluates this: the fixture's links
-    // are dotless, so removal is identity there and the oracle states the
-    // origin+path concatenation directly — the engine still earns it
-    // through this general path).
-    val dots1 = (1 to 4).foldLeft(mergedPath)((c, _) =>
-      regexp_replace(c, "/\\./", "/"))
-    val dots2 = regexp_replace(dots1, "/\\.$", "/")
-    val dots3 = (1 to 8).foldLeft(dots2)((c, _) =>
-      regexp_replace(c, "/(?!\\.\\./)[^/]+/\\.\\./", "/"))
-    val dots4 = regexp_replace(dots3, "/(?!\\.\\./)[^/]+/\\.\\.$", "/")
-    val cleanPath = regexp_replace(dots4, "^(/\\.\\.)+(/|$)", "/")
-    when(origin === "" || noFrag === "", lit(null).cast("string"))
-      .when(scheme === "http" || scheme === "https", noFrag)
+    when(noFrag === "", lit(null).cast("string"))
+      // an absolute http(s) reference needs no base at all (§5.2.2) — it
+      // resolves even when the recorded fetch URL is malformed
+      .when(scheme === "http" || scheme === "https", absClean(noFrag))
       .when(scheme =!= "", lit(null).cast("string"))
-      .when(noFrag.startsWith("//"), concat(baseScheme, lit(":"), noFrag))
+      // every relative form below needs an absolute base to anchor on
+      .when(origin === "", lit(null).cast("string"))
+      .when(noFrag.startsWith("//"),
+        absClean(concat(baseScheme, lit(":"), noFrag)))
       .when(noFrag.startsWith("?"),
         concat(origin, when(basePath === "", "/").otherwise(basePath), noFrag))
-      .otherwise(concat(origin, cleanPath, relQuery))
+      .otherwise(concat(origin, removeDots(mergedPath), relQuery))
   }
 
   /** The composed fixture queries: render the stand-in URLs, then apply

@@ -3444,6 +3444,10 @@ class OpsSpec extends SparkSpec {
       ("../../d", "https://h.example:8080/d"),
       ("../../../d", "https://h.example:8080/d"),
       ("d/e/../f?q=1#s", "https://h.example:8080/a/b/d/f?q=1"),
+      // dot segments are removed on EVERY branch — a dotted absolute
+      // spelling must not evade a robots prefix rule downstream
+      ("https://x.example/a/../secret/", "https://x.example/secret/"),
+      ("//cdn.example/a/./b", "https://cdn.example/a/b"),
       // non-frontier references drop
       ("#frag", null), ("", null),
       ("mailto:x@y.example", null), ("javascript:void(0)", null))
@@ -3455,10 +3459,31 @@ class OpsSpec extends SparkSpec {
     cases.foreach { case (l, e) =>
       assert(got(l) == Option(e), s"link '$l': got ${got(l)}, want $e")
     }
-    // a base that is not an absolute URL cannot anchor a resolution
-    val rel = Seq("x").toDF("l").select(
-      UrlOps.resolveUrl(lit("not-a-url"), col("l"))).head()
+    // a base that is not an absolute URL cannot anchor a RELATIVE
+    // resolution — but an absolute http(s) link needs no base (§5.2.2)
+    val rel = Seq(("x", "https://ok.example/p")).toDF("l", "a")
+      .select(UrlOps.resolveUrl(lit("not-a-url"), col("l")).as("r"),
+        UrlOps.resolveUrl(lit("not-a-url"), col("a")).as("abs")).head()
     assert(rel.isNullAt(0))
+    assert(rel.getAs[String]("abs") == "https://ok.example/p")
+  }
+
+  test("outlinks: dead markup dropped, quotes paired, unquoted hrefs kept") {
+    val spark2 = spark; import spark2.implicits._
+    import graft.ops.TextExtract
+    val html = """<html><body>
+      |<!-- <a href="/commented-out">old</a> -->
+      |<script>document.write('<a href="/from-js">x</a>')</script>
+      |<style>a[href="/styled"] { color: red }</style>
+      |<a href="/it's-fine">apostrophe inside double quotes</a>
+      |<a href=/unquoted>legal HTML5 unquoted</a>
+      |<a href="/live">live</a>
+      |</body></html>""".stripMargin
+    val out = TextExtract.outlinks(
+        Seq((1L, "https://h.example/p/q", html)).toDF("doc_id", "url", "html"))
+      .collect().map(_.getAs[String]("link")).sorted.toSeq
+    assert(out == Seq("https://h.example/it's-fine",
+      "https://h.example/live", "https://h.example/unquoted"), out.toString)
   }
 
   test("crawlFrontier: url_norm collapse, provenance, robots gate, sitemap-only slot") {
