@@ -2997,6 +2997,40 @@ UNION ALL
 SELECT CAST(NULL AS BIGINT), link, CAST(NULL AS VARCHAR), 'link'
 FROM ($webOutlinks)""")
 
+  /** Multi-hop frontier oracle (mirrors graft.ops.Robots.webFrontierHops):
+    * hop 0 is the frontier itself; hops 1–3 are the chain fixture's
+    * closure stated in CLOSED FORM — every robots-allowed frontier row's
+    * rendered page links to `/chain/0` on its own origin and each
+    * `/chain/<n>` page links one deeper, so hop k holds exactly one
+    * `/chain/<k-1>` row per DISTINCT ORIGIN among allowed rows (origin =
+    * scheme + host + kept port: root-relative resolution keys on the full
+    * origin, not the registered domain), re-normalized and robots-decided
+    * by the same generative recipe, provenance 'link', no doc_id, no
+    * freshness claim. The engine must earn every row through its real
+    * fetch→extract→resolve→collapse→anti-join→gate iteration, with the
+    * maxHops=3 budget ending the unbounded chain. */
+  val webFrontierHops: String = s"""WITH wf AS ($webFrontier),
+origins AS (
+  SELECT DISTINCT regexp_extract(url_norm,
+    '^[a-z][a-z0-9+.-]*://[^/]+', 0) AS origin
+  FROM wf WHERE robots_allowed
+), chain AS (
+  SELECT origin || '/chain/' || CAST(n AS VARCHAR) AS url, n
+  FROM origins CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS n) ns
+), cn AS (
+  ${urlNormCols("SELECT url, n FROM chain")}
+)
+SELECT url_norm, url, registered_domain, path,
+  CAST(NULL AS BIGINT) AS doc_id, 'link' AS provenance,
+  CAST(NULL AS VARCHAR) AS lastmod,
+  $robotsDecisionCols,
+  CAST(n + 1 AS INT) AS hop
+FROM (SELECT *, length(registered_domain) AS l FROM cn)
+UNION ALL
+SELECT url_norm, url, registered_domain, path, doc_id, provenance, lastmod,
+  robots_allowed, robots_rule, crawl_delay, 0 AS hop
+FROM wf"""
+
   /** The frontier collapse + robots decision over a unioned
     * `(doc_id, url, lastmod, src)` URL surface. */
   private def frontierSqlOver(union: String): String = s"""WITH fp AS (

@@ -519,6 +519,11 @@ object SparkEntry {
     // (sitemap lastmod vs fetch history; snapshot-diff-changed domains
     // first among unsignaled rows) and scheduled per domain lane
     "web_recrawl" -> ((s, dir) => ops.Robots.webRecrawl(docs(s, dir))),
+    // multi-hop frontier expansion: the hop-0 frontier iterated through
+    // the chain-page fetch seam — hop k adds /chain/<k-1> per distinct
+    // allowed origin until the maxHops=3 budget caps the unbounded chain
+    "web_frontier_hops" -> ((s, dir) =>
+      ops.Robots.webFrontierHops(docs(s, dir))),
     "web_warc" -> ((s, dir) => ops.Warc.webWarc(docs(s, dir))),
     // the same round trip through REAL on-disk .warc.gz files (executor-side
     // write, binaryFile read, byte-level parse) — same oracle: the file hop
@@ -653,6 +658,12 @@ object SparkEntry {
     // oracle is the inline rerank over that filtered corpus
     "ann_index_delete" -> ((s, dir) =>
       ops.Similarity.annIndexDeleteProbe(emb(s, dir))),
+    // drift-remedy path: build on the corpus minus the %50==7 batch (ids
+    // INSIDE both quantizer samples — the append is genuinely degraded),
+    // append it frozen, then RETRAIN from the index's own stored vectors;
+    // only a real retrain lands back on the full-corpus inline oracle
+    "ann_index_retrain" -> ((s, dir) =>
+      ops.Similarity.annIndexRetrainProbe(emb(s, dir))),
     // the pre-append drift check: quantization error of a batch (the %10
     // corpus rows + their NEGATIONS under fresh ids — maximal drift, exact
     // in IEEE) under the durable index's frozen quantizers — the re-train
@@ -824,6 +835,7 @@ object SparkEntry {
     "web_crawl_budget" -> OracleSqlOps.webCrawlBudget,
     "web_crawl_schedule" -> OracleSqlOps.webCrawlSchedule,
     "web_frontier" -> OracleSqlOps.webFrontier,
+    "web_frontier_hops" -> OracleSqlOps.webFrontierHops,
     "web_recrawl" -> OracleSqlOps.webRecrawl,
     "web_warc" -> OracleSqlOps.webWarc,
     "web_warc_files" -> OracleSqlOps.webWarc,
@@ -854,6 +866,7 @@ object SparkEntry {
     "ann_index_probe" -> OracleSqlOps.ivfPqRerank,
     "ann_index_append" -> OracleSqlOps.ivfPqRerank,
     "ann_index_delete" -> OracleSqlOps.ivfPqRerankSurvivors,
+    "ann_index_retrain" -> OracleSqlOps.ivfPqRerank,
     "ann_index_drift" -> OracleSqlOps.annIndexDrift,
     "ann_range" -> OracleSqlOps.annRange(0.3),
     "emb_kmeans" -> OracleSqlOps.embKmeans,

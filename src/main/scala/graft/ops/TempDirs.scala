@@ -103,6 +103,36 @@ object TempDirs {
     })
   }
 
+  /** Swap a fully-written rewrite directory into place with CHECKED
+    * renames (advisor r12: `fs.delete`/`fs.rename` return false on
+    * failure, and a compaction that ignores the result can delete the old
+    * table, fail the swap, report success, and leave the index without
+    * its data until someone notices the stranded `*_compacting` dir).
+    * Order: the live `dest` moves ASIDE first (never deleted before the
+    * replacement is in place), `tmp` renames in, and only then is the
+    * aside copy removed — on a failed swap the aside copy is restored, so
+    * the caller's table is intact and its tombstones (deleted only after
+    * this returns) still mask the rows the failed rewrite would have
+    * dropped. Throws on any failed step; never returns a lie. */
+  def swapInto(fs: org.apache.hadoop.fs.FileSystem,
+      tmp: org.apache.hadoop.fs.Path, dest: org.apache.hadoop.fs.Path): Unit = {
+    val aside = new org.apache.hadoop.fs.Path(dest.toString + "_pre_swap")
+    if (fs.exists(aside))
+      require(fs.delete(aside, true),
+        s"swap: could not clear stale $aside; $dest left untouched")
+    require(fs.rename(dest, aside),
+      s"swap: could not move $dest aside; rewrite left at $tmp, " +
+        "table untouched")
+    if (!fs.rename(tmp, dest)) {
+      fs.rename(aside, dest) // best-effort restore of the live table
+      throw new IllegalStateException(
+        s"swap: could not move $tmp into $dest; original restored")
+    }
+    require(fs.delete(aside, true),
+      s"swap: $dest swapped but stale copy $aside could not be removed " +
+        "(table is correct; remove the stale dir before the next compaction)")
+  }
+
   private val dirLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 

@@ -182,11 +182,18 @@ object TextExtract {
     // quote-PAIRED extraction (a backreference, not a [\"'] class: an
     // apostrophe inside a double-quoted value must not truncate it) plus
     // the legal HTML5 unquoted form; the two matchers are disjoint — an
-    // unquoted value cannot begin with a quote character
+    // unquoted value cannot begin with a quote character. The attribute
+    // name requires a DELIMITER before it ([\s"'] — whitespace or a
+    // closing quote): without it an attribute merely ENDING in "href"
+    // (`<a data-href="x" href="/y">`) matches on data-href, emitting the
+    // spurious link x AND consuming past the real href so /y is dropped
+    // (advisor r12, medium) — spec-pinned with that exact case.
     val quoted = regexp_extract_all(live,
-      lit("(?is)<a\\b[^>]*?href\\s*=\\s*([\"'])([\\s\\S]*?)\\1"), lit(2))
+      lit("(?is)<a\\b[^>]*?[\\s\"']href\\s*=\\s*([\"'])([\\s\\S]*?)\\1"),
+      lit(2))
     val unquoted = regexp_extract_all(live,
-      lit("(?is)<a\\b[^>]*?href\\s*=\\s*([^\\s\"'>][^\\s>]*)"), lit(1))
+      lit("(?is)<a\\b[^>]*?[\\s\"']href\\s*=\\s*([^\\s\"'>][^\\s>]*)"),
+      lit(1))
     pages.select(col("doc_id"), col("url"),
         explode(concat(quoted, unquoted)).as("link_raw"))
       .withColumn("link", graft.ops.UrlOps.resolveUrl(col("url"),

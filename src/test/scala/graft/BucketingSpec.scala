@@ -90,4 +90,89 @@ class BucketingSpec extends SparkSpec {
       graft.ops.CacheScope.releaseAll(spark)
     }
   }
+
+  test("compactIndexBucketed folds takedowns keeping the bucketed layout") {
+    import graft.ops.Dedup
+    val dir = Files.createTempDirectory("graft-bkidx-comp").toString
+    val freshDir = Files.createTempDirectory("graft-bkidx-fresh").toString
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // 50 exact classes of 10 docs each (class = doc_id % 50); deleting
+      // doc_id % 10 == 0 removes WHOLE classes 0/10/20/30/40 (every member
+      // of a %50-class shares its residue mod 10), so no sketch class
+      // loses a representative while siblings survive — the regime where
+      // compaction must equal a fresh build on the survivors
+      val history = spark.range(0, 500).select(col("id").as("doc_id"),
+        concat(lit("history document body number "), col("id") % 50,
+          lit(" with shared phrasing")).as("text"))
+      Dedup.writeIndexBucketed(Dedup.buildIndex(history), dir, "cmpidx", 8)
+      Dedup.deleteFromIndex(dir,
+        history.filter(col("doc_id") % 10 === 0).select(col("doc_id")))
+      val batch = spark.range(1000, 1100).select(col("id").as("doc_id"),
+        concat(lit("history document body number "), col("id") % 50,
+          lit(" with shared phrasing")).as("text"))
+      def probe() = Dedup.incrementalWithIndex(
+        Dedup.readIndexBucketed(spark, dir, "cmpidx"), batch,
+        threshold = 0.8)
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toString).sorted.toSeq
+      // pre-compaction view: batch docs of the deleted classes come back
+      // new; surviving classes label with their (surviving) min doc_id
+      val afterDelete = rows(probe())
+      assert(probe().filter(col("dup_of").isNotNull).count() == 90)
+      Dedup.compactIndexBucketed(spark, dir, "cmpidx")
+      assert(!new java.io.File(s"$dir/tombstones").exists())
+      // probe rows unchanged, and the probe join is STILL exchange-free
+      // relative to the plain-parquet read of the same files
+      val pb = probe()
+      assert(rows(pb) == afterDelete, "compaction changed probe labels")
+      val np = Bucketing.countShuffles(Dedup.incrementalWithIndex(
+        Dedup.readIndex(spark, dir), batch, threshold = 0.8))
+      assert(Bucketing.countShuffles(pb) < np,
+        "compacted layout lost the bucketed probe's exchange elision")
+      // layout invariant: one file per bucket, bucket-id naming intact
+      val files = new java.io.File(s"$dir/digests").listFiles
+        .filter(_.getName.endsWith(".parquet")).map(_.getName)
+      assert(files.length == 8, files.mkString(","))
+      assert(files.forall(_.matches("part-\\d+-.*_\\d{5}\\.c\\d{3}.*")),
+        files.mkString(","))
+      // row-identity with a FRESH bucketed build over the survivors
+      Dedup.writeIndexBucketed(
+        Dedup.buildIndex(history.filter(col("doc_id") % 10 =!= 0)),
+        freshDir, "cmpidxf", 8)
+      def tbl(df: org.apache.spark.sql.DataFrame) = {
+        val cs = df.columns.sorted.map(col(_))
+        df.select(cs: _*).collect().map(_.toString).sorted.toSeq
+      }
+      assert(tbl(spark.table("cmpidx_digests")) ==
+        tbl(spark.table("cmpidxf_digests")))
+      assert(tbl(spark.table("cmpidx_banded")) ==
+        tbl(spark.table("cmpidxf_banded")))
+      // full-takedown refusal preserved, BEFORE mutating
+      Dedup.deleteFromIndex(dir, history.select(col("doc_id")))
+      intercept[IllegalArgumentException] {
+        Dedup.compactIndexBucketed(spark, dir, "cmpidx")
+      }
+      assert(new java.io.File(s"$dir/tombstones").exists())
+      // a plain writeIndex layout refuses the bucketed compaction
+      val pdir = Files.createTempDirectory("graft-bkidx-plain").toString
+      Dedup.writeIndex(Dedup.buildIndex(history.limit(5)), pdir)
+      Dedup.deleteFromIndex(pdir, spark.range(1, 2).select(
+        col("id").as("doc_id")))
+      intercept[IllegalArgumentException] {
+        Dedup.compactIndexBucketed(spark, pdir, "cmpidx")
+      }
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+      Seq("cmpidx_digests", "cmpidx_banded", "cmpidxf_digests",
+        "cmpidxf_banded", "cmpidx_digests_compacting",
+        "cmpidx_banded_compacting").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t"))
+      graft.ops.CacheScope.releaseAll(spark)
+    }
+  }
 }

@@ -3478,12 +3478,15 @@ class OpsSpec extends SparkSpec {
       |<a href="/it's-fine">apostrophe inside double quotes</a>
       |<a href=/unquoted>legal HTML5 unquoted</a>
       |<a href="/live">live</a>
+      |<a data-href="/decoy" href="/real">attribute ENDING in href is not
+      |  href: no /decoy link, and /real must not be swallowed</a>
       |</body></html>""".stripMargin
     val out = TextExtract.outlinks(
         Seq((1L, "https://h.example/p/q", html)).toDF("doc_id", "url", "html"))
       .collect().map(_.getAs[String]("link")).sorted.toSeq
     assert(out == Seq("https://h.example/it's-fine",
-      "https://h.example/live", "https://h.example/unquoted"), out.toString)
+      "https://h.example/live", "https://h.example/real",
+      "https://h.example/unquoted"), out.toString)
   }
 
   test("crawlFrontier: url_norm collapse, provenance, robots gate, sitemap-only slot") {
@@ -3596,5 +3599,111 @@ class OpsSpec extends SparkSpec {
       val x = r.getAs[String]("registered_domain")
       x == x.toLowerCase && !x.startsWith("www.")
     })
+  }
+
+  test("expandFrontier: fixpoint convergence, hop provenance, and the maxHops cap") {
+    import graft.ops.Robots
+    val spark2 = spark; import spark2.implicits._
+    // two domains: a.com's page is allowed (it gets fetched and starts the
+    // chain); b.com's only page is robots-DISALLOWED — it must contribute
+    // NOTHING to any hop (a crawler never fetches it)
+    val corpus = Seq((1L, "https://a.com/x"), (2L, "https://b.com/blocked/p"))
+      .toDF("doc_id", "url")
+    val sm = Seq.empty[(String, String, String, String)]
+      .toDF("registered_domain", "sitemap_url", "loc", "lastmod")
+    val robots = Seq(
+      ("a.com", "User-agent: *\nCrawl-delay: 2"),
+      ("b.com", "User-agent: *\nDisallow: /blocked/"))
+      .toDF("registered_domain", "robots_txt")
+    val frontier = Robots.crawlFrontier(corpus, sm, robots)
+    // BOUNDED chain (depth 2): /chain/0 links to /chain/1, /chain/1 ends —
+    // the iteration must stop at the FIXPOINT, well before maxHops = 10
+    val out = Robots.expandFrontier(frontier,
+      Robots.chainPageFixture(Some(2)), robots, maxHops = 10)
+    val rows = out.collect().map(r => r.getAs[String]("url_norm") -> r).toMap
+    assert(rows.keySet == Set("https://a.com/x", "https://b.com/blocked/p",
+      "https://a.com/chain/0", "https://a.com/chain/1"), rows.keySet.toString)
+    assert(rows("https://a.com/x").getAs[Int]("hop") == 0)
+    val c0 = rows("https://a.com/chain/0")
+    assert(c0.getAs[Int]("hop") == 1)
+    assert(c0.getAs[String]("provenance") == "link")
+    assert(c0.isNullAt(c0.fieldIndex("doc_id")))
+    assert(c0.getAs[Boolean]("robots_allowed"))
+    assert(c0.getAs[Int]("crawl_delay") == 2) // the target domain's delay
+    assert(rows("https://a.com/chain/1").getAs[Int]("hop") == 2)
+    // UNBOUNDED chain: only the maxHops budget can end the loop — hops
+    // 1..3 exist, nothing deeper, and the driver loop terminated
+    val capped = Robots.expandFrontier(frontier,
+      Robots.chainPageFixture(None), robots, maxHops = 3)
+    assert(capped.count() == 2 + 3)
+    assert(capped.agg(max(col("hop"))).head().getInt(0) == 3)
+    graft.ops.CacheScope.releaseAll(spark)
+  }
+
+  test("swapInto replaces the destination atomically and clears the aside copy") {
+    import graft.ops.TempDirs
+    val root = java.nio.file.Files.createTempDirectory("graft-swap")
+    val fs = new org.apache.hadoop.fs.Path(root.toString)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def mk(name: String, content: String): org.apache.hadoop.fs.Path = {
+      val d = new org.apache.hadoop.fs.Path(root.toString, name)
+      fs.mkdirs(d)
+      val out = fs.create(new org.apache.hadoop.fs.Path(d, "f.txt"))
+      out.write(content.getBytes("UTF-8")); out.close()
+      d
+    }
+    val dest = mk("dest", "old")
+    val tmp = mk("dest_compacting", "new")
+    TempDirs.swapInto(fs, tmp, dest)
+    val in = fs.open(new org.apache.hadoop.fs.Path(dest, "f.txt"))
+    val buf = new Array[Byte](3); in.readFully(buf); in.close()
+    assert(new String(buf, "UTF-8") == "new")
+    assert(!fs.exists(tmp))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(root.toString,
+      "dest_pre_swap")))
+  }
+
+  test("metaTokenizer: unrecognized tokenizer string refuses, never defaults") {
+    import graft.ops.Dedup
+    val spark2 = spark; import spark2.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-idx-tok").toString
+    Dedup.writeIndex(Dedup.buildIndex(
+      Seq((1L, "alpha beta gamma")).toDF("doc_id", "text")), dir)
+    // simulate a future/renamed tokenizer spelling in the artifact meta
+    val meta = spark.read.parquet(s"$dir/meta")
+    val rows = meta.withColumn("tokenizer", lit("Quux")).collect().toSeq
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
+        meta.schema).write.mode("overwrite").parquet(s"$dir/meta")
+    val e = intercept[IllegalArgumentException] { Dedup.readIndex(spark, dir) }
+    assert(e.getMessage.contains("Quux"), e.getMessage)
+    graft.ops.CacheScope.releaseAll(spark)
+  }
+
+  test("bucketed layout detected structurally when the marker file is absent") {
+    import graft.ops.Dedup
+    val spark2 = spark; import spark2.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-idx-nomark").toString
+    val history = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "one two three four five")).toDF("doc_id", "text")
+    try {
+      Dedup.writeIndexBucketed(Dedup.buildIndex(history), dir, "nomkidx", 4)
+      // a pre-marker artifact: writeIndexBucketed output with the marker
+      // removed (advisor r12 — the marker-only guard let appendToIndex /
+      // compactIndex silently rewrite files without the bucket-id naming
+      // the catalog spec still declares)
+      assert(new java.io.File(s"$dir/_bucketed_layout").delete())
+      intercept[IllegalArgumentException] {
+        Dedup.appendToIndex(spark, dir,
+          Seq((9L, "nine ten eleven")).toDF("doc_id", "text"))
+      }
+      Dedup.deleteFromIndex(dir, Seq(1L).toDF("doc_id"))
+      intercept[IllegalArgumentException] { Dedup.compactIndex(spark, dir) }
+      assert(new java.io.File(s"$dir/tombstones").exists())
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS nomkidx_digests")
+      spark.sql("DROP TABLE IF EXISTS nomkidx_banded")
+      graft.ops.CacheScope.releaseAll(spark)
+    }
   }
 }
