@@ -131,14 +131,19 @@ object Recall {
   private[graft] val DriftDelta = 0.6
   private[graft] def appendDriftMetrics(s: SparkSession): Seq[Metric] =
     try appendDriftMetricsAt(s, DriftDelta) match {
-      case (a, r) => Seq(a, r)
+      case (a, r, rt) => Seq(a, r, rt)
     } finally ops.CacheScope.releaseAll(s)
 
-  /** (appended-index recall, rebuilt-index recall) on drifted-region
-    * queries at drift `delta` — shared by the recall.json metric and the
-    * DevStressR12 sweep. */
+  /** (appended-index recall, rebuilt-index recall, RETRAINED-index recall)
+    * on drifted-region queries at drift `delta` — shared by the
+    * recall.json metrics and the DevStress sweeps. The third number is the
+    * drift REMEDY measured: [[graft.ops.Similarity.retrainAnnIndex]] runs
+    * over the appended index (no corpus pass — quantizers re-derive from
+    * the index's own stored vectors) and must recover the rebuild's
+    * recall, closing the signal→remedy loop the quantization check
+    * opened. */
   private[graft] def appendDriftMetricsAt(s: SparkSession,
-      delta: Double): (Metric, Metric) = {
+      delta: Double): (Metric, Metric, Metric) = {
     import s.implicits._
     val k = FixtureK; val perCluster = 25; val dim = FixtureDim
     val base = ops.CacheScope.track(clusteredFixture(s))
@@ -183,9 +188,16 @@ object Recall {
     val queries = combined.filter(queryPred)
     val a = topkRecall("fixture_ann_append_drift",
       ops.Similarity.probeAnnIndex(appended, queries, k = 3), bf)
+    val rb = topkRecall("fixture_ann_append_drift_rebuild",
+      ops.Similarity.probeAnnIndex(rebuilt, queries, k = 3), bf)
+    // the remedy, applied: retrain the appended index in place (from its
+    // stored vectors alone) and measure again — must match the rebuild
+    ops.Similarity.retrainAnnIndex(s, dir)
+    val rt = topkRecall("fixture_ann_append_drift_retrain",
+      ops.Similarity.probeAnnIndex(ops.Similarity.readAnnIndex(s, dir),
+        queries, k = 3), bf)
     (a.copy(extra = Seq("center_cos_x1000" -> (centerCos * 1000).round)),
-      topkRecall("fixture_ann_append_drift_rebuild",
-        ops.Similarity.probeAnnIndex(rebuilt, queries, k = 3), bf))
+      rb, rt)
   }
 
   /** Metrics on a CLUSTERED embedding fixture — the regime the ANN tiers and
@@ -354,12 +366,15 @@ object Recall {
       "the bar as fixture_ann_pq_rerank_top3, with its shortlist ceiling " +
       "held >= 0.9 as fixture_ann_pq_adc_rerank30; OpsSpec pins all three " +
       "(the ADC-only number to a 0.4 wiring-regression floor). " +
-      "fixture_ann_append_drift{,_rebuild} quantify the frozen-quantizer " +
-      "append caveat at drift delta 0.6: recall of the appended index vs " +
-      "a full rebuild on drifted-region queries against the same exact " +
-      "baseline — the gap is the price of appending instead of " +
-      "re-training at that drift (DevStressR12 sweeps the delta; " +
-      "COVERAGE.md records the re-train threshold)")
+      "fixture_ann_append_drift{,_rebuild,_retrain} quantify the " +
+      "frozen-quantizer append caveat at drift delta 0.6 AND its remedy: " +
+      "recall of the appended index vs a full rebuild on drifted-region " +
+      "queries against the same exact baseline — the gap is the price of " +
+      "appending instead of re-training at that drift — and the _retrain " +
+      "number is retrainAnnIndex applied to the appended index (quantizers " +
+      "re-derived from the index's own stored vectors, no corpus pass), " +
+      "which must recover the rebuild's recall (DevStressR12/R13 sweep " +
+      "the delta; COVERAGE.md records the re-train threshold)")
     entries.mkString("{", ",", s""","notes":$notes}""")
   }
 }

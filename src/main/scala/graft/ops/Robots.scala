@@ -522,22 +522,35 @@ object Robots {
     * domain; [[crawlBudget]]'s `est_fetch_seconds` is each lane's length).
     * Disallowed pages carry no schedule slot.
     *
-    * Scale shape: ONE window partitioned by `registered_domain` — the
-    * same key (and thus the same shuffle) as the budget aggregation; no
-    * other movement of the page table. Skew note: a mega-domain makes a
-    * long lane, not a hot partition — the window carries only that
-    * domain's allowed rows, and the schedule for a lane longer than the
-    * crawl window is exactly what [[crawlBudget]] exists to flag. */
-  def crawlSchedule(gated: DataFrame): DataFrame = {
+    * Scale shape: ONE window partitioned by the lane key — the same key
+    * (and thus the same shuffle) as the budget aggregation; no other
+    * movement of the page table. Skew note: a mega-domain makes a long
+    * lane, not a hot partition — the window carries only that domain's
+    * allowed rows, and the schedule for a lane longer than the crawl
+    * window is exactly what [[crawlBudget]] exists to flag.
+    *
+    * `byHost = true` keys lanes on the normalized HOST instead of the
+    * registered domain: large sites run distinct hosts (shop.x.com vs
+    * www.x.com) with separate robots files and separate politeness
+    * budgets, so a host-level fetcher serializes per host, not per
+    * registrant. Default (domain lanes) is the conservative policy and
+    * keeps every fixture query byte-identical; the host derives from the
+    * page's own `url` (`www.` stripped — the same spelling both gates
+    * key on). */
+  def crawlSchedule(gated: DataFrame, byHost: Boolean = false): DataFrame = {
+    val lane = if (byHost)
+      UrlOps.parseNormalize(col("url")).getField("host")
+    else col("registered_domain")
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("registered_domain")).orderBy(col("doc_id"))
+      .partitionBy(lane).orderBy(col("doc_id"))
     gated.filter(col("robots_allowed"))
       .withColumn("fetch_seq", row_number().over(w))
       .withColumn("fetch_at_s",
         (col("fetch_seq") - 1).cast("long") *
           greatest(coalesce(col("crawl_delay"), lit(1)), lit(1)).cast("long"))
-      .select(col("registered_domain"), col("doc_id"), col("url"),
-        col("fetch_seq"), col("fetch_at_s"))
+      .select(col("registered_domain") +: (if (byHost) Seq(lane.as("host"))
+        else Nil) :+ col("doc_id") :+ col("url") :+
+        col("fetch_seq") :+ col("fetch_at_s"): _*)
   }
 
   /** [[crawlSchedule]] over the [[webRobots]] fixture gate. */
@@ -673,10 +686,17 @@ object Robots {
     * before what didn't), then `doc_id` (nulls LAST — known pages before
     * unidentified discoveries at equal priority), then `url_norm` (total
     * determinism). Same slot arithmetic and same single-window shape as
-    * [[crawlSchedule]] — one shuffle on `registered_domain`. */
-  def recrawlSchedule(prioritized: DataFrame): DataFrame = {
+    * [[crawlSchedule]] — one shuffle on the lane key. `byHost = true`
+    * keys lanes on the normalized host (derived from `url_norm`, the
+    * frontier's canonical spelling) instead of the registered domain —
+    * the [[crawlSchedule]] host-politeness option, default unchanged. */
+  def recrawlSchedule(prioritized: DataFrame,
+      byHost: Boolean = false): DataFrame = {
+    val lane = if (byHost)
+      UrlOps.parseNormalize(col("url_norm")).getField("host")
+    else col("registered_domain")
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("registered_domain"))
+      .partitionBy(lane)
       .orderBy(col("recrawl_priority"), col("doc_id").asc_nulls_last,
         col("url_norm"))
     prioritized.filter(col("robots_allowed"))
@@ -684,10 +704,11 @@ object Robots {
       .withColumn("fetch_at_s",
         (col("fetch_seq") - 1).cast("long") *
           greatest(coalesce(col("crawl_delay"), lit(1)), lit(1)).cast("long"))
-      .select(col("registered_domain"), col("url_norm"), col("url"),
-        col("doc_id"), col("provenance"), col("lastmod"),
-        col("recrawl_priority"), col("domain_changed"),
-        col("fetch_seq"), col("fetch_at_s"))
+      .select(col("registered_domain") +: (if (byHost) Seq(lane.as("host"))
+        else Nil) :+ col("url_norm") :+ col("url") :+
+        col("doc_id") :+ col("provenance") :+ col("lastmod") :+
+        col("recrawl_priority") :+ col("domain_changed") :+
+        col("fetch_seq") :+ col("fetch_at_s"): _*)
   }
 
   /** The composed fixture query: render per-domain robots, parse them

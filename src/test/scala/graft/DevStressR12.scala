@@ -28,7 +28,7 @@ object DevStressR12 {
     spark.sparkContext.setLogLevel("ERROR")
     println("[stress-r12] delta  center_cos  append_recall  rebuild_recall")
     for (delta <- Seq(0.1, 0.2, 0.3, 0.45, 0.6, 0.8, 1.0)) {
-      val (a, r) =
+      val (a, r, _) =
         try Recall.appendDriftMetricsAt(spark, delta)
         finally ops.CacheScope.releaseAll(spark)
       val cc = a.extra.toMap.getOrElse("center_cos_x1000", -1L) / 1000.0

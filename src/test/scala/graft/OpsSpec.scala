@@ -3601,6 +3601,113 @@ class OpsSpec extends SparkSpec {
     })
   }
 
+  test("retrainAnnIndex: retrained index equals a fresh build, from stored vectors alone") {
+    import graft.ops.Similarity
+    val spark2 = spark; import spark2.implicits._
+    def vec(i: Long) = Array.tabulate(64) { d =>
+      val b = if ((i % 2 == 0) == (d < 32)) 1f else 0f
+      b + ((i * 7 + d) % 5) * 0.01f
+    }
+    val all = (0L to 299L).map(i => (i, vec(i), 0))
+      .toDF("vec_id", "embedding", "label")
+    // the appended batch sits INSIDE both quantizer samples (ids ≡ 7
+    // mod 50 are ≡ IvfCentroidResidue mod IvfCentroidStride AND odd), so
+    // the frozen-quantizer append genuinely DIFFERS from a full build —
+    // the retrain has real work to do
+    val base = all.filter(col("vec_id") % 50 =!= 7)
+    val batch = all.filter(col("vec_id") % 50 === 7)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ann-retrain-spec").toString
+    Similarity.writeAnnIndex(Similarity.buildAnnIndex(base), dir)
+    Similarity.appendAnnIndex(dir, batch)
+    def tbl(df: org.apache.spark.sql.DataFrame) = {
+      val cs = df.columns.sorted.map(col(_))
+      df.select(cs: _*).collect().map(_.toString).sorted.toSeq
+    }
+    val fresh = Similarity.buildAnnIndex(all)
+    assert(tbl(Similarity.readAnnIndex(spark, dir).centroids) !=
+      tbl(fresh.centroids),
+      "fixture defect: the append should NOT already equal a rebuild")
+    // the remedy: quantizers re-derive from the index's own stored
+    // vectors — table-for-table identical to a fresh build over the
+    // same vector set
+    Similarity.retrainAnnIndex(spark, dir)
+    val retrained = Similarity.readAnnIndex(spark, dir)
+    assert(tbl(retrained.centroids) == tbl(fresh.centroids))
+    assert(tbl(retrained.codebook) == tbl(fresh.codebook))
+    assert(tbl(retrained.codes) == tbl(fresh.codes))
+    assert(retrained.subspaces == fresh.subspaces &&
+      retrained.codesPerSub == fresh.codesPerSub)
+    // pending takedowns fold OUT through a retrain: the re-encode runs
+    // over the live view, the tombstone table retires with the swap, and
+    // the result equals a fresh build over the survivors
+    Similarity.deleteFromAnnIndex(dir,
+      all.filter(col("vec_id") % 10 === 0).select(col("vec_id")))
+    Similarity.retrainAnnIndex(spark, dir)
+    assert(!new java.io.File(s"$dir/tombstones").exists())
+    val survivors = Similarity.buildAnnIndex(
+      all.filter(col("vec_id") % 10 =!= 0))
+    assert(tbl(Similarity.readAnnIndex(spark, dir).codes) ==
+      tbl(survivors.codes))
+    // a fully-tombstoned index REFUSES the retrain before mutating
+    Similarity.deleteFromAnnIndex(dir, all.select(col("vec_id")))
+    intercept[IllegalArgumentException] {
+      Similarity.retrainAnnIndex(spark, dir)
+    }
+    assert(new java.io.File(s"$dir/tombstones").exists())
+    graft.ops.CacheScope.releaseAll(spark)
+  }
+
+  test("byHost politeness lanes: hosts of one registered domain run independently") {
+    import graft.ops.Robots
+    val spark2 = spark; import spark2.implicits._
+    val gated = Seq(
+      (1L, "https://shop.x.com/a", "x.com", true, Some(2)),
+      (2L, "https://shop.x.com/b", "x.com", true, Some(2)),
+      (3L, "https://www.x.com/c", "x.com", true, Some(2)),
+      (4L, "https://shop.x.com/blocked", "x.com", false, Some(2)))
+      .toDF("doc_id", "url", "registered_domain", "robots_allowed",
+        "crawl_delay")
+    // default: ONE x.com lane, unchanged behavior (no host column)
+    val dom = Robots.crawlSchedule(gated)
+    assert(!dom.columns.contains("host"))
+    val dmap = dom.collect().map(r => r.getAs[Long]("doc_id") ->
+      ((r.getAs[Int]("fetch_seq"), r.getAs[Long]("fetch_at_s")))).toMap
+    assert(dmap == Map(1L -> ((1, 0L)), 2L -> ((2, 2L)), 3L -> ((3, 4L))),
+      dmap.toString)
+    // byHost: shop.x.com and (www.)x.com are SEPARATE lanes — each
+    // sequences from 1; the normalized host rides along
+    val byHost = Robots.crawlSchedule(gated, byHost = true)
+    val hmap = byHost.collect().map(r => r.getAs[Long]("doc_id") ->
+      ((r.getAs[String]("host"), r.getAs[Int]("fetch_seq"),
+        r.getAs[Long]("fetch_at_s")))).toMap
+    assert(hmap == Map(
+      1L -> (("shop.x.com", 1, 0L)), 2L -> (("shop.x.com", 2, 2L)),
+      3L -> (("x.com", 1, 0L))), hmap.toString)
+    // the recrawl twin: same option, lanes keyed on url_norm's host
+    val pr = Seq(
+      ("https://shop.x.com/a", "https://shop.x.com/a", Some(1L), "corpus",
+        "x.com", true, Some(2), 1, false),
+      ("https://shop.x.com/b", "https://shop.x.com/b", Some(2L), "corpus",
+        "x.com", true, Some(2), 1, false),
+      ("https://x.com/c", "https://www.x.com/c", Some(3L), "corpus",
+        "x.com", true, Some(2), 1, false))
+      .toDF("url_norm", "url", "doc_id", "provenance", "registered_domain",
+        "robots_allowed", "crawl_delay", "recrawl_priority",
+        "domain_changed").withColumn("lastmod", lit(null).cast("string"))
+    val rDom = Robots.recrawlSchedule(pr)
+    assert(!rDom.columns.contains("host"))
+    assert(rDom.collect().map(_.getAs[Int]("fetch_seq")).sorted.toSeq ==
+      Seq(1, 2, 3))
+    val rHost = Robots.recrawlSchedule(pr, byHost = true)
+    val rmap = rHost.collect().map(r => r.getAs[String]("url_norm") ->
+      ((r.getAs[String]("host"), r.getAs[Int]("fetch_seq")))).toMap
+    assert(rmap == Map(
+      "https://shop.x.com/a" -> (("shop.x.com", 1)),
+      "https://shop.x.com/b" -> (("shop.x.com", 2)),
+      "https://x.com/c" -> (("x.com", 1))), rmap.toString)
+  }
+
   test("expandFrontier: fixpoint convergence, hop provenance, and the maxHops cap") {
     import graft.ops.Robots
     val spark2 = spark; import spark2.implicits._
