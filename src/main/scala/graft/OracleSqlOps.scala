@@ -3008,7 +3008,16 @@ FROM ($webOutlinks)""")
     * by the same generative recipe, provenance 'link', no doc_id, no
     * freshness claim. The engine must earn every row through its real
     * fetch→extract→resolve→collapse→anti-join→gate iteration, with the
-    * maxHops=3 budget ending the unbounded chain. */
+    * maxHops=3 budget ending the unbounded chain.
+    *
+    * Recipe invariant this closed form leans on: NO robots render rule
+    * matches a `/chain/` path (the recipe's disallows are
+    * /casino-bonus/, /de/, /private/ and the `*-padding$` wildcard), so
+    * every chain row is allowed and the engine descends the full hop
+    * series for every origin — if a future recipe change introduced a
+    * rule matching /chain/, the engine would correctly stop descending
+    * at the disallowed row and THIS oracle would need the same
+    * conditional. */
   val webFrontierHops: String = s"""WITH wf AS ($webFrontier),
 origins AS (
   SELECT DISTINCT regexp_extract(url_norm,
@@ -3025,7 +3034,14 @@ SELECT url_norm, url, registered_domain, path,
   CAST(NULL AS VARCHAR) AS lastmod,
   $robotsDecisionCols,
   CAST(n + 1 AS INT) AS hop
-FROM (SELECT *, length(registered_domain) AS l FROM cn)
+FROM (SELECT *, length(registered_domain) AS l FROM cn
+      -- the target URL-hygiene gate (UrlOps.filterReason, the same gate
+      -- the streaming twin applies): a blocked-domain / spam-path /
+      -- over-length DISCOVERY never enters the frontier — on the chain
+      -- fixture only the blocklist rule can fire (spam-mirror origins)
+      WHERE registered_domain <> 'spam-mirror.net'
+        AND NOT regexp_matches(lower(path), '(casino|viagra|porn|xxx)')
+        AND length(url) <= 200)
 UNION ALL
 SELECT url_norm, url, registered_domain, path, doc_id, provenance, lastmod,
   robots_allowed, robots_rule, crawl_delay, 0 AS hop

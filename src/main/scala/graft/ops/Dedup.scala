@@ -1275,32 +1275,46 @@ object Dedup {
           Seq(idCol), "left_anti")
       val bucketed = Seq(("digests", "hid", "__h"), ("banded", "doc_id",
         "band0")).map { case (n, id, key) =>
-        (n, key, live(s.table(s"${prefix}_$n"), id))
-      }
-      val embPath = new org.apache.hadoop.fs.Path(s"$dir/emb")
-      val liveEmb = if (fs.exists(embPath))
-        Some(live(s.read.parquet(embPath.toString), "hid")) else None
-      // ALL emptiness guards run before ANY mutation — a full-corpus
-      // takedown refuses with every table and the tombstones intact
-      (bucketed.map(b => (b._1, b._3)) ++ liveEmb.map(("emb", _))).foreach {
-        case (n, df) => require(!df.isEmpty,
-          s"compaction would empty $dir/$n — a full-corpus takedown should " +
-            "delete the index (or rebuild over the surviving history), not " +
-            "compact it; tombstones left intact")
-      }
-      bucketed.foreach { case (n, key, df) =>
         val ident = org.apache.spark.sql.catalyst.TableIdentifier(
           s"${prefix}_$n")
-        val spec = s.sessionState.catalog.getTableMetadata(ident).bucketSpec
+        val meta = s.sessionState.catalog.getTableMetadata(ident)
+        // the (dir, prefix) pairing is VERIFIED FIRST, not trusted
+        // (self-review r13): with two bucketed indexes on disk, a caller
+        // crossing dirA with prefixB would read B's live rows, write B's
+        // survivors into A's directories, and drop A's tombstones — A's
+        // index silently replaced by B's data. The catalog table must
+        // LIVE at $dir/$n.
+        val expected = fs.makeQualified(
+          new org.apache.hadoop.fs.Path(s"$dir/$n"))
+        val actual = fs.makeQualified(
+          new org.apache.hadoop.fs.Path(meta.location))
+        require(actual == expected,
+          s"catalog table ${prefix}_$n is located at $actual, not the " +
+            s"$expected this compaction targets — dir/prefix mismatch")
+        val spec = meta.bucketSpec
           .getOrElse(throw new IllegalStateException(
             s"catalog table ${prefix}_$n carries no bucket spec — " +
               "not a writeIndexBucketed artifact"))
         require(spec.bucketColumnNames == Seq(key),
           s"${prefix}_$n is bucketed on ${spec.bucketColumnNames}, " +
             s"expected $key")
+        (n, key, spec.numBuckets, live(s.table(s"${prefix}_$n"), id))
+      }
+      val embPath = new org.apache.hadoop.fs.Path(s"$dir/emb")
+      val liveEmb = if (fs.exists(embPath))
+        Some(live(s.read.parquet(embPath.toString), "hid")) else None
+      // ALL emptiness guards run before ANY mutation — a full-corpus
+      // takedown refuses with every table and the tombstones intact
+      (bucketed.map(b => (b._1, b._4)) ++ liveEmb.map(("emb", _))).foreach {
+        case (n, df) => require(!df.isEmpty,
+          s"compaction would empty $dir/$n — a full-corpus takedown should " +
+            "delete the index (or rebuild over the surviving history), not " +
+            "compact it; tombstones left intact")
+      }
+      bucketed.foreach { case (n, key, buckets, df) =>
         val tmp = s"${prefix}_${n}_compacting"
         graft.sources.Bucketing.writeBucketed(df, tmp,
-          s"$dir/${n}_compacting", key, spec.numBuckets)
+          s"$dir/${n}_compacting", key, buckets)
         TempDirs.swapInto(fs,
           new org.apache.hadoop.fs.Path(s"$dir/${n}_compacting"),
           new org.apache.hadoop.fs.Path(s"$dir/$n"))

@@ -876,17 +876,29 @@ object Robots {
     while (h <= maxHops && grew) {
       val fetched = fetchHtml(last.filter(col("robots_allowed"))
         .select(col("url_norm").as("url")))
+      // the TARGET hygiene gate runs before anything is recorded — the
+      // same [[UrlOps.filterReason]] the streaming twin
+      // ([[graft.streaming.StreamingCrawl.linkCandidates]]) applies: a
+      // blocked-domain / spam / over-length discovery must not enter the
+      // frontier, let alone be fetched at the next hop (self-review r13)
       val links = TextExtract.outlinks(fetched.select(
-        lit(null).cast("long").as("doc_id"), col("url"), col("html")))
+          lit(null).cast("long").as("doc_id"), col("url"), col("html")))
+        .filter(UrlOps.filterReason(col("link")) === "ok")
       val cand = links.groupBy(
           UrlOps.parseNormalize(col("link")).getField("url_norm")
             .as("url_norm"))
         .agg(min(col("link")).as("url"))
       val fresh = cand.join(seen, Seq("url_norm"), "left_anti")
       val u = UrlOps.parseNormalize(col("url_norm"))
+      // robots match target is PATH + QUERY (RFC 9309 §2.2.2, the
+      // streaming twin's form — `Disallow: /*?sid=`-style rules must
+      // gate a query-bearing discovery identically in batch and stream);
+      // identity on the query-free fixture chain, so the closed-form
+      // oracle is untouched
       val added = robotsGate(fresh
           .withColumn("registered_domain", u.getField("registered_domain"))
-          .withColumn("path", u.getField("path")), robots, agent)
+          .withColumn("path", u.getField("path")), robots, agent,
+          query = Some(UrlOps.queryOf(col("url_norm"))))
         .select(col("url_norm"), col("url"), col("registered_domain"),
           col("path"), lit(null).cast("long").as("doc_id"),
           lit("link").as("provenance"),

@@ -1054,9 +1054,11 @@ object Similarity {
     * — a pending takedown is folded out here and can never re-enter),
     * re-run the deterministic build recipe over them under the index's
     * OWN meta parameters (subspaces / codes-per-sub — nothing is
-    * re-guessed), write the four tables aside, and swap them in by
-    * checked rename ([[TempDirs.swapInto]] — a failed swap restores the
-    * live table and keeps the tombstones, never a silent half-index).
+    * re-guessed), build the replacement index COMPLETE in a sibling
+    * directory, and swap the WHOLE index in as one unit by checked
+    * rename ([[TempDirs.swapInto]] — a failed swap restores the old
+    * index or names the aside path loudly; readers only ever see the
+    * fully-old or fully-new index, never new quantizers over old codes).
     *
     * Exactness: [[buildAnnIndex]] is a pure deterministic function of the
     * vector SET, so the retrained index is table-for-table IDENTICAL to a
@@ -1076,24 +1078,24 @@ object Similarity {
     require(!vectors.isEmpty,
       s"retrain over an empty index $dir — a fully-tombstoned index " +
         "should be deleted, not retrained; nothing mutated")
-    val tmp = s"$dir/_retraining"
+    // the rebuilt index lands in a SIBLING directory and the WHOLE index
+    // swaps as one unit (self-review r13): four per-table swaps could
+    // fail mid-sequence and leave new quantizers over old codes — a
+    // mixed state no reader can detect (old PQ codes decoded against the
+    // new codebook probe silently wrong). One directory-level swap
+    // leaves either the fully-old or the fully-new index; a failed swap
+    // restores (or names the aside path loudly) — never a half-index.
+    // The old directory's tombstones retire WITH it: the re-encode ran
+    // over the live view, so the takedowns are folded into the files.
+    val tmp = s"${dir}_retraining"
     writeAnnIndex(buildAnnIndex(vectors, subspaces = m.getAs[Int]("subspaces"),
       codes = m.getAs[Int]("codes")), tmp)
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
-    Seq("centroids", "codebook", "codes", "meta").foreach { n =>
-      TempDirs.swapInto(fs, new org.apache.hadoop.fs.Path(s"$tmp/$n"),
-        new org.apache.hadoop.fs.Path(s"$dir/$n"))
-      s.catalog.refreshByPath(s"$dir/$n")
-    }
-    require(fs.delete(new org.apache.hadoop.fs.Path(tmp), true),
-      s"retrain swapped $dir but could not remove the empty $tmp shell")
-    val ts = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
-    // the re-encode ran over the live view, so pending takedowns are now
-    // folded into the files — the tombstone table retires with the swap
-    if (fs.exists(ts)) require(fs.delete(ts, true),
-      s"retrain swapped $dir but could not drop the tombstone table " +
-        "(probe results stay correct; remove it manually)")
+    TempDirs.swapInto(fs, new org.apache.hadoop.fs.Path(tmp),
+      new org.apache.hadoop.fs.Path(dir))
+    Seq("centroids", "codebook", "codes", "meta").foreach(n =>
+      s.catalog.refreshByPath(s"$dir/$n"))
   }
 
   /** Append a NEW vector batch to a durable index under its FROZEN

@@ -124,9 +124,17 @@ object TempDirs {
       s"swap: could not move $dest aside; rewrite left at $tmp, " +
         "table untouched")
     if (!fs.rename(tmp, dest)) {
-      fs.rename(aside, dest) // best-effort restore of the live table
+      // the restore is itself CHECKED: a false return must not let the
+      // thrown message claim a restore that did not happen (the live data
+      // would sit at the aside path while the caller retries against a
+      // missing dest)
+      val restored = fs.rename(aside, dest)
       throw new IllegalStateException(
-        s"swap: could not move $tmp into $dest; original restored")
+        if (restored)
+          s"swap: could not move $tmp into $dest; original restored"
+        else s"swap: could not move $tmp into $dest AND the restore " +
+          s"failed — the live data is at $aside; move it back to $dest " +
+          "before retrying")
     }
     require(fs.delete(aside, true),
       s"swap: $dest swapped but stale copy $aside could not be removed " +

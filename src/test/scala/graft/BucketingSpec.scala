@@ -157,6 +157,16 @@ class BucketingSpec extends SparkSpec {
         Dedup.compactIndexBucketed(spark, dir, "cmpidx")
       }
       assert(new java.io.File(s"$dir/tombstones").exists())
+      // a CROSSED (dir, prefix) pairing refuses before reading anything:
+      // cmpidxf's catalog tables live under freshDir, not dir — without
+      // the location check this call would overwrite dir's index with
+      // freshDir's rows and drop dir's tombstones
+      val crossed = intercept[IllegalArgumentException] {
+        Dedup.compactIndexBucketed(spark, dir, "cmpidxf")
+      }
+      assert(crossed.getMessage.contains("dir/prefix mismatch"),
+        crossed.getMessage)
+      assert(new java.io.File(s"$dir/tombstones").exists())
       // a plain writeIndex layout refuses the bucketed compaction
       val pdir = Files.createTempDirectory("graft-bkidx-plain").toString
       Dedup.writeIndex(Dedup.buildIndex(history.limit(5)), pdir)

@@ -3744,6 +3744,18 @@ class OpsSpec extends SparkSpec {
       Robots.chainPageFixture(None), robots, maxHops = 3)
     assert(capped.count() == 2 + 3)
     assert(capped.agg(max(col("hop"))).head().getInt(0) == 3)
+    // the TARGET hygiene gate (the streaming twin's): a fetched page
+    // linking a spam path contributes the clean discovery only — the
+    // spam URL never enters the frontier, let alone a later fetch
+    val spamFetch = (urls: org.apache.spark.sql.DataFrame) => urls.select(
+      col("url"),
+      lit("""<a href="/ok-page">ok</a>""" +
+        """<a href="/casino-bonus/win">spam</a>""").as("html"))
+    val gated = Robots.expandFrontier(frontier, spamFetch, robots,
+      maxHops = 1)
+    val gatedNorms = gated.filter(col("hop") === 1)
+      .collect().map(_.getAs[String]("url_norm")).sorted.toSeq
+    assert(gatedNorms == Seq("https://a.com/ok-page"), gatedNorms.toString)
     graft.ops.CacheScope.releaseAll(spark)
   }
 
