@@ -1203,16 +1203,28 @@ object Dedup {
         s"$dir holds a writeIndexBucketed layout: compact it with " +
           "compactIndexBucketed (which re-runs the bucketed write over " +
           "the surviving rows), not compactIndex")
-      def live(name: String, idCol: String): Option[DataFrame] = {
+      // table presence is decided by the META (emb_rows > 0 ⇒ the emb
+      // tier MUST exist), not by fs.exists alone: a retry after a crash
+      // mid-emb-swap would otherwise read "no emb table", compact the
+      // rest, and drop the tombstones — bricking readIndex (meta still
+      // declares the tier) and un-masking the deleted embeddings when
+      // the operator restores the stranded _pre_swap copy (self-review
+      // r13). The digests/banded tables are unconditionally required.
+      val hasEmb = s.read.parquet(s"$dir/meta").head()
+        .getAs[Int]("emb_rows") > 0
+      def live(name: String, idCol: String): DataFrame = {
         val p = new org.apache.hadoop.fs.Path(s"$dir/$name")
-        if (!fs.exists(p)) None
-        else Some(s.read.parquet(p.toString)
+        require(fs.exists(p),
+          s"$dir/$name is missing but the index declares it — a previous " +
+            s"swap crashed; restore the ${name}_pre_swap copy before " +
+            "compacting (tombstones left intact)")
+        s.read.parquet(p.toString)
           .join(broadcast(t.withColumnRenamed("doc_id", idCol)),
-            Seq(idCol), "left_anti"))
+            Seq(idCol), "left_anti")
       }
-      val tables = Seq("digests" -> "hid", "banded" -> "doc_id",
-        "emb" -> "hid").flatMap { case (n, id) =>
-        live(n, id).map(df => (n, df))
+      val tables = (Seq("digests" -> "hid", "banded" -> "doc_id") ++
+        (if (hasEmb) Seq("emb" -> "hid") else Nil)).map { case (n, id) =>
+        (n, live(n, id))
       }
       // isEmpty short-circuits on the first live row — the guard never
       // scans a table it is about to pass (the corpus-scale frames stay
@@ -1234,12 +1246,8 @@ object Dedup {
         // swapped path (the Similarity.compactAnnIndex rationale)
         s.catalog.refreshByPath(p.toString)
       }
-      // after all verified swaps; a false return leaves tombstones masking
-      // already-removed rows (correct view) — surface it, don't lie
-      require(fs.delete(new org.apache.hadoop.fs.Path(s"$dir/tombstones"),
-          true),
-        s"compaction swapped $dir tables but could not drop the tombstone " +
-          "table (probe results stay correct; remove it manually)")
+      // after all verified swaps (shared epilogue)
+      TempDirs.dropTombstones(fs, dir)
     }
   }
 
@@ -1301,7 +1309,16 @@ object Dedup {
         (n, key, spec.numBuckets, live(s.table(s"${prefix}_$n"), id))
       }
       val embPath = new org.apache.hadoop.fs.Path(s"$dir/emb")
-      val liveEmb = if (fs.exists(embPath))
+      // meta decides whether the emb tier exists (the compactIndex
+      // rationale: a crash-stranded emb table must refuse, not silently
+      // skip and un-mask the takedown on restore)
+      val hasEmb = s.read.parquet(s"$dir/meta").head()
+        .getAs[Int]("emb_rows") > 0
+      require(!hasEmb || fs.exists(embPath),
+        s"$dir/emb is missing but the index declares it — a previous " +
+          "swap crashed; restore the emb_pre_swap copy before " +
+          "compacting (tombstones left intact)")
+      val liveEmb = if (hasEmb)
         Some(live(s.read.parquet(embPath.toString), "hid")) else None
       // ALL emptiness guards run before ANY mutation — a full-corpus
       // takedown refuses with every table and the tombstones intact
@@ -1328,10 +1345,8 @@ object Dedup {
           new org.apache.hadoop.fs.Path(s"$dir/emb_compacting"), embPath)
         s.catalog.refreshByPath(s"$dir/emb")
       }
-      require(fs.delete(new org.apache.hadoop.fs.Path(s"$dir/tombstones"),
-          true),
-        s"compaction swapped $dir tables but could not drop the tombstone " +
-          "table (probe results stay correct; remove it manually)")
+      // after all verified swaps (shared epilogue)
+      TempDirs.dropTombstones(fs, dir)
     }
   }
 

@@ -900,11 +900,16 @@ object Similarity {
     * [[readAnnIndex]] + [[probeAnnIndex]] — the corpus-scale encode is
     * never re-paid. */
   final case class AnnIndex(centroids: DataFrame, codebook: DataFrame,
-      codes: DataFrame, subspaces: Int, codesPerSub: Int)
+      codes: DataFrame, subspaces: Int, codesPerSub: Int,
+      lloydIters: Int = 0, maxCells: Int = IvfMaxCells)
 
   /** Build the IVF-PQ artifacts for a corpus (the offline half). Same
     * codebook derivations as [[ivfPqAdcTopK]], so a probe over the built
-    * index reproduces the inline operator's results exactly. */
+    * index reproduces the inline operator's results exactly. The index
+    * carries its FULL build recipe (subspaces, codes, lloydIters,
+    * maxCells — all persisted by [[writeAnnIndex]]) so a later
+    * [[retrainAnnIndex]] re-derives quantizers under the same recipe
+    * rather than silently reverting to defaults. */
   def buildAnnIndex(embeddings: DataFrame, subspaces: Int = IvfPqSubspaces,
       codes: Int = PqCodes, lloydIters: Int = 0,
       maxCells: Int = IvfMaxCells): AnnIndex = {
@@ -916,7 +921,7 @@ object Similarity {
     val ccodes = encodeResiduals(resid, cb, subspaces)
       .join(corpus.select(col("vec_id"), col("embedding"), col("n2")),
         "vec_id")
-    AnnIndex(centroids, cb, ccodes, subspaces, codes)
+    AnnIndex(centroids, cb, ccodes, subspaces, codes, lloydIters, maxCells)
   }
 
   /** Persist an [[AnnIndex]] as parquet under `dir` (three tables + a
@@ -934,7 +939,9 @@ object Similarity {
     index.codebook.write.mode("overwrite").parquet(s"$dir/codebook")
     index.codes.repartition(col("cell")).write.mode("overwrite")
       .partitionBy("cell").parquet(s"$dir/codes")
-    Seq((index.subspaces, index.codesPerSub)).toDF("subspaces", "codes")
+    Seq((index.subspaces, index.codesPerSub, index.lloydIters,
+        index.maxCells))
+      .toDF("subspaces", "codes", "lloyd_iters", "max_cells")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
   }
 
@@ -950,9 +957,14 @@ object Similarity {
         .join(broadcast(t.select(col("vec_id"))), Seq("vec_id"), "left_anti")
       case None => rawAnnCodes(s, dir)
     }
+    // pre-r13 artifacts carry no recipe columns; every such index was
+    // built under the defaults, so the fallback is exact, not a guess
+    def opt(name: String, dflt: Int): Int =
+      if (m.schema.fieldNames.contains(name)) m.getAs[Int](name) else dflt
     AnnIndex(s.read.parquet(s"$dir/centroids"),
       s.read.parquet(s"$dir/codebook"), codes,
-      m.getAs[Int]("subspaces"), m.getAs[Int]("codes"))
+      m.getAs[Int]("subspaces"), m.getAs[Int]("codes"),
+      opt("lloyd_iters", 0), opt("max_cells", IvfMaxCells))
   }
 
   /** The codes table as WRITTEN (tombstones NOT applied) — the compaction
@@ -1031,13 +1043,8 @@ object Similarity {
       TempDirs.swapInto(fs,
         new org.apache.hadoop.fs.Path(s"$dir/codes_compacting"),
         new org.apache.hadoop.fs.Path(s"$dir/codes"))
-      // tombstones drop only AFTER the verified swap; a false return here
-      // leaves them masking already-removed rows — a harmless no-op view,
-      // but surface it rather than let the stale table linger silently
-      require(fs.delete(new org.apache.hadoop.fs.Path(s"$dir/tombstones"),
-          true),
-        s"compaction swapped $dir/codes but could not drop the tombstone " +
-          "table (probe results stay correct; remove it manually)")
+      // tombstones drop only AFTER the verified swap (shared epilogue)
+      TempDirs.dropTombstones(fs, dir)
       // the swap invalidates any cached file listing for the path (Spark's
       // FileStatusCache is shared session-wide) — without this a later
       // read plans against the pre-compaction file set and fails mid-scan
@@ -1087,9 +1094,17 @@ object Similarity {
     // restores (or names the aside path loudly) — never a half-index.
     // The old directory's tombstones retire WITH it: the re-encode ran
     // over the live view, so the takedowns are folded into the files.
+    // the FULL recipe restores from meta (self-review r13: rebuilding
+    // with default lloydIters/maxCells over a Lloyd-refined or
+    // capacity-sized index would silently change the cell geometry the
+    // documented remedy promises to preserve)
+    def opt(name: String, dflt: Int): Int =
+      if (m.schema.fieldNames.contains(name)) m.getAs[Int](name) else dflt
     val tmp = s"${dir}_retraining"
-    writeAnnIndex(buildAnnIndex(vectors, subspaces = m.getAs[Int]("subspaces"),
-      codes = m.getAs[Int]("codes")), tmp)
+    writeAnnIndex(buildAnnIndex(vectors,
+      subspaces = m.getAs[Int]("subspaces"), codes = m.getAs[Int]("codes"),
+      lloydIters = opt("lloyd_iters", 0),
+      maxCells = opt("max_cells", IvfMaxCells)), tmp)
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     TempDirs.swapInto(fs, new org.apache.hadoop.fs.Path(tmp),

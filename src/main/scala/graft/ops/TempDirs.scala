@@ -117,6 +117,14 @@ object TempDirs {
   def swapInto(fs: org.apache.hadoop.fs.FileSystem,
       tmp: org.apache.hadoop.fs.Path, dest: org.apache.hadoop.fs.Path): Unit = {
     val aside = new org.apache.hadoop.fs.Path(dest.toString + "_pre_swap")
+    // an aside WITHOUT a dest is a crashed previous swap's only copy of
+    // the live data — deleting it as "stale" would destroy the table a
+    // retry is trying to rebuild (self-review r13). Stale means dest
+    // exists; evidence means it doesn't.
+    if (!fs.exists(dest) && fs.exists(aside))
+      throw new IllegalStateException(
+        s"$dest is missing while $aside exists — a previous swap crashed " +
+          s"mid-rename; restore $aside to $dest before retrying")
     if (fs.exists(aside))
       require(fs.delete(aside, true),
         s"swap: could not clear stale $aside; $dest left untouched")
@@ -140,6 +148,18 @@ object TempDirs {
       s"swap: $dest swapped but stale copy $aside could not be removed " +
         "(table is correct; remove the stale dir before the next compaction)")
   }
+
+  /** The shared tombstone-retirement epilogue of every index compaction
+    * (ANN codes, plain dedup, bucketed dedup — one definition, not three
+    * drifting copies): drop the table AFTER all verified swaps, loudly.
+    * A false return leaves tombstones masking already-removed rows — a
+    * harmless no-op view, surfaced rather than silently lingering. */
+  def dropTombstones(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Unit =
+    require(fs.delete(new org.apache.hadoop.fs.Path(s"$dir/tombstones"),
+        true),
+      s"compaction swapped $dir tables but could not drop the tombstone " +
+        "table (probe results stay correct; remove it manually)")
 
   private val dirLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()

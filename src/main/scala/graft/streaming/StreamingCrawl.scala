@@ -277,8 +277,14 @@ object StreamingCrawl {
         u.getField("url_norm").as("url_norm"),
         u.getField("registered_domain").as("registered_domain"),
         u.getField("path").as("path"))
+    // the robots match target is the NORMALIZED path+query — what the
+    // fetch queue will actually request (url_norm is the frontier key and
+    // the fetch spelling), and the SAME target the batch twin
+    // ([[graft.ops.Robots.expandFrontier]]) gates on: gating the raw
+    // link's query instead would let a tracking-param spelling flip the
+    // decision between batch and stream (self-review r13)
     graft.ops.Robots.robotsGate(cand, robots, agent,
-      query = Some(graft.ops.UrlOps.queryOf(col("url"))))
+      query = Some(graft.ops.UrlOps.queryOf(col("url_norm"))))
   }
 
   /** The stateful FRONTIER of streaming link discovery — the in-stream

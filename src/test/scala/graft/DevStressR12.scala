@@ -26,14 +26,17 @@ object DevStressR12 {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    println("[stress-r12] delta  center_cos  append_recall  rebuild_recall")
+    // the retrain column rides along since r13 (the harness pays for it
+    // either way — appendDriftMetricsAt measures the remedy too)
+    println("[stress-r12] delta  center_cos  append_recall  rebuild_recall" +
+      "  retrain_recall")
     for (delta <- Seq(0.1, 0.2, 0.3, 0.45, 0.6, 0.8, 1.0)) {
-      val (a, r, _) =
+      val (a, r, rt) =
         try Recall.appendDriftMetricsAt(spark, delta)
         finally ops.CacheScope.releaseAll(spark)
       val cc = a.extra.toMap.getOrElse("center_cos_x1000", -1L) / 1000.0
       println(f"[stress-r12] $delta%5.2f  $cc%10.3f  ${a.recall}%13.3f" +
-        f"  ${r.recall}%14.3f")
+        f"  ${r.recall}%14.3f  ${rt.recall}%14.3f")
     }
 
     // takedown at 100×: tombstone 1% of a 400k-vector durable index, then
