@@ -51,6 +51,11 @@ object SparkEntry {
     // the takedown-path index likewise: build + tombstone + compaction are
     // offline maintenance; ann_index_delete times the post-compaction probe
     ops.Similarity.annIndexDeleteProbe(emb(s, dir))
+    // the retrain-path index too: build + append + retrain are the
+    // offline drift remedy; ann_index_retrain times the post-retrain
+    // probe (its siblings' convention — the r13 first bench capture paid
+    // the one-time 10.7 s composition inside the timed loop)
+    ops.Similarity.annIndexRetrainProbe(emb(s, dir))
     // and the durable dedup index (dedup_index_probe's artifact)
     val d = docs(s, dir)
     val e = emb(s, dir).select(col("vec_id").as("doc_id"), col("embedding"))
