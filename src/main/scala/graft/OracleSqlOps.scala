@@ -2879,6 +2879,96 @@ SELECT registered_domain,
   '2026-04-0' || i
 FROM news"""
 
+  /** Canonical-dedup oracle (mirrors graft.ops.UrlOps.webUrlCanonical):
+    * the syndicated copy's dedup key IS its original's url_norm (the
+    * canonical link resolves to the raw original minus fragment, and
+    * normalization does the rest), base pages key on their own url_norm
+    * — stated generatively; the engine must earn each key through the
+    * real `<link rel=canonical>` extraction, RFC 3986 resolution, and
+    * normalization. */
+  lazy val webUrlCanonical: String = {
+    val pages = s"SELECT doc_id, url FROM (${urlPagesOver("documents")})"
+    s"""WITH allrows AS (
+  SELECT doc_id, url FROM ($pages)
+  UNION ALL
+  SELECT doc_id + 20000000, url FROM ($pages) WHERE doc_id % 10 = 0
+), n AS (
+  ${urlNormCols("SELECT doc_id, url FROM allrows")}
+), k AS (
+  SELECT doc_id, url_norm AS dedup_key FROM n
+), c AS (
+  SELECT dedup_key, min(doc_id) AS keep_id FROM k GROUP BY 1
+)
+SELECT doc_id, dedup_key, keep_id, doc_id = keep_id AS is_canonical
+FROM k JOIN c USING (dedup_key)"""
+  }
+
+  /** PII-scrub oracle (mirrors graft.ops.TextAnalysis.textPiiScrub): the
+    * decoration is stated closed-form from the residue recipe, and the
+    * scrub itself is the same three patterns in the SAME fixed order
+    * (email → phone → ip; each count taken on the text the previous pass
+    * left) — the regexes live in the regex subset Java and RE2 interpret
+    * identically, so the redacted text is byte-exact across engines. */
+  val textPiiScrub: String = {
+    val email = graft.ops.TextAnalysis.PiiEmailRe
+    val phone = graft.ops.TextAnalysis.PiiPhoneRe
+    val ip = graft.ops.TextAnalysis.PiiIpRe
+    s"""WITH p AS (
+  SELECT doc_id, text ||
+    CASE WHEN doc_id % 7 = 6 THEN '' ELSE
+      (CASE WHEN doc_id % 3 = 0
+            THEN ' contact user' || CAST(doc_id AS VARCHAR) ||
+                 '@example.com for details'
+            WHEN doc_id % 3 = 1
+            THEN ' call 555-' ||
+                 lpad(CAST(doc_id % 900 + 100 AS VARCHAR), 3, '0') || '-' ||
+                 lpad(CAST(doc_id % 9000 + 1000 AS VARCHAR), 4, '0') ||
+                 ' now'
+            ELSE ' server 10.' || CAST(doc_id % 256 AS VARCHAR) || '.' ||
+                 CAST(doc_id % 250 AS VARCHAR) || '.' ||
+                 CAST(doc_id % 200 AS VARCHAR) || ' responded' END) ||
+      (CASE WHEN doc_id % 5 = 0
+            THEN ' cc admin' || CAST(doc_id % 10 AS VARCHAR) || '@site.org'
+            ELSE '' END)
+    END AS text
+  FROM documents
+), s1 AS (
+  SELECT doc_id,
+    CAST(len(regexp_extract_all(text, '$email')) AS INT) AS n_emails,
+    regexp_replace(text, '$email', '|||EMAIL_ADDRESS|||', 'g') AS t1
+  FROM p
+), s2 AS (
+  SELECT doc_id, n_emails,
+    CAST(len(regexp_extract_all(t1, '$phone')) AS INT) AS n_phones,
+    regexp_replace(t1, '$phone', '|||PHONE_NUMBER|||', 'g') AS t2
+  FROM s1
+)
+SELECT doc_id, n_emails, n_phones,
+  CAST(len(regexp_extract_all(t2, '$ip')) AS INT) AS n_ips,
+  regexp_replace(t2, '$ip', '|||IP_ADDRESS|||', 'g') AS text_scrubbed
+FROM s2"""
+  }
+
+  /** Crawl-trap oracle (mirrors graft.ops.Robots.webCrawlTraps): the
+    * frontier's distinct locations grouped by (domain, first path
+    * segment) with the share and the >8 flag — integer-exact counts, and
+    * the share is one IEEE double division of exact integers on both
+    * engines. */
+  // lazy: declared above webFrontier, whose init this interpolates
+  lazy val webCrawlTraps: String = s"""WITH wf AS ($webFrontier),
+per AS (
+  SELECT registered_domain,
+    regexp_extract(path, '^(/[^/]*)', 1) AS path_prefix,
+    CAST(count(*) AS BIGINT) AS n_urls
+  FROM wf GROUP BY 1, 2
+), tot AS (
+  SELECT registered_domain, sum(n_urls) AS domain_urls FROM per GROUP BY 1
+)
+SELECT registered_domain, path_prefix, n_urls,
+  CAST(n_urls AS DOUBLE) / domain_urls AS prefix_share,
+  n_urls > 8 AS is_trap
+FROM per JOIN tot USING (registered_domain)"""
+
   /** Crawl-budget oracle (mirrors graft.ops.Robots.webCrawlBudget):
     * per-domain allowed-page count × governing crawl delay, built on the
     * webRobots decision subquery so both engines derive the gate the same

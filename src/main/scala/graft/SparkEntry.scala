@@ -314,6 +314,10 @@ object SparkEntry {
     // price, BFD minimizes it)
     "text_pack_bestfit" -> ((s, dir) => ops.TextAnalysis.packBestFit(docs(s, dir))),
     "text_sample" -> ((s, dir) => ops.TextAnalysis.stratifiedSample(docs(s, dir))),
+    // PII redaction (email/phone/IP -> category tokens + audit counts)
+    // over the residue-decorated fixture corpus
+    "text_pii_scrub" -> ((s, dir) =>
+      ops.TextAnalysis.textPiiScrub(docs(s, dir))),
     "corpus_stats" -> ((s, dir) => ops.TextAnalysis.corpusStats(docs(s, dir))),
     "corpus_quantiles" -> ((s, dir) => ops.TextAnalysis.corpusQuantiles(docs(s, dir))),
     "text_freq_quality" -> ((s, dir) => ops.TextAnalysis.freqQuality(docs(s, dir))),
@@ -492,6 +496,10 @@ object SparkEntry {
     // URL-level exact dedup (the cheapest crawl dedup tier): aliases that
     // normalize identically collapse to the min-id canonical
     "web_url_dedup" -> ((s, dir) => ops.UrlOps.webUrlDedup(docs(s, dir))),
+    // canonical-aware dedup: rel=canonical links collapse cross-host
+    // syndicated copies onto their originals (normalization can't)
+    "web_url_canonical" -> ((s, dir) =>
+      ops.UrlOps.webUrlCanonical(docs(s, dir))),
     // the FULL crawl-to-shards composition: URL gate -> extract -> line
     // dedup -> FineWeb recipe on the cleaned text
     // the robots tier is composed in (cheapest gate first; a provable
@@ -529,6 +537,10 @@ object SparkEntry {
     // allowed origin until the maxHops=3 budget caps the unbounded chain
     "web_frontier_hops" -> ((s, dir) =>
       ops.Robots.webFrontierHops(docs(s, dir))),
+    // crawl-trap diagnostic: per-(domain, first path segment) URL counts
+    // over the frontier with share + explosion flag
+    "web_crawl_traps" -> ((s, dir) =>
+      ops.Robots.webCrawlTraps(docs(s, dir))),
     "web_warc" -> ((s, dir) => ops.Warc.webWarc(docs(s, dir))),
     // the same round trip through REAL on-disk .warc.gz files (executor-side
     // write, binaryFile read, byte-level parse) — same oracle: the file hop
@@ -781,6 +793,7 @@ object SparkEntry {
     "text_pack" -> OracleSqlOps.textPack,
     "text_pack_bestfit" -> OracleSqlOps.textPackBestfit,
     "text_sample" -> OracleSqlOps.textSample,
+    "text_pii_scrub" -> OracleSqlOps.textPiiScrub,
     "corpus_stats" -> OracleSqlOps.corpusStats,
     "corpus_quantiles" -> OracleSqlOps.corpusQuantiles,
     "text_freq_quality" -> OracleSqlOps.textFreqQuality,
@@ -834,6 +847,7 @@ object SparkEntry {
     "web_url_filter" -> OracleSqlOps.webUrlFilter,
     "web_domains" -> OracleSqlOps.webDomains,
     "web_url_dedup" -> OracleSqlOps.webUrlDedup,
+    "web_url_canonical" -> OracleSqlOps.webUrlCanonical,
     "web_robots" -> OracleSqlOps.webRobots,
     "web_sitemaps" -> OracleSqlOps.webSitemaps,
     "web_sitemap_docs" -> OracleSqlOps.webSitemapDocs,
@@ -841,6 +855,7 @@ object SparkEntry {
     "web_crawl_schedule" -> OracleSqlOps.webCrawlSchedule,
     "web_frontier" -> OracleSqlOps.webFrontier,
     "web_frontier_hops" -> OracleSqlOps.webFrontierHops,
+    "web_crawl_traps" -> OracleSqlOps.webCrawlTraps,
     "web_recrawl" -> OracleSqlOps.webRecrawl,
     "web_warc" -> OracleSqlOps.webWarc,
     "web_warc_files" -> OracleSqlOps.webWarc,

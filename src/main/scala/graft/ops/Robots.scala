@@ -835,6 +835,44 @@ object Robots {
       Some(fixtureChangedDomains(docs))))
   }
 
+  /** Crawl-TRAP detection over a frontier — the URL-explosion diagnostic
+    * every production crawler runs next to its budget report: a trap
+    * (infinite calendar, session-id mill, faceted-search cartesian) shows
+    * up as one path PREFIX accumulating an outsized share of a domain's
+    * distinct URLs, and a crawler caps or skips the prefix rather than
+    * fetching it dry. Groups the frontier's distinct locations by
+    * `(registered_domain, FIRST path segment)` — the section a crawler
+    * caps (deeper prefixes re-run the same aggregation with a longer
+    * extract) — and reports each prefix's URL count, its share of the
+    * domain's URLs, and the `is_trap` flag (`n_urls > maxPerPrefix`).
+    * The frontier's rows are already one-per-`url_norm`, so the count is
+    * a plain `count(*)`.
+    *
+    * Scale shape: ONE map-side-combining aggregation on (domain, prefix)
+    * — slim keys, bounded output (prefix cardinality) — plus a broadcast
+    * join of the per-domain totals back onto it; the frontier table is
+    * never shuffled twice. */
+  def crawlTraps(frontier: DataFrame, maxPerPrefix: Int = 100): DataFrame = {
+    val prefix = regexp_extract(col("path"), "^(/[^/]*)", 1)
+    val per = CacheScope.trackEager(frontier
+      .groupBy(col("registered_domain"), prefix.as("path_prefix"))
+      .agg(count(lit(1)).as("n_urls")))
+    val totals = per.groupBy(col("registered_domain"))
+      .agg(sum(col("n_urls")).as("domain_urls"))
+    per.join(Par.maybeBroadcast(totals), Seq("registered_domain"))
+      .select(col("registered_domain"), col("path_prefix"), col("n_urls"),
+        (col("n_urls").cast("double") / col("domain_urls"))
+          .as("prefix_share"),
+        (col("n_urls") > maxPerPrefix).as("is_trap"))
+  }
+
+  /** The composed fixture query: [[webFrontier]] under a trap bar sized
+    * so the fixture's article sections (many `/lang/article-N` URLs per
+    * domain) exercise BOTH flag values — the oracle states the counts
+    * and flags in closed form over the same frontier. */
+  def webCrawlTraps(docs: DataFrame): DataFrame =
+    crawlTraps(webFrontier(docs), maxPerPrefix = 8)
+
   /** Multi-hop frontier EXPANSION — the iteration that closes the crawl
     * loop in batch mode (judge r12 missing #2: link discovery was one
     * hop — fetched pages → candidate URLs; a crawl ITERATES, hop N's

@@ -1834,4 +1834,81 @@ object TextAnalysis {
         (col("cum_prev") + col("within_prev") < budget).as("kept"))
     plain.unionByName(bound)
   }
+
+  // ---- PII scrubbing ------------------------------------------------------
+
+  /** The three PII patterns a pre-training text pipeline redacts (the
+    * Dolma/CCNet-style scrub — emails, US-shaped phone numbers, IPv4
+    * literals), written to the regex subset Java's engine and RE2-family
+    * engines interpret IDENTICALLY (character classes, bounded repeats,
+    * non-capturing groups, ASCII `\b` — no lookaround, no backreference)
+    * so the DuckDB oracle mirrors the scrub byte-exactly. */
+  val PiiEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PiiPhoneRe = "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b"
+  val PiiIpRe = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+
+  /** Replacement tokens — the public Dolma convention, distinguishable in
+    * downstream text without colliding with natural tokens. */
+  val PiiEmailToken = "|||EMAIL_ADDRESS|||"
+  val PiiPhoneToken = "|||PHONE_NUMBER|||"
+  val PiiIpToken = "|||IP_ADDRESS|||"
+
+  /** PII redaction over `(doc_id, text)` — the scrub step every public
+    * pre-training recipe runs before packing (emails, phone numbers and
+    * IP addresses are the classic trio; a deployment extends the pattern
+    * table the same way): each match is REPLACED with its category token
+    * and counted, so the output carries both the clean text and the
+    * per-category audit counts a data-governance report needs
+    * (`n_emails`/`n_phones`/`n_ips`). Scrub order is FIXED
+    * (email → phone → ip) and oracle-mirrored: emails are consumed
+    * before the IP pass so a digit-heavy mail domain cannot double-count.
+    *
+    * Pure per-row regex expressions — fuses into the scan ahead of any
+    * exchange, the [[TextExtract]] stage-zero shape; at 100 TB this is a
+    * map-only pass. */
+  def piiScrub(docs: DataFrame, keep: Seq[String] = Nil): DataFrame = {
+    val afterEmail = regexp_replace(col("text"), PiiEmailRe, PiiEmailToken)
+    val afterPhone = regexp_replace(afterEmail, PiiPhoneRe, PiiPhoneToken)
+    val scrubbed = regexp_replace(afterPhone, PiiIpRe, PiiIpToken)
+    docs.select(col("doc_id") +:
+      size(regexp_extract_all(col("text"), lit(PiiEmailRe), lit(0)))
+        .as("n_emails") +:
+      size(regexp_extract_all(afterEmail, lit(PiiPhoneRe), lit(0)))
+        .as("n_phones") +:
+      size(regexp_extract_all(afterPhone, lit(PiiIpRe), lit(0)))
+        .as("n_ips") +:
+      scrubbed.as("text_scrubbed") +: keep.map(col): _*)
+  }
+
+  /** Deterministic PII decoration of the shared `documents` fixture — the
+    * scrub witness (the driver corpus is synthetic prose with no digits
+    * or `@` at all, so scrubbing it directly would witness nothing): each
+    * doc gains a residue-keyed suffix carrying one entity class (plus a
+    * second email on the `% 5 == 0` residue — the multi-match witness),
+    * and `% 7 == 6` docs stay CLEAN (the no-op witness: counts 0, text
+    * unchanged). The render is stated closed-form by the oracle; the
+    * engine must earn the counts and the redacted text through the real
+    * regex scrub. */
+  def piiDocs(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    def pad(c: Column, n: Int): Column = lpad(c.cast("string"), n, "0")
+    val email = concat(lit(" contact user"), id.cast("string"),
+      lit("@example.com for details"))
+    val phone = concat(lit(" call 555-"), pad(id % 900 + 100, 3), lit("-"),
+      pad(id % 9000 + 1000, 4), lit(" now"))
+    val ip = concat(lit(" server 10."), (id % 256).cast("string"), lit("."),
+      (id % 250).cast("string"), lit("."), (id % 200).cast("string"),
+      lit(" responded"))
+    val extra = when(id % 5 === 0,
+      concat(lit(" cc admin"), (id % 10).cast("string"), lit("@site.org")))
+      .otherwise(lit(""))
+    val suffix = when(id % 7 === 6, lit(""))
+      .otherwise(concat(
+        when(id % 3 === 0, email).when(id % 3 === 1, phone).otherwise(ip),
+        extra))
+    docs.select(id, concat(col("text"), suffix).as("text"))
+  }
+
+  /** The composed fixture query: decorate, scrub. */
+  def textPiiScrub(docs: DataFrame): DataFrame = piiScrub(piiDocs(docs))
 }

@@ -209,4 +209,47 @@ object TextExtract {
     * extraction + the general resolver. */
   def webOutlinks(docs: DataFrame): DataFrame =
     outlinks(htmlPages(graft.ops.UrlOps.pageUrls(docs), keep = Seq("url")))
+
+  /** `rel="canonical"` extraction over fetched pages `(doc_id, url,
+    * html)` — the producer's OWN statement of a page's canonical
+    * location (syndicated copies, print views, faceted aliases all point
+    * their `<link rel="canonical">` at the original), the dedup signal
+    * URL normalization cannot derive: two spellings of one location
+    * collapse by [[graft.ops.UrlOps.parseNormalize]], but a copy on a
+    * DIFFERENT host only collapses through this tag. Both attribute
+    * orders are matched (`rel` before `href` and after), with the same
+    * delimiter-before-attribute discipline as [[outlinks]] (a
+    * `data-href`/`data-rel` cannot satisfy the pattern) and quote-paired
+    * values; the value resolves through the RFC 3986 resolver against
+    * the fetch URL (canonical links are frequently root-relative).
+    * Output `(doc_id, url, canonical)` — `canonical` null when the page
+    * declares none. Pure per-row expressions; fuses into the page scan. */
+  def canonicals(pages: DataFrame): DataFrame = {
+    val noScript = regexp_replace(col("html"),
+      "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val live = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val relFirst = regexp_extract(live,
+      "(?is)<link\\b[^>]*?[\\s\"']rel\\s*=\\s*([\"']?)canonical\\1" +
+        "[^>]*?[\\s\"']href\\s*=\\s*([\"'])([\\s\\S]*?)\\2", 3)
+    val hrefFirst = regexp_extract(live,
+      "(?is)<link\\b[^>]*?[\\s\"']href\\s*=\\s*([\"'])([\\s\\S]*?)\\1" +
+        "[^>]*?[\\s\"']rel\\s*=\\s*([\"']?)canonical\\3", 2)
+    val raw = coalesce(nullif(relFirst, lit("")), nullif(hrefFirst, lit("")))
+    val resolved = when(raw.isNull, lit(null).cast("string"))
+      .otherwise(graft.ops.UrlOps.resolveUrl(col("url"), raw))
+    // the canonical MATERIALIZES through a one-element explode — a
+    // Generate boundary Catalyst cannot collapse projections across
+    // (the outlinks idiom, deliberately): a plain select boundary gets
+    // inlined, and a downstream consumer like [[graft.ops.UrlOps
+    // .urlDedupCanonical]]'s parseNormalize references its input ~10×
+    // internally — duplicating THIS whole extract+resolve tree per
+    // mention multiplied expressions into a 133 MB task binary (measured;
+    // the executor OOM'd deserializing it). Post-Generate the consumer
+    // duplicates a leaf attribute instead. array(x) is always
+    // one-element, so no row is dropped — a page with no canonical
+    // emits its null.
+    pages.select(col("doc_id"), col("url"),
+      explode(array(resolved)).as("canonical"))
+  }
 }

@@ -385,6 +385,31 @@ object UrlOps {
   def webUrlFilter(docs: DataFrame): DataFrame = urlFilter(pageUrls(docs))
   def webDomains(docs: DataFrame): DataFrame = domains(pageUrls(docs))
 
+  /** Canonical-aware URL dedup over `(doc_id, url, canonical)` rows
+    * ([[graft.ops.TextExtract.canonicals]]' shape): the dedup key is the
+    * NORMALIZED canonical target when the page declares one, else the
+    * page's own normalized URL — so a syndicated copy on a DIFFERENT
+    * host collapses onto its original (the tier plain [[urlDedup]]
+    * cannot reach: normalization never crosses hosts), while undeclared
+    * pages dedup exactly as before. Same digest-shuffle shape as
+    * [[urlDedup]]: one map-side-combining `min` aggregation on the key
+    * plus the join back. A canonical pointing at a location the corpus
+    * never fetched still groups its declarers (the min-id declarer
+    * becomes the keeper) — the standard crawl treatment. */
+  def urlDedupCanonical(pages: DataFrame): DataFrame = {
+    // ONE parseNormalize over the coalesced spelling (canonical when
+    // declared, else the page's own URL) — normalizing both branches
+    // separately doubles an already-large expression for the same key
+    val key = parseNormalize(coalesce(col("canonical"), col("url")))
+      .getField("url_norm")
+    val u = pages.select(col("doc_id"), key.as("dedup_key"))
+    val canon = u.groupBy(col("dedup_key"))
+      .agg(min(col("doc_id")).as("keep_id"))
+    u.join(canon, "dedup_key")
+      .select(col("doc_id"), col("dedup_key"), col("keep_id"),
+        (col("doc_id") === col("keep_id")).as("is_canonical"))
+  }
+
   /** [[urlDedup]] fixture query. The rendered URLs are id-unique, so the
     * collision witness is manufactured the way real crawls produce one:
     * every 10th doc is "re-crawled" under a decorated ALIAS of the same
@@ -400,5 +425,40 @@ object UrlOps {
             regexp_extract(col("url"), "^[a-z]+(.*)$", 1)),
           "#.*$", "#mirror").as("url"))
     urlDedup(base.unionByName(mirrors))
+  }
+
+  /** [[urlDedupCanonical]] fixture query — the CROSS-HOST collapse
+    * witness plain normalization cannot produce: every `doc_id % 10 == 0`
+    * page gains a SYNDICATED copy on a foreign host
+    * (`https://syndicated-press.net/repost/<id>`) whose rendered HTML
+    * declares `<link rel="canonical">` back at the original's RAW url
+    * (`% 20 == 0` copies use the href-BEFORE-rel attribute order with an
+    * unquoted `rel` — both matcher branches witnessed in the gate); base
+    * pages render the standard fixture HTML, which declares no
+    * canonical. The engine earns every key through the real link
+    * extraction + RFC 3986 resolution + normalization; the oracle states
+    * the collapse generatively (the syndicated key IS the original's
+    * url_norm — resolution strips the fragment, normalization the
+    * rest). */
+  def webUrlCanonical(docs: DataFrame): DataFrame = {
+    val basePages = graft.ops.TextExtract
+      .htmlPages(pageUrls(docs), keep = Seq("url"))
+      .select(col("doc_id"), col("url"), col("html"))
+    val orig = pageUrls(docs).filter(col("doc_id") % 10 === 0)
+    val syndHtml = when(col("doc_id") % 20 === 0,
+        concat(lit("<html><head><link href=\""), col("url"),
+          lit("\" rel=canonical><title>repost</title></head>" +
+            "<body><p>syndicated copy</p></body></html>")))
+      .otherwise(concat(
+        lit("<html><head><link rel=\"canonical\" href=\""), col("url"),
+        lit("\"><title>repost</title></head>" +
+          "<body><p>syndicated copy</p></body></html>")))
+    val syndPages = orig.select(
+      (col("doc_id") + 20000000L).as("doc_id"),
+      concat(lit("https://syndicated-press.net/repost/"),
+        col("doc_id").cast("string")).as("url"),
+      syndHtml.as("html"))
+    urlDedupCanonical(graft.ops.TextExtract.canonicals(
+      basePages.unionByName(syndPages)))
   }
 }

@@ -3601,6 +3601,103 @@ class OpsSpec extends SparkSpec {
     })
   }
 
+  test("piiScrub: redacts email/phone/ip with counts; clean text untouched") {
+    import graft.ops.TextAnalysis
+    val spark2 = spark; import spark2.implicits._
+    val docs = Seq(
+      (1L, "write to jane.doe+tag@mail.example.org or bob@x.io today"),
+      (2L, "call 555-123-4567 or 555.987.6543 about the 10.0.0.1 box"),
+      (3L, "a perfectly clean sentence with no identifiers at all"),
+      // the ip must survive the phone pass (no 4-digit octet exists) and
+      // the email's digits must be consumed before the ip pass
+      (4L, "mail 10.20.30.40 logs to ops123@10x.example.com now"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.piiScrub(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Int]("n_emails") == 2)
+    assert(out(1L).getAs[String]("text_scrubbed") ==
+      "write to |||EMAIL_ADDRESS||| or |||EMAIL_ADDRESS||| today")
+    assert(out(2L).getAs[Int]("n_phones") == 2)
+    assert(out(2L).getAs[Int]("n_ips") == 1)
+    assert(out(2L).getAs[String]("text_scrubbed") ==
+      "call |||PHONE_NUMBER||| or |||PHONE_NUMBER||| about the " +
+        "|||IP_ADDRESS||| box")
+    assert(out(3L).getAs[String]("text_scrubbed") ==
+      "a perfectly clean sentence with no identifiers at all")
+    assert(out(3L).getAs[Int]("n_emails") == 0 &&
+      out(3L).getAs[Int]("n_phones") == 0 && out(3L).getAs[Int]("n_ips") == 0)
+    assert(out(4L).getAs[Int]("n_emails") == 1)
+    assert(out(4L).getAs[Int]("n_ips") == 1)
+    assert(out(4L).getAs[String]("text_scrubbed") ==
+      "mail |||IP_ADDRESS||| logs to |||EMAIL_ADDRESS||| now")
+  }
+
+  test("canonicals + urlDedupCanonical: cross-host syndicated copies collapse") {
+    import graft.ops.{TextExtract, UrlOps}
+    val spark2 = spark; import spark2.implicits._
+    val pages = Seq(
+      // the original — declares no canonical
+      (1L, "https://orig.example/story",
+        """<html><body><p>the story</p></body></html>"""),
+      // syndicated copy, rel-first quoted form, ABSOLUTE target
+      (2L, "https://mirror-a.net/repost/1",
+        """<link rel="canonical" href="https://orig.example/story">"""),
+      // syndicated copy, href-first with UNQUOTED rel
+      (3L, "https://mirror-b.org/s/1",
+        """<link href="https://orig.example/story" rel=canonical>"""),
+      // ROOT-RELATIVE canonical (print view -> its own clean spelling)
+      (4L, "https://paper.example/article/7?print=1",
+        """<link rel="canonical" href="/article/7">"""),
+      // a canonical inside a comment is dead markup, not a declaration
+      (5L, "https://plain.example/x",
+        """<!-- <link rel="canonical" href="/decoy"> --><p>x</p>"""))
+      .toDF("doc_id", "url", "html")
+    val c = TextExtract.canonicals(pages).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        Option(r.getAs[String]("canonical"))).toMap
+    assert(c(1L).isEmpty && c(5L).isEmpty)
+    assert(c(2L).contains("https://orig.example/story"))
+    assert(c(3L).contains("https://orig.example/story"))
+    assert(c(4L).contains("https://paper.example/article/7"))
+    val d = UrlOps.urlDedupCanonical(TextExtract.canonicals(pages))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("keep_id"), r.getAs[Boolean]("is_canonical")))).toMap
+    // 1, 2 and 3 share one key (the original wins as min id) — a collapse
+    // normalization alone can NEVER produce (three distinct hosts)
+    assert(d(1L) == ((1L, true)) && d(2L) == ((1L, false)) &&
+      d(3L) == ((1L, false)), d.toString)
+    // the print view keys on its canonical spelling, alone in its group
+    assert(d(4L) == ((4L, true)))
+    assert(d(5L) == ((5L, true)))
+  }
+
+  test("crawlTraps flags prefix URL explosions with per-domain shares") {
+    import graft.ops.Robots
+    val spark2 = spark; import spark2.implicits._
+    // a.com: 3 /cal/ urls + 1 /about -> /cal is 0.75 of the domain and
+    // over the bar; b.org: 2 urls in one prefix, under the bar
+    val frontier = Seq(
+      ("a.com", "/cal/2026-01-01"), ("a.com", "/cal/2026-01-02"),
+      ("a.com", "/cal/2026-01-03"), ("a.com", "/about"),
+      ("b.org", "/p/1"), ("b.org", "/p/2"))
+      .toDF("registered_domain", "path")
+      .withColumn("url_norm", concat(lit("https://"),
+        col("registered_domain"), col("path")))
+    val out = Robots.crawlTraps(frontier, maxPerPrefix = 2).collect()
+      .map(r => (r.getAs[String]("registered_domain"),
+        r.getAs[String]("path_prefix")) -> r).toMap
+    val cal = out(("a.com", "/cal"))
+    assert(cal.getAs[Long]("n_urls") == 3 && cal.getAs[Boolean]("is_trap"))
+    assert(math.abs(cal.getAs[Double]("prefix_share") - 0.75) < 1e-12)
+    assert(!out(("a.com", "/about")).getAs[Boolean]("is_trap"))
+    assert(!out(("b.org", "/p")).getAs[Boolean]("is_trap"))
+    // shares sum to one per domain
+    val shares = out.values.groupBy(_.getAs[String]("registered_domain"))
+      .view.mapValues(_.map(_.getAs[Double]("prefix_share")).sum)
+    shares.foreach { case (_, s) => assert(math.abs(s - 1.0) < 1e-12) }
+    graft.ops.CacheScope.releaseAll(spark)
+  }
+
   test("retrainAnnIndex: retrained index equals a fresh build, from stored vectors alone") {
     import graft.ops.Similarity
     val spark2 = spark; import spark2.implicits._
