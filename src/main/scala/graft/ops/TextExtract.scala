@@ -44,6 +44,19 @@ object TextExtract {
     * is navigation, not prose. */
   val MaxLinkDensity: Double = 1.0 / 3
 
+  /** The shared dead-markup strip (script/style blocks + comments → one
+    * space) every HTML reader here runs first — markup inside them is
+    * not content, not a frontier candidate, and not a canonical
+    * declaration. ONE definition ([[extractHtml]], [[outlinks]],
+    * [[canonicals]] all call it): the chain is load-bearing, and three
+    * drifting copies would mean a future hardening lands in one reader
+    * and silently misses the others (self-review r13). */
+  private def liveHtml(html: Column): Column = {
+    val noScript = regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+  }
+
   private def stripTags(c: Column): Column =
     regexp_replace(c, "<[^>]*>", " ")
 
@@ -70,13 +83,10 @@ object TextExtract {
   def extractHtml(html: Column, minWords: Int = MinWords,
       maxLinkDensity: Double = MaxLinkDensity): Column = {
     require(minWords >= 1, s"minWords >= 1: $minWords")
-    val noScript = regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " ")
-    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
-    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
     // Source-formatting newlines are NOT line structure: flatten all raw
     // whitespace first, so lines come only from block tags below (a wrapped
     // <p> stays one line, as any block-based extractor treats it).
-    val flat = regexp_replace(noComment, "[ \\t\\r\\n]+", " ")
+    val flat = regexp_replace(liveHtml(html), "[ \\t\\r\\n]+", " ")
     val blocky = regexp_replace(flat,
       "(?i)</(p|div|li|h[1-6]|tr|td|th|table|ul|ol|section|article|header|" +
         "footer|nav|blockquote|title)>|<br[^>]*>", "\n")
@@ -172,13 +182,10 @@ object TextExtract {
     * scan — zero shuffles; link volume is O(pages × links-per-page), the
     * same order as the extraction pass that already reads every page. */
   def outlinks(pages: DataFrame): DataFrame = {
-    // dead markup first (the extractHtml strip chain): an anchor inside a
-    // comment, <script> (document.write soup) or <style> block is not a
-    // navigable link and must not become a frontier candidate
-    val noScript = regexp_replace(col("html"),
-      "(?is)<script[^>]*>.*?</script>", " ")
-    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
-    val live = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    // dead markup first ([[liveHtml]]): an anchor inside a comment,
+    // <script> (document.write soup) or <style> block is not a navigable
+    // link and must not become a frontier candidate
+    val live = liveHtml(col("html"))
     // quote-PAIRED extraction (a backreference, not a [\"'] class: an
     // apostrophe inside a double-quoted value must not truncate it) plus
     // the legal HTML5 unquoted form; the two matchers are disjoint — an
@@ -225,17 +232,27 @@ object TextExtract {
     * Output `(doc_id, url, canonical)` — `canonical` null when the page
     * declares none. Pure per-row expressions; fuses into the page scan. */
   def canonicals(pages: DataFrame): DataFrame = {
-    val noScript = regexp_replace(col("html"),
-      "(?is)<script[^>]*>.*?</script>", " ")
-    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
-    val live = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
-    val relFirst = regexp_extract(live,
-      "(?is)<link\\b[^>]*?[\\s\"']rel\\s*=\\s*([\"']?)canonical\\1" +
-        "[^>]*?[\\s\"']href\\s*=\\s*([\"'])([\\s\\S]*?)\\2", 3)
-    val hrefFirst = regexp_extract(live,
-      "(?is)<link\\b[^>]*?[\\s\"']href\\s*=\\s*([\"'])([\\s\\S]*?)\\1" +
-        "[^>]*?[\\s\"']rel\\s*=\\s*([\"']?)canonical\\3", 2)
-    val raw = coalesce(nullif(relFirst, lit("")), nullif(hrefFirst, lit("")))
+    val live = liveHtml(col("html"))
+    // TWO-STAGE match, tag first (self-review r13): a single regex
+    // spanning from href to a later rel=canonical can BACKTRACK its
+    // quoted value across tag boundaries — with a stylesheet link
+    // preceding the canonical one, the value group swallowed
+    // `/app.css" rel="stylesheet"><link href=` and every page with that
+    // head keyed on identical garbage (false dedup merges). The tag
+    // extraction's `[^>]*` cannot cross a `>`, so the href below can
+    // only come from the tag that actually declares rel=canonical.
+    // The unquoted rel form requires a terminating delimiter
+    // (`canonical(?=[\s/>])`) — a nonstandard `rel=canonical-print`
+    // must not read as a canonical declaration; the quoted form's
+    // closing quote is its own boundary.
+    val tag = regexp_extract(live,
+      "(?is)<link\\b[^>]*[\\s\"']rel\\s*=\\s*" +
+        "(?:([\"'])canonical\\1|canonical(?=[\\s/>]))[^>]*>", 0)
+    val quoted = regexp_extract(tag,
+      "(?is)[\\s\"']href\\s*=\\s*([\"'])([\\s\\S]*?)\\1", 2)
+    val unquoted = regexp_extract(tag,
+      "(?is)[\\s\"']href\\s*=\\s*([^\\s\"'>][^\\s>]*)", 1)
+    val raw = coalesce(nullif(quoted, lit("")), nullif(unquoted, lit("")))
     val resolved = when(raw.isNull, lit(null).cast("string"))
       .otherwise(graft.ops.UrlOps.resolveUrl(col("url"), raw))
     // the canonical MATERIALIZES through a one-element explode — a

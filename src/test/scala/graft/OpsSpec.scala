@@ -3650,15 +3650,26 @@ class OpsSpec extends SparkSpec {
         """<link rel="canonical" href="/article/7">"""),
       // a canonical inside a comment is dead markup, not a declaration
       (5L, "https://plain.example/x",
-        """<!-- <link rel="canonical" href="/decoy"> --><p>x</p>"""))
+        """<!-- <link rel="canonical" href="/decoy"> --><p>x</p>"""),
+      // a stylesheet link PRECEDING the canonical one: the href must come
+      // from the declaring tag, never backtrack across tag boundaries
+      // (the pre-fix matcher extracted garbage spanning both tags here)
+      (6L, "https://styled.example/page",
+        """<link href="/app.css" rel="stylesheet">""" +
+          """<link href="https://styled.example/clean" rel="canonical">"""),
+      // a nonstandard unquoted rel merely PREFIXED with 'canonical' is
+      // NOT a canonical declaration
+      (7L, "https://notcanon.example/p",
+        """<link rel=canonical-print href="/print"><p>body</p>"""))
       .toDF("doc_id", "url", "html")
     val c = TextExtract.canonicals(pages).collect()
       .map(r => r.getAs[Long]("doc_id") ->
         Option(r.getAs[String]("canonical"))).toMap
-    assert(c(1L).isEmpty && c(5L).isEmpty)
+    assert(c(1L).isEmpty && c(5L).isEmpty && c(7L).isEmpty)
     assert(c(2L).contains("https://orig.example/story"))
     assert(c(3L).contains("https://orig.example/story"))
     assert(c(4L).contains("https://paper.example/article/7"))
+    assert(c(6L).contains("https://styled.example/clean"), c(6L).toString)
     val d = UrlOps.urlDedupCanonical(TextExtract.canonicals(pages))
       .collect().map(r => r.getAs[Long]("doc_id") ->
         ((r.getAs[Long]("keep_id"), r.getAs[Boolean]("is_canonical")))).toMap
@@ -3669,6 +3680,7 @@ class OpsSpec extends SparkSpec {
     // the print view keys on its canonical spelling, alone in its group
     assert(d(4L) == ((4L, true)))
     assert(d(5L) == ((5L, true)))
+    assert(d(6L) == ((6L, true)) && d(7L) == ((7L, true)))
   }
 
   test("crawlTraps flags prefix URL explosions with per-domain shares") {
