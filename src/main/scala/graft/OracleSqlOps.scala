@@ -2903,6 +2903,46 @@ SELECT doc_id, dedup_key, keep_id, doc_id = keep_id AS is_canonical
 FROM k JOIN c USING (dedup_key)"""
   }
 
+  /** Transitive-canonical oracle (mirrors
+    * graft.ops.UrlOps.webUrlCanonicalChain): the fixpoint is stated in
+    * CLOSED FORM from the fixture residues — the chain copies (mirror →
+    * synd → original) both key on the ORIGINAL's url_norm, the hostile
+    * thief keys there too but the self-canonical keeper preference elects
+    * the original over the thief's smaller id, and the loop pair breaks
+    * onto the cycle's min norm (loop-a's) — while the engine must earn
+    * every key through real extraction + RFC 3986 resolution +
+    * normalization + the bounded pointer-chase iteration. `selfc` marks
+    * the one declarer whose own norm IS the key (the keeper-election
+    * input); keep_id = min selfc id, falling back to plain min. */
+  lazy val webUrlCanonicalChain: String = {
+    val pages = s"SELECT doc_id, url FROM (${urlPagesOver("documents")})"
+    s"""WITH n AS (
+  ${urlNormCols(s"SELECT doc_id, url FROM ($pages)")}
+), k AS (
+  SELECT doc_id, url_norm AS dedup_key, TRUE AS selfc FROM n
+  UNION ALL
+  SELECT doc_id + 20000000, url_norm, FALSE FROM n WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 30000000, url_norm, FALSE FROM n WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT -doc_id - 1, url_norm, FALSE FROM n WHERE doc_id % 10 = 3
+  UNION ALL
+  SELECT doc_id + 40000000,
+    'https://loop-a.example/p/' || CAST(doc_id AS VARCHAR), TRUE
+  FROM n WHERE doc_id % 20 = 10
+  UNION ALL
+  SELECT doc_id + 50000000,
+    'https://loop-a.example/p/' || CAST(doc_id AS VARCHAR), FALSE
+  FROM n WHERE doc_id % 20 = 10
+), c AS (
+  SELECT dedup_key,
+    coalesce(min(doc_id) FILTER (WHERE selfc), min(doc_id)) AS keep_id
+  FROM k GROUP BY 1
+)
+SELECT doc_id, dedup_key, keep_id, doc_id = keep_id AS is_canonical
+FROM k JOIN c USING (dedup_key)"""
+  }
+
   /** PII-scrub oracle (mirrors graft.ops.TextAnalysis.textPiiScrub): the
     * decoration is stated closed-form from the residue recipe, and the
     * scrub itself is the same three patterns in the SAME fixed order
@@ -2949,6 +2989,71 @@ SELECT doc_id, n_emails, n_phones,
 FROM s2"""
   }
 
+  /** Custom-category PII oracle (mirrors
+    * graft.ops.TextAnalysis.textPiiScrubCustom): the base decoration plus
+    * the SSN witnesses (`% 11 == 4` a real SSN shape; `% 11 == 7` an
+    * SSN-shaped EMAIL local part — consumed by the email pass, so the SSN
+    * count on the text that pass left must be 0), scrubbed in the same
+    * fixed order with the custom category appended after IP. */
+  val textPiiScrubCustom: String = {
+    val email = graft.ops.TextAnalysis.PiiEmailRe
+    val phone = graft.ops.TextAnalysis.PiiPhoneRe
+    val ip = graft.ops.TextAnalysis.PiiIpRe
+    val ssn = graft.ops.TextAnalysis.PiiSsnRe
+    s"""WITH p0 AS (
+  SELECT doc_id, text ||
+    CASE WHEN doc_id % 7 = 6 THEN '' ELSE
+      (CASE WHEN doc_id % 3 = 0
+            THEN ' contact user' || CAST(doc_id AS VARCHAR) ||
+                 '@example.com for details'
+            WHEN doc_id % 3 = 1
+            THEN ' call 555-' ||
+                 lpad(CAST(doc_id % 900 + 100 AS VARCHAR), 3, '0') || '-' ||
+                 lpad(CAST(doc_id % 9000 + 1000 AS VARCHAR), 4, '0') ||
+                 ' now'
+            ELSE ' server 10.' || CAST(doc_id % 256 AS VARCHAR) || '.' ||
+                 CAST(doc_id % 250 AS VARCHAR) || '.' ||
+                 CAST(doc_id % 200 AS VARCHAR) || ' responded' END) ||
+      (CASE WHEN doc_id % 5 = 0
+            THEN ' cc admin' || CAST(doc_id % 10 AS VARCHAR) || '@site.org'
+            ELSE '' END)
+    END AS text
+  FROM documents
+), p AS (
+  SELECT doc_id, text ||
+    CASE WHEN doc_id % 11 = 4
+         THEN ' ssn ' || lpad(CAST(doc_id % 900 + 100 AS VARCHAR), 3, '0')
+              || '-' || lpad(CAST(doc_id % 90 + 10 AS VARCHAR), 2, '0')
+              || '-' || lpad(CAST(doc_id % 9000 + 1000 AS VARCHAR), 4, '0')
+         WHEN doc_id % 11 = 7
+         THEN ' verify ' || lpad(CAST(doc_id % 900 + 100 AS VARCHAR), 3, '0')
+              || '-' || lpad(CAST(doc_id % 90 + 10 AS VARCHAR), 2, '0')
+              || '-' || lpad(CAST(doc_id % 9000 + 1000 AS VARCHAR), 4, '0')
+              || '@relay.net soon'
+         ELSE '' END AS text
+  FROM p0
+), s1 AS (
+  SELECT doc_id,
+    CAST(len(regexp_extract_all(text, '$email')) AS INT) AS n_emails,
+    regexp_replace(text, '$email', '|||EMAIL_ADDRESS|||', 'g') AS t1
+  FROM p
+), s2 AS (
+  SELECT doc_id, n_emails,
+    CAST(len(regexp_extract_all(t1, '$phone')) AS INT) AS n_phones,
+    regexp_replace(t1, '$phone', '|||PHONE_NUMBER|||', 'g') AS t2
+  FROM s1
+), s3 AS (
+  SELECT doc_id, n_emails, n_phones,
+    CAST(len(regexp_extract_all(t2, '$ip')) AS INT) AS n_ips,
+    regexp_replace(t2, '$ip', '|||IP_ADDRESS|||', 'g') AS t3
+  FROM s2
+)
+SELECT doc_id, n_emails, n_phones, n_ips,
+  CAST(len(regexp_extract_all(t3, '$ssn')) AS INT) AS n_ssns,
+  regexp_replace(t3, '$ssn', '|||SSN|||', 'g') AS text_scrubbed
+FROM s3"""
+  }
+
   /** Crawl-trap oracle (mirrors graft.ops.Robots.webCrawlTraps): the
     * frontier's distinct locations grouped by (domain, first path
     * segment) with the share and the >8 flag — integer-exact counts, and
@@ -2961,6 +3066,36 @@ per AS (
     regexp_extract(path, '^(/[^/]*)', 1) AS path_prefix,
     CAST(count(*) AS BIGINT) AS n_urls
   FROM wf GROUP BY 1, 2
+), tot AS (
+  SELECT registered_domain, sum(n_urls) AS domain_urls FROM per GROUP BY 1
+)
+SELECT registered_domain, path_prefix, n_urls,
+  CAST(n_urls AS DOUBLE) / domain_urls AS prefix_share,
+  n_urls > 8 AS is_trap
+FROM per JOIN tot USING (registered_domain)"""
+
+  /** Depth-2 crawl-trap oracle (mirrors
+    * graft.ops.Robots.webCrawlTrapsDeep): the frontier surface plus the
+    * closed-form calendar decoration (`/cal/2026/<id>` on ids % 3 ≠ 2,
+    * `/cal/about/<id>` on % 3 == 2, each on the page's own registered
+    * domain), grouped by the first TWO path segments — the `{1,2}` greedy
+    * repeat groups shallower paths on their whole selves, exactly as the
+    * engine's depth parameter renders it. */
+  lazy val webCrawlTrapsDeep: String = s"""WITH wf AS ($webFrontier),
+cal AS (
+  SELECT registered_domain,
+    '/cal/' || (CASE WHEN doc_id % 3 = 2 THEN 'about/' ELSE '2026/' END) ||
+      CAST(doc_id AS VARCHAR) AS path
+  FROM (${urlParsedOver(urlPagesOver("documents"))})
+), uni AS (
+  SELECT registered_domain, path FROM wf
+  UNION ALL
+  SELECT registered_domain, path FROM cal
+), per AS (
+  SELECT registered_domain,
+    regexp_extract(path, '^((?:/[^/]*){1,2})', 1) AS path_prefix,
+    CAST(count(*) AS BIGINT) AS n_urls
+  FROM uni GROUP BY 1, 2
 ), tot AS (
   SELECT registered_domain, sum(n_urls) AS domain_urls FROM per GROUP BY 1
 )
@@ -3086,6 +3221,37 @@ FROM (${urlPagesOver("documents")}) WHERE doc_id % 20 = 10"""
 UNION ALL
 SELECT CAST(NULL AS BIGINT), link, CAST(NULL AS VARCHAR), 'link'
 FROM ($webOutlinks)""")
+
+  /** Unified-frontier oracle (mirrors graft.ops.Robots.webFrontierUnified):
+    * the four-source collapse. The `'discovered'` surface — what the REAL
+    * streaming run's durable table contains — is stated in closed form as
+    * the gated pages' gated links: referrer pages must pass the page-URL
+    * hygiene gate (not blocked/spam/over-length — exactly
+    * UrlOps.filterReason, which is also why the path-only `robots_allowed`
+    * restatement below matches the stream's path+query gate: every
+    * query-sensitive rule in the render recipe anchors on `-padding$` or
+    * `/casino-bonus/`, and those pages all die at the hygiene gate before
+    * robots is consulted) AND be robots-allowed; targets mirror the
+    * stream's link-hygiene gate. The first-seen state collapses each
+    * location to ONE stored row whose `url` is some referrer's link
+    * spelling — a member of the batch `'link'` spelling set, so the
+    * group's `min(url)` representative is unchanged by which referrer the
+    * stream happened to see first, and the whole statement stays
+    * closed-form. */
+  val webFrontierUnified: String = frontierSqlOver(frontierUnion + s"""
+UNION ALL
+SELECT CAST(NULL AS BIGINT), link, CAST(NULL AS VARCHAR), 'link'
+FROM ($webOutlinks)
+UNION ALL
+SELECT CAST(NULL AS BIGINT), ol.link, CAST(NULL AS VARCHAR), 'discovered'
+FROM ($webOutlinks) ol JOIN ($webRobots) wr ON ol.doc_id = wr.doc_id
+WHERE wr.robots_allowed
+  AND wr.registered_domain <> 'spam-mirror.net'
+  AND NOT regexp_matches(lower(wr.path || ' ' ||
+        regexp_extract(wr.url, '\\?([^#]*)', 1)), '(casino|viagra|porn|xxx)')
+  AND length(wr.url) <= 200
+  AND NOT regexp_matches(lower(ol.link_raw), '(casino|viagra|porn|xxx)')
+  AND length(ol.link) <= 200""")
 
   /** Multi-hop frontier oracle (mirrors graft.ops.Robots.webFrontierHops):
     * hop 0 is the frontier itself; hops 1–3 are the chain fixture's

@@ -70,6 +70,10 @@ object SparkEntry {
     // deployment reads crawl files it never wrote, so the timed queries
     // should measure the read+parse+chain path
     ops.Warc.fixtureFilesDir(d)
+    // the durable streaming-discovery table (web_frontier_unified): the
+    // continuous run a deployment operates offline — the timed query
+    // should measure the four-source batch collapse over its table
+    graft.streaming.StreamingCrawl.discoveredFrontierFixtureDir(d)
     ()
   }
 
@@ -316,6 +320,11 @@ object SparkEntry {
     "text_sample" -> ((s, dir) => ops.TextAnalysis.stratifiedSample(docs(s, dir))),
     // PII redaction (email/phone/IP -> category tokens + audit counts)
     // over the residue-decorated fixture corpus
+    // the caller-extended scrub: an SSN category appended after IP, with
+    // the mirrored-order discipline (an SSN-shaped email local part is
+    // consumed by the email pass, counted zero by the custom pass)
+    "text_pii_scrub_custom" -> ((s, dir) =>
+      ops.TextAnalysis.textPiiScrubCustom(docs(s, dir))),
     "text_pii_scrub" -> ((s, dir) =>
       ops.TextAnalysis.textPiiScrub(docs(s, dir))),
     "corpus_stats" -> ((s, dir) => ops.TextAnalysis.corpusStats(docs(s, dir))),
@@ -491,6 +500,11 @@ object SparkEntry {
     // discovered, url_norm-deduped with set provenance, robots-gated
     "web_frontier_links" -> ((s, dir) =>
       ops.Robots.webFrontierLinks(docs(s, dir))),
+    // the UNIFIED frontier: all four provenance sources — corpus, sitemap,
+    // batch outlinks, and the durable table a real streaming discovery
+    // run wrote through the frontier sink — in one url_norm collapse
+    "web_frontier_unified" -> ((s, dir) =>
+      ops.Robots.webFrontierUnified(docs(s, dir))),
     "web_url_filter" -> ((s, dir) => ops.UrlOps.webUrlFilter(docs(s, dir))),
     "web_domains" -> ((s, dir) => ops.UrlOps.webDomains(docs(s, dir))),
     // URL-level exact dedup (the cheapest crawl dedup tier): aliases that
@@ -500,6 +514,11 @@ object SparkEntry {
     // syndicated copies onto their originals (normalization can't)
     "web_url_canonical" -> ((s, dir) =>
       ops.UrlOps.webUrlCanonical(docs(s, dir))),
+    // transitive canonical resolution: copy-of-a-copy chains collapse to
+    // the fixpoint, loops break to the cycle-min norm, and the
+    // self-canonical original outranks a hostile smaller-id declarer
+    "web_url_canonical_chain" -> ((s, dir) =>
+      ops.UrlOps.webUrlCanonicalChain(docs(s, dir))),
     // the FULL crawl-to-shards composition: URL gate -> extract -> line
     // dedup -> FineWeb recipe on the cleaned text
     // the robots tier is composed in (cheapest gate first; a provable
@@ -541,6 +560,10 @@ object SparkEntry {
     // over the frontier with share + explosion flag
     "web_crawl_traps" -> ((s, dir) =>
       ops.Robots.webCrawlTraps(docs(s, dir))),
+    // the depth-2 report: the /cal/2026 explosion isolated from its
+    // healthy /cal/about sibling — discrimination depth 1 cannot make
+    "web_crawl_traps_deep" -> ((s, dir) =>
+      ops.Robots.webCrawlTrapsDeep(docs(s, dir))),
     "web_warc" -> ((s, dir) => ops.Warc.webWarc(docs(s, dir))),
     // the same round trip through REAL on-disk .warc.gz files (executor-side
     // write, binaryFile read, byte-level parse) — same oracle: the file hop
@@ -794,6 +817,7 @@ object SparkEntry {
     "text_pack_bestfit" -> OracleSqlOps.textPackBestfit,
     "text_sample" -> OracleSqlOps.textSample,
     "text_pii_scrub" -> OracleSqlOps.textPiiScrub,
+    "text_pii_scrub_custom" -> OracleSqlOps.textPiiScrubCustom,
     "corpus_stats" -> OracleSqlOps.corpusStats,
     "corpus_quantiles" -> OracleSqlOps.corpusQuantiles,
     "text_freq_quality" -> OracleSqlOps.textFreqQuality,
@@ -844,10 +868,12 @@ object SparkEntry {
     "web_urls" -> OracleSqlOps.webUrls,
     "web_outlinks" -> OracleSqlOps.webOutlinks,
     "web_frontier_links" -> OracleSqlOps.webFrontierLinks,
+    "web_frontier_unified" -> OracleSqlOps.webFrontierUnified,
     "web_url_filter" -> OracleSqlOps.webUrlFilter,
     "web_domains" -> OracleSqlOps.webDomains,
     "web_url_dedup" -> OracleSqlOps.webUrlDedup,
     "web_url_canonical" -> OracleSqlOps.webUrlCanonical,
+    "web_url_canonical_chain" -> OracleSqlOps.webUrlCanonicalChain,
     "web_robots" -> OracleSqlOps.webRobots,
     "web_sitemaps" -> OracleSqlOps.webSitemaps,
     "web_sitemap_docs" -> OracleSqlOps.webSitemapDocs,
@@ -856,6 +882,7 @@ object SparkEntry {
     "web_frontier" -> OracleSqlOps.webFrontier,
     "web_frontier_hops" -> OracleSqlOps.webFrontierHops,
     "web_crawl_traps" -> OracleSqlOps.webCrawlTraps,
+    "web_crawl_traps_deep" -> OracleSqlOps.webCrawlTrapsDeep,
     "web_recrawl" -> OracleSqlOps.webRecrawl,
     "web_warc" -> OracleSqlOps.webWarc,
     "web_warc_files" -> OracleSqlOps.webWarc,

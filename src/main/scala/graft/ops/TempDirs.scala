@@ -113,7 +113,18 @@ object TempDirs {
     * aside copy removed — on a failed swap the aside copy is restored, so
     * the caller's table is intact and its tombstones (deleted only after
     * this returns) still mask the rows the failed rewrite would have
-    * dropped. Throws on any failed step; never returns a lie. */
+    * dropped. Throws on any failed step; never returns a lie.
+    *
+    * CONCURRENCY CONTRACT (advisor r13): writers serialize through the
+    * caller's JVM-local `dirLock`, so "readers only ever see fully-old or
+    * fully-new" holds for readers IN THIS PROCESS. The aside-then-rename
+    * sequence has a window where `dest` does not exist — a concurrent
+    * reader in ANOTHER process (a second Spark session against shared
+    * storage) can fail transiently mid-swap with a loud missing-path
+    * error, never silent corruption. Cross-process deployments need an
+    * external writer lock, or a filesystem whose rename-over-existing is
+    * atomic (HDFS `rename` with overwrite, object stores with atomic
+    * copy-swap semantics) in place of this two-step. */
   def swapInto(fs: org.apache.hadoop.fs.FileSystem,
       tmp: org.apache.hadoop.fs.Path, dest: org.apache.hadoop.fs.Path): Unit = {
     val aside = new org.apache.hadoop.fs.Path(dest.toString + "_pre_swap")

@@ -3632,6 +3632,54 @@ class OpsSpec extends SparkSpec {
       "mail |||IP_ADDRESS||| logs to |||EMAIL_ADDRESS||| now")
   }
 
+  test("piiScrub: null text scrubs to zero counts and a null text_scrubbed") {
+    import graft.ops.TextAnalysis
+    val spark2 = spark; import spark2.implicits._
+    val docs = Seq((1L, null.asInstanceOf[String]),
+      (2L, "reach ops@x.io")).toDF("doc_id", "text")
+    val out = TextAnalysis.piiScrub(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // the unguarded form read size(regexp_extract_all(null)) = -1 — a
+    // silent engine divergence on a corpus carrying null text (advisor r13)
+    assert(out(1L).getAs[Int]("n_emails") == 0 &&
+      out(1L).getAs[Int]("n_phones") == 0 && out(1L).getAs[Int]("n_ips") == 0)
+    assert(out(1L).getAs[String]("text_scrubbed") == null)
+    assert(out(2L).getAs[Int]("n_emails") == 1)
+  }
+
+  test("piiScrub: custom categories append after IP in mirrored order") {
+    import graft.ops.TextAnalysis
+    val spark2 = spark; import spark2.implicits._
+    val docs = Seq(
+      (1L, "ssn 774-12-9876 on file"),
+      // the SSN-shaped local part is consumed by the EMAIL pass: a naive
+      // raw-text count would read 1; the mirrored-order count reads 0
+      (2L, "verify 774-12-9876@relay.net soon"),
+      // both categories, plus the custom token's own shape never
+      // re-matches (tokens carry no digits)
+      (3L, "call 555-123-4567 re ssn 123-45-6789"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.piiScrub(docs,
+        extra = Seq(("ssns", TextAnalysis.PiiSsnRe, TextAnalysis.PiiSsnToken)))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Int]("n_ssns") == 1)
+    assert(out(1L).getAs[String]("text_scrubbed") == "ssn |||SSN||| on file")
+    assert(out(2L).getAs[Int]("n_emails") == 1 &&
+      out(2L).getAs[Int]("n_ssns") == 0, out(2L).toString)
+    assert(out(2L).getAs[String]("text_scrubbed") ==
+      "verify |||EMAIL_ADDRESS||| soon")
+    assert(out(3L).getAs[Int]("n_phones") == 1 &&
+      out(3L).getAs[Int]("n_ssns") == 1)
+    assert(out(3L).getAs[String]("text_scrubbed") ==
+      "call |||PHONE_NUMBER||| re ssn |||SSN|||")
+    // column order: the custom count sits between n_ips and text_scrubbed
+    val cols = TextAnalysis.piiScrub(docs,
+      extra = Seq(("ssns", TextAnalysis.PiiSsnRe, TextAnalysis.PiiSsnToken)))
+      .columns.toSeq
+    assert(cols == Seq("doc_id", "n_emails", "n_phones", "n_ips", "n_ssns",
+      "text_scrubbed"), cols.toString)
+  }
+
   test("canonicals + urlDedupCanonical: cross-host syndicated copies collapse") {
     import graft.ops.{TextExtract, UrlOps}
     val spark2 = spark; import spark2.implicits._
@@ -3683,6 +3731,70 @@ class OpsSpec extends SparkSpec {
     assert(d(6L) == ((6L, true)) && d(7L) == ((7L, true)))
   }
 
+  test("urlDedupCanonical: self-canonical original outranks a smaller-id hostile declarer") {
+    import graft.ops.UrlOps
+    val spark2 = spark; import spark2.implicits._
+    // the thief has the SMALLER id and declares the victim's URL — min-id
+    // election would crown the thief; the self-canonical preference must
+    // elect the page that actually lives at the declared location
+    val rows = Seq(
+      (1L, "https://content-thief.example/steal/9", "https://victim.org/story"),
+      (9L, "https://victim.org/story", null.asInstanceOf[String]))
+      .toDF("doc_id", "url", "canonical")
+    val d = UrlOps.urlDedupCanonical(rows).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("keep_id"), r.getAs[Boolean]("is_canonical")))).toMap
+    assert(d(9L) == ((9L, true)), d.toString)
+    assert(d(1L) == ((9L, false)), d.toString)
+  }
+
+  test("urlDedupCanonicalChain: chains collapse to the fixpoint, loops break to cycle-min, the cap truncates") {
+    import graft.ops.UrlOps
+    val spark2 = spark; import spark2.implicits._
+    val rows = Seq(
+      // A -> B -> C, C terminal: all three key on C's norm
+      (11L, "https://a.net/copy", "https://b.org/copy"),
+      (12L, "https://b.org/copy", "https://c.example/story"),
+      (13L, "https://c.example/story", null.asInstanceOf[String]),
+      // 3-cycle X -> Y -> Z -> X: all break to the min norm of the cycle
+      (21L, "https://x.example/p", "https://y.example/p"),
+      (22L, "https://y.example/p", "https://z.example/p"),
+      (23L, "https://z.example/p", "https://x.example/p"),
+      // a LONG chain d0 -> d1 -> ... -> d9 -> end: at maxHops = 3 the
+      // pointer-chase from d0's target (d1) stops at d4 (3 hops past d1)
+      (30L, "https://d.example/c/0", "https://d.example/c/1"),
+      (31L, "https://d.example/c/1", "https://d.example/c/2"),
+      (32L, "https://d.example/c/2", "https://d.example/c/3"),
+      (33L, "https://d.example/c/3", "https://d.example/c/4"),
+      (34L, "https://d.example/c/4", "https://d.example/c/5"),
+      (35L, "https://d.example/c/5", null.asInstanceOf[String]))
+      .toDF("doc_id", "url", "canonical")
+    val d = UrlOps.urlDedupCanonicalChain(rows, maxHops = 3).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("dedup_key"), r.getAs[Long]("keep_id")))).toMap
+    // the chain: every member keys on the terminal; C (self-canonical) keeps
+    assert(d(11L) == (("https://c.example/story", 13L)), d.toString)
+    assert(d(12L) == (("https://c.example/story", 13L)))
+    assert(d(13L) == (("https://c.example/story", 13L)))
+    // the 3-cycle: x < y < z lexicographically — all three key on x's norm,
+    // and the page living AT x is the keeper (self-canonical preference)
+    assert(d(21L) == (("https://x.example/p", 21L)), d.toString)
+    assert(d(22L) == (("https://x.example/p", 21L)))
+    assert(d(23L) == (("https://x.example/p", 21L)))
+    // the cap: d0 starts at its target d1 and walks d2, d3, d4 — three
+    // hops — then truncates (deterministically) instead of reaching d5
+    assert(d(30L)._1 == "https://d.example/c/4", d.toString)
+    // d2's own chain (start d3) closes within budget: d3 -> d4 -> d5
+    assert(d(32L)._1 == "https://d.example/c/5")
+    // at a budget covering the whole chain, everything reaches d5
+    val full = UrlOps.urlDedupCanonicalChain(rows.filter($"doc_id" >= 30L),
+        maxHops = 8).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("dedup_key")).toMap
+    assert(full.values.forall(_ == "https://d.example/c/5"), full.toString)
+    assert(full(35L) == "https://d.example/c/5")
+    graft.ops.CacheScope.releaseAll(spark)
+  }
+
   test("crawlTraps flags prefix URL explosions with per-domain shares") {
     import graft.ops.Robots
     val spark2 = spark; import spark2.implicits._
@@ -3707,6 +3819,33 @@ class OpsSpec extends SparkSpec {
     val shares = out.values.groupBy(_.getAs[String]("registered_domain"))
       .view.mapValues(_.map(_.getAs[Double]("prefix_share")).sum)
     shares.foreach { case (_, s) => assert(math.abs(s - 1.0) < 1e-12) }
+    graft.ops.CacheScope.releaseAll(spark)
+  }
+
+  test("crawlTraps depth=2 localizes a deep trap the depth-1 report conflates") {
+    import graft.ops.Robots
+    val spark2 = spark; import spark2.implicits._
+    // everything on c.net lives under /cal — a faceted calendar tail
+    // (/cal/2026/<day>, exploding) next to a small /cal/about section
+    val frontier = ((1 to 12).map(i => ("c.net", s"/cal/2026/day-$i")) ++
+      Seq(("c.net", "/cal/about/team"), ("c.net", "/cal/about/contact"),
+        // a single-segment path groups on its whole self at depth 2
+        ("c.net", "/pricing")))
+      .toDF("registered_domain", "path")
+    // depth 1: ONE flagged prefix (/cal) holding nearly the whole domain —
+    // the trap is visible but capping /cal would also kill /cal/about
+    val d1 = Robots.crawlTraps(frontier, maxPerPrefix = 8).collect()
+      .map(r => r.getAs[String]("path_prefix") ->
+        ((r.getAs[Long]("n_urls"), r.getAs[Boolean]("is_trap")))).toMap
+    assert(d1("/cal") == ((14L, true)), d1.toString)
+    assert(d1("/pricing") == ((1L, false)))
+    // depth 2: the exploding subtree is isolated from its healthy sibling
+    val d2 = Robots.crawlTraps(frontier, maxPerPrefix = 8, depth = 2)
+      .collect().map(r => r.getAs[String]("path_prefix") ->
+        ((r.getAs[Long]("n_urls"), r.getAs[Boolean]("is_trap")))).toMap
+    assert(d2("/cal/2026") == ((12L, true)), d2.toString)
+    assert(d2("/cal/about") == ((2L, false)))
+    assert(d2("/pricing") == ((1L, false)))
     graft.ops.CacheScope.releaseAll(spark)
   }
 
