@@ -477,8 +477,13 @@ object UrlOps {
     val nodes = base
       .select(coalesce(col("tgt_norm"), col("self_norm")).as("node")).distinct()
     val resolved = resolveChain(nodes, m, maxHops)
+    // null-SAFE join: a page whose url parses to a null norm (malformed
+    // input row) resolves to a null key here rather than vanishing at
+    // THIS step — both canonical tiers then shed null-key rows at the
+    // same place (the final key-group join, the [[urlDedup]] convention),
+    // so the two tiers stay behavior-identical on malformed input
     val u = base.join(resolved,
-        coalesce(col("tgt_norm"), col("self_norm")) === resolved("node"))
+        coalesce(col("tgt_norm"), col("self_norm")) <=> resolved("node"))
       .select(col("doc_id"), col("fin").as("dedup_key"), col("self_norm"))
     dedupOnKeys(u)
   }
