@@ -212,7 +212,8 @@ object StreamingCrawl {
     * shuffle). `source` doubles as the schedule's `registered_domain` key
     * — the policy gate already derived it once. */
   def crawlPipeline(spark: SparkSession, path: String, robots: DataFrame,
-      agent: String = "graftbot", maxFilesPerTrigger: Int = 64): DataFrame = {
+      agent: String = "graftbot", maxFilesPerTrigger: Int = 64,
+      byHost: Boolean = false): DataFrame = {
     val gated = policyGatedPages(spark, path, robots, agent,
       maxFilesPerTrigger)
     val extracted = graft.ops.TextExtract.extract(
@@ -231,9 +232,13 @@ object StreamingCrawl {
     val slim = clean.select(Seq(col("doc_id"), col("url"),
       col("source").as("registered_domain"), col("crawl_delay"),
       col("text")) ++ signals: _*)
-    scheduleFetches(slim)
+    // byHost passes through to the scheduler (lanes per normalized host
+    // of the fetch URL — the batch crawlSchedule option's streaming twin);
+    // the host column rides the output in that mode
+    scheduleFetches(slim, byHost = byHost)
       .select(Seq(col("doc_id"), col("url"),
         col("registered_domain").as("source"), col("text")) ++ signals ++
+        (if (byHost) Seq(col("host")) else Nil) ++
         Seq(col("fetch_seq"), col("fetch_at_s")): _*)
   }
 
@@ -439,18 +444,21 @@ object StreamingCrawl {
     * run already found. */
   def discoveryPipeline(spark: SparkSession, path: String, robots: DataFrame,
       agent: String = "graftbot", maxFilesPerTrigger: Int = 64,
-      known: Option[DataFrame] = None): DataFrame = {
+      known: Option[DataFrame] = None,
+      byHost: Boolean = false): DataFrame = {
     val pages = policyGatedPages(spark, path, robots, agent,
       maxFilesPerTrigger)
     val discovered = discoverFrontier(
       pages.select(col("doc_id"), col("url"), col("body")), robots, agent,
       known)
+    // byHost lanes key on the DISCOVERY's host via its url_norm (the
+    // frontier's canonical spelling — what the fetch queue will request)
     scheduleFetches(
       discovered.filter(col("robots_allowed"))
         .select(col("url_norm"), col("url"), col("registered_domain"),
           col("provenance"), col("referrer_doc_id"), col("referrer_url"),
           col("crawl_delay")),
-      orderBy = "url_norm")
+      orderBy = "url_norm", byHost = byHost, hostFrom = "url_norm")
   }
 
   /** The WET twin of [[cleanPages]]: `conversion` records (pre-extracted
