@@ -1889,6 +1889,11 @@ object TextAnalysis {
     val chain = Seq(("emails", PiiEmailRe, PiiEmailToken),
       ("phones", PiiPhoneRe, PiiPhoneToken),
       ("ips", PiiIpRe, PiiIpToken)) ++ extra
+    // a duplicate category name (including shadowing a fixed one) would
+    // emit two identically-named count columns — refuse loudly instead
+    val names = chain.map(_._1)
+    require(names.distinct == names,
+      s"duplicate piiScrub category names: ${names.mkString(", ")}")
     // fold the pass chain: each count reads the text the PREVIOUS pass
     // left; the running column is the progressively scrubbed text
     val (counts, scrubbed) = chain.foldLeft(

@@ -3678,6 +3678,11 @@ class OpsSpec extends SparkSpec {
       .columns.toSeq
     assert(cols == Seq("doc_id", "n_emails", "n_phones", "n_ips", "n_ssns",
       "text_scrubbed"), cols.toString)
+    // a category name shadowing a fixed one refuses instead of emitting
+    // two identically-named count columns
+    intercept[IllegalArgumentException] {
+      TextAnalysis.piiScrub(docs, extra = Seq(("emails", "x", "y")))
+    }
   }
 
   test("canonicals + urlDedupCanonical: cross-host syndicated copies collapse") {
