@@ -2882,22 +2882,29 @@ FROM news"""
   /** Canonical-dedup oracle (mirrors graft.ops.UrlOps.webUrlCanonical):
     * the syndicated copy's dedup key IS its original's url_norm (the
     * canonical link resolves to the raw original minus fragment, and
-    * normalization does the rest), base pages key on their own url_norm
-    * — stated generatively; the engine must earn each key through the
-    * real `<link rel=canonical>` extraction, RFC 3986 resolution, and
-    * normalization. */
+    * normalization does the rest), base pages key on their own url_norm,
+    * and the hostile smaller-id thief (`% 10 == 3`, `-(id)-1`) keys on
+    * its victim's norm — stated generatively; the engine must earn each
+    * key through the real `<link rel=canonical>` extraction, RFC 3986
+    * resolution, and normalization. Keeper election mirrors the engine's
+    * untrusted-content hardening (advisor r14 — the chain oracle's
+    * `selfc` form): keep_id = min id among declarers whose OWN norm IS
+    * the key, falling back to plain min — so the thief's smaller id
+    * cannot demote the genuine original. */
   lazy val webUrlCanonical: String = {
     val pages = s"SELECT doc_id, url FROM (${urlPagesOver("documents")})"
-    s"""WITH allrows AS (
-  SELECT doc_id, url FROM ($pages)
-  UNION ALL
-  SELECT doc_id + 20000000, url FROM ($pages) WHERE doc_id % 10 = 0
-), n AS (
-  ${urlNormCols("SELECT doc_id, url FROM allrows")}
+    s"""WITH n AS (
+  ${urlNormCols(s"SELECT doc_id, url FROM ($pages)")}
 ), k AS (
-  SELECT doc_id, url_norm AS dedup_key FROM n
+  SELECT doc_id, url_norm AS dedup_key, TRUE AS selfc FROM n
+  UNION ALL
+  SELECT doc_id + 20000000, url_norm, FALSE FROM n WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT -doc_id - 1, url_norm, FALSE FROM n WHERE doc_id % 10 = 3
 ), c AS (
-  SELECT dedup_key, min(doc_id) AS keep_id FROM k GROUP BY 1
+  SELECT dedup_key,
+    coalesce(min(doc_id) FILTER (WHERE selfc), min(doc_id)) AS keep_id
+  FROM k GROUP BY 1
 )
 SELECT doc_id, dedup_key, keep_id, doc_id = keep_id AS is_canonical
 FROM k JOIN c USING (dedup_key)"""
@@ -2989,18 +2996,10 @@ SELECT doc_id, n_emails, n_phones,
 FROM s2"""
   }
 
-  /** Custom-category PII oracle (mirrors
-    * graft.ops.TextAnalysis.textPiiScrubCustom): the base decoration plus
-    * the SSN witnesses (`% 11 == 4` a real SSN shape; `% 11 == 7` an
-    * SSN-shaped EMAIL local part — consumed by the email pass, so the SSN
-    * count on the text that pass left must be 0), scrubbed in the same
-    * fixed order with the custom category appended after IP. */
-  val textPiiScrubCustom: String = {
-    val email = graft.ops.TextAnalysis.PiiEmailRe
-    val phone = graft.ops.TextAnalysis.PiiPhoneRe
-    val ip = graft.ops.TextAnalysis.PiiIpRe
-    val ssn = graft.ops.TextAnalysis.PiiSsnRe
-    s"""WITH p0 AS (
+  /** The decorated custom-witness corpus `(doc_id, text)` — the
+    * [[textPiiScrubCustom]] CTE stack factored so [[textPiiAudit]]
+    * layers its truncation witness on the SAME closed form. */
+  private val piiCustomDocsSql: String = s"""WITH p0 AS (
   SELECT doc_id, text ||
     CASE WHEN doc_id % 7 = 6 THEN '' ELSE
       (CASE WHEN doc_id % 3 = 0
@@ -3032,6 +3031,21 @@ FROM s2"""
               || '@relay.net soon'
          ELSE '' END AS text
   FROM p0
+)
+SELECT doc_id, text FROM p"""
+
+  /** Custom-category PII oracle (mirrors
+    * graft.ops.TextAnalysis.textPiiScrubCustom): the base decoration plus
+    * the SSN witnesses (`% 11 == 4` a real SSN shape; `% 11 == 7` an
+    * SSN-shaped EMAIL local part — consumed by the email pass, so the SSN
+    * count on the text that pass left must be 0), scrubbed in the same
+    * fixed order with the custom category appended after IP. */
+  val textPiiScrubCustom: String = {
+    val email = graft.ops.TextAnalysis.PiiEmailRe
+    val phone = graft.ops.TextAnalysis.PiiPhoneRe
+    val ip = graft.ops.TextAnalysis.PiiIpRe
+    val ssn = graft.ops.TextAnalysis.PiiSsnRe
+    s"""WITH p AS ($piiCustomDocsSql
 ), s1 AS (
   SELECT doc_id,
     CAST(len(regexp_extract_all(text, '$email')) AS INT) AS n_emails,
@@ -3050,6 +3064,63 @@ FROM s2"""
 )
 SELECT doc_id, n_emails, n_phones, n_ips,
   CAST(len(regexp_extract_all(t3, '$ssn')) AS INT) AS n_ssns,
+  regexp_replace(t3, '$ssn', '|||SSN|||', 'g') AS text_scrubbed
+FROM s3"""
+  }
+
+  /** Governance-report oracle (mirrors
+    * graft.ops.TextAnalysis.textPiiAudit): the custom-witness corpus
+    * plus the `% 13 == 2` email stacks, scrubbed in the fixed order with
+    * per-category K=2 sample slices — each `x_` column is the first two
+    * matches of THAT pass's input text, `'|'`-joined (`''` when the pass
+    * matched nothing), so a consumed SSN-shaped email local part samples
+    * under `x_emails` and never `x_ssns`, and a four-email stack shows
+    * exactly the first two while `n_emails` counts all. */
+  val textPiiAudit: String = {
+    val email = graft.ops.TextAnalysis.PiiEmailRe
+    val phone = graft.ops.TextAnalysis.PiiPhoneRe
+    val ip = graft.ops.TextAnalysis.PiiIpRe
+    val ssn = graft.ops.TextAnalysis.PiiSsnRe
+    s"""WITH pc AS ($piiCustomDocsSql
+), pa AS (
+  SELECT doc_id, text ||
+    CASE WHEN doc_id % 13 = 2
+         THEN ' also alt' || CAST(doc_id AS VARCHAR) ||
+              '@alt.example and alt' || CAST(doc_id AS VARCHAR) ||
+              'b@alt2.example'
+         ELSE '' END AS text
+  FROM pc
+), s1 AS (
+  SELECT doc_id,
+    CAST(len(regexp_extract_all(text, '$email')) AS INT) AS n_emails,
+    coalesce(array_to_string(
+        list_slice(regexp_extract_all(text, '$email'), 1, 2), '|'), '')
+      AS x_emails,
+    regexp_replace(text, '$email', '|||EMAIL_ADDRESS|||', 'g') AS t1
+  FROM pa
+), s2 AS (
+  SELECT doc_id, n_emails, x_emails,
+    CAST(len(regexp_extract_all(t1, '$phone')) AS INT) AS n_phones,
+    coalesce(array_to_string(
+        list_slice(regexp_extract_all(t1, '$phone'), 1, 2), '|'), '')
+      AS x_phones,
+    regexp_replace(t1, '$phone', '|||PHONE_NUMBER|||', 'g') AS t2
+  FROM s1
+), s3 AS (
+  SELECT doc_id, n_emails, x_emails, n_phones, x_phones,
+    CAST(len(regexp_extract_all(t2, '$ip')) AS INT) AS n_ips,
+    coalesce(array_to_string(
+        list_slice(regexp_extract_all(t2, '$ip'), 1, 2), '|'), '')
+      AS x_ips,
+    regexp_replace(t2, '$ip', '|||IP_ADDRESS|||', 'g') AS t3
+  FROM s2
+)
+SELECT doc_id, n_emails, n_phones, n_ips,
+  CAST(len(regexp_extract_all(t3, '$ssn')) AS INT) AS n_ssns,
+  x_emails, x_phones, x_ips,
+  coalesce(array_to_string(
+      list_slice(regexp_extract_all(t3, '$ssn'), 1, 2), '|'), '')
+    AS x_ssns,
   regexp_replace(t3, '$ssn', '|||SSN|||', 'g') AS text_scrubbed
 FROM s3"""
   }
@@ -3103,6 +3174,91 @@ SELECT registered_domain, path_prefix, n_urls,
   CAST(n_urls AS DOUBLE) / domain_urls AS prefix_share,
   n_urls > 8 AS is_trap
 FROM per JOIN tot USING (registered_domain)"""
+
+  /** Hierarchical trap-localization oracle (mirrors
+    * graft.ops.Robots.webCrawlTrapsHier): the deep-trap surface drilled
+    * to the fixture's three unrolled levels — level 1 the full
+    * first-segment report; levels 2–3 the top-5 children (by count,
+    * ties on the prefix) of each flagged parent, restricted to flagged
+    * subtrees; `trap_localized` = flagged with no flagged reported
+    * child (level 3, the budget edge, localizes on its own flag). The
+    * engine must reach the same cuts through its level loop, semi-join
+    * restriction, and windowed top-K. */
+  lazy val webCrawlTrapsHier: String = s"""WITH wf AS ($webFrontier),
+cal AS (
+  SELECT registered_domain,
+    '/cal/' || (CASE WHEN doc_id % 3 = 2 THEN 'about/' ELSE '2026/' END) ||
+      CAST(doc_id AS VARCHAR) AS path
+  FROM (${urlParsedOver(urlPagesOver("documents"))})
+), uni AS (
+  SELECT registered_domain, path FROM wf
+  UNION ALL
+  SELECT registered_domain, path FROM cal
+), tot AS (
+  SELECT registered_domain, count(*) AS domain_urls FROM uni GROUP BY 1
+), l1 AS (
+  SELECT registered_domain,
+    regexp_extract(path, '^((?:/[^/]*){1,1})', 1) AS path_prefix,
+    CAST(count(*) AS BIGINT) AS n_urls
+  FROM uni GROUP BY 1, 2
+), l2a AS (
+  SELECT registered_domain,
+    regexp_extract(path, '^((?:/[^/]*){1,2})', 1) AS path_prefix,
+    regexp_extract(path, '^((?:/[^/]*){1,1})', 1) AS parent,
+    CAST(count(*) AS BIGINT) AS n_urls
+  FROM uni GROUP BY 1, 2, 3
+), l2r AS (
+  SELECT a.*, row_number() OVER (PARTITION BY a.registered_domain, a.parent
+      ORDER BY a.n_urls DESC, a.path_prefix) AS rk
+  FROM l2a a JOIN (SELECT registered_domain, path_prefix FROM l1
+                   WHERE n_urls > 8) f1
+    ON a.registered_domain = f1.registered_domain
+   AND a.parent = f1.path_prefix
+), l2 AS (
+  SELECT registered_domain, path_prefix, parent, n_urls FROM l2r
+  WHERE rk <= 5
+), l3a AS (
+  SELECT registered_domain,
+    regexp_extract(path, '^((?:/[^/]*){1,3})', 1) AS path_prefix,
+    regexp_extract(path, '^((?:/[^/]*){1,2})', 1) AS parent,
+    CAST(count(*) AS BIGINT) AS n_urls
+  FROM uni GROUP BY 1, 2, 3
+), l3r AS (
+  SELECT a.*, row_number() OVER (PARTITION BY a.registered_domain, a.parent
+      ORDER BY a.n_urls DESC, a.path_prefix) AS rk
+  FROM l3a a JOIN (SELECT registered_domain, path_prefix FROM l2
+                   WHERE n_urls > 8) f2
+    ON a.registered_domain = f2.registered_domain
+   AND a.parent = f2.path_prefix
+), l3 AS (
+  SELECT registered_domain, path_prefix, parent, n_urls FROM l3r
+  WHERE rk <= 5
+), f2p AS (
+  SELECT DISTINCT registered_domain, parent FROM l2 WHERE n_urls > 8
+), f3p AS (
+  SELECT DISTINCT registered_domain, parent FROM l3 WHERE n_urls > 8
+)
+SELECT l.registered_domain, l.path_prefix, CAST(1 AS INT) AS depth,
+  l.n_urls, CAST(l.n_urls AS DOUBLE) / t.domain_urls AS prefix_share,
+  l.n_urls > 8 AS is_trap,
+  l.n_urls > 8 AND f.parent IS NULL AS trap_localized
+FROM l1 l JOIN tot t USING (registered_domain)
+LEFT JOIN f2p f ON l.registered_domain = f.registered_domain
+               AND l.path_prefix = f.parent
+UNION ALL
+SELECT l.registered_domain, l.path_prefix, CAST(2 AS INT), l.n_urls,
+  CAST(l.n_urls AS DOUBLE) / t.domain_urls,
+  l.n_urls > 8,
+  l.n_urls > 8 AND f.parent IS NULL
+FROM l2 l JOIN tot t USING (registered_domain)
+LEFT JOIN f3p f ON l.registered_domain = f.registered_domain
+               AND l.path_prefix = f.parent
+UNION ALL
+SELECT l.registered_domain, l.path_prefix, CAST(3 AS INT), l.n_urls,
+  CAST(l.n_urls AS DOUBLE) / t.domain_urls,
+  l.n_urls > 8,
+  l.n_urls > 8
+FROM l3 l JOIN tot t USING (registered_domain)"""
 
   /** Crawl-budget oracle (mirrors graft.ops.Robots.webCrawlBudget):
     * per-domain allowed-page count × governing crawl delay, built on the
@@ -3222,6 +3378,20 @@ UNION ALL
 SELECT CAST(NULL AS BIGINT), link, CAST(NULL AS VARCHAR), 'link'
 FROM ($webOutlinks)""")
 
+  /** The closed-form gate for the STREAM-discovered surface (what the
+    * real durable frontier table contains): the referrer page must pass
+    * the page-URL hygiene gate and be robots-allowed; the target must
+    * pass the link-hygiene gate. Shared by [[webFrontierUnified]] (the
+    * `'discovered'` union branch) and [[webFrontierHopsKnown]] (the
+    * `known` suppression set) so the two statements cannot drift. */
+  private val discoveredWhere: String = s"""wr.robots_allowed
+  AND wr.registered_domain <> 'spam-mirror.net'
+  AND NOT regexp_matches(lower(wr.path || ' ' ||
+        regexp_extract(wr.url, '\\?([^#]*)', 1)), '(casino|viagra|porn|xxx)')
+  AND length(wr.url) <= 200
+  AND NOT regexp_matches(lower(ol.link_raw), '(casino|viagra|porn|xxx)')
+  AND length(ol.link) <= 200"""
+
   /** Unified-frontier oracle (mirrors graft.ops.Robots.webFrontierUnified):
     * the four-source collapse. The `'discovered'` surface — what the REAL
     * streaming run's durable table contains — is stated in closed form as
@@ -3245,13 +3415,7 @@ FROM ($webOutlinks)
 UNION ALL
 SELECT CAST(NULL AS BIGINT), ol.link, CAST(NULL AS VARCHAR), 'discovered'
 FROM ($webOutlinks) ol JOIN ($webRobots) wr ON ol.doc_id = wr.doc_id
-WHERE wr.robots_allowed
-  AND wr.registered_domain <> 'spam-mirror.net'
-  AND NOT regexp_matches(lower(wr.path || ' ' ||
-        regexp_extract(wr.url, '\\?([^#]*)', 1)), '(casino|viagra|porn|xxx)')
-  AND length(wr.url) <= 200
-  AND NOT regexp_matches(lower(ol.link_raw), '(casino|viagra|porn|xxx)')
-  AND length(ol.link) <= 200""")
+WHERE $discoveredWhere""")
 
   /** Multi-hop frontier oracle (mirrors graft.ops.Robots.webFrontierHops):
     * hop 0 is the frontier itself; hops 1–3 are the chain fixture's
@@ -3303,6 +3467,48 @@ SELECT url_norm, url, registered_domain, path, doc_id, provenance, lastmod,
   robots_allowed, robots_rule, crawl_delay, 0 AS hop
 FROM wf"""
 
+  /** Known-suppressed expansion oracle (mirrors
+    * graft.ops.Robots.webFrontierHopsKnown): hop 0 is the frontier; hop
+    * 1 is the fixture fetcher's two anchors per DISTINCT allowed origin
+    * — `/chain/0` always, `/tags` only where the closed-form discovered
+    * set (the stream run's durable table, [[discoveredWhere]] — the
+    * same statement the unified-frontier oracle gates on) does NOT
+    * already hold it — minus frontier norms, target-hygiene-gated,
+    * robots-decided generatively. Hop 2 exists in neither relation: the
+    * fixture's fixpoint. The engine must earn the reduced closure
+    * through the real iteration over the real read-back table. */
+  lazy val webFrontierHopsKnown: String = s"""WITH wf AS ($webFrontier),
+known AS (
+  SELECT DISTINCT url_norm FROM (
+    ${urlNormCols(s"""SELECT ol.link AS url
+FROM ($webOutlinks) ol JOIN ($webRobots) wr ON ol.doc_id = wr.doc_id
+WHERE $discoveredWhere""")})
+), origins AS (
+  SELECT DISTINCT regexp_extract(url_norm,
+    '^[a-z][a-z0-9+.-]*://[^/]+', 0) AS origin
+  FROM wf WHERE robots_allowed
+), cand AS (
+  SELECT origin || s AS url FROM origins
+  CROSS JOIN (SELECT unnest(['/tags', '/chain/0']) AS s) ss
+), cn AS (
+  ${urlNormCols("SELECT url FROM cand")}
+)
+SELECT url_norm, url, registered_domain, path,
+  CAST(NULL AS BIGINT) AS doc_id, 'link' AS provenance,
+  CAST(NULL AS VARCHAR) AS lastmod,
+  $robotsDecisionCols,
+  CAST(1 AS INT) AS hop
+FROM (SELECT *, length(registered_domain) AS l FROM cn
+      WHERE url_norm NOT IN (SELECT url_norm FROM wf)
+        AND url_norm NOT IN (SELECT url_norm FROM known)
+        AND registered_domain <> 'spam-mirror.net'
+        AND NOT regexp_matches(lower(path), '(casino|viagra|porn|xxx)')
+        AND length(url) <= 200)
+UNION ALL
+SELECT url_norm, url, registered_domain, path, doc_id, provenance, lastmod,
+  robots_allowed, robots_rule, crawl_delay, 0 AS hop
+FROM wf"""
+
   /** The frontier collapse + robots decision over a unioned
     * `(doc_id, url, lastmod, src)` URL surface. */
   private def frontierSqlOver(union: String): String = s"""WITH fp AS (
@@ -3329,7 +3535,21 @@ FROM (SELECT *, length(registered_domain) AS l FROM fr)"""
     * page, 1 never crawled, 2 no signal + changed domain, 3 no signal,
     * 4 unchanged page), and schedules allowed rows per domain lane
     * ordered by (priority, doc_id NULLS LAST, url_norm). */
-  val webRecrawl: String = s"""WITH wf AS ($webFrontier),
+  val webRecrawl: String = recrawlSqlOver(webFrontier)
+
+  /** [[webRecrawl]] over the UNIFIED four-source frontier (mirrors
+    * graft.ops.Robots.webRecrawlUnified): the same priority ladder and
+    * lane arithmetic applied to the [[webFrontierUnified]] collapse —
+    * stream-discovered rows carry no fetch history and no lastmod, so
+    * they rank 1 (never crawled) or 2/3 by the domain signal, in the
+    * same per-domain lanes as every corpus/sitemap/link row. */
+  lazy val webRecrawlUnified: String = recrawlSqlOver(webFrontierUnified)
+
+  /** The recrawl ranking + schedule over a frontier statement — ONE
+    * place holds the priority ladder, fetch-history closed form, and
+    * lane arithmetic for [[webRecrawl]] and [[webRecrawlUnified]]. */
+  private def recrawlSqlOver(frontierSql: String): String =
+    s"""WITH wf AS ($frontierSql),
 lc AS (
   SELECT DISTINCT url_norm, '2026-03-15' AS last_crawled
   FROM (${urlParsedOver(urlPagesOver("documents"))})

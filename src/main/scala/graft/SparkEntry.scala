@@ -325,6 +325,11 @@ object SparkEntry {
     // consumed by the email pass, counted zero by the custom pass)
     "text_pii_scrub_custom" -> ((s, dir) =>
       ops.TextAnalysis.textPiiScrubCustom(docs(s, dir))),
+    // the governance report: per-category K=2 audit-sample columns next
+    // to the counts — first-K excerpts of each pass's own input text
+    // (truncation, no-match, and ordered-consumption all witnessed)
+    "text_pii_audit" -> ((s, dir) =>
+      ops.TextAnalysis.textPiiAudit(docs(s, dir))),
     "text_pii_scrub" -> ((s, dir) =>
       ops.TextAnalysis.textPiiScrub(docs(s, dir))),
     "corpus_stats" -> ((s, dir) => ops.TextAnalysis.corpusStats(docs(s, dir))),
@@ -551,11 +556,22 @@ object SparkEntry {
     // (sitemap lastmod vs fetch history; snapshot-diff-changed domains
     // first among unsignaled rows) and scheduled per domain lane
     "web_recrawl" -> ((s, dir) => ops.Robots.webRecrawl(docs(s, dir))),
+    // the recrawl ranking over the UNIFIED four-source frontier: a
+    // stream-discovered location ranks priority-1 (never crawled) in the
+    // same per-domain lanes as every corpus/sitemap/link row
+    "web_recrawl_unified" -> ((s, dir) =>
+      ops.Robots.webRecrawlUnified(docs(s, dir))),
     // multi-hop frontier expansion: the hop-0 frontier iterated through
     // the chain-page fetch seam — hop k adds /chain/<k-1> per distinct
     // allowed origin until the maxHops=3 budget caps the unbounded chain
     "web_frontier_hops" -> ((s, dir) =>
       ops.Robots.webFrontierHops(docs(s, dir))),
+    // the KNOWN-suppressed expansion — the batch half of the closed
+    // crawl loop: hop 1 re-records nothing the streaming run's durable
+    // table already holds (/tags suppressed where the stream covered
+    // the origin) while still adding the genuinely new /chain/0 rows
+    "web_frontier_hops_known" -> ((s, dir) =>
+      ops.Robots.webFrontierHopsKnown(docs(s, dir))),
     // crawl-trap diagnostic: per-(domain, first path segment) URL counts
     // over the frontier with share + explosion flag
     "web_crawl_traps" -> ((s, dir) =>
@@ -564,6 +580,11 @@ object SparkEntry {
     // healthy /cal/about sibling — discrimination depth 1 cannot make
     "web_crawl_traps_deep" -> ((s, dir) =>
       ops.Robots.webCrawlTrapsDeep(docs(s, dir))),
+    // the hierarchical drill-down: no caller-chosen depth — flagged
+    // prefixes split one segment at a time (top-5 children each) until
+    // the explosion is localized or the depth budget caps
+    "web_crawl_traps_hier" -> ((s, dir) =>
+      ops.Robots.webCrawlTrapsHier(docs(s, dir))),
     "web_warc" -> ((s, dir) => ops.Warc.webWarc(docs(s, dir))),
     // the same round trip through REAL on-disk .warc.gz files (executor-side
     // write, binaryFile read, byte-level parse) — same oracle: the file hop
@@ -818,6 +839,7 @@ object SparkEntry {
     "text_sample" -> OracleSqlOps.textSample,
     "text_pii_scrub" -> OracleSqlOps.textPiiScrub,
     "text_pii_scrub_custom" -> OracleSqlOps.textPiiScrubCustom,
+    "text_pii_audit" -> OracleSqlOps.textPiiAudit,
     "corpus_stats" -> OracleSqlOps.corpusStats,
     "corpus_quantiles" -> OracleSqlOps.corpusQuantiles,
     "text_freq_quality" -> OracleSqlOps.textFreqQuality,
@@ -881,9 +903,12 @@ object SparkEntry {
     "web_crawl_schedule" -> OracleSqlOps.webCrawlSchedule,
     "web_frontier" -> OracleSqlOps.webFrontier,
     "web_frontier_hops" -> OracleSqlOps.webFrontierHops,
+    "web_frontier_hops_known" -> OracleSqlOps.webFrontierHopsKnown,
     "web_crawl_traps" -> OracleSqlOps.webCrawlTraps,
     "web_crawl_traps_deep" -> OracleSqlOps.webCrawlTrapsDeep,
+    "web_crawl_traps_hier" -> OracleSqlOps.webCrawlTrapsHier,
     "web_recrawl" -> OracleSqlOps.webRecrawl,
+    "web_recrawl_unified" -> OracleSqlOps.webRecrawlUnified,
     "web_warc" -> OracleSqlOps.webWarc,
     "web_warc_files" -> OracleSqlOps.webWarc,
     "web_wet" -> OracleSqlOps.webWet,

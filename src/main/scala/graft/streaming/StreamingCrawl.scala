@@ -143,13 +143,26 @@ object StreamingCrawl {
     * pass `url_norm` for discovery rows, the frontier's canonical
     * spelling) and rides the output as a `host` column, exactly as the
     * batch twins emit it; the checkpointed lane state is then O(hosts).
-    * Default (domain lanes) leaves the operator byte-identical. */
+    * Default (domain lanes) leaves the operator byte-identical.
+    *
+    * Two byHost contracts (advisor r14): the input must NOT already
+    * carry a `host` column — the derived lane key would silently replace
+    * it (rename the caller's column first; refused loudly instead). And
+    * the flag is part of the CHECKPOINT contract: lane state keys on the
+    * lane string, so flipping `byHost` against an existing checkpoint
+    * silently switches the keyspace — every prior lane's sequence state
+    * is orphaned and the new lanes start at seq 1 rather than failing.
+    * Changing the flag requires a fresh checkpoint (or an accepted lane
+    * reset). */
   def scheduleFetches(pages: DataFrame,
       orderBy: String = "doc_id", byHost: Boolean = false,
       hostFrom: String = "url"): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import org.apache.spark.sql.types.{LongType, StringType}
+    require(!byHost || !pages.columns.contains("host"),
+      "byHost = true derives its own host column; the input already has " +
+        "one - rename it first (a silent replace would corrupt the lane key)")
     val in = if (byHost) pages.withColumn("host",
         graft.ops.UrlOps.parseNormalize(col(hostFrom)).getField("host"))
       else pages

@@ -3685,6 +3685,47 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("piiScrub auditK: first-K excerpts per pass, ordered-consumption and null conventions") {
+    import graft.ops.TextAnalysis
+    val spark2 = spark; import spark2.implicits._
+    val docs = Seq(
+      // three emails: K = 2 samples the first two, the count reads all
+      (1L, "a@x.com then b@y.com then c@z.com"),
+      // the consumed SSN-shaped local part samples under x_emails — the
+      // SSN pass sees (and samples) nothing
+      (2L, "verify 774-12-9876@relay.net soon"),
+      (3L, null.asInstanceOf[String]),
+      (4L, "server 10.1.2.3 responded"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.piiScrub(docs,
+        extra = Seq(("ssns", TextAnalysis.PiiSsnRe, TextAnalysis.PiiSsnToken)),
+        auditK = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Int]("n_emails") == 3)
+    assert(out(1L).getAs[String]("x_emails") == "a@x.com|b@y.com",
+      out(1L).toString)
+    assert(out(2L).getAs[String]("x_emails") == "774-12-9876@relay.net")
+    assert(out(2L).getAs[Int]("n_ssns") == 0 &&
+      out(2L).getAs[String]("x_ssns") == "")
+    // null text: counts 0, samples '', text_scrubbed stays null
+    assert(out(3L).getAs[Int]("n_emails") == 0 &&
+      out(3L).getAs[String]("x_emails") == "" &&
+      out(3L).isNullAt(out(3L).fieldIndex("text_scrubbed")))
+    assert(out(4L).getAs[String]("x_ips") == "10.1.2.3" &&
+      out(4L).getAs[String]("x_emails") == "")
+    // sample columns sit between the counts and text_scrubbed, one per
+    // category in pass order; auditK = 0 leaves the surface byte-stable
+    val cols = TextAnalysis.piiScrub(docs,
+      extra = Seq(("ssns", TextAnalysis.PiiSsnRe, TextAnalysis.PiiSsnToken)),
+      auditK = 2).columns.toSeq
+    assert(cols == Seq("doc_id", "n_emails", "n_phones", "n_ips", "n_ssns",
+      "x_emails", "x_phones", "x_ips", "x_ssns", "text_scrubbed"),
+      cols.toString)
+    val plain = TextAnalysis.piiScrub(docs).columns.toSeq
+    assert(plain == Seq("doc_id", "n_emails", "n_phones", "n_ips",
+      "text_scrubbed"))
+  }
+
   test("canonicals + urlDedupCanonical: cross-host syndicated copies collapse") {
     import graft.ops.{TextExtract, UrlOps}
     val spark2 = spark; import spark2.implicits._
@@ -3751,6 +3792,30 @@ class OpsSpec extends SparkSpec {
         ((r.getAs[Long]("keep_id"), r.getAs[Boolean]("is_canonical")))).toMap
     assert(d(9L) == ((9L, true)), d.toString)
     assert(d(1L) == ((9L, false)), d.toString)
+  }
+
+  test("urlDedupCanonical: a malformed canonical falls back to the page's own norm") {
+    import graft.ops.UrlOps
+    val spark2 = spark; import spark2.implicits._
+    // a non-null declaration whose value parses to a NULL norm (garbage
+    // href) must read as NO declaration: the page keys on its OWN norm
+    // instead of inheriting a null key and shedding at the key-group
+    // join (advisor r14 — both tiers pinned)
+    val rows = Seq(
+      (1L, "https://ok.example/a", "%%%not a url%%%"),
+      (2L, "https://ok.example/b", null.asInstanceOf[String]))
+      .toDF("doc_id", "url", "canonical")
+    val one = UrlOps.urlDedupCanonical(rows).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("dedup_key"), r.getAs[Boolean]("is_canonical"))))
+      .toMap
+    assert(one(1L) == (("https://ok.example/a", true)), one.toString)
+    assert(one(2L) == (("https://ok.example/b", true)))
+    val chain = UrlOps.urlDedupCanonicalChain(rows).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("dedup_key")).toMap
+    assert(chain == Map(1L -> "https://ok.example/a",
+      2L -> "https://ok.example/b"), chain.toString)
+    graft.ops.CacheScope.releaseAll(spark)
   }
 
   test("urlDedupCanonicalChain: chains collapse to the fixpoint, loops break to cycle-min, the cap truncates") {
@@ -4009,6 +4074,103 @@ class OpsSpec extends SparkSpec {
     val gatedNorms = gated.filter(col("hop") === 1)
       .collect().map(_.getAs[String]("url_norm")).sorted.toSeq
     assert(gatedNorms == Seq("https://a.com/ok-page"), gatedNorms.toString)
+    graft.ops.CacheScope.releaseAll(spark)
+  }
+
+  test("expandFrontier: a known durable table suppresses re-discovery without over-suppressing") {
+    import graft.ops.Robots
+    val spark2 = spark; import spark2.implicits._
+    val corpus = Seq((1L, "https://a.com/x")).toDF("doc_id", "url")
+    val sm = Seq.empty[(String, String, String, String)]
+      .toDF("registered_domain", "sitemap_url", "loc", "lastmod")
+    val robots = Seq(("a.com", "User-agent: *\nCrawl-delay: 2"))
+      .toDF("registered_domain", "robots_txt")
+    // every fetched page links /tags (stream-known) and /new (genuinely new)
+    val fetch = (urls: org.apache.spark.sql.DataFrame) => urls.select(
+      col("url"),
+      lit("""<a href="/tags">t</a><a href="/new">n</a>""").as("html"))
+    val known = Seq("https://a.com/tags").toDF("url_norm")
+    // WITHOUT known: hop 1 records both discoveries
+    val bare = Robots.expandFrontier(
+      Robots.crawlFrontier(corpus, sm, robots), fetch, robots, maxHops = 1)
+    assert(bare.filter(col("hop") === 1).collect()
+      .map(_.getAs[String]("url_norm")).sorted.toSeq ==
+      Seq("https://a.com/new", "https://a.com/tags"))
+    // WITH known: the stream-found location is never re-recorded at any
+    // hop; the new one still lands (no over-suppression)
+    val sup = Robots.expandFrontier(
+      Robots.crawlFrontier(corpus, sm, robots), fetch, robots, maxHops = 3,
+      known = Some(known))
+    val supRows = sup.collect().map(r =>
+      r.getAs[String]("url_norm") -> r.getAs[Int]("hop"))
+    assert(supRows.sortBy(_._1).toSeq == Seq(
+      "https://a.com/new" -> 1, "https://a.com/x" -> 0), supRows.toString)
+    // hop-0 provenance claim: pass the UNIFIED frontier (the durable
+    // table as the fourth source) — the stream-found location rides at
+    // hop 0 with 'discovered' provenance, exactly once, and is never
+    // re-added as a hop-N "new" row
+    val unified = Robots.crawlFrontier(corpus, sm, robots,
+      discoveredPages = Some(Seq("https://a.com/tags").toDF("url")))
+    val uni = Robots.expandFrontier(unified, fetch, robots, maxHops = 3,
+      known = Some(known))
+    val tagRows = uni.filter(col("url_norm") === "https://a.com/tags")
+      .collect()
+    assert(tagRows.length == 1, tagRows.mkString(";"))
+    assert(tagRows.head.getAs[Int]("hop") == 0)
+    assert(tagRows.head.getAs[String]("provenance") == "discovered")
+    assert(uni.filter(col("hop") === 1).collect()
+      .map(_.getAs[String]("url_norm")).toSeq == Seq("https://a.com/new"))
+    graft.ops.CacheScope.releaseAll(spark)
+  }
+
+  test("crawlTrapsHier localizes deep and flat explosions without a caller depth") {
+    import graft.ops.Robots
+    val spark2 = spark; import spark2.implicits._
+    // a.com: a DEEP trap (/cal/2026 explodes, /cal/about healthy), a FLAT
+    // trap (/flat's children are singletons), and a quiet section
+    val paths =
+      (0 until 12).map(i => f"/cal/2026/e$i%02d") ++
+      (0 until 2).map(i => s"/cal/about/a$i") ++
+      (0 until 10).map(i => s"/flat/f$i") ++
+      Seq("/about")
+    val frontier = paths.map(p => ("a.com", p))
+      .toDF("registered_domain", "path")
+    val out = Robots.crawlTrapsHier(frontier, maxPerPrefix = 8,
+      maxDepth = 3, topK = 5).collect()
+      .map(r => (r.getAs[Int]("depth"), r.getAs[String]("path_prefix")) ->
+        ((r.getAs[Long]("n_urls"), r.getAs[Boolean]("is_trap"),
+          r.getAs[Boolean]("trap_localized")))).toMap
+    // depth 1: /cal flagged but NOT localized (a flagged child splits
+    // it); /flat flagged AND localized (children are singletons); /about
+    // quiet
+    assert(out((1, "/cal")) == ((14L, true, false)), out.toString)
+    assert(out((1, "/flat")) == ((10L, true, true)))
+    assert(out((1, "/about")) == ((1L, false, false)))
+    // depth 2: only children of flagged parents report; /cal/2026 is the
+    // localized diagnosis, /cal/about its healthy sibling; /flat reports
+    // its top-5 singletons (the declared K cut), none flagged
+    assert(out((2, "/cal/2026")) == ((12L, true, true)))
+    assert(out((2, "/cal/about")) == ((2L, false, false)))
+    val flatKids = out.keys.filter(k => k._1 == 2 &&
+      k._2.startsWith("/flat/")).map(_._2).toSeq.sorted
+    assert(flatKids == (0 until 5).map(i => s"/flat/f$i"), flatKids.toString)
+    // depth 3: only /cal/2026 drills — top-5 of its 12 singletons
+    val d3 = out.keys.filter(_._1 == 3).map(_._2).toSeq.sorted
+    assert(d3 == (0 until 5).map(i => f"/cal/2026/e$i%02d"), d3.toString)
+    assert(d3.forall(p => !out((3, p))._2))
+    // shares are against the DOMAIN total at every depth
+    val tot = paths.size.toDouble
+    val share = Robots.crawlTrapsHier(frontier, maxPerPrefix = 8)
+      .filter(col("path_prefix") === "/cal" && col("depth") === 1)
+      .head().getAs[Double]("prefix_share")
+    assert(math.abs(share - 14.0 / tot) < 1e-12)
+    // the maxDepth budget: a prefix still flagged AT the cap localizes
+    // there (truncated diagnosis, documented)
+    val capped = Robots.crawlTrapsHier(frontier, maxPerPrefix = 8,
+      maxDepth = 2, topK = 5).collect()
+      .map(r => (r.getAs[Int]("depth"), r.getAs[String]("path_prefix")) ->
+        r.getAs[Boolean]("trap_localized")).toMap
+    assert(capped((2, "/cal/2026")), capped.toString)
     graft.ops.CacheScope.releaseAll(spark)
   }
 

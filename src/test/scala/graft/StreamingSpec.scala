@@ -666,6 +666,22 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming fetch scheduler byHost refuses an input that already carries a host column") {
+    // advisor r14: the derived lane key would silently REPLACE a caller's
+    // host column (and corrupt the lane keyspace) — refuse loudly instead
+    val spark2 = spark
+    import spark2.implicits._
+    val pages = Seq((1L, "https://a.com/x", "a.com", Some(1), "pre-existing"))
+      .toDF("doc_id", "url", "registered_domain", "crawl_delay", "host")
+    val e = intercept[IllegalArgumentException] {
+      graft.streaming.StreamingCrawl.scheduleFetches(pages, byHost = true)
+    }
+    assert(e.getMessage.contains("host"), e.getMessage)
+    // the default (domain lanes) is indifferent to a host column
+    val ok = graft.streaming.StreamingCrawl.scheduleFetches(pages)
+    assert(ok.columns.contains("fetch_seq"))
+  }
+
   test("streaming fetch scheduler byHost: host lanes sequence independently and survive a restart") {
     // judge r13 missing #3: the batch schedulers' host-politeness option
     // mirrored into the live scheduler — two hosts of ONE registered
