@@ -3260,6 +3260,42 @@ SELECT l.registered_domain, l.path_prefix, CAST(3 AS INT), l.n_urls,
   l.n_urls > 8
 FROM l3 l JOIN tot t USING (registered_domain)"""
 
+  /** Trap-cap application oracle (mirrors graft.ops.Robots.webCrawlCaps):
+    * the hierarchical report's LOCALIZED prefixes applied back onto the
+    * same url_norm-bearing surface — governing match stated as the
+    * segment-boundary prefix predicate (exactly one localized trap can
+    * govern a row: localized traps cannot nest), lane ranks by url_norm
+    * within (domain, trap_prefix), kept = ungoverned or rank ≤ 8. The
+    * engine must reach the same lanes through its broadcast match +
+    * governed-only window. */
+  lazy val webCrawlCaps: String = s"""WITH uni AS (
+  SELECT url_norm, registered_domain, path FROM ($webFrontier)
+  UNION ALL
+  SELECT 'https://' || registered_domain || path, registered_domain, path
+  FROM (
+    SELECT registered_domain,
+      '/cal/' || (CASE WHEN doc_id % 3 = 2 THEN 'about/' ELSE '2026/' END)
+        || CAST(doc_id AS VARCHAR) AS path
+    FROM (${urlParsedOver(urlPagesOver("documents"))}))
+), loc AS (
+  SELECT registered_domain, path_prefix AS trap_prefix
+  FROM ($webCrawlTrapsHier) WHERE trap_localized
+), g AS (
+  SELECT u.url_norm, u.registered_domain, u.path, l.trap_prefix
+  FROM uni u LEFT JOIN loc l
+    ON u.registered_domain = l.registered_domain
+   AND (u.path = l.trap_prefix OR
+        starts_with(u.path, l.trap_prefix || '/'))
+), r AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY registered_domain,
+      trap_prefix ORDER BY url_norm) AS INT) AS rn
+  FROM g
+)
+SELECT url_norm, registered_domain, path, trap_prefix,
+  CASE WHEN trap_prefix IS NULL THEN NULL ELSE rn END AS capped_rank,
+  (trap_prefix IS NULL OR rn <= 8) AS kept
+FROM r"""
+
   /** Crawl-budget oracle (mirrors graft.ops.Robots.webCrawlBudget):
     * per-domain allowed-page count × governing crawl delay, built on the
     * webRobots decision subquery so both engines derive the gate the same

@@ -585,6 +585,10 @@ object SparkEntry {
     // the explosion is localized or the depth budget caps
     "web_crawl_traps_hier" -> ((s, dir) =>
       ops.Robots.webCrawlTrapsHier(docs(s, dir))),
+    // the diagnosis ACTED ON: localized trap prefixes cap their frontier
+    // lanes at 8 deterministic rows; ungoverned rows pass untouched
+    "web_crawl_caps" -> ((s, dir) =>
+      ops.Robots.webCrawlCaps(docs(s, dir))),
     "web_warc" -> ((s, dir) => ops.Warc.webWarc(docs(s, dir))),
     // the same round trip through REAL on-disk .warc.gz files (executor-side
     // write, binaryFile read, byte-level parse) — same oracle: the file hop
@@ -907,6 +911,7 @@ object SparkEntry {
     "web_crawl_traps" -> OracleSqlOps.webCrawlTraps,
     "web_crawl_traps_deep" -> OracleSqlOps.webCrawlTrapsDeep,
     "web_crawl_traps_hier" -> OracleSqlOps.webCrawlTrapsHier,
+    "web_crawl_caps" -> OracleSqlOps.webCrawlCaps,
     "web_recrawl" -> OracleSqlOps.webRecrawl,
     "web_recrawl_unified" -> OracleSqlOps.webRecrawlUnified,
     "web_warc" -> OracleSqlOps.webWarc,

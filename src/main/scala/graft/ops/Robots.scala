@@ -960,15 +960,9 @@ object Robots {
     * and [[webCrawlTrapsHier]]: the [[webFrontier]] paths plus the
     * per-domain calendar decoration (`/cal/2026/<id>` on two of three
     * ids, `/cal/about/<id>` on every third). */
-  private def trapsDeepSurface(docs: DataFrame): DataFrame = {
-    val cal = UrlOps.urls(UrlOps.pageUrls(docs)).select(
-      col("registered_domain"),
-      concat(lit("/cal/"),
-        when(col("doc_id") % 3 === 2, "about/").otherwise("2026/"),
-        col("doc_id").cast("string")).as("path"))
-    webFrontier(docs).select(col("registered_domain"), col("path"))
-      .unionByName(cal)
-  }
+  private def trapsDeepSurface(docs: DataFrame): DataFrame =
+    trapsDeepSurfaceNormed(docs)
+      .select(col("registered_domain"), col("path"))
 
   /** HIERARCHICAL trap localization (judge r14 missing #3): choosing
     * [[crawlTraps]]' depth is the operator's job, not the caller's — a
@@ -1074,6 +1068,97 @@ object Robots {
   def webCrawlTrapsHier(docs: DataFrame): DataFrame =
     crawlTrapsHier(trapsDeepSurface(docs), maxPerPrefix = 8,
       maxDepth = 3, topK = 5)
+
+  /** Trap-cap APPLICATION — the fetch-list decision the diagnosis
+    * exists for (the [[crawlTraps]] scaladoc's "a crawler caps or skips
+    * the prefix rather than fetching it dry", now an operator instead
+    * of a remark): each LOCALIZED trap prefix from a [[crawlTrapsHier]]
+    * report keeps at most `capPerPrefix` of its frontier rows
+    * (deterministic: `url_norm` order within the prefix lane) and
+    * sheds the rest; rows under no localized trap pass untouched.
+    * Output per frontier row: `trap_prefix` (the governing localized
+    * prefix, null when ungoverned), `capped_rank` (the row's position
+    * in its prefix lane, null when ungoverned), `kept`.
+    *
+    * Exactly ONE trap can govern a row: localized traps cannot nest —
+    * a localized prefix is flagged with no flagged child, so its
+    * descendants are never flagged (hence never localized) and its
+    * ancestors are flagged-but-not-localized (spec-pinned). The prefix
+    * match is segment-boundary-safe (`path == prefix` or
+    * `path startsWith prefix + '/'` — `/cal/2026` cannot govern
+    * `/cal/2026x`).
+    *
+    * Scale shape: the localized trap set is bounded (prefix
+    * cardinality), so the governing match is one BROADCAST left join
+    * with the prefix predicate; governed rows alone pay the one
+    * bounded window shuffle (per (domain, trap_prefix) lane), and
+    * ungoverned rows ride a union branch of the same scan — the
+    * frontier is never shuffled whole. */
+  def applyTrapCaps(frontier: DataFrame, traps: DataFrame,
+      capPerPrefix: Int = 100): DataFrame = {
+    require(capPerPrefix >= 0, s"capPerPrefix >= 0: $capPerPrefix")
+    // the localized set is bounded (prefix cardinality) — materialize it
+    // once so the broadcast build does not re-run the report pipeline
+    val loc = CacheScope.trackEager(traps.filter(col("trap_localized"))
+      .select(col("registered_domain").as("__t_dom"),
+        col("path_prefix").as("trap_prefix")))
+    val joined = frontier.join(Par.maybeBroadcast(loc),
+      frontier("registered_domain") === col("__t_dom") &&
+        (frontier("path") === col("trap_prefix") ||
+          frontier("path").startsWith(concat(col("trap_prefix"), lit("/")))),
+      "left").drop("__t_dom")
+    val governed = joined.filter(col("trap_prefix").isNotNull)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("registered_domain"), col("trap_prefix"))
+      .orderBy(col("url_norm"))
+    governed
+      .withColumn("capped_rank", row_number().over(w))
+      .withColumn("kept", col("capped_rank") <= capPerPrefix)
+      .unionByName(joined.filter(col("trap_prefix").isNull)
+        .withColumn("capped_rank", lit(null).cast("int"))
+        .withColumn("kept", lit(true)))
+  }
+
+  /** The composed cap fixture query: the [[webCrawlTrapsHier]] report
+    * applied back onto its own frontier surface (each row carrying a
+    * `url_norm` — the calendar decoration renders its canonical
+    * spelling) at `capPerPrefix = 8` — the `/cal/2026` mill keeps its
+    * first eight rows per domain, flat localized sections cap the same
+    * way, and every ungoverned row passes with a null lane. The oracle
+    * states the governing match, lane ranks, and keep flags in closed
+    * form over the same report statement. */
+  def webCrawlCaps(docs: DataFrame): DataFrame = {
+    // ONE materialization of the fixture surface feeds both the report
+    // and the frontier being capped — without it the whole frontier
+    // assembly (XML parses, robots round trip) would run twice. A lineage
+    // BARRIER, not a cache: the surface fans out into the report's drill-
+    // down levels plus the cap join/window/union, and each downstream
+    // Dataset would re-analyze the composed rendered-fixture plan
+    // (scale-independent driver cost — the prep_web lesson)
+    val surface = CacheScope.barrier(trapsDeepSurfaceNormed(docs))
+    applyTrapCaps(surface,
+      crawlTrapsHier(surface.select(col("registered_domain"), col("path")),
+        maxPerPrefix = 8, maxDepth = 3, topK = 5),
+      capPerPrefix = 8)
+  }
+
+  /** [[trapsDeepSurface]] with each row's `url_norm` riding along — the
+    * cap operator needs the frontier's canonical spelling for its
+    * deterministic lane order (the calendar decoration renders
+    * `https://<domain><path>`). */
+  private def trapsDeepSurfaceNormed(docs: DataFrame): DataFrame = {
+    val cal = UrlOps.urls(UrlOps.pageUrls(docs)).select(
+      col("registered_domain"),
+      concat(lit("/cal/"),
+        when(col("doc_id") % 3 === 2, "about/").otherwise("2026/"),
+        col("doc_id").cast("string")).as("path"))
+      .withColumn("url_norm",
+        concat(lit("https://"), col("registered_domain"), col("path")))
+    webFrontier(docs).select(col("url_norm"), col("registered_domain"),
+        col("path"))
+      .unionByName(cal.select(col("url_norm"), col("registered_domain"),
+        col("path")))
+  }
 
   /** Multi-hop frontier EXPANSION — the iteration that closes the crawl
     * loop in batch mode (judge r12 missing #2: link discovery was one

@@ -4174,6 +4174,51 @@ class OpsSpec extends SparkSpec {
     graft.ops.CacheScope.releaseAll(spark)
   }
 
+  test("applyTrapCaps: localized lanes cap deterministically, ungoverned rows pass, boundaries hold") {
+    import graft.ops.Robots
+    val spark2 = spark; import spark2.implicits._
+    // the hier-spec surface plus a boundary decoy: /cal/2026x must NOT
+    // be governed by the /cal/2026 trap (segment-boundary match)
+    val paths =
+      (0 until 12).map(i => f"/cal/2026/e$i%02d") ++
+      (0 until 2).map(i => s"/cal/about/a$i") ++
+      (0 until 10).map(i => s"/flat/f$i") ++
+      Seq("/about", "/cal/2026x")
+    val frontier = paths.map(p => ("a.com", p))
+      .toDF("registered_domain", "path")
+      .withColumn("url_norm",
+        concat(lit("https://a.com"), col("path")))
+    val traps = Robots.crawlTrapsHier(frontier, maxPerPrefix = 8,
+      maxDepth = 3, topK = 5)
+    // the non-nesting property the single-governor join leans on:
+    // localized traps are never ancestor/descendant of one another
+    val locs = traps.filter(col("trap_localized"))
+      .collect().map(_.getAs[String]("path_prefix")).toSeq
+    for (a <- locs; b <- locs if a != b)
+      assert(!b.startsWith(a + "/"), s"nested localized traps: $a $b")
+    val out = Robots.applyTrapCaps(frontier, traps, capPerPrefix = 3)
+    assert(out.count() == paths.size) // one output row per frontier row
+    val rows = out.collect().map(r => r.getAs[String]("path") ->
+      ((Option(r.getAs[String]("trap_prefix")),
+        Option(r.get(r.fieldIndex("capped_rank"))),
+        r.getAs[Boolean]("kept")))).toMap
+    // the /cal/2026 mill: first three by url_norm survive, the rest shed
+    assert(rows("/cal/2026/e00") == ((Some("/cal/2026"), Some(1), true)))
+    assert(rows("/cal/2026/e02") == ((Some("/cal/2026"), Some(3), true)))
+    assert(rows("/cal/2026/e03") == ((Some("/cal/2026"), Some(4), false)))
+    assert(rows("/cal/2026/e11") == ((Some("/cal/2026"), Some(12), false)))
+    // the flat /flat trap caps in its own lane
+    assert(rows("/flat/f0") == ((Some("/flat"), Some(1), true)))
+    assert(rows("/flat/f9") == ((Some("/flat"), Some(10), false)))
+    // ungoverned rows pass with a null lane: the quiet section, the
+    // healthy sibling under a flagged-but-not-localized ancestor, and
+    // the boundary decoy
+    assert(rows("/about") == ((None, None, true)))
+    assert(rows("/cal/about/a0") == ((None, None, true)))
+    assert(rows("/cal/2026x") == ((None, None, true)), rows.toString)
+    graft.ops.CacheScope.releaseAll(spark)
+  }
+
   test("swapInto replaces the destination atomically and clears the aside copy") {
     import graft.ops.TempDirs
     val root = java.nio.file.Files.createTempDirectory("graft-swap")
