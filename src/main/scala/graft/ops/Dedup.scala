@@ -1535,21 +1535,46 @@ object Dedup {
         col("n2"), col("keys"))
       val embRepOf = bGrpE.select(col("rep_id"),
         explode(col("members")).as("doc_id"))
-      val hband = heRep.select(col("hid"), posexplode(col("keys")).as(Seq("band", "key")))
+      // spread the history sketch before the per-band explode (r15
+      // optimization — measured: the cached/parquet emb rep table arrives
+      // in 1–2 partitions at fixture scale, so the explode → candidate
+      // join → distinct MAP side ran 148 MB of shuffle write through 2
+      // tasks, ~6.5 s of the query; Par.spread is a no-op past the
+      // small-input threshold, so at corpus scale nothing changes)
+      // materialize the (caller-persisted) history sketch NOW so the size
+      // gate below reads the ACTUAL cached size — the CacheScope.trackEager
+      // rationale: Catalyst's estimate for the aggregated sketch subtree is
+      // pessimistic by orders of magnitude and would always decline
+      val heSpread = Par.spread(CacheScope.trackEager(heRep))
+      val hband = heSpread.select(col("hid"), posexplode(col("keys")).as(Seq("band", "key")))
       val bband = bSk.select(col("doc_id"), posexplode(col("keys")).as(Seq("band", "key")))
       val cand = hband.join(maybeBroadcast(bband), Seq("band", "key"))
         .select(col("doc_id"), col("hid")).distinct()
-      // the verify join streams the HISTORY side (the corpus-scale table):
-      // the candidate set — bounded by the banding's collisions — is the
-      // gated build side, so history is never sorted (the same
-      // declined-broadcast lesson as Par.maybeBroadcast's shuffle_hash
-      // fallback; an unhinted join here would sort-merge the history sketch)
-      val embPerRep = maybeBroadcast(cand
+      // the verify join picks its build side by SIZE, both ways (guide
+      // §3.1; r15 optimization): in the production banding regime (t≈0.8)
+      // the candidate set — bounded by the banding's collisions — is far
+      // smaller than history, so it is the gated build side and the
+      // corpus-scale history streams unsorted (the declined-broadcast
+      // lesson at Par.maybeBroadcast: an unhinted join would sort-merge
+      // the history sketch). In the stress regime (t≈0.45, sign-LSH
+      // cannot prune — the operator's documented honesty note) candidates
+      // approach all-pairs and DWARF the history reps: the one-sided gate
+      // declined the candidate broadcast and re-exchanged the whole
+      // 148 MB candidate stream to hash-join a 3 MB history table. When
+      // the slim history projection fits the threshold, broadcast IT —
+      // the candidate stream is never re-shuffled.
+      val heSlim = heSpread.select(col("hid"), col("ev").as("hev"),
+        col("n2").as("hn2"))
+      val candB = cand
         .join(maybeBroadcast(
           bSk.select(col("doc_id"), col("ev").as("bev"), col("n2").as("bn2"))),
-          "doc_id"))
-        .join(heRep.select(col("hid"), col("ev").as("hev"), col("n2").as("hn2")),
-          "hid")
+          "doc_id")
+      val thr = org.apache.spark.sql.graftbridge
+        .autoBroadcastThreshold(batch.sparkSession)
+      val embPerRep = (if (thr > 0 && org.apache.spark.sql.graftbridge
+            .planSizeBytes(heSlim) <= thr)
+          candB.join(broadcast(heSlim), "hid")
+        else maybeBroadcast(candB).join(heSlim, "hid"))
         .filter(graft.functions.VectorExprs.dotProduct(col("bev"), col("hev"))
           / sqrt(col("bn2") * col("hn2")) >= embThreshold)
         .groupBy(col("doc_id")).agg(min(col("hid")).as("emb_id"))

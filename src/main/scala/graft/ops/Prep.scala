@@ -28,17 +28,25 @@ object Prep {
   def prepCorpus(docs: DataFrame, qualityMin: Double = 0.40,
       budget: Int = 2048, shards: Int = 32,
       threshold: Double = 0.8): DataFrame = {
+    // stage frames are BARRIERS, not lazy caches (r15 optimization): each
+    // stage's keep-set re-derives from the previous stage's frame, so with
+    // lazy caches the final plan nests the whole upstream tree once per
+    // stage per consumer — measured at sf0.1 the composed plan carried
+    // ~1.4k Exchange mentions and the query spent ~1 s of its 5.2 s wall
+    // on the driver re-analyzing it; the barriers make each stage's plan
+    // O(stage). Same blocks either way ([[CacheScope.barrier]] trade-off
+    // note); a cluster pipeline would checkpoint or write stage tables.
     val canonIds = Dedup.dedupPipeline(docs, threshold = threshold)
       .filter(col("is_canonical")).select(col("doc_id"))
-    val canon = CacheScope.track(docs.join(canonIds, "doc_id"))
+    val canon = CacheScope.barrier(docs.join(canonIds, "doc_id"))
     val qIds = TextAnalysis.quality(canon)
       .filter(col("quality") >= qualityMin).select(col("doc_id"))
-    val qualified = CacheScope.track(canon.join(qIds, "doc_id"))
+    val qualified = CacheScope.barrier(canon.join(qIds, "doc_id"))
     // mix rates are computed over the POST-filter corpus: thinning targets
     // the shares of what survives, not of what was crawled
     val mixIds = TextAnalysis.mixToShares(qualified)
       .filter(col("kept")).select(col("doc_id"))
-    val mixed = CacheScope.track(qualified.join(mixIds, "doc_id"))
+    val mixed = CacheScope.barrier(qualified.join(mixIds, "doc_id"))
     TextAnalysis.pack(mixed, budget, shards)
       .join(TextAnalysis.hashSplit(mixed), "doc_id")
       .select(col("doc_id"), col("split"), col("shard"), col("seq"),
@@ -65,15 +73,19 @@ object Prep {
     * scans once. */
   def prepFineWeb(docs: DataFrame, keepFrac: Double = 0.3,
       budget: Int = 2048, shards: Int = 32): DataFrame = {
+    // barriers for the stage frames — the [[prepCorpus]] rationale; this
+    // recipe is the shared tail of SIX gated queries (prep_fineweb,
+    // prep_fineweb_html, prep_web, prep_wet, prep_warc, prep_warc_files),
+    // each of which re-paid the nested-plan driver cost per stage
     val gIds = TextAnalysis.gopherRules(docs)
       .filter(col("kept")).select(col("doc_id"))
-    val g = CacheScope.track(docs.join(gIds, "doc_id"))
+    val g = CacheScope.barrier(docs.join(gIds, "doc_id"))
     val canonIds = Dedup.exactNormalized(g)
       .select(col("keep_id").as("doc_id"))
-    val canon = CacheScope.track(g.join(canonIds, "doc_id"))
+    val canon = CacheScope.barrier(g.join(canonIds, "doc_id"))
     val qIds = TextAnalysis.qualityTopFrac(canon, keepFrac)
       .filter(col("kept")).select(col("doc_id"))
-    val selected = CacheScope.track(canon.join(qIds, "doc_id"))
+    val selected = CacheScope.barrier(canon.join(qIds, "doc_id"))
     TextAnalysis.pack(selected, budget, shards)
       .join(TextAnalysis.hashSplit(selected), "doc_id")
       .select(col("doc_id"), col("split"), col("shard"), col("seq"),

@@ -925,7 +925,12 @@ object Robots {
     // parameter now, not a hand-written regex). Same single aggregation +
     // broadcast-totals shape at any depth.
     val prefix = regexp_extract(col("path"), s"^((?:/[^/]*){1,$depth})", 1)
-    val per = CacheScope.trackEager(frontier
+    // barrier, not a lazy/eager cache (r15 optimization): the report is
+    // bounded (prefix cardinality), and the totals branch + the join back
+    // would otherwise each re-analyze the frontier's full lineage — for
+    // the composed fixture queries that lineage is the rendered-frontier
+    // mega-tree (scale-independent driver cost, the prep_web lesson)
+    val per = CacheScope.barrier(frontier
       .groupBy(col("registered_domain"), prefix.as("path_prefix"))
       .agg(count(lit(1)).as("n_urls")))
     val totals = per.groupBy(col("registered_domain"))
@@ -999,7 +1004,12 @@ object Robots {
       maxDepth: Int = 3, topK: Int = 5): DataFrame = {
     require(maxDepth >= 1, s"maxDepth >= 1: $maxDepth")
     require(topK >= 1, s"topK >= 1: $topK")
-    val f = CacheScope.trackEager(
+    // barrier, not a lazy/eager cache (r15 optimization — measured: the
+    // fixture query spent ~2 s of 5 s on the driver): every level's
+    // Dataset construction (and each maybeBroadcast size probe) would
+    // otherwise re-analyze the frontier's full composed lineage; the
+    // barrier makes the per-level plans O(level)
+    val f = CacheScope.barrier(
       frontier.select(col("registered_domain"), col("path")))
     val totals = f.groupBy(col("registered_domain"))
       .agg(count(lit(1)).as("domain_urls"))
@@ -1204,12 +1214,31 @@ object Robots {
     * provenance `'discovered'` and are equally in the seen set
     * (spec-witnessed: such a row appears ONCE, at hop 0, never again as
     * a hop-N discovery). */
+  /** [[expandFrontier]]'s seen-set inversion trigger: the inverted
+    * broadcast anti-join replaces the per-hop shuffle of the accumulated
+    * seen set only when seen's (near-actual — checkpointed-leaf) size
+    * exceeds this many broadcast thresholds; below it the classic single
+    * shuffle is cheaper than the inversion's extra per-hop jobs. With the
+    * default 10 MB threshold the trigger sits at 80 MB of seen norms —
+    * ~2M URLs — far above any local-bench fixture and far below the
+    * corpus-scale frontier the inversion exists for. Override the session
+    * `spark.sql.autoBroadcastJoinThreshold` to move both knobs together. */
+  private[graft] val invertSeenFactor = 8L
+
   def expandFrontier(frontier: DataFrame,
       fetchHtml: DataFrame => DataFrame, robots: DataFrame,
       agent: String = "graftbot", maxHops: Int = 3,
       known: Option[DataFrame] = None): DataFrame = {
     require(maxHops >= 0, s"maxHops >= 0: $maxHops")
-    val f0 = CacheScope.trackEager(frontier.withColumn("hop", lit(0)))
+    // BARRIERS, not lazy/eager caches (r15 optimization — measured: the
+    // 3-hop fixture query spent 7.2 of 9.9 s on the DRIVER, re-analyzing
+    // the composed frontier/robots mega-lineage once per hop per job):
+    // hop 0 and the robots table are leaves for every per-hop Dataset the
+    // loop builds, so per-hop analysis is O(hop), not O(whole fixture
+    // tree). Semantics unchanged — a deployment's frontier and robots
+    // corpus are materialized tables to begin with (see scaladoc above).
+    val f0 = CacheScope.barrier(frontier.withColumn("hop", lit(0)))
+    val rob = CacheScope.barrier(robots)
     var acc = f0
     var seen = known.foldLeft(f0.select(col("url_norm")))((s, k) =>
       s.unionByName(k.select(col("url_norm")).distinct()))
@@ -1231,7 +1260,43 @@ object Robots {
           UrlOps.parseNormalize(col("link")).getField("url_norm")
             .as("url_norm"))
         .agg(min(col("link")).as("url"))
-      val fresh = cand.join(seen, Seq("url_norm"), "left_anti")
+      // Seen-set anti-join, INVERTED when the accumulated seen set is
+      // genuinely large and the hop's candidates fit the broadcast
+      // threshold (r15 optimization; the r13 plan audit's "the accumulated
+      // seen-set reshuffle remains the one future 100 TB amortization
+      // note"): the classic `cand ANTI seen` exchanges BOTH sides on
+      // url_norm every hop — at corpus scale the frontier-sized seen set
+      // is re-shuffled once per hop. Two broadcast joins do the same set
+      // arithmetic with ZERO exchanges of seen: the bounded candidate set
+      // broadcasts into a semi-join that STREAMS seen map-side (hit = the
+      // already-known candidates, ≤ |cand|), and the bounded hit set
+      // broadcasts back into the anti-join. Gating, both ways from
+      // near-actual sizes (seen is a union of materialized leaves —
+      // checkpoint blocks — so its estimate is honest; cand is eager-
+      // cached on this path so ITS gate reads the actual cached size, not
+      // Catalyst's pessimistic aggregate estimate): a small seen set
+      // (the local-bench regime) keeps the classic one-shuffle anti-join —
+      // the inversion's extra per-hop jobs (cand count + two broadcast
+      // builds) cost more than the tiny shuffle they remove — and a
+      // too-big candidate wave (a real crawl's hop-1 discovery burst)
+      // falls back to the classic join too. The 100 TB path is code, not
+      // a comment; both paths are pinned equal by OpsSpec.
+      val gb = org.apache.spark.sql.graftbridge
+      val thr = gb.autoBroadcastThreshold(frontier.sparkSession)
+      val invert = thr > 0 &&
+        gb.planSizeBytes(seen) > invertSeenFactor * thr
+      val fresh =
+        if (invert) {
+          val candE = CacheScope.trackEager(cand)
+          val candNorms = candE.select(col("url_norm"))
+          if (gb.planSizeBytes(candNorms) <= thr) {
+            // seen rows are unique by construction (hop additions are
+            // anti-joined before entering seen) — `hit` needs no distinct
+            val hit = seen.join(broadcast(candNorms), Seq("url_norm"),
+              "left_semi")
+            candE.join(broadcast(hit), Seq("url_norm"), "left_anti")
+          } else candE.join(seen, Seq("url_norm"), "left_anti")
+        } else cand.join(seen, Seq("url_norm"), "left_anti")
       val u = UrlOps.parseNormalize(col("url_norm"))
       // robots match target is PATH + QUERY (RFC 9309 §2.2.2, the
       // streaming twin's form — `Disallow: /*?sid=`-style rules must
@@ -1240,7 +1305,7 @@ object Robots {
       // oracle is untouched
       val added = robotsGate(fresh
           .withColumn("registered_domain", u.getField("registered_domain"))
-          .withColumn("path", u.getField("path")), robots, agent,
+          .withColumn("path", u.getField("path")), rob, agent,
           query = Some(UrlOps.queryOf(col("url_norm"))))
         .select(col("url_norm"), col("url"), col("registered_domain"),
           col("path"), lit(null).cast("long").as("doc_id"),

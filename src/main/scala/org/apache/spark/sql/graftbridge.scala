@@ -26,6 +26,11 @@ object graftbridge {
   def executedPlanString(df: DataFrame): String =
     df.asInstanceOf[classic.Dataset[_]].queryExecution.executedPlan.toString
 
+  /** `explain("formatted")` as a string (plan-audit artifact capture). */
+  def formattedPlan(df: DataFrame): String =
+    df.asInstanceOf[classic.Dataset[_]].queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+
   /** The materialized RDD behind a `localCheckpoint`ed frame (a
     * `LogicalRDD` leaf), for deterministic block release — None for any
     * other plan shape. */

@@ -4123,6 +4123,41 @@ class OpsSpec extends SparkSpec {
     graft.ops.CacheScope.releaseAll(spark)
   }
 
+  test("expandFrontier: the inverted seen anti-join path equals the classic path") {
+    // the r15 seen-set inversion (two broadcast joins instead of the
+    // per-hop shuffled anti-join) is size-gated ON at corpus scale and OFF
+    // at fixture scale — this witness forces it on by shrinking the
+    // broadcast threshold until seen (a 2000-row frontier) exceeds
+    // invertSeenFactor × threshold while the hop's candidates still fit,
+    // and pins the two paths row-identical
+    import graft.ops.Robots
+    val spark2 = spark; import spark2.implicits._
+    val corpus = (1L to 4000L).map(i => (i, s"https://a.com/p$i"))
+      .toDF("doc_id", "url")
+    val sm = Seq.empty[(String, String, String, String)]
+      .toDF("registered_domain", "sitemap_url", "loc", "lastmod")
+    val robots = Seq(("a.com", "User-agent: *\nCrawl-delay: 2"))
+      .toDF("registered_domain", "robots_txt")
+    val fetch = (urls: org.apache.spark.sql.DataFrame) => urls.select(
+      col("url"),
+      lit("""<a href="/tags">t</a><a href="/new">n</a>""").as("html"))
+    def run(): Seq[(String, Int, String)] =
+      Robots.expandFrontier(Robots.crawlFrontier(corpus, sm, robots),
+          fetch, robots, maxHops = 2)
+        .select(col("url_norm"), col("hop"), col("provenance"))
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2)))
+        .sortBy(_._1).toSeq
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(key)
+    val classic = run()
+    val inverted = try { spark.conf.set(key, "2048"); run() }
+      finally spark.conf.set(key, saved)
+    assert(classic == inverted)
+    // the fixture genuinely discovers: hop 1 adds /tags and /new
+    assert(classic.count(_._2 == 1) == 2, classic.filter(_._2 == 1).toString)
+    graft.ops.CacheScope.releaseAll(spark)
+  }
+
   test("crawlTrapsHier localizes deep and flat explosions without a caller depth") {
     import graft.ops.Robots
     val spark2 = spark; import spark2.implicits._
