@@ -201,10 +201,18 @@ object TextExtract {
     val unquoted = regexp_extract_all(live,
       lit("(?is)<a\\b[^>]*?[\\s\"']href\\s*=\\s*([^\\s\"'>][^\\s>]*)"),
       lit(1))
+    // the resolver is PINNED to one evaluation site (r16,
+    // [[graft.functions.NondetIdentity]]): without the pin,
+    // filter-pushdown and project-collapsing substitute the ~40-regex
+    // resolution expression into every downstream consumer — the hop
+    // loop's fused link pipeline carried ~13 inlined copies per row, its
+    // single generated method overflowed janino's 64 KB limit, and the
+    // span re-attempted the doomed compile on every run, then executed
+    // interpreted. Pinned: one copy, one evaluation, spans compile.
     pages.select(col("doc_id"), col("url"),
         explode(concat(quoted, unquoted)).as("link_raw"))
-      .withColumn("link", graft.ops.UrlOps.resolveUrl(col("url"),
-        col("link_raw")))
+      .withColumn("link", graft.functions.CodegenSplit.nondet(
+        graft.ops.UrlOps.resolveUrl(col("url"), col("link_raw"))))
       .filter(col("link").isNotNull)
   }
 

@@ -51,6 +51,13 @@ object graftbridge {
     new org.apache.spark.util.SerializableConfiguration(
       s.sparkContext.hadoopConfiguration)
 
+  /** Drain the SparkListener event bus (profiling hygiene: stage/job
+    * events post asynchronously, so a profiler reading its queue right
+    * after an action can miss late completions or inherit stragglers from
+    * the previous run — advisor r15). Test/diagnostic hook. */
+  def flushListenerBus(s: SparkSession): Unit =
+    s.sparkContext.listenerBus.waitUntilEmpty()
+
   /** Count that FORCES full materialization of the frame's output rows.
     * `df.count()` rewrites the logical plan to a bare aggregate first:
     * column pruning drops every output column, and a cardinality-preserving

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart, SparkListenerStageCompleted}
 import org.apache.spark.sql.SparkSession
 
 /** Round-15 optimization harness: plan capture + per-stage profiling for
@@ -54,7 +54,18 @@ object DevPlanProf {
         // per-stage metrics listener: name -> (count, ms, shuffle bytes)
         val stages = new java.util.concurrent.ConcurrentLinkedQueue[
           (Int, String, Long, Long, Long, Int)]()
+        // job-train diagnostics: how many driver jobs a query runs and how
+        // much wall time the job train spans (the r16 anti-scaling lead —
+        // per-hop fixed job costs grow with core count)
+        val jobStarts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+        val jobs = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long)]()
         spark.sparkContext.addSparkListener(new SparkListener {
+          override def onJobStart(e: SparkListenerJobStart): Unit =
+            jobStarts.put(e.jobId, e.time)
+          override def onJobEnd(e: SparkListenerJobEnd): Unit = {
+            val st = jobStarts.getOrDefault(e.jobId, e.time)
+            jobs.add((e.jobId, e.time - st))
+          }
           override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
             val i = e.stageInfo
             val ms = (for {s <- i.submissionTime; c <- i.completionTime}
@@ -78,7 +89,11 @@ object DevPlanProf {
             SparkEntry.queries(name)(spark, sfDir))
           catch { case e: Throwable => println(s"[prof] $name warmup FAILED: $e") }
           ops.CacheScope.releaseAll(spark)
-          stages.clear()
+          // drain the async listener bus before clearing, and again before
+          // reading: late warm-up events must not leak into the timed table
+          // (advisor r15)
+          org.apache.spark.sql.graftbridge.flushListenerBus(spark)
+          stages.clear(); jobs.clear(); jobStarts.clear()
           val secs = (1 to reps).map { _ =>
             val t0 = System.nanoTime()
             org.apache.spark.sql.graftbridge.forceCount(
@@ -88,9 +103,13 @@ object DevPlanProf {
             sec
           }
           val sec = secs.min
+          org.apache.spark.sql.graftbridge.flushListenerBus(spark)
           println(f"[prof] ===== $name%-28s ${sec}%8.3f s min of " +
             secs.map(s => f"$s%.2f").mkString("[", ",", "]") + " =====")
           import scala.jdk.CollectionConverters._
+          val jrows = jobs.asScala.toList
+          println(f"[prof] jobs: ${jrows.size}%d over $reps reps " +
+            f"(${jrows.size / reps}%d/run), job-wall total ${jrows.map(_._2).sum}%d ms")
           val rows = stages.asScala.toList.sortBy(-_._3)
           val totMs = rows.map(_._3.max(0L)).sum
           println(f"[prof] stage-ms total $totMs%d over ${rows.size}%d stages")

@@ -4293,6 +4293,54 @@ class OpsSpec extends SparkSpec {
     graft.ops.CacheScope.releaseAll(spark)
   }
 
+  test("reliable barrier flavor: durable checkpoint files, same rows, leaf plan") {
+    import graft.ops.CacheScope
+    val spark2 = spark; import spark2.implicits._
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+      .filter(col("id") > 1)
+    val ckDir = java.nio.file.Files.createTempDirectory("graft-relbar").toString
+    val expected = df.collect().toSet
+    try {
+      spark.sparkContext.setCheckpointDir(ckDir)
+      spark.conf.set(CacheScope.ReliableBarrierConf, "true")
+      val b = CacheScope.barrier(df)
+      assert(b.collect().toSet == expected)
+      // lineage is cut: the analyzed plan is a leaf over the checkpoint RDD
+      assert(org.apache.spark.sql.graftbridge.checkpointRdd(b).isDefined)
+      // durable: block files landed under the checkpoint dir
+      def files(f: java.io.File): Seq[java.io.File] = {
+        val k = Option(f.listFiles()).map(_.toSeq).getOrElse(Nil)
+        k.filter(_.isFile) ++ k.filter(_.isDirectory).flatMap(files)
+      }
+      assert(files(new java.io.File(ckDir)).nonEmpty, "no checkpoint files written")
+      // the lazy flavor materializes on the caller's first full action
+      val bl = CacheScope.barrierLazy(df)
+      assert(bl.count() == 2 && bl.collect().toSet == expected)
+    } finally {
+      spark.conf.unset(CacheScope.ReliableBarrierConf)
+      CacheScope.releaseAll(spark)
+    }
+  }
+
+  test("NondetIdentity pins evaluation without changing values") {
+    val spark2 = spark; import spark2.implicits._
+    // range, not a LocalRelation: local relations are folded eagerly by the
+    // optimizer and would vacuously satisfy the plan assertion below
+    val df = spark.range(1).select(
+      concat(lit("https://x.example/p/"), col("id")).as("url"),
+      lit("/b").as("link_raw"))
+    val pinned = df.select(graft.functions.CodegenSplit.nondet(
+      graft.ops.UrlOps.resolveUrl(col("url"), col("link_raw"))).as("link"))
+    val plain = df.select(graft.ops.UrlOps.resolveUrl(col("url"),
+      col("link_raw")).as("link"))
+    assert(pinned.collect().toSeq == plain.collect().toSeq)
+    // declared non-deterministic: a filter above must NOT substitute the
+    // resolver into itself (one copy in the optimized plan, in the project)
+    val gated = pinned.filter(col("link").isNotNull)
+    val optimized = gated.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("nondet_identity"))
+  }
+
   test("bucketed layout detected structurally when the marker file is absent") {
     import graft.ops.Dedup
     val spark2 = spark; import spark2.implicits._
