@@ -1008,19 +1008,19 @@ FROM n GROUP BY md5(nt)"""
     * standalone over `documents` and over the exact-dedup representatives in
     * [[dedupPipeline]]), with a pluggable tokenize expression mirroring the
     * engine's Tokenizer seam. The final SELECT yields (a, b, jaccard). */
-  private def minhashLshSql(src: String, srcToks: String = toks): String = s"""WITH dtoks AS (
+  private def minhashLshSql(src: String, srcToks: String = toks): String = s"""WITH dtoks AS MATERIALIZED (
   SELECT DISTINCT doc_id, unnest($srcToks) AS tok FROM $src
-), th AS (
+), th AS MATERIALIZED (
   SELECT doc_id, ${hexLane(1)} AS h1, ${hexLane(9)} AS h2 FROM dtoks
-), sig AS (
+), sig AS MATERIALIZED (
   SELECT doc_id, $minhashAggs
   FROM th GROUP BY doc_id
-), banded AS (
+), banded AS MATERIALIZED (
   SELECT doc_id, $bandCols FROM sig
-), cand AS (
+), cand AS MATERIALIZED (
   SELECT DISTINCT a, b FROM (
     $bandJoins)
-), tsets AS (
+), tsets AS MATERIALIZED (
   SELECT doc_id,
     list_sort(list_distinct(list_transform($srcToks, tok -> ${hexLane(1)}))) AS tks
   FROM $src
@@ -1056,15 +1056,15 @@ GROUP BY 1, 2"""
   /** End-to-end dedup pipeline (mirrors graft.ops.Dedup.dedupPipeline):
     * exact groups → representatives → minhash-LSH pairs over reps →
     * transitive closure → every doc labeled with its rep's cluster. */
-  val dedupPipeline: String = s"""WITH RECURSIVE grp AS (
+  val dedupPipeline: String = s"""WITH RECURSIVE grp AS MATERIALIZED (
   SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS rep_id
   FROM documents
-), rdocs AS (
+), rdocs AS MATERIALIZED (
   SELECT d.* FROM documents d JOIN grp g ON d.doc_id = g.doc_id
   WHERE g.doc_id = g.rep_id
-), pairs AS (
+), pairs AS MATERIALIZED (
   ${minhashLshSql("rdocs")}
-), edges AS (SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs),
+), edges AS MATERIALIZED (SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs),
 reach(src, dst) AS (
   SELECT doc_id, doc_id FROM rdocs
   UNION
@@ -1079,21 +1079,21 @@ FROM grp g JOIN rcl ON rcl.rep_id = g.rep_id"""
     * dedup-canonical → quality ≥ 0.40 → uniform-share mix → split + pack,
     * each stage's SQL the same fragment as its standalone oracle, re-rooted
     * on the previous stage's survivors. */
-  val prepCorpus: String = s"""WITH pipe AS (
+  val prepCorpus: String = s"""WITH pipe AS MATERIALIZED (
   SELECT * FROM ($dedupPipeline)
-), canon AS (
+), canon AS MATERIALIZED (
   SELECT d.* FROM documents d JOIN pipe USING (doc_id) WHERE pipe.is_canonical
-), qual AS (
+), qual AS MATERIALIZED (
   SELECT doc_id FROM (${qualityOver("canon")}) WHERE quality >= 0.40
-), qualified AS (
+), qualified AS MATERIALIZED (
   SELECT c.* FROM canon c JOIN qual USING (doc_id)
-), mixk AS (
+), mixk AS MATERIALIZED (
   SELECT doc_id FROM (${textMixOver("qualified")}) WHERE kept
-), mixed AS (
+), mixed AS MATERIALIZED (
   SELECT q.* FROM qualified q JOIN mixk USING (doc_id)
-), packed AS (
+), packed AS MATERIALIZED (
   SELECT * FROM (${textPackOver("mixed")})
-), sp AS (
+), sp AS MATERIALIZED (
   ${textSplitOver("mixed")}
 )
 SELECT packed.doc_id, sp.split, packed.shard, packed.seq,
@@ -1104,26 +1104,26 @@ FROM packed JOIN sp USING (doc_id)"""
     * graft.ops.Prep.prepFineWeb, keepFrac=0.3): Gopher rules → normalized-
     * exact canonicals → per-source top-30% quality → split + pack, each
     * stage re-rooted on the previous stage's survivors. */
-  val prepFineweb: String = s"""WITH gph AS (
+  val prepFineweb: String = s"""WITH gph AS MATERIALIZED (
   SELECT doc_id FROM (${textGopherOver("documents")}) WHERE kept
-), g AS (
+), g AS MATERIALIZED (
   SELECT d.* FROM documents d JOIN gph USING (doc_id)
-), nrm AS (
+), nrm AS MATERIALIZED (
   SELECT doc_id,
     md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
       ' +', ' ', 'g'))) AS nh
   FROM g
-), ncanon AS (
+), ncanon AS MATERIALIZED (
   SELECT min(doc_id) AS doc_id FROM nrm GROUP BY nh
-), canon AS (
+), canon AS MATERIALIZED (
   SELECT g.* FROM g JOIN ncanon USING (doc_id)
-), tfk AS (
+), tfk AS MATERIALIZED (
   SELECT doc_id FROM (${textQualityTopFracOver("canon")}) WHERE kept
-), selected AS (
+), selected AS MATERIALIZED (
   SELECT c.* FROM canon c JOIN tfk USING (doc_id)
-), packed AS (
+), packed AS MATERIALIZED (
   SELECT * FROM (${textPackOver("selected")})
-), sp AS (
+), sp AS MATERIALIZED (
   ${textSplitOver("selected")}
 )
 SELECT packed.doc_id, sp.split, packed.shard, packed.seq,
@@ -1139,13 +1139,13 @@ FROM packed JOIN sp USING (doc_id)"""
   private val fpSum: String = (0 until graft.ops.Dedup.SimhashBits)
     .map(j => s"CASE WHEN s$j >= 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
 
-  private val simhashCte: String = s"""WITH toksall AS (
+  private val simhashCte: String = s"""WITH toksall AS MATERIALIZED (
   SELECT doc_id, unnest($toks) AS tok FROM documents
 ), tv AS (
   SELECT doc_id, ${hexLane(1)} AS h1, ${hexLane(9)} AS h2 FROM toksall
-), planes AS (
+), planes AS MATERIALIZED (
   SELECT doc_id, $planeSums FROM tv GROUP BY doc_id
-), fp AS (
+), fp AS MATERIALIZED (
   SELECT doc_id, CAST($fpSum AS BIGINT) AS simhash FROM planes
 )"""
 
@@ -1177,16 +1177,16 @@ WHERE CAST(levenshtein(da.text, db.text) AS DOUBLE)
   /** The minhash banded + token-set CTE family over `src`, all CTE names
     * prefixed with `p` so two corpora can coexist in one query (the
     * incremental-dedup oracle builds one family per side). */
-  private def bandedCtes(src: String, p: String): String = s"""${p}dtoks AS (
+  private def bandedCtes(src: String, p: String): String = s"""${p}dtoks AS MATERIALIZED (
   SELECT DISTINCT doc_id, unnest($toks) AS tok FROM $src
-), ${p}th AS (
+), ${p}th AS MATERIALIZED (
   SELECT doc_id, ${hexLane(1)} AS h1, ${hexLane(9)} AS h2 FROM ${p}dtoks
-), ${p}sig AS (
+), ${p}sig AS MATERIALIZED (
   SELECT doc_id, $minhashAggs
   FROM ${p}th GROUP BY doc_id
-), ${p}banded AS (
+), ${p}banded AS MATERIALIZED (
   SELECT doc_id, $bandCols FROM ${p}sig
-), ${p}tsets AS (
+), ${p}tsets AS MATERIALIZED (
   SELECT doc_id,
     list_sort(list_distinct(list_transform($toks, tok -> ${hexLane(1)}))) AS tks
   FROM $src
@@ -1199,20 +1199,20 @@ WHERE CAST(levenshtein(da.text, db.text) AS DOUBLE)
   /** Incremental dedup oracle (mirrors graft.ops.Dedup.incremental over the
     * doc_id % 5 batch/history split): exact digest tier wins over the
     * minhash near tier; each tier contributes its minimum history doc_id. */
-  val dedupIncremental: String = s"""WITH hist AS (
+  val dedupIncremental: String = s"""WITH hist AS MATERIALIZED (
   SELECT * FROM documents WHERE doc_id % 5 <> 0
-), bat AS (
+), bat AS MATERIALIZED (
   SELECT * FROM documents WHERE doc_id % 5 = 0
 ), ${bandedCtes("hist", "h")},
 ${bandedCtes("bat", "b")},
-ex AS (
+ex AS MATERIALIZED (
   SELECT b.doc_id, min(h.doc_id) AS exact_id
   FROM bat b JOIN hist h ON md5(h.text) = md5(b.text)
   GROUP BY b.doc_id
-), cand AS (
+), cand AS MATERIALIZED (
   SELECT DISTINCT bd, hd FROM (
     $incrBandJoins)
-), nr AS (
+), nr AS MATERIALIZED (
   SELECT c.bd AS doc_id, min(c.hd) AS near_id
   FROM cand c JOIN btsets sb ON sb.doc_id = c.bd
               JOIN htsets sh ON sh.doc_id = c.hd
@@ -1249,42 +1249,42 @@ FROM bat b LEFT JOIN ex ON ex.doc_id = b.doc_id
   private def dedupIncrementalEmbFor(histCond: String => String,
       batCond: String => String): String = {
     val (r, b) = graft.ops.Similarity.lshParams(0.45)
-    s"""WITH ${hyperplaneCte(r * b)}, hist AS (
+    s"""WITH ${hyperplaneCte(r * b)}, hist AS MATERIALIZED (
   SELECT * FROM documents WHERE ${histCond("doc_id")}
-), bat AS (
+), bat AS MATERIALIZED (
   SELECT * FROM documents WHERE ${batCond("doc_id")}
 ), ${bandedCtes("hist", "h")},
 ${bandedCtes("bat", "b")},
-ex AS (
+ex AS MATERIALIZED (
   SELECT b.doc_id, min(h.doc_id) AS exact_id
   FROM bat b JOIN hist h ON md5(h.text) = md5(b.text)
   GROUP BY b.doc_id
-), cand AS (
+), cand AS MATERIALIZED (
   SELECT DISTINCT bd, hd FROM (
     $incrBandJoins)
-), nr AS (
+), nr AS MATERIALIZED (
   SELECT c.bd AS doc_id, min(c.hd) AS near_id
   FROM cand c JOIN btsets sb ON sb.doc_id = c.bd
               JOIN htsets sh ON sh.doc_id = c.hd
   WHERE CAST(len(list_intersect(sh.tks, sb.tks)) AS DOUBLE)
     / (len(sh.tks) + len(sb.tks) - len(list_intersect(sh.tks, sb.tks))) >= 0.8
   GROUP BY c.bd
-), ee AS (
+), ee AS MATERIALIZED (
   SELECT vec_id AS doc_id, CAST(embedding AS DOUBLE[]) AS v,
     list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) AS n2
   FROM embeddings
-), edots AS (
+), edots AS MATERIALIZED (
   SELECT ee.doc_id, hp.h, sum(hp.v * ee.v[hp.d + 1]) AS dp
   FROM ee, hp GROUP BY ee.doc_id, hp.h
-), esigs AS (
+), esigs AS MATERIALIZED (
   SELECT doc_id, h // $r AS band,
     sum(CASE WHEN dp >= 0 THEN 1::BIGINT << (h % $r) ELSE 0 END) AS key
   FROM edots GROUP BY doc_id, h // $r
-), ecand AS (
+), ecand AS MATERIALIZED (
   SELECT DISTINCT bb.doc_id AS bd, hh.doc_id AS hd
   FROM esigs bb JOIN esigs hh ON bb.band = hh.band AND bb.key = hh.key
   WHERE ${batCond("bb.doc_id")} AND ${histCond("hh.doc_id")}
-), em AS (
+), em AS MATERIALIZED (
   SELECT c.bd AS doc_id, min(c.hd) AS emb_id
   FROM ecand c JOIN ee be ON be.doc_id = c.bd
                JOIN ee he ON he.doc_id = c.hd
@@ -2567,28 +2567,28 @@ FROM stats"""
     * graft.ops.Prep.prepFineWebHtml): render → extract → Gopher rules →
     * normalized-exact canonicals → per-source top-30% quality →
     * split + pack — the full crawl-to-shards pipeline from stage zero. */
-  val prepFinewebHtml: String = s"""WITH ext AS (
+  val prepFinewebHtml: String = s"""WITH ext AS MATERIALIZED (
   SELECT doc_id, text, source FROM (${htmlExtractOver("documents")})
-), gph AS (
+), gph AS MATERIALIZED (
   SELECT doc_id FROM (${textGopherOver("ext")}) WHERE kept
-), g AS (
+), g AS MATERIALIZED (
   SELECT d.* FROM ext d JOIN gph USING (doc_id)
-), nrm AS (
+), nrm AS MATERIALIZED (
   SELECT doc_id,
     md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
       ' +', ' ', 'g'))) AS nh
   FROM g
-), ncanon AS (
+), ncanon AS MATERIALIZED (
   SELECT min(doc_id) AS doc_id FROM nrm GROUP BY nh
-), canon AS (
+), canon AS MATERIALIZED (
   SELECT g.* FROM g JOIN ncanon USING (doc_id)
-), tfk AS (
+), tfk AS MATERIALIZED (
   SELECT doc_id FROM (${textQualityTopFracOver("canon")}) WHERE kept
-), selected AS (
+), selected AS MATERIALIZED (
   SELECT c.* FROM canon c JOIN tfk USING (doc_id)
-), packed AS (
+), packed AS MATERIALIZED (
   SELECT * FROM (${textPackOver("selected")})
-), sp AS (
+), sp AS MATERIALIZED (
   ${textSplitOver("selected")}
 )
 SELECT packed.doc_id, sp.split, packed.shard, packed.seq,
@@ -3131,8 +3131,8 @@ FROM s3"""
     * the share is one IEEE double division of exact integers on both
     * engines. */
   // lazy: declared above webFrontier, whose init this interpolates
-  lazy val webCrawlTraps: String = s"""WITH wf AS ($webFrontier),
-per AS (
+  lazy val webCrawlTraps: String = s"""WITH wf AS MATERIALIZED ($webFrontier),
+per AS MATERIALIZED (
   SELECT registered_domain,
     regexp_extract(path, '^(/[^/]*)', 1) AS path_prefix,
     CAST(count(*) AS BIGINT) AS n_urls
@@ -3152,17 +3152,17 @@ FROM per JOIN tot USING (registered_domain)"""
     * domain), grouped by the first TWO path segments — the `{1,2}` greedy
     * repeat groups shallower paths on their whole selves, exactly as the
     * engine's depth parameter renders it. */
-  lazy val webCrawlTrapsDeep: String = s"""WITH wf AS ($webFrontier),
-cal AS (
+  lazy val webCrawlTrapsDeep: String = s"""WITH wf AS MATERIALIZED ($webFrontier),
+cal AS MATERIALIZED (
   SELECT registered_domain,
     '/cal/' || (CASE WHEN doc_id % 3 = 2 THEN 'about/' ELSE '2026/' END) ||
       CAST(doc_id AS VARCHAR) AS path
   FROM (${urlParsedOver(urlPagesOver("documents"))})
-), uni AS (
+), uni AS MATERIALIZED (
   SELECT registered_domain, path FROM wf
   UNION ALL
   SELECT registered_domain, path FROM cal
-), per AS (
+), per AS MATERIALIZED (
   SELECT registered_domain,
     regexp_extract(path, '^((?:/[^/]*){1,2})', 1) AS path_prefix,
     CAST(count(*) AS BIGINT) AS n_urls
@@ -3184,58 +3184,58 @@ FROM per JOIN tot USING (registered_domain)"""
     * child (level 3, the budget edge, localizes on its own flag). The
     * engine must reach the same cuts through its level loop, semi-join
     * restriction, and windowed top-K. */
-  lazy val webCrawlTrapsHier: String = s"""WITH wf AS ($webFrontier),
-cal AS (
+  lazy val webCrawlTrapsHier: String = s"""WITH wf AS MATERIALIZED ($webFrontier),
+cal AS MATERIALIZED (
   SELECT registered_domain,
     '/cal/' || (CASE WHEN doc_id % 3 = 2 THEN 'about/' ELSE '2026/' END) ||
       CAST(doc_id AS VARCHAR) AS path
   FROM (${urlParsedOver(urlPagesOver("documents"))})
-), uni AS (
+), uni AS MATERIALIZED (
   SELECT registered_domain, path FROM wf
   UNION ALL
   SELECT registered_domain, path FROM cal
-), tot AS (
+), tot AS MATERIALIZED (
   SELECT registered_domain, count(*) AS domain_urls FROM uni GROUP BY 1
-), l1 AS (
+), l1 AS MATERIALIZED (
   SELECT registered_domain,
     regexp_extract(path, '^((?:/[^/]*){1,1})', 1) AS path_prefix,
     CAST(count(*) AS BIGINT) AS n_urls
   FROM uni GROUP BY 1, 2
-), l2a AS (
+), l2a AS MATERIALIZED (
   SELECT registered_domain,
     regexp_extract(path, '^((?:/[^/]*){1,2})', 1) AS path_prefix,
     regexp_extract(path, '^((?:/[^/]*){1,1})', 1) AS parent,
     CAST(count(*) AS BIGINT) AS n_urls
   FROM uni GROUP BY 1, 2, 3
-), l2r AS (
+), l2r AS MATERIALIZED (
   SELECT a.*, row_number() OVER (PARTITION BY a.registered_domain, a.parent
       ORDER BY a.n_urls DESC, a.path_prefix) AS rk
   FROM l2a a JOIN (SELECT registered_domain, path_prefix FROM l1
                    WHERE n_urls > 8) f1
     ON a.registered_domain = f1.registered_domain
    AND a.parent = f1.path_prefix
-), l2 AS (
+), l2 AS MATERIALIZED (
   SELECT registered_domain, path_prefix, parent, n_urls FROM l2r
   WHERE rk <= 5
-), l3a AS (
+), l3a AS MATERIALIZED (
   SELECT registered_domain,
     regexp_extract(path, '^((?:/[^/]*){1,3})', 1) AS path_prefix,
     regexp_extract(path, '^((?:/[^/]*){1,2})', 1) AS parent,
     CAST(count(*) AS BIGINT) AS n_urls
   FROM uni GROUP BY 1, 2, 3
-), l3r AS (
+), l3r AS MATERIALIZED (
   SELECT a.*, row_number() OVER (PARTITION BY a.registered_domain, a.parent
       ORDER BY a.n_urls DESC, a.path_prefix) AS rk
   FROM l3a a JOIN (SELECT registered_domain, path_prefix FROM l2
                    WHERE n_urls > 8) f2
     ON a.registered_domain = f2.registered_domain
    AND a.parent = f2.path_prefix
-), l3 AS (
+), l3 AS MATERIALIZED (
   SELECT registered_domain, path_prefix, parent, n_urls FROM l3r
   WHERE rk <= 5
-), f2p AS (
+), f2p AS MATERIALIZED (
   SELECT DISTINCT registered_domain, parent FROM l2 WHERE n_urls > 8
-), f3p AS (
+), f3p AS MATERIALIZED (
   SELECT DISTINCT registered_domain, parent FROM l3 WHERE n_urls > 8
 )
 SELECT l.registered_domain, l.path_prefix, CAST(1 AS INT) AS depth,
@@ -3268,7 +3268,7 @@ FROM l3 l JOIN tot t USING (registered_domain)"""
     * within (domain, trap_prefix), kept = ungoverned or rank ≤ 8. The
     * engine must reach the same lanes through its broadcast match +
     * governed-only window. */
-  lazy val webCrawlCaps: String = s"""WITH uni AS (
+  lazy val webCrawlCaps: String = s"""WITH capsuni AS MATERIALIZED (
   SELECT url_norm, registered_domain, path FROM ($webFrontier)
   UNION ALL
   SELECT 'https://' || registered_domain || path, registered_domain, path
@@ -3277,24 +3277,24 @@ FROM l3 l JOIN tot t USING (registered_domain)"""
       '/cal/' || (CASE WHEN doc_id % 3 = 2 THEN 'about/' ELSE '2026/' END)
         || CAST(doc_id AS VARCHAR) AS path
     FROM (${urlParsedOver(urlPagesOver("documents"))}))
-), loc AS (
+), capsloc AS MATERIALIZED (
   SELECT registered_domain, path_prefix AS trap_prefix
   FROM ($webCrawlTrapsHier) WHERE trap_localized
-), g AS (
+), capsg AS (
   SELECT u.url_norm, u.registered_domain, u.path, l.trap_prefix
-  FROM uni u LEFT JOIN loc l
+  FROM capsuni u LEFT JOIN capsloc l
     ON u.registered_domain = l.registered_domain
    AND (u.path = l.trap_prefix OR
         starts_with(u.path, l.trap_prefix || '/'))
-), r AS (
+), capsr AS (
   SELECT *, CAST(row_number() OVER (PARTITION BY registered_domain,
       trap_prefix ORDER BY url_norm) AS INT) AS rn
-  FROM g
+  FROM capsg
 )
 SELECT url_norm, registered_domain, path, trap_prefix,
   CASE WHEN trap_prefix IS NULL THEN NULL ELSE rn END AS capped_rank,
   (trap_prefix IS NULL OR rn <= 8) AS kept
-FROM r"""
+FROM capsr"""
 
   /** Crawl-budget oracle (mirrors graft.ops.Robots.webCrawlBudget):
     * per-domain allowed-page count × governing crawl delay, built on the
@@ -3383,9 +3383,21 @@ FROM fn_rd"""
     * graft.ops.Robots.relistSitemapXml: doc_id % 20 == 10 pages with
     * uppercased scheme + '#relist' fragment — normalization-identical to
     * their corpus URLs — and lastmod 2026-03-((doc_id % 28) + 1)). */
+  // the rendered corpus URL surface is shared by two union branches —
+  // declared once as a MATERIALIZED CTE (r16): DuckDB inlines plain CTEs
+  // at every reference, so the repeated-fixture pyramids of the composed
+  // web oracles re-planned and re-evaluated the same rendered surface
+  // once per reference per nesting level — the driver's single-process
+  // gate accumulated GBs and OOM'd on the web family (7 no-verdict
+  // queries in CORRECTNESS_r15). MATERIALIZED evaluates once per
+  // statement; results are unchanged (measured row-identical, and e.g.
+  // web_crawl_traps_hier dropped 52.6 s/1.8 GB → 3.2 s/0.3 GB at sf0.01).
+  private val frontierUnionCtes: String =
+    s"""fup AS MATERIALIZED (${urlPagesOver("documents")}),
+"""
   private val frontierUnion: String = s"""
 SELECT doc_id, url, CAST(NULL AS VARCHAR) AS lastmod, 'corpus' AS src
-FROM (${urlPagesOver("documents")})
+FROM fup
 UNION ALL
 SELECT CAST(NULL AS BIGINT), loc, lastmod, 'sitemap'
 FROM ($webSitemapDocs)
@@ -3394,7 +3406,7 @@ SELECT CAST(NULL AS BIGINT),
   'HTTPS' || regexp_replace(substr(url, 6), '#.*$$', '#relist'),
   '2026-03-' || lpad(CAST((doc_id % 28) + 1 AS VARCHAR), 2, '0'),
   'sitemap'
-FROM (${urlPagesOver("documents")}) WHERE doc_id % 20 = 10"""
+FROM fup WHERE doc_id % 20 = 10"""
 
   /** Crawl-frontier oracle (mirrors graft.ops.Robots.webFrontier): the
     * unioned URL surface collapses per url_norm (min corpus URL as the
@@ -3412,7 +3424,10 @@ FROM (${urlPagesOver("documents")}) WHERE doc_id % 20 = 10"""
   val webFrontierLinks: String = frontierSqlOver(frontierUnion + s"""
 UNION ALL
 SELECT CAST(NULL AS BIGINT), link, CAST(NULL AS VARCHAR), 'link'
-FROM ($webOutlinks)""")
+FROM fol""",
+    extraCtes = frontierUnionCtes +
+      s"""fol AS MATERIALIZED ($webOutlinks),
+""")
 
   /** The closed-form gate for the STREAM-discovered surface (what the
     * real durable frontier table contains): the referrer page must pass
@@ -3447,11 +3462,15 @@ FROM ($webOutlinks)""")
   val webFrontierUnified: String = frontierSqlOver(frontierUnion + s"""
 UNION ALL
 SELECT CAST(NULL AS BIGINT), link, CAST(NULL AS VARCHAR), 'link'
-FROM ($webOutlinks)
+FROM fol
 UNION ALL
 SELECT CAST(NULL AS BIGINT), ol.link, CAST(NULL AS VARCHAR), 'discovered'
-FROM ($webOutlinks) ol JOIN ($webRobots) wr ON ol.doc_id = wr.doc_id
-WHERE $discoveredWhere""")
+FROM fol ol JOIN fwr wr ON ol.doc_id = wr.doc_id
+WHERE $discoveredWhere""",
+    extraCtes = frontierUnionCtes +
+      s"""fol AS MATERIALIZED ($webOutlinks),
+fwr AS MATERIALIZED ($webRobots),
+""")
 
   /** Multi-hop frontier oracle (mirrors graft.ops.Robots.webFrontierHops):
     * hop 0 is the frontier itself; hops 1–3 are the chain fixture's
@@ -3474,8 +3493,8 @@ WHERE $discoveredWhere""")
     * rule matching /chain/, the engine would correctly stop descending
     * at the disallowed row and THIS oracle would need the same
     * conditional. */
-  val webFrontierHops: String = s"""WITH wf AS ($webFrontier),
-origins AS (
+  val webFrontierHops: String = s"""WITH wf AS MATERIALIZED ($webFrontier),
+origins AS MATERIALIZED (
   SELECT DISTINCT regexp_extract(url_norm,
     '^[a-z][a-z0-9+.-]*://[^/]+', 0) AS origin
   FROM wf WHERE robots_allowed
@@ -3513,8 +3532,8 @@ FROM wf"""
     * robots-decided generatively. Hop 2 exists in neither relation: the
     * fixture's fixpoint. The engine must earn the reduced closure
     * through the real iteration over the real read-back table. */
-  lazy val webFrontierHopsKnown: String = s"""WITH wf AS ($webFrontier),
-known AS (
+  lazy val webFrontierHopsKnown: String = s"""WITH wf AS MATERIALIZED ($webFrontier),
+known AS MATERIALIZED (
   SELECT DISTINCT url_norm FROM (
     ${urlNormCols(s"""SELECT ol.link AS url
 FROM ($webOutlinks) ol JOIN ($webRobots) wr ON ol.doc_id = wr.doc_id
@@ -3547,7 +3566,8 @@ FROM wf"""
 
   /** The frontier collapse + robots decision over a unioned
     * `(doc_id, url, lastmod, src)` URL surface. */
-  private def frontierSqlOver(union: String): String = s"""WITH fp AS (
+  private def frontierSqlOver(union: String,
+      extraCtes: String = frontierUnionCtes): String = s"""WITH ${extraCtes}fp AS MATERIALIZED (
   ${urlNormCols(union)}
 ), fr AS (
   SELECT url_norm,
@@ -3585,8 +3605,8 @@ FROM (SELECT *, length(registered_domain) AS l FROM fr)"""
     * place holds the priority ladder, fetch-history closed form, and
     * lane arithmetic for [[webRecrawl]] and [[webRecrawlUnified]]. */
   private def recrawlSqlOver(frontierSql: String): String =
-    s"""WITH wf AS ($frontierSql),
-lc AS (
+    s"""WITH wf AS MATERIALIZED ($frontierSql),
+lc AS MATERIALIZED (
   SELECT DISTINCT url_norm, '2026-03-15' AS last_crawled
   FROM (${urlParsedOver(urlPagesOver("documents"))})
 ), chgh AS (
@@ -3793,39 +3813,39 @@ SELECT * FROM info UNION ALL SELECT * FROM convout"""
 ), gated AS (
   SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
   FROM documents d JOIN gids USING (doc_id)
-), ld AS (
+), ld AS MATERIALIZED (
   SELECT doc_id, cleaned_text
   FROM (${lineDedupOver("SELECT doc_id, text FROM gated")})
-), clean AS (
+), clean AS MATERIALIZED (
   SELECT ld.doc_id, ld.cleaned_text AS text, gated.source
   FROM ld JOIN gated USING (doc_id)
-), gph AS (
+), gph AS MATERIALIZED (
   SELECT doc_id FROM (${textGopherOver("clean")}) WHERE kept
-), g AS (
+), g AS MATERIALIZED (
   SELECT c.* FROM clean c JOIN gph USING (doc_id)
-), nrm AS (
+), nrm AS MATERIALIZED (
   SELECT doc_id,
     md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
       ' +', ' ', 'g'))) AS nh
   FROM g
-), ncanon AS (
+), ncanon AS MATERIALIZED (
   SELECT min(doc_id) AS doc_id FROM nrm GROUP BY nh
-), canon AS (
+), canon AS MATERIALIZED (
   SELECT g.* FROM g JOIN ncanon USING (doc_id)
-), tfk AS (
+), tfk AS MATERIALIZED (
   SELECT doc_id FROM (${textQualityTopFracOver("canon")}) WHERE kept
-), selected AS (
+), selected AS MATERIALIZED (
   SELECT c.* FROM canon c JOIN tfk USING (doc_id)
-), packed AS (
+), packed AS MATERIALIZED (
   SELECT * FROM (${textPackOver("selected")})
-), sp AS (
+), sp AS MATERIALIZED (
   ${textSplitOver("selected")}
 )
 SELECT packed.doc_id, sp.split, packed.shard, packed.seq,
   packed.tok_offset, packed.n_tokens
 FROM packed JOIN sp USING (doc_id)"""
 
-  val prepWeb: String = s"""WITH up AS (
+  val prepWeb: String = s"""WITH up AS MATERIALIZED (
   SELECT doc_id, url, url_norm, registered_domain, path
   FROM (${urlParsedOver(urlPagesOver("documents"))})
 ), gok AS (
@@ -3836,37 +3856,37 @@ FROM packed JOIN sp USING (doc_id)"""
     OR length(url) > 200)
 ), gids AS (
   SELECT min(doc_id) AS doc_id FROM gok GROUP BY url_norm
-), gated AS (
+), gated AS MATERIALIZED (
   SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
   FROM documents d JOIN gids USING (doc_id)
-), ext AS (
+), ext AS MATERIALIZED (
   SELECT doc_id, text, source FROM (${htmlExtractOver("gated")})
-), ld AS (
+), ld AS MATERIALIZED (
   SELECT doc_id, cleaned_text
   FROM (${lineDedupOver("SELECT doc_id, text FROM ext")})
-), clean AS (
+), clean AS MATERIALIZED (
   SELECT ld.doc_id, ld.cleaned_text AS text, ext.source
   FROM ld JOIN ext USING (doc_id)
-), gph AS (
+), gph AS MATERIALIZED (
   SELECT doc_id FROM (${textGopherOver("clean")}) WHERE kept
-), g AS (
+), g AS MATERIALIZED (
   SELECT c.* FROM clean c JOIN gph USING (doc_id)
-), nrm AS (
+), nrm AS MATERIALIZED (
   SELECT doc_id,
     md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
       ' +', ' ', 'g'))) AS nh
   FROM g
-), ncanon AS (
+), ncanon AS MATERIALIZED (
   SELECT min(doc_id) AS doc_id FROM nrm GROUP BY nh
-), canon AS (
+), canon AS MATERIALIZED (
   SELECT g.* FROM g JOIN ncanon USING (doc_id)
-), tfk AS (
+), tfk AS MATERIALIZED (
   SELECT doc_id FROM (${textQualityTopFracOver("canon")}) WHERE kept
-), selected AS (
+), selected AS MATERIALIZED (
   SELECT c.* FROM canon c JOIN tfk USING (doc_id)
-), packed AS (
+), packed AS MATERIALIZED (
   SELECT * FROM (${textPackOver("selected")})
-), sp AS (
+), sp AS MATERIALIZED (
   ${textSplitOver("selected")}
 )
 SELECT packed.doc_id, sp.split, packed.shard, packed.seq,
