@@ -168,10 +168,19 @@ object Bench {
       repRuns.mkString("{\"runs\":[", ",", "]}")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable => println(s"[bench] bench-out write failed: $e") }
-    // the LAST stdout line stays the driver-contract summary — compact
-    // (no per-query map) so the capture window can never truncate it;
-    // per-query numbers live in the chunk lines above and in $outPath
+    // compact summary (no per-query map — can never truncate): totals,
+    // errors, environment evidence, and the on-disk twin's path
     println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","errors":${failed.size},"failed":$errs,"queries_parts":${parts.size},"queries_file":"$outPath","sf":"$sfDir",$envF}""")
+    // The VERY LAST stdout line is the ORIGINAL driver contract — one JSON
+    // line with the total AND the complete per-query map (r16 fix, verdict
+    // r15 item 3: two rounds of parsed:null — the driver's parser never
+    // reassembled the chunk lines, and the compact-last layout gave it no
+    // per-query data at all; last-line survival is the one guaranteed slot
+    // in the captured tail). Fixed fields lead and the per-query map comes
+    // LAST inside the line, so even a width-capped capture still yields the
+    // total by prefix parse and per-query pairs by regex; the chunk lines
+    // and the on-disk twin above remain as redundant carriers.
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","errors":${failed.size},"sf":"$sfDir","rep":$rep,"queries":$qs}""")
     }
     spark.stop()
   }
