@@ -274,7 +274,20 @@ object TextExtract {
     // duplicates a leaf attribute instead. array(x) is always
     // one-element, so no row is dropped — a page with no canonical
     // emits its null.
+    //
+    // The resolution is computed in a PINNED projection BELOW the explode
+    // (r16, [[graft.functions.NondetIdentity]]): placed inside the
+    // generator expression, the resolver re-references its extracted
+    // argument ~20× internally and each reference re-inlines the whole
+    // tag-extraction tree — the generator alone generated 1.37M chars of
+    // code, overflowed janino's 64 KB method limit, and the span ran
+    // interpreted after a failed compile on EVERY run of every
+    // canonical-tier query. As a pinned projected column the chain is
+    // evaluated once with subexpression elimination, and the generator
+    // explodes a leaf attribute.
     pages.select(col("doc_id"), col("url"),
-      explode(array(resolved)).as("canonical"))
+        graft.functions.CodegenSplit.nondet(resolved).as("__resolved"))
+      .select(col("doc_id"), col("url"),
+        explode(array(col("__resolved"))).as("canonical"))
   }
 }

@@ -408,19 +408,32 @@ object UrlOps {
     * guard (its `tgt_norm` nulls, so the node coalesces to the self
     * norm); spec-pinned for both tiers. */
   def urlDedupCanonical(pages: DataFrame): DataFrame = {
-    // TWO parseNormalize instances (own URL + declared target) — the
-    // keeper preference below needs the page's own norm NEXT TO its key,
-    // and both spellings arrive as leaf attributes (`canonical` through
-    // [[graft.ops.TextExtract.canonicals]]' Generate boundary), so each
-    // instance duplicates only a column reference, never the extract tree
-    val selfN = parseNormalize(col("url")).getField("url_norm")
-    val tgt = parseNormalize(col("canonical"))
+    // the own-URL and declared-target parses are PINNED to one evaluation
+    // each (r16, [[graft.functions.NondetIdentity]]): the r15 form
+    // referenced the target parse three times and the self parse twice in
+    // one projection; fused into the canonicals Generate consume (a
+    // variable-based span Spark cannot split), the duplicated copies
+    // overflowed janino's 64 KB method limit and the span ran interpreted
+    // after a failed compile on every run. Rows unchanged — the wrappers
+    // are identities.
+    // the marker on doc_id additionally takes this projection OUT of
+    // whole-stage fusion with the extract+resolve span below it: even
+    // single-copy, the render+extract+resolve+two-parses chain in one
+    // variable-based method stays beyond 64 KB — unfused, the projection
+    // compiles through row-based per-operator codegen (splittable methods)
+    val parsed = pages.select(
+      graft.functions.CodegenSplit.marker(col("doc_id")).as("doc_id"),
+      col("canonical"),
+      graft.functions.CodegenSplit.nondet(
+        parseNormalize(col("url")).getField("url_norm")).as("__self"),
+      graft.functions.CodegenSplit.nondet(
+        parseNormalize(col("canonical"))).as("__t"))
     val tgtOk = col("canonical").isNotNull &&
-      tgt.getField("scheme") =!= "" && tgt.getField("host") =!= ""
-    dedupOnKeys(pages.select(col("doc_id"),
-      coalesce(when(tgtOk, tgt.getField("url_norm")), selfN)
+      col("__t").getField("scheme") =!= "" && col("__t").getField("host") =!= ""
+    dedupOnKeys(parsed.select(col("doc_id"),
+      coalesce(when(tgtOk, col("__t").getField("url_norm")), col("__self"))
         .as("dedup_key"),
-      selfN.as("self_norm")))
+      col("__self").as("self_norm")))
   }
 
   /** The shared keeper election behind [[urlDedupCanonical]] and
@@ -476,16 +489,29 @@ object UrlOps {
     * contents. */
   def urlDedupCanonicalChain(pages: DataFrame, maxHops: Int = 5): DataFrame = {
     require(maxHops >= 1, s"maxHops >= 1: $maxHops")
-    val selfN = parseNormalize(col("url")).getField("url_norm")
     // the malformed-declaration guard, identical to [[urlDedupCanonical]]:
-    // a target with no scheme or host reads as NO declaration
-    val tgt = parseNormalize(col("canonical"))
+    // a target with no scheme or host reads as NO declaration. Both parses
+    // pinned to one evaluation (the urlDedupCanonical r16 note — the
+    // triple-referenced target parse overflowed the fused Generate span's
+    // 64 KB codegen method).
+    // the marker on doc_id additionally takes this projection OUT of
+    // whole-stage fusion with the extract+resolve span below it: even
+    // single-copy, the render+extract+resolve+two-parses chain in one
+    // variable-based method stays beyond 64 KB — unfused, the projection
+    // compiles through row-based per-operator codegen (splittable methods)
+    val parsed = pages.select(
+      graft.functions.CodegenSplit.marker(col("doc_id")).as("doc_id"),
+      col("canonical"),
+      graft.functions.CodegenSplit.nondet(
+        parseNormalize(col("url")).getField("url_norm")).as("__self"),
+      graft.functions.CodegenSplit.nondet(
+        parseNormalize(col("canonical"))).as("__t"))
     val tgtOk = col("canonical").isNotNull &&
-      tgt.getField("scheme") =!= "" && tgt.getField("host") =!= ""
-    val tgtN = when(!tgtOk, lit(null).cast("string"))
-      .otherwise(tgt.getField("url_norm"))
-    val base = CacheScope.trackEager(pages.select(col("doc_id"),
-      selfN.as("self_norm"), tgtN.as("tgt_norm")))
+      col("__t").getField("scheme") =!= "" && col("__t").getField("host") =!= ""
+    val base = CacheScope.trackEager(parsed.select(col("doc_id"),
+      col("__self").as("self_norm"),
+      when(!tgtOk, lit(null).cast("string"))
+        .otherwise(col("__t").getField("url_norm")).as("tgt_norm")))
     // the pointer map: declaring location → declared target (self-pointers
     // drop — a self-canonical declaration is already terminal)
     val m = base
